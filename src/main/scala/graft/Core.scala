@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One named operator from the contract (SURVEY.md §2): a Spark-first
+  * implementation plus — when SQL-expressible — the DuckDB oracle twin the
+  * driver hash-compares against (SURVEY.md Appendix A).
+  *
+  * Output column names MUST match between `run` and `oracle`: the driver
+  * sorts columns by name before hashing values.
+  */
+final case class GraftQuery(
+    name: String,
+    doc: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Parquet table loader. One file per table per scale dir (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.ts is physically TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects. Read it as a nanos Long (legacy conf) and truncate to micros —
+    * integer `div 1000`, matching DuckDB's nanos→micros truncation exactly
+    * (verified on the fixtures: nanos are NOT micro-aligned, so rounding
+    * would diverge). Double division would also be wrong: 1.7e18 > 2^53.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}
+
+/** Determinism helpers.
+  *
+  * Cross-engine hash comparison of floating-point aggregates is only stable
+  * when the computation is either exact (decimal / integral) or bitwise
+  * identical on both engines. Two disciplines, used by every declared query:
+  *
+  *  1. Money sums: per-row cast DOUBLE→DECIMAL(28,6) (deterministic per row),
+  *     exact decimal accumulation (associative ⇒ partition-order-insensitive),
+  *     round to cents, cast back to DOUBLE. A plain double sum would depend on
+  *     partition/merge order — fine at sf0.01, a hash mismatch at 100 TB.
+  *
+  *  2. Vector math: products computed as DOUBLE (exact for float operands),
+  *     sequential left-to-right fold — bitwise identical to DuckDB's
+  *     list_sum(list_transform(...)) twin (verified this session; DuckDB's
+  *     builtin list_cosine_similarity computes in float and differs by ~1e-7,
+  *     so the oracle SQL uses the manual double formula instead).
+  */
+object Exact {
+  /** Order-insensitive exact money sum rounded to cents, as DOUBLE. */
+  def moneySum(c: Column): Column =
+    round(sum(c.cast(DecimalType(28, 6))), 2).cast(DoubleType)
+
+  /** DuckDB twin of [[moneySum]]. */
+  def moneySumSql(expr: String): String =
+    s"CAST(round(sum(CAST($expr AS DECIMAL(28,6))),2) AS DOUBLE)"
+
+  /** Dot product of two float arrays in double precision (codegen-friendly
+    * higher-order functions — no UDF; SURVEY.md §2.11). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** DuckDB twin of [[dot]]: double products, sequential double fold. */
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
+
+  def squaredNormSql(a: String): String =
+    s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${squaredNormSql(a)}) * sqrt(${squaredNormSql(b)})))"
+}

@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see SURVEY.md §2 (the operator inventory) and §7.
+  *
+  * Every implemented operator registers a [[GraftQuery]] in one of the family
+  * modules below; this object only assembles the maps the driver consumes.
+  * Output column names match the oracle SQL exactly (the driver sorts columns
+  * by name before hashing values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** The full operator registry, grouped as in SURVEY.md §2. */
+  val registry: Seq[GraftQuery] =
+    operators.Scans.all ++        // §2.1–2.2 scans / filters / predicates
+      operators.Joins.all ++      // §2.3 join families incl. as-of
+      operators.Aggregates.all ++ // §2.4 aggregations
+      operators.Windows.all ++    // §2.5 window functions
+      operators.SortsSets.all ++  // §2.6–2.7 sorts / top-k / set ops
+      functions.Scalars.all ++    // §2.8 scalar functions
+      operators.TimeSeries.all ++ // §2.9 time-series (batch form)
+      functions.TextOps.all ++    // §2.11 text / dedup
+      functions.VectorOps.all     // §2.11 vector / similarity
+
+  /** Flagship query on sf=0.001 (TPC-H Q1); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Aggregates.tpchQ1(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.run).toMap
+
+  /** DuckDB oracle twin for each SQL-expressible query. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }

@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function coverage (SURVEY.md §2.8): string / date / math / JSON /
+  * tokenize. All built-in codegen'd functions — no UDFs anywhere.
+  *
+  * Cross-engine type notes baked into the oracle SQL: DuckDB length/len →
+  * BIGINT vs Spark INT (oracle casts to INT); DuckDB ceil/floor(double) →
+  * DOUBLE vs Spark BIGINT (oracle casts to BIGINT); DuckDB ln = Spark log.
+  */
+object Scalars {
+  import Tables.table
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_str_funcs",
+      "upper/length/substr/concat/replace over customer names.",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .orderBy("c_custkey")
+          .limit(500)
+          .select(
+            upper(col("c_name")).as("u"),
+            length(col("c_name")).as("l"),
+            substring(col("c_name"), 1, 8).as("s"),
+            concat(col("c_name"), lit("#"), col("c_mktsegment")).as("cc"),
+            replace(col("c_mktsegment"), lit("A"), lit("_")).as("rep")),
+      Some(
+        "SELECT upper(c_name) AS u, CAST(length(c_name) AS INT) AS l, substr(c_name, 1, 8) AS s, " +
+          "concat(c_name, '#', c_mktsegment) AS cc, replace(c_mktsegment,'A','_') AS rep " +
+          "FROM customer ORDER BY c_custkey LIMIT 500")),
+
+    GraftQuery(
+      "q_date_funcs",
+      "year/month extraction + month truncation to DATE.",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .orderBy("o_orderkey")
+          .limit(1000)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"),
+            date_trunc("month", col("o_orderdate")).cast(DateType).as("mo")),
+      Some(
+        "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m, " +
+          "CAST(date_trunc('month', o_orderdate) AS DATE) AS mo " +
+          "FROM orders ORDER BY o_orderkey LIMIT 1000")),
+
+    GraftQuery(
+      "q_math_funcs",
+      "sqrt/ln/ceil/floor/abs + epsilon compare. Per-row IEEE double ops are engine-identical.",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .orderBy("l_orderkey", "l_linenumber")
+          .limit(1000)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            round(sqrt(col("l_extendedprice")), 4).as("sq"),
+            round(log(col("l_extendedprice")), 6).as("lg"),
+            ceil(col("l_quantity")).as("c"),
+            floor(col("l_tax") * 100).as("f"),
+            (abs(col("l_discount") - 0.05) < 1e-12).as("near5")),
+      Some(
+        "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice),4) AS sq, " +
+          "round(ln(l_extendedprice),6) AS lg, CAST(ceil(l_quantity) AS BIGINT) AS c, " +
+          "CAST(floor(l_tax*100) AS BIGINT) AS f, abs(l_discount-0.05) < 1e-12 AS near5 " +
+          "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000")),
+
+    GraftQuery(
+      "q_json_extract",
+      "Extract an int field from a JSON string column (get_json_object — no JSON logical type).",
+      (s, dir) =>
+        table(s, dir, "events")
+          .orderBy("event_id")
+          .limit(1000)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k")),
+      Some(
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k " +
+          "FROM events ORDER BY event_id LIMIT 1000")),
+
+    GraftQuery(
+      "q_str_split_tokens",
+      "Whitespace tokenize + count. Spark split pattern is a regex — single space is literal-safe.",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens " +
+          "FROM documents ORDER BY doc_id"))
+  )
+}

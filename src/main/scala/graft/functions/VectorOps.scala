@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.{Exact, GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Vector / similarity operators over the 64-dim FLOAT[] embedding column
+  * (SURVEY.md §2.11). All math is pure higher-order Catalyst expressions
+  * (transform / zip_with / aggregate) — codegen-friendly, no UDFs.
+  *
+  * Determinism: products are computed in DOUBLE (exact for float operands) and
+  * folded sequentially — bitwise-identical to the DuckDB oracle's manual
+  * list_sum(list_transform(...)) formula. DuckDB's builtin
+  * list_cosine_similarity accumulates in FLOAT (≈1e-7 off) and is NOT used.
+  *
+  * Scale notes:
+  *  - q_vec_knn broadcasts the 1-row query vector → map-side cosine + top-k,
+  *    a single pass over the embedding table. This is the brute-force ANN
+  *    baseline; the LSH/IVF scale path lives in graft.functions.Similarity.
+  *  - q_vec_pair_sim blocks pair generation by label (the near-dup-detection
+  *    shape): the self-join shuffles once on label, pairs stay within blocks.
+  */
+object VectorOps {
+  import Tables.table
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_vec_norm",
+      "L2 norm of each embedding via transform+aggregate.",
+      (s, dir) =>
+        table(s, dir, "embeddings")
+          .select(col("vec_id"), round(Exact.norm(col("embedding")), 4).as("l2"))
+          .orderBy("vec_id")
+          .limit(500),
+      Some(
+        "SELECT vec_id, round(sqrt(" + Exact.squaredNormSql("embedding") + "),4) AS l2 " +
+          "FROM embeddings ORDER BY vec_id LIMIT 500")),
+
+    GraftQuery(
+      "q_vec_knn",
+      "Brute-force top-10 cosine KNN to query vector 0 — broadcast 1-row query side.",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), round(Exact.cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
+          "SELECT e.vec_id, round(" + Exact.cosineSql("e.embedding", "q.qv") + ",6) AS sim " +
+          "FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10")),
+
+    GraftQuery(
+      "q_vec_centroid",
+      "Per-label centroid components (first two dims).",
+      (s, dir) =>
+        table(s, dir, "embeddings")
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(element_at(col("embedding"), 1)), 6).as("c0"),
+            round(avg(element_at(col("embedding"), 2)), 6).as("c1"))
+          .orderBy("label"),
+      Some(
+        "SELECT label, count(*) AS n, round(avg(embedding[1]),6) AS c0, " +
+          "round(avg(embedding[2]),6) AS c1 FROM embeddings GROUP BY label ORDER BY label")),
+
+    GraftQuery(
+      "q_vec_pair_sim",
+      "Top-20 most-similar same-label pairs — label-blocked self-join (near-dup shape).",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val a = e.select(col("vec_id").as("ida"), col("label").as("la"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("idb"), col("label").as("lb"), col("embedding").as("eb"))
+        a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
+          .select(col("ida"), col("idb"), round(Exact.cosine(col("ea"), col("eb")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("ida"), col("idb"))
+          .limit(20)
+      },
+      Some(
+        "SELECT a.vec_id AS ida, b.vec_id AS idb, " +
+          "round(" + Exact.cosineSql("a.embedding", "b.embedding") + ",6) AS sim " +
+          "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+          "ORDER BY sim DESC, ida, idb LIMIT 20"))
+  )
+}

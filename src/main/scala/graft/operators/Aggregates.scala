@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.{Exact, GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregations (SURVEY.md §2.4): multi-measure hash agg, distinct agg,
+  * moments, rollup/cube grouping sets, having.
+  *
+  * All group-bys compile to two-phase HashAggregate (partial map-side combine
+  * before the shuffle) — the shape that scales: only group cardinality, not
+  * row count, crosses the wire. Double sums over money use Exact.moneySum
+  * (decimal accumulation) so results are partition-order-insensitive; sums of
+  * integral doubles (l_quantity) are exact as-is.
+  */
+object Aggregates {
+  import Tables.table
+
+  /** TPC-H Q1 — the flagship (SparkEntry.entry). */
+  def tpchQ1(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        Exact.moneySum(col("l_extendedprice")).as("sum_base"),
+        Exact.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_agg_tpch_q1",
+      "TPC-H Q1: filtered multi-measure hash aggregation (sum/avg/count).",
+      tpchQ1,
+      Some(
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+          Exact.moneySumSql("l_extendedprice") + " AS sum_base, " +
+          Exact.moneySumSql("l_extendedprice*(1-l_discount)") + " AS sum_disc, " +
+          "round(avg(l_quantity),6) AS avg_qty, count(*) AS cnt " +
+          "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+          "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    GraftQuery(
+      "q_agg_distinct",
+      "count(DISTINCT) per group — Spark's expand + two-phase distinct aggregation.",
+      (s, dir) =>
+        table(s, dir, "events")
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("users"))
+          .orderBy("event_type"),
+      Some(
+        "SELECT event_type, count(DISTINCT user_id) AS users FROM events " +
+          "GROUP BY event_type ORDER BY event_type")),
+
+    GraftQuery(
+      "q_agg_minmax_stddev",
+      "min/max/sample-stddev (central moment aggregate).",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(
+            min(col("c_acctbal")).as("mn"),
+            max(col("c_acctbal")).as("mx"),
+            round(stddev_samp(col("c_acctbal")), 4).as("sd"))
+          .orderBy("c_mktsegment"),
+      Some(
+        "SELECT c_mktsegment, min(c_acctbal) AS mn, max(c_acctbal) AS mx, " +
+          "round(stddev_samp(c_acctbal),4) AS sd FROM customer " +
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+
+    GraftQuery(
+      "q_agg_rollup",
+      "ROLLUP hierarchical subtotals (Expand + grouping-id under the hood). Expressed " +
+        "via spark.sql: DetectAmbiguousSelfJoin false-positives on any by-name sort over " +
+        "a join→rollup Dataset (the Expand duplicates grouping attrs); the SQL path " +
+        "produces the identical plan without Dataset-id metadata.",
+      (s, dir) => {
+        table(s, dir, "customer")
+          .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .createOrReplaceTempView("graft_rollup_in")
+        s.sql(
+          "SELECT r_name, n_name, count(*) AS n FROM graft_rollup_in " +
+            "GROUP BY ROLLUP(r_name, n_name) " +
+            "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST")
+      },
+      Some(
+        "SELECT r_name, n_name, count(*) AS n FROM customer " +
+          "JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey " +
+          "GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST")),
+
+    GraftQuery(
+      "q_agg_cube",
+      "CUBE over two keys — all grouping-set combinations.",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
+          "GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+          "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST")),
+
+    GraftQuery(
+      "q_agg_having",
+      "Post-aggregation filter (HAVING). l_quantity is integral so the double sum is exact.",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(sum(col("l_quantity")).as("q"))
+          .filter(col("q") > 150)
+          .orderBy(col("q").desc, col("l_partkey")),
+      Some(
+        "SELECT l_partkey, sum(l_quantity) AS q FROM lineitem GROUP BY l_partkey " +
+          "HAVING sum(l_quantity) > 150 ORDER BY q DESC, l_partkey"))
+  )
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.{Exact, GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Join families (SURVEY.md §2.3): broadcast, sort-merge, multiway, all outer
+  * variants, semi/anti, theta, self, and the as-of join.
+  *
+  * Scale notes (100 TB design intent, validated via .explain on local data):
+  *  - Dimension joins (nation/region/part-sized sides) carry an explicit
+  *    `broadcast()` hint → BroadcastHashJoin, no shuffle of the fact table.
+  *  - Fact-fact joins (lineitem⋈orders) are left to Catalyst/AQE → sort-merge
+  *    or shuffled-hash on the join key; both sides shuffle-partition on the key.
+  *  - Semi/anti joins ship only the key column of the build side.
+  *  - The as-of join avoids the O(n·m) correlated form: equi-join on the user
+  *    key (hash-partitionable), range predicate as join condition, then a
+  *    per-event max — every stage is shuffle-friendly.
+  */
+object Joins {
+  import Tables.table
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_join_broadcast",
+      "Equi inner join against a 25-row dim — broadcast() hint → BroadcastHashJoin.",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("n_name")),
+      Some(
+        "SELECT n_name, count(*) AS n FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY n_name ORDER BY n DESC, n_name")),
+
+    GraftQuery(
+      "q_join_large",
+      "Fact-fact equi join (lineitem⋈orders) — shuffle join chosen by Catalyst/AQE.",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(Exact.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .orderBy("o_orderpriority"),
+      Some(
+        "SELECT o_orderpriority, " + Exact.moneySumSql("l_extendedprice*(1-l_discount)") + " AS rev " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    GraftQuery(
+      "q_join_multiway",
+      "4-way join chain orders⋈customer⋈nation⋈region — dims broadcast, Catalyst reorders.",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(Exact.moneySum(col("o_totalprice")).as("tot"))
+          .orderBy("r_name", "n_name"),
+      Some(
+        "SELECT r_name, n_name, " + Exact.moneySumSql("o_totalprice") + " AS tot " +
+          "FROM orders JOIN customer ON o_custkey=c_custkey " +
+          "JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey " +
+          "GROUP BY r_name, n_name ORDER BY r_name, n_name")),
+
+    GraftQuery(
+      "q_join_left_outer",
+      "Left outer join + count(col) — exact outer-join null semantics (count skips nulls).",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy("c_custkey"),
+      Some(
+        "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer " +
+          "LEFT JOIN orders ON c_custkey=o_custkey GROUP BY c_custkey ORDER BY c_custkey")),
+
+    GraftQuery(
+      "q_join_full_outer",
+      "Full outer join on duplicated keys — sort-merge (broadcast invalid for full outer).",
+      (s, dir) =>
+        table(s, dir, "supplier")
+          .select(col("s_nationkey").as("sk"))
+          .join(
+            table(s, dir, "customer").select(col("c_nationkey").as("ck")),
+            col("sk") === col("ck"),
+            "full")
+          .agg(count(lit(1)).as("n")),
+      Some(
+        "SELECT count(*) AS n FROM (SELECT s_nationkey AS k FROM supplier) s " +
+          "FULL OUTER JOIN (SELECT c_nationkey AS k FROM customer) c ON s.k = c.k")),
+
+    GraftQuery(
+      "q_join_semi",
+      "Left semi join (IN subquery) — only the key column of the build side ships.",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .join(
+            table(s, dir, "orders").filter(col("o_totalprice") > 300000).select("o_custkey"),
+            col("c_custkey") === col("o_custkey"),
+            "left_semi")
+          .agg(count(lit(1)).as("n")),
+      Some(
+        "SELECT count(*) AS n FROM customer WHERE c_custkey IN " +
+          "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)")),
+
+    GraftQuery(
+      "q_join_anti",
+      "Left anti join (NOT EXISTS).",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .join(
+            table(s, dir, "orders").select("o_custkey"),
+            col("c_custkey") === col("o_custkey"),
+            "left_anti")
+          .agg(count(lit(1)).as("n")),
+      Some(
+        "SELECT count(*) AS n FROM customer WHERE NOT EXISTS " +
+          "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)")),
+
+    GraftQuery(
+      "q_join_range_theta",
+      "Equi + non-equi conjunct: equi part hashes (broadcast dim), theta part filters post-match.",
+      (s, dir) => {
+        val p = table(s, dir, "part")
+        val l = table(s, dir, "lineitem")
+        l.join(broadcast(p), p("p_partkey") === l("l_partkey") && l("l_quantity") > p("p_size"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("p_brand")
+      },
+      Some(
+        "SELECT p_brand, count(*) AS n FROM part p JOIN lineitem l " +
+          "ON p.p_partkey = l.l_partkey AND l.l_quantity > p.p_size " +
+          "GROUP BY p_brand ORDER BY p_brand")),
+
+    GraftQuery(
+      "q_join_self",
+      "Self-join with inequality — same-customer same-day order pairs.",
+      (s, dir) => {
+        val o1 = table(s, dir, "orders").as("o1")
+        val o2 = table(s, dir, "orders").as("o2")
+        o1.join(
+            o2,
+            col("o1.o_custkey") === col("o2.o_custkey") &&
+              col("o1.o_orderkey") < col("o2.o_orderkey") &&
+              col("o1.o_orderdate") === col("o2.o_orderdate"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(
+        "SELECT count(*) AS n FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey " +
+          "AND o1.o_orderkey < o2.o_orderkey AND o1.o_orderdate = o2.o_orderdate")),
+
+    GraftQuery(
+      "q_ts_asof_join",
+      "As-of join: latest order date ≤ event ts per event. No native Spark as-of; " +
+        "implemented as equi-join on the user key + range condition + per-event max — " +
+        "every stage hash-partitionable, unlike the O(n·m) correlated-subquery form.",
+      (s, dir) => {
+        val e = table(s, dir, "events").select("event_id", "user_id", "ts")
+        val o = table(s, dir, "orders").select("o_custkey", "o_orderdate")
+        e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+          .groupBy("event_id")
+          .agg(max(col("o_orderdate")).as("last_order"))
+          .orderBy("event_id")
+          .limit(1000)
+      },
+      Some(
+        "SELECT e.event_id, (SELECT max(o.o_orderdate) FROM orders o " +
+          "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS last_order " +
+          "FROM events e ORDER BY e.event_id LIMIT 1000"))
+  )
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window functions (SURVEY.md §2.5): ranking, analytic (lag), explicit ROWS
+  * frames. Every window spec orders by a full tie-breaker (…, key) so results
+  * are deterministic across engines; frames are pinned to ROWS explicitly to
+  * dodge RANGE-vs-ROWS tie semantics.
+  *
+  * Scale note: windows partitioned by a key (c_mktsegment, user_id, o_custkey)
+  * shuffle once on that key and sort within partitions — linear scale-out.
+  * The single global window in q_win_rownum_dense (dense_rank with no
+  * PARTITION BY) is inherently single-partition; it exists to cover the
+  * operator family, and its input is one slim column projection.
+  */
+object Windows {
+  import Tables.table
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_win_rank",
+      "Top-3 per group by rank (ranking family). rank is INT in Spark, BIGINT in DuckDB → oracle casts.",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+        table(s, dir, "customer")
+          .select("c_mktsegment", "c_custkey", "c_acctbal")
+          .withColumn("r", rank().over(w))
+          .filter(col("r") <= 3)
+          .orderBy("c_mktsegment", "r", "c_custkey")
+      },
+      Some(
+        "SELECT * FROM (SELECT c_mktsegment, c_custkey, c_acctbal, " +
+          "CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INT) AS r " +
+          "FROM customer) WHERE r <= 3 ORDER BY c_mktsegment, r, c_custkey")),
+
+    GraftQuery(
+      "q_win_rownum_dense",
+      "row_number per key + global dense_rank, reduced to a count.",
+      (s, dir) => {
+        val wrn = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wdr = Window.orderBy(col("o_orderpriority"))
+        table(s, dir, "orders")
+          .select(
+            row_number().over(wrn).as("rn"),
+            dense_rank().over(wdr).as("dr"))
+          .filter(col("rn") === 1 && col("dr") <= 3)
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(
+        "SELECT count(*) AS n FROM (SELECT row_number() OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_orderdate, o_orderkey) AS rn, dense_rank() OVER (ORDER BY o_orderpriority) AS dr " +
+          "FROM orders) WHERE rn = 1 AND dr <= 3")),
+
+    GraftQuery(
+      "q_win_lag_lead",
+      "Per-user delta vs previous event (analytic family).",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        table(s, dir, "events")
+          .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+          .orderBy("user_id", "ts", "event_id")
+          .limit(1000)
+          .select("user_id", "ts", "delta")
+      },
+      Some(
+        "SELECT user_id, ts, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta " +
+          "FROM events ORDER BY user_id, ts, event_id LIMIT 1000")),
+
+    GraftQuery(
+      "q_win_running_sum",
+      "Running total with explicit ROWS UNBOUNDED PRECEDING frame. Frame order is " +
+        "fully tie-broken ⇒ the sequential double accumulation is deterministic.",
+      (s, dir) => {
+        val w = Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "orders")
+          .withColumn("run", round(sum(col("o_totalprice")).over(w), 2))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+          .limit(1000)
+          .select("o_custkey", "o_orderdate", "run")
+      },
+      Some(
+        "SELECT o_custkey, o_orderdate, round(sum(o_totalprice) OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run " +
+          "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 1000")),
+
+    GraftQuery(
+      "q_win_moving_avg",
+      "3-row moving average (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).",
+      (s, dir) => {
+        val w = Window
+          .partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-2, Window.currentRow)
+        table(s, dir, "events")
+          .withColumn("ma", round(avg(col("value")).over(w), 6))
+          .orderBy("user_id", "ts", "event_id")
+          .limit(1000)
+          .select("user_id", "ts", "ma")
+      },
+      Some(
+        "SELECT user_id, ts, round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),6) AS ma " +
+          "FROM events ORDER BY user_id, ts, event_id LIMIT 1000"))
+  )
+}
