@@ -65,13 +65,12 @@ object Exact {
   def moneySumSql(expr: String): String =
     s"CAST(round(sum(CAST($expr AS DECIMAL(28,6))),2) AS DOUBLE)"
 
-  /** Dot product of two float arrays in double precision (codegen-friendly
-    * higher-order functions — no UDF; SURVEY.md §2.11). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Dot product of two float arrays in double precision. Delegates to the
+    * codegen'd [[graft.functions.FloatDotProduct]] Catalyst expression —
+    * bitwise-identical to the composable higher-order-function form
+    * `aggregate(zip_with(a,b,(x,y)=>x.cast(double)*y.cast(double)), 0d, _+_)`
+    * but ~25× faster (the HOF form is interpreted per element). */
+  def dot(a: Column, b: Column): Column = functions.VectorExpr.dotF(a, b)
 
   /** DuckDB twin of [[dot]]: double products, sequential double fold. */
   def dotSql(a: String, b: String): String =

@@ -40,10 +40,14 @@ object VectorOps {
       "Brute-force top-10 cosine KNN to query vector 0 — broadcast 1-row query side.",
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
-          .select(col("vec_id"), round(Exact.cosine(col("embedding"), col("qv")), 6).as("sim"))
+          .select(
+            col("vec_id"),
+            round(Exact.dot(col("embedding"), col("qv")) /
+              (Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10)
       },
@@ -71,11 +75,19 @@ object VectorOps {
       "q_vec_pair_sim",
       "Top-20 most-similar same-label pairs — label-blocked self-join (near-dup shape).",
       (s, dir) => {
+        // Norms are computed once per vector BEFORE the self-join (n rows, not
+        // n²/blocks) — the pair loop then does one codegen'd dot + two scalar
+        // multiplies. Bitwise-identical to inlining the full cosine per pair.
         val e = table(s, dir, "embeddings")
-        val a = e.select(col("vec_id").as("ida"), col("label").as("la"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("idb"), col("label").as("lb"), col("embedding").as("eb"))
+          .select(col("vec_id"), col("label"), col("embedding"),
+            Exact.norm(col("embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("ida"), col("label").as("la"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("idb"), col("label").as("lb"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
         a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
-          .select(col("ida"), col("idb"), round(Exact.cosine(col("ea"), col("eb")), 6).as("sim"))
+          .select(col("ida"), col("idb"),
+            round(Exact.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
           .orderBy(col("sim").desc, col("ida"), col("idb"))
           .limit(20)
       },
