@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** FloatDotProduct expression + vector operators (SURVEY §2.11).
+  * Checks both the interpreted eval path and the codegen path (the production
+  * plan uses codegen; forcing wholeStage off exercises nullSafeEval). */
+class VectorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def referenceDot(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def sparkDot(a: Seq[Float], b: Seq[Float], codegen: Boolean): Double = {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      Seq((a, b)).toDF("a", "b")
+        .select(functions.VectorExpr.dotF(col("a"), col("b")).as("d"))
+        .as[Double].head()
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("dot product matches reference fold — codegen and interpreted") {
+    val a = Seq(1.5f, -2.25f, 3.125f)
+    val b = Seq(0.5f, 4.0f, -1.0f)
+    assert(sparkDot(a, b, codegen = true) == referenceDot(a, b))
+    assert(sparkDot(a, b, codegen = false) == referenceDot(a, b))
+  }
+
+  test("dot product property: matches reference on random vectors") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-100f, 100f))
+    val samples = (0 until 20).flatMap { i =>
+      for {
+        a <- vecGen.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- vecGen.apply(Gen.Parameters.default, Seed(i.toLong + 1000))
+      } yield (a, b)
+    }
+    assert(samples.size >= 15)
+    // one Spark job for all samples — per-sample jobs would dominate runtime
+    import spark.implicits._
+    val got = samples.toDF("a", "b")
+      .select(functions.VectorExpr.dotF(col("a"), col("b")).as("d"))
+      .as[Double].collect().toSeq
+    val expect = samples.map { case (a, b) => referenceDot(a, b) }
+    assert(got == expect)
+  }
+
+  test("null array → null result") {
+    val df = Seq((Option.empty[Seq[Float]], Option(Seq(1f, 2f)))).toDF("a", "b")
+    val out = df.select(functions.VectorExpr.dotF(col("a"), col("b")).as("d")).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("type mismatch is an analysis error") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1f))).toDF("a", "b") // array<double> left
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(functions.VectorExpr.dotF(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("cosine self-similarity ≈ 1 on fixtures; knn sims within [-1,1]") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val selfSim = e.limit(20)
+      .select((Exact.dot(col("embedding"), col("embedding")) /
+        (Exact.norm(col("embedding")) * Exact.norm(col("embedding")))).as("s"))
+      .as[Double].collect()
+    selfSim.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+    run("q_vec_knn").select("sim").as[Double].collect()
+      .foreach(s => assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+  }
+
+  test("q_vec_pair_sim pairs are strictly ordered and sims descend") {
+    val rows = run("q_vec_pair_sim").collect()
+    rows.foreach(r => assert(r.getAs[Long]("ida") < r.getAs[Long]("idb")))
+    val sims = rows.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("dedup is idempotent on fixtures") {
+    val docs = Tables.table(spark, sf, "documents")
+    val once = docs.dropDuplicates("text")
+    assert(once.dropDuplicates("text").count() == once.count())
+  }
+}
