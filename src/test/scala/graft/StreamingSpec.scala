@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventStream, PacketParse}
+
+/** Streaming self-oracle (SURVEY §2.10 / §5.4): run the stream with
+  * Trigger.AvailableNow over the static events fixture and assert the result
+  * equals the batch twin — exact DataFrame equality via except() both ways. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val dropDir: String = {
+    // normalize the nanos fixture once into a micro-precision drop-dir
+    val d = Files.createTempDirectory("graft_stream_in").toString
+    Tables.table(spark, sf, "events").write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("streaming tumbling agg equals batch twin (AvailableNow self-oracle)") {
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = EventStream.writeParquet(
+      EventStream.tumblingCounts(EventStream.readEvents(spark, dropDir)), out, ckpt)
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select(col("window.start").as("w"), col("event_type"), col("n"), col("s"))
+    val batch = Tables.table(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+    // append mode emits a window once its END passes the watermark
+    // (maxTs - 2h); compare exactly on a horizon safely clear of the
+    // boundary (window start ≤ maxTs - 4h ⇒ end ≤ maxTs - 3h < watermark)
+    val maxTs = Tables.table(spark, sf, "events")
+      .agg(max(col("ts"))).head().getTimestamp(0).toInstant
+    val horizon = java.sql.Timestamp.from(maxTs.minusSeconds(4 * 3600))
+    val closedBatch = batch.filter(col("w") <= lit(horizon))
+    val closedStream = streamed.filter(col("w") <= lit(horizon))
+    assert(closedBatch.count() > 0)
+    assert(closedStream.except(closedBatch).isEmpty && closedBatch.except(closedStream).isEmpty)
+    // and everything the stream emitted must exist in the batch result
+    assert(streamed.except(batch).isEmpty)
+  }
+
+  test("streaming dedup drops re-delivered events") {
+    val dupDir = Files.createTempDirectory("graft_stream_dup").toString
+    val ev = Tables.table(spark, sf, "events").limit(100)
+    ev.union(ev).write.mode("overwrite").parquet(dupDir) // simulate redelivery
+    val out = Files.createTempDirectory("graft_dedup_out").toString
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt").toString
+    val q = EventStream.writeParquet(
+      EventStream.dedup(EventStream.readEvents(spark, dupDir)), out, ckpt)
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 100)
+  }
+
+  test("packet parse extracts callsign/path/position, null on malformed") {
+    val lines = Seq(
+      "N0CALL>APRS,WIDE1-1:!4903.50N/07201.75W-test comment",
+      "DB0XYZ-10>APDG03,TCPIP*:=5230.25S/01323.50E#",
+      "garbage with no structure").toDF("raw")
+    val parsed = PacketParse.parse(lines).collect()
+    val p0 = parsed(0)
+    assert(p0.getAs[String]("callsign") == "N0CALL")
+    assert(p0.getAs[String]("path") == "APRS,WIDE1-1")
+    assert(p0.getAs[String]("dti") == "!")
+    assert(math.abs(p0.getAs[Double]("lat") - (49 + 3.50 / 60)) < 1e-9)
+    assert(math.abs(p0.getAs[Double]("lon") - -(72 + 1.75 / 60)) < 1e-9)
+    val p1 = parsed(1)
+    assert(p1.getAs[String]("callsign") == "DB0XYZ-10")
+    assert(math.abs(p1.getAs[Double]("lat") - -(52 + 30.25 / 60)) < 1e-9)
+    assert(math.abs(p1.getAs[Double]("lon") - (13 + 23.50 / 60)) < 1e-9)
+    val p2 = parsed(2)
+    assert(p2.getAs[String]("callsign") == "")
+    assert(p2.isNullAt(p2.fieldIndex("lat")))
+  }
+
+  test("streaming session windows: count preserved per user") {
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+    val q = EventStream.writeParquet(
+      EventStream.sessionCounts(EventStream.readEvents(spark, dropDir)), out, ckpt)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    // all sessions fully closed by the watermark must carry their full counts
+    assert(streamed.agg(sum(col("n"))).head().getLong(0) > 0)
+    assert(streamed.filter(col("n") <= 0).count() == 0)
+  }
+}
