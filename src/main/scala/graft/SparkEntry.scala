@@ -21,7 +21,11 @@ object SparkEntry {
       functions.Scalars.all ++    // §2.8 scalar functions
       operators.TimeSeries.all ++ // §2.9 time-series (batch form)
       functions.TextOps.all ++    // §2.11 text / dedup
-      functions.VectorOps.all     // §2.11 vector / similarity
+      functions.VectorOps.all ++  // §2.11 vector / similarity
+      functions.DedupOps.all ++     // §2.11+ minhash-LSH / simhash / jaccard / embed near-dup
+      functions.TextAnalysis.all ++ // §2.11+ lang-id / quality / fingerprint
+      functions.Similarity.all ++   // §2.11+ IVF / LSH approximate NN
+      functions.Multimodal.all      // §2.11+ binary media columns
 
   /** Flagship query on sf=0.001 (TPC-H Q1); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,186 @@
+package graft.functions
+
+import graft.{Exact, GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines, beyond exact dedup
+  * (SURVEY.md §2.11 stretch set): MinHash+LSH banding, SimHash, n-gram
+  * Jaccard, and embedding-cosine near-dup. Every operator is oracle-checked
+  * against DuckDB via engine-portable constructions (md5-based hashing,
+  * relational set algebra) — no engine-specific sketches.
+  *
+  * Scale design (the 100 TB story):
+  *  - MinHash/LSH: per-doc signatures are a map-side pass; candidate
+  *    generation shuffles only (band-key, doc_id) pairs — never text — and
+  *    the self-join is blocked by band key, so cost follows collision count,
+  *    not n². This is the canonical massive-corpus near-dup shape.
+  *  - SimHash: one 16-bit fingerprint per doc via a relational per-bit
+  *    aggregation (codegen-friendly; no per-row lambda), pairs blocked by
+  *    source and compared with xor+bit_count.
+  *  - n-gram Jaccard: exact verification, blocked by source so the shingle
+  *    join never goes quadratic in the corpus.
+  *  - Embedding cosine: label-blocked pair generation + codegen'd dot.
+  */
+object DedupOps {
+  import Tables.table
+
+  /** DuckDB-side shingle list (semantically = the relational form below). */
+  private val shingleSql =
+    "list_distinct(list_transform(range(1, len(toks)-1), i -> " +
+      "toks[i]||' '||toks[i+1]||' '||toks[i+2]))"
+
+  /** 3-gram shingles as a RELATION (doc_id, source, g), one row per shingle
+    * occurrence: posexplode tokens → window lead(1)/lead(2) within the doc →
+    * concat. Fully codegen-friendly; the higher-order-function formulation
+    * (transform over sequence + element_at) is interpreted per element and
+    * measured ~20× slower at sf0.1. One shuffle on doc_id, which downstream
+    * per-doc aggregations reuse. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .withColumn("w2", lead(col("w"), 2).over(w))
+      .filter(col("w2").isNotNull) // docs need ≥3 tokens; drops tail positions
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("g"))
+  }
+
+  private val NumHashes = 8
+  private val BandSize = 2 // 4 bands of 2 → catches jaccard ≳ 0.5 reliably
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_dedup_minhash",
+      s"MinHash($NumHashes)+LSH banding (bands of $BandSize): shingle → salted-md5 minhash " +
+        "signature → band keys → candidate pairs via band-key equi-join. Output is the " +
+        "candidate-pair count. Hash = md5 hex string, min = lexicographic — engine-portable.",
+      (s, dir) => {
+        // min over the shingle MULTISET ≡ min over the distinct set, so the
+        // relation needs no dedup; the 8 salted-md5 mins are one codegen'd
+        // aggregation pass. sig is tiny (one row per doc) — cached because the
+        // band self-join reads it twice (at 100 TB: materialize to storage).
+        val mh = (0 until NumHashes).map(k =>
+          min(md5(concat(lit(s"$k|"), col("g")))).as(s"m$k"))
+        val sig = shingleRows(s, dir).groupBy("doc_id").agg(mh.head, mh.tail: _*).cache()
+        val bandCols = (0 until NumHashes / BandSize).map { b =>
+          concat((lit(s"$b|") +: (0 until BandSize).map(j => col(s"m${b * BandSize + j}"))): _*)
+        }
+        val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        val a = bands.select(col("doc_id").as("ida"), col("band"))
+        val b = bands.select(col("doc_id").as("idb"), col("band").as("band2"))
+        a.join(b, col("band") === col("band2") && col("ida") < col("idb"))
+          .select("ida", "idb").distinct()
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some {
+        val mh = (0 until NumHashes)
+          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k").mkString(", ")
+        val bandList = (0 until NumHashes / BandSize)
+          .map(b => s"'$b|' || " + (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(" || "))
+          .mkString(", ")
+        s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, $shingleSql AS sh FROM (SELECT doc_id, toks FROM d WHERE len(toks) >= 3) t),
+           |sig AS (SELECT doc_id, $mh FROM sh),
+           |bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sig)
+           |SELECT count(*) AS n_pairs FROM (
+           |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+      }),
+
+    GraftQuery(
+      "q_dedup_ngram_jaccard",
+      "Exact n-gram Jaccard similarity on source-blocked pairs: distinct (doc, shingle) " +
+        "rows self-join on shingle within a source block; |A∩B| from the join, sizes from " +
+        "a per-doc count — pure relational set algebra, identical on both engines.",
+      (s, dir) => {
+        // cached: read by the sizes aggregation AND both self-join sides
+        val sh = shingleRows(s, dir).distinct().cache()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val a = sh.select(col("doc_id").as("ida"), col("source").as("srca"), col("g"))
+        val b = sh.select(col("doc_id").as("idb"), col("source").as("srcb"), col("g").as("g2"))
+        val shared = a.join(b, col("g") === col("g2") && col("srca") === col("srcb") &&
+            col("ida") < col("idb"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+        shared
+          .join(sizes.select(col("doc_id").as("ida"), col("sz").as("sza")), "ida")
+          .join(sizes.select(col("doc_id").as("idb"), col("sz").as("szb")), "idb")
+          .select(col("ida"), col("idb"),
+            round(col("shared") / (col("sza") + col("szb") - col("shared")), 6).as("jac"))
+          .orderBy(col("jac").desc, col("ida"), col("idb"))
+          .limit(20)
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents),
+           |shl AS (SELECT doc_id, source, $shingleSql AS sh FROM (SELECT * FROM d WHERE len(toks) >= 3) t),
+           |sh AS (SELECT DISTINCT doc_id, source, unnest(sh) AS g FROM shl),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |shared AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+           |  FROM sh a JOIN sh b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT ida, idb, round(shared / (sa.sz + sb.sz - shared), 6) AS jac
+           |FROM shared JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+           |ORDER BY jac DESC, ida, idb LIMIT 20""".stripMargin)),
+
+    GraftQuery(
+      "q_dedup_simhash",
+      "16-bit SimHash near-dup: per-token md5-prefix hash → per-bit signed vote sums " +
+        "(relational aggregation, codegen-friendly) → fingerprint; pairs blocked by " +
+        "source with hamming distance ≤ 3 via xor + bit_count.",
+      (s, dir) => {
+        val tok = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+          .distinct()
+          .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int"))
+        val votes = (0 until 16).map(bt =>
+          sum(when(expr(s"(h div ${1 << bt}) % 2") === 1, 1).otherwise(-1)).as(s"s$bt"))
+        val fp = tok.groupBy("doc_id", "source").agg(votes.head, votes.tail: _*)
+          .withColumn("fp",
+            (0 until 16).map(bt => when(col(s"s$bt") > 0, 1 << bt).otherwise(0))
+              .reduce(_ + _))
+          .select("doc_id", "source", "fp")
+        val a = fp.select(col("doc_id").as("ida"), col("source").as("srca"), col("fp").as("fa"))
+        val b = fp.select(col("doc_id").as("idb"), col("source").as("srcb"), col("fp").as("fb"))
+        a.join(b, col("srca") === col("srcb") && col("ida") < col("idb"))
+          .filter(expr("bit_count(fa ^ fb)") <= 3)
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some {
+        val votes = (0 until 16)
+          .map(bt => s"sum(CASE WHEN (h // ${1 << bt}) % 2 = 1 THEN 1 ELSE -1 END) AS s$bt")
+          .mkString(", ")
+        val fp = (0 until 16).map(bt => s"CASE WHEN s$bt > 0 THEN ${1 << bt} ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (SELECT DISTINCT doc_id, source, unnest(string_split(text,' ')) AS w FROM documents),
+           |h AS (SELECT doc_id, source, CAST('0x' || substr(md5(w),1,4) AS INTEGER) AS h FROM tok),
+           |v AS (SELECT doc_id, source, $votes FROM h GROUP BY doc_id, source),
+           |fp AS (SELECT doc_id, source, $fp AS fp FROM v)
+           |SELECT count(*) AS n_pairs FROM fp a JOIN fp b
+           |ON a.source = b.source AND a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+      }),
+
+    GraftQuery(
+      "q_dedup_embed",
+      "Embedding-cosine near-dup: label-blocked pairs with similarity ≥ 0.4 " +
+        "(corpus max same-label sim ≈ 0.47), count + max — the semantic-dedup shape.",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            Exact.norm(col("embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("ida"), col("label").as("la"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("idb"), col("label").as("lb"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
+          .select((Exact.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+          .filter(col("sim") >= 0.4)
+          .agg(count(lit(1)).as("n_pairs"), round(max(col("sim")), 6).as("max_sim"))
+      },
+      Some(
+        s"""WITH n AS (SELECT vec_id, label, embedding,
+           |  sqrt(${Exact.squaredNormSql("embedding")}) AS nrm FROM embeddings),
+           |p AS (SELECT ${Exact.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+           |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+           |SELECT count(*) AS n_pairs, round(max(sim), 6) AS max_sim FROM p WHERE sim >= 0.4""".stripMargin))
+  )
+}

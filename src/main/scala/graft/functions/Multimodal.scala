@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (SURVEY.md §2.11 stretch set): media as opaque binary
+  * payloads with typed metadata, plus a batched decode/feature-extract stage.
+  *
+  * The fixtures carry no real media, so payloads are derived deterministically
+  * from the documents table (UTF-8 bytes of text) and the decode step is a
+  * clearly-marked deterministic STUB — this container has no image/audio
+  * codecs. What IS real, and tested: the schema (binary + metadata struct),
+  * the partition-preserving batched mapPartitions plumbing, and the
+  * aggregation over extracted features. Swapping [[MediaDecode.decodeStub]]
+  * for a JNI/codec call changes nothing else.
+  *
+  * Scale: decode is a narrow map-side transformation — no shuffle; partition
+  * sizing (spark.sql.files.maxPartitionBytes) is the only knob that matters.
+  */
+object Multimodal {
+  import Tables.table
+
+  /** Attach a binary payload + media-type metadata to each document. */
+  def attachBinary(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"))
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_multimodal_meta",
+      "Binary-payload metadata aggregation: per media-type counts and byte totals " +
+        "over the opaque payload column (octet_length on binary).",
+      (s, dir) =>
+        attachBinary(table(s, dir, "documents"))
+          .groupBy("media_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(octet_length(col("payload"))).as("total_bytes"),
+            max(octet_length(col("payload"))).as("max_bytes"))
+          .orderBy("media_type"),
+      Some(
+        """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+          |       count(*) AS n,
+          |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+          |       max(octet_length(encode(text))) AS max_bytes
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
+
+/** Decoded-media feature record produced by the (stubbed) decode stage. */
+final case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Int,
+    width: Int,      // stub: derived from payload bytes
+    height: Int,     // stub: derived from payload bytes
+    checksum: Long)  // real: additive byte checksum, exercised in tests
+
+/** Batched decode plumbing. The per-batch signature mirrors what a real codec
+  * binding needs (amortize init cost across a batch of payloads). */
+object MediaDecode {
+
+  /** STUB decode — deterministic fake in lieu of real codecs (none in this
+    * container). A production build replaces ONLY the body marked below. */
+  private def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] =
+    batch.map { case (id, mt, bytes) =>
+      // --- STUB: real implementation would decode `bytes` with a codec ---
+      val checksum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+      MediaFeatures(id, mt, bytes.length,
+        width = 16 + (bytes.length % 64), height = 16 + ((bytes.length / 64) % 64),
+        checksum = checksum)
+      // -------------------------------------------------------------------
+    }
+
+  /** Partition-preserving batched decode: iterate each partition in fixed-size
+    * batches (the real-codec amortization shape), no shuffle introduced. */
+  def decode(spark: SparkSession, media: DataFrame, batchSize: Int = 128): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.functions
+
+import graft.{Exact, GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (SURVEY.md §2.11 stretch set). q_vec_knn is the brute-force baseline;
+  * these are the scale paths:
+  *
+  *  - IVF (inverted-file): partition vectors into cells (here: the label
+  *    column as the coarse quantizer — at 100 TB the cells come from a
+  *    k-means fit), store full per-cell centroids, route a query to its
+  *    nearest centroid, search only that cell. Search cost drops from O(n)
+  *    to O(n / cells); the centroid table is tiny and broadcast.
+  *
+  *  - Random-hyperplane LSH: 8 fixed hyperplanes → 8 sign bits → 256
+  *    buckets; queries probe only their bucket (cosine-preserving hashing).
+  *    Bucketing is a map-side pass; the bucket join is an equi-join — both
+  *    shapes shuffle-friendly at any scale.
+  *
+  * Both are oracle-checked in DuckDB: the hyperplane constants are generated
+  * once (seeded) and embedded into BOTH the Spark plan and the oracle SQL, so
+  * there is a single source of truth.
+  *
+  * Determinism: centroids are double averages cast per-element to FLOAT
+  * (absorbing partition-order noise far below float precision), after which
+  * all cosine math is the exact double-product/sequential-fold discipline of
+  * [[graft.Exact]].
+  */
+object Similarity {
+  import Tables.table
+
+  private val Dims = 64
+  private val NumPlanes = 8
+
+  /** Fixed hyperplanes, seeded — rounded to 6 decimals so the SQL literal and
+    * the Scala double are the same IEEE value on both engines. */
+  private[graft] val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Seq.fill(Dims)(math.rint(rnd.nextGaussian() * 1e6) / 1e6))
+  }
+
+  private def planeSql(p: Seq[Double]) = p.mkString("[", ", ", "]")
+
+  /** dot(float[], const double[]) — codegen'd FloatDotConst: the hyperplane
+    * is a referenced constant array, not a per-row literal construction. */
+  private def dotPlane(v: org.apache.spark.sql.Column, p: Seq[Double]) =
+    VectorExpr.dotConst(v, p)
+
+  private def dotPlaneSql(v: String, p: Seq[Double]) =
+    s"list_sum(list_transform(list_zip($v, ${planeSql(p)}), z -> CAST(z[1] AS DOUBLE) * z[2]))"
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_ann_ivf",
+      "IVF ANN: per-cell full 64-dim centroids (posexplode → per-dim avg → re-assemble, " +
+        "cast to float), query routed to its nearest centroid, exact top-10 within that " +
+        "cell only.",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val cent = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos").agg(avg(col("v")).as("c"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
+            .as("centroid"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
+        val cell = cent.crossJoin(broadcast(q))
+          .select(col("label"),
+            (Exact.dot(col("centroid"), col("qv")) /
+              (Exact.norm(col("centroid")) * col("qn"))).as("csim"))
+          .orderBy(col("csim").desc, col("label"))
+          .limit(1)
+          .select(col("label").as("cell"))
+        e.filter(col("vec_id") =!= 0)
+          .join(broadcast(cell), col("label") === col("cell"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(Exact.dot(col("embedding"), col("qv")) /
+              (Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+           |exp AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM e),
+           |avgs AS (SELECT label, pos, avg(v) AS c FROM exp GROUP BY label, pos),
+           |cent AS (SELECT label, list_transform(list(c ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
+           |         FROM avgs GROUP BY label),
+           |q AS (SELECT embedding AS qv, sqrt(${Exact.squaredNormSql("embedding")}) AS qn
+           |      FROM e WHERE vec_id = 0),
+           |cell AS (SELECT label FROM cent, q
+           |  ORDER BY ${Exact.dotSql("centroid", "qv")} / (sqrt(${Exact.squaredNormSql("centroid")}) * qn) DESC, label
+           |  LIMIT 1)
+           |SELECT e.vec_id, round(${Exact.dotSql("e.embedding", "q.qv")} /
+           |    (sqrt(${Exact.squaredNormSql("e.embedding")}) * q.qn), 6) AS sim
+           |FROM e, q, cell WHERE e.label = cell.label AND e.vec_id <> 0
+           |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
+
+    GraftQuery(
+      "q_ann_lsh",
+      s"Random-hyperplane LSH ANN: $NumPlanes fixed seeded hyperplanes → sign-bit bucket; " +
+        "top-10 cosine within the query's bucket. Hyperplane constants are shared " +
+        "verbatim between the Spark plan and the oracle SQL.",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val bucketCol = planes.zipWithIndex
+          .map { case (p, k) => when(dotPlane(col("embedding"), p) > 0, 1 << k).otherwise(0) }
+          .reduce(_ + _)
+        val bucketed = e.select(col("vec_id"), col("embedding"),
+          Exact.norm(col("embedding")).as("nrm"), bucketCol.as("bucket"))
+        val q = bucketed.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("nrm").as("qn"), col("bucket").as("qb"))
+        bucketed.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bucket") === col("qb"))
+          .select(col("vec_id"),
+            round(Exact.dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some {
+        val bucketSql = planes.zipWithIndex
+          .map { case (p, k) => s"CASE WHEN ${dotPlaneSql("embedding", p)} > 0 THEN ${1 << k} ELSE 0 END" }
+          .mkString(" + ")
+        s"""WITH b AS (SELECT vec_id, embedding,
+           |  sqrt(${Exact.squaredNormSql("embedding")}) AS nrm,
+           |  $bucketSql AS bucket FROM embeddings),
+           |q AS (SELECT embedding AS qv, nrm AS qn, bucket AS qb FROM b WHERE vec_id = 0)
+           |SELECT b.vec_id, round(${Exact.dotSql("b.embedding", "q.qv")} / (b.nrm * q.qn), 6) AS sim
+           |FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
+           |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin
+      })
+  )
+}

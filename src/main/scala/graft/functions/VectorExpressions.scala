@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -72,6 +72,53 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd dot product of a FLOAT[] column against a CONSTANT double vector
+  * (e.g. an LSH hyperplane). The constants live in a referenced array — no
+  * per-row literal-array construction, no lambda dispatch. Bitwise-identical
+  * to `aggregate(zip_with(v, array(lits...), (x,y) => x.cast(double)*y), 0d, _+_)`
+  * and to the DuckDB list_zip twin with a literal list.
+  */
+case class FloatDotConst(child: Expression, plane: Array[Double])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $t")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_const"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), plane.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * plane(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planeRef = ctx.addReferenceObj("plane", plane, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $planeRef.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * $planeRef[$i];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the vector expressions. */
 object VectorExpr {
   def dotF(a: Column, b: Column): Column =
@@ -79,4 +126,7 @@ object VectorExpr {
       FloatDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def normF(a: Column): Column = org.apache.spark.sql.functions.sqrt(dotF(a, a))
+
+  def dotConst(a: Column, plane: Seq[Double]): Column =
+    ColumnBridge.column(FloatDotConst(ColumnBridge.expression(a), plane.toArray))
 }
