@@ -23,20 +23,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Analyzed base relations are memoized per (session, dir, table): each
+    * spark.read.parquet re-lists the path and re-reads the footer schema —
+    * ~50-100 ms of driver latency that a 56-query run pays dozens of times
+    * for the same immutable files. The memo stores the lazy logical plan
+    * only (no data is cached). */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   /** events.ts is physically TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects. Read it as a nanos Long (legacy conf) and truncate to micros —
     * integer `div 1000`, matching DuckDB's nanos→micros truncation exactly
     * (verified on the fixtures: nanos are NOT micro-aligned, so rounding
     * would diverge). Double division would also be wrong: 1.7e18 > 2^53.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    memo.computeIfAbsent((System.identityHashCode(spark), sfDir, name), _ => {
+      if (name == "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    })
 }
 
 /** Determinism helpers.

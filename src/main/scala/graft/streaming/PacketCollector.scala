@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The reference system's end-to-end job — an APRS packet collector — as a
+  * standalone Structured Streaming app (SURVEY.md §2.10, BASELINE.json north
+  * star: "Structured Streaming for APRS packet ingestion + DataFrame writes").
+  *
+  * Usage: PacketCollector <inDir> <outDir> <checkpointDir> [--socket host:port]
+  *
+  * Default source is a drop-dir of text files (one TNC2 packet line each) —
+  * the replayable deployment mode; `--socket` switches to a live APRS-IS feed.
+  * Pipeline: readStream text → PacketParse (callsign/path/DTI/position) →
+  * ingest timestamp → partitioned parquet (exactly-once via checkpoint).
+  *
+  * Scale notes: parsing is map-side only; the sink partitions by callsign
+  * prefix so per-station queries prune files; state is nil (stateless parse),
+  * so the collector scales with input rate alone. Downstream analytics are
+  * the batch operators in graft.operators / graft.functions over the same
+  * parquet — the aprsdb "collect into DB, query with SQL" loop, Spark-native.
+  */
+object PacketCollector {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: PacketCollector <inDir> <outDir> <checkpointDir> [--socket host:port]")
+    val Array(inDir, outDir, ckptDir) = args.take(3)
+    val spark = SparkSession.builder()
+      .appName("graft-packet-collector")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+    val raw =
+      if (args.contains("--socket")) {
+        val Array(host, port) = args(args.indexOf("--socket") + 1).split(":")
+        spark.readStream.format("socket")
+          .option("host", host).option("port", port.toInt).load()
+          .withColumnRenamed("value", "raw")
+      } else
+        spark.readStream.text(inDir).withColumnRenamed("value", "raw")
+
+    val parsed = PacketParse.parse(raw)
+      .withColumn("ingest_ts", current_timestamp())
+      .withColumn("station_bucket",
+        when(col("callsign") === "", lit("_"))
+          .otherwise(upper(substring(col("callsign"), 1, 1))))
+
+    val query = parsed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .partitionBy("station_bucket")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("10 seconds"))
+      .start()
+    query.awaitTermination()
+  }
+}

@@ -76,6 +76,35 @@ class StreamingSpec extends SparkSuite {
     assert(p2.isNullAt(p2.fieldIndex("lat")))
   }
 
+  test("packet collector pipeline: text drop-dir → parse → parquet, end to end") {
+    val in = Files.createTempDirectory("graft_pkt_in").toString
+    val out = Files.createTempDirectory("graft_pkt_out").toString
+    val ckpt = Files.createTempDirectory("graft_pkt_ckpt").toString
+    Files.writeString(java.nio.file.Path.of(in, "feed0.txt"),
+      "N0CALL>APRS,WIDE1-1:!4903.50N/07201.75W-hello\n" +
+        "K1ABC-9>APDR16,TCPIP*:=3725.00N/12200.00W>\n" +
+        "noise line\n")
+    // same pipeline as PacketCollector.main, with the test-friendly trigger
+    val parsed = PacketParse.parse(
+      spark.readStream.text(in).withColumnRenamed("value", "raw"))
+      .withColumn("station_bucket",
+        when(col("callsign") === "", lit("_"))
+          .otherwise(upper(substring(col("callsign"), 1, 1))))
+    val q = parsed.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .partitionBy("station_bucket")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = spark.read.parquet(out)
+    assert(res.count() == 3)
+    assert(res.filter(col("callsign") === "N0CALL").count() == 1)
+    assert(res.filter(col("station_bucket") === "_").count() == 1) // the noise line
+    // partition pruning works on the station bucket
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("station_bucket=")))
+  }
+
   test("streaming session windows: count preserved per user") {
     val out = Files.createTempDirectory("graft_sess_out").toString
     val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
