@@ -105,6 +105,54 @@ class StreamingSpec extends SparkSuite {
     assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("station_bucket=")))
   }
 
+  test("stateful tracker: cumulative haversine distance across micro-batches") {
+    import graft.streaming.{PacketFix, StationTracker}
+    val in = Files.createTempDirectory("graft_fix_in").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // two batches (files) for one station moving 1° north each step, plus a
+    // parked station. One file per write + explicit mtimes: the file source
+    // orders batches by modification time, and the tracker (correctly) folds
+    // in ARRIVAL order — an order-ambiguous fixture would make the expected
+    // distance nondeterministic.
+    def stampNew(stamp: Long, seen: Set[String]): Set[String] = {
+      val files = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
+      files.filterNot(f => seen(f.getName)).foreach(_.setLastModified(stamp))
+      files.map(_.getName).toSet
+    }
+    val base = 1700000000000L
+    Seq(PacketFix("N0CALL", t("2024-01-01 00:00:00"), 40.0, -75.0),
+        PacketFix("N0CALL", t("2024-01-01 00:10:00"), 41.0, -75.0),
+        PacketFix("PARKED", t("2024-01-01 00:00:00"), 10.0, 10.0))
+      .toDS().coalesce(1).write.mode("append").parquet(in)
+    val firstBatch = stampNew(base, Set.empty)
+    Seq(PacketFix("N0CALL", t("2024-01-01 00:20:00"), 42.0, -75.0))
+      .toDS().coalesce(1).write.mode("append").parquet(in)
+    stampNew(base + 60000, firstBatch)
+
+    val out = Files.createTempDirectory("graft_fix_out").toString
+    val ckpt = Files.createTempDirectory("graft_fix_ckpt").toString
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[PacketFix]].schema)
+      .option("maxFilesPerTrigger", 1) // force multiple micro-batches → state carries over
+      .parquet(in).as[PacketFix]
+    val q = StationTracker.track(stream)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val finalStats = spark.read.parquet(out)
+      .orderBy(col("n_fixes").desc) // latest emission has the max n_fixes per station
+      .collect().groupBy(_.getAs[String]("callsign")).map { case (k, rs) => k -> rs.head }
+    val n0 = finalStats("N0CALL")
+    assert(n0.getAs[Long]("n_fixes") == 3)
+    // 2 × ~111.19 km per degree of latitude
+    assert(math.abs(n0.getAs[Double]("total_km") - 222.39) < 0.5)
+    assert(finalStats("PARKED").getAs[Double]("total_km") == 0.0)
+  }
+
   test("streaming session windows: count preserved per user") {
     val out = Files.createTempDirectory("graft_sess_out").toString
     val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
