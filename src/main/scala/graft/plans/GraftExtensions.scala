@@ -1,0 +1,34 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.FloatDotProduct
+
+/** SparkSessionExtensions entry point (SURVEY.md §4): registers the engine's
+  * custom Catalyst expressions as SQL functions so `spark.sql("SELECT
+  * graft_dot(a, b) ...")` works, not only the Column API.
+  *
+  * Activate with:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)            // programmatic, or
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  *
+  * The engine deliberately injects no optimizer rules or planner strategies:
+  * every SURVEY §2 operator plans to the physical shape we want with stock
+  * Catalyst (verified by PlanShapeSpec) — custom rules would be scaffolding
+  * with nothing to fix.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(arrayFloat, arrayFloat) takes 2 arguments")
+        FloatDotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based algebraic invariants (SURVEY §5.3), driven by ScalaCheck
+  * generators over in-memory frames. Each property evaluates all samples in
+  * one Spark job (per-sample jobs would dominate runtime). */
+class AlgebraSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("union cardinality: |A ∪ B| ≤ |A| + |B| and ≥ max(|A|,|B|) (as sets)") {
+    val setGen = Gen.listOf(Gen.chooseNum(0, 30))
+    samples(Gen.zip(setGen, setGen), 12).foreach { case (a, b) =>
+      val da = a.toDF("k").distinct()
+      val db = b.toDF("k").distinct()
+      val u = da.union(db).distinct().count()
+      assert(u <= da.count() + db.count())
+      assert(u >= math.max(da.count(), db.count()))
+    }
+  }
+
+  test("intersect + except partition the left set") {
+    val setGen = Gen.listOf(Gen.chooseNum(0, 20))
+    samples(Gen.zip(setGen, setGen), 12).foreach { case (a, b) =>
+      val da = a.toDF("k").distinct()
+      val db = b.toDF("k").distinct()
+      assert(da.intersect(db).count() + da.except(db).count() == da.count())
+    }
+  }
+
+  test("dedup idempotence and monotonicity on generated docs") {
+    val docGen = Gen.listOfN(40, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    val docs = samples(docGen, 30).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val once = docs.dropDuplicates("text")
+    assert(once.dropDuplicates("text").count() == once.count())
+    assert(once.count() <= docs.count())
+  }
+
+  test("sessionization bounds: 1 ≤ sessions per user ≤ events per user") {
+    val out = run("q_ts_session")
+      .groupBy("user_id").agg(countDistinct(col("sid")).as("sessions"), sum(col("n")).as("events"))
+      .collect()
+    out.foreach { r =>
+      val s = r.getAs[Long]("sessions")
+      val e = r.getAs[Long]("events")
+      assert(s >= 1 && s <= e)
+    }
+  }
+
+  test("rank is within [1, group size]") {
+    val seg = Tables.table(spark, sf, "customer").groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    run("q_win_rank").collect().foreach { r =>
+      val rk = r.getAs[Int]("r")
+      assert(rk >= 1 && rk <= seg(r.getAs[String]("c_mktsegment")))
+    }
+  }
+
+  test("cosine symmetry and Cauchy-Schwarz on generated float vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
+      .suchThat(v => v.exists(_ != 0f))
+    val vs = samples(Gen.zip(vecGen, vecGen), 20)
+    val df = vs.toDF("a", "b")
+    val dots = df.select(
+      functions.VectorExpr.dotF(col("a"), col("b")).as("ab"),
+      functions.VectorExpr.dotF(col("b"), col("a")).as("ba"),
+      functions.VectorExpr.dotF(col("a"), col("a")).as("aa"),
+      functions.VectorExpr.dotF(col("b"), col("b")).as("bb")).collect()
+    dots.foreach { r =>
+      val (ab, ba, aa, bb) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(ab == ba) // exact: same products, same fold order
+      assert(ab * ab <= aa * bb * (1 + 1e-12)) // Cauchy-Schwarz
+    }
+  }
+
+  test("graft_dot is SQL-callable via GraftExtensions") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark // force the shared session into existence first
+    // getOrCreate returns the active session (ignoring extensions), so build a
+    // fresh session over the same SparkContext with sessions cleared
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b").createOrReplaceTempView("graft_ext_v")
+      val got = s2.sql("SELECT graft_dot(a, b) AS d FROM graft_ext_v").head().getDouble(0)
+      assert(got == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+}
