@@ -28,9 +28,10 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    // drop warmup-scale cached relations so timed queries aren't competing
-    // with stale cache blocks for executor memory
+    // drop warmup-scale cached relations and collect the warmup garbage now,
+    // so timed queries aren't hit by a stop-the-world pause mid-measurement
     spark.catalog.clearCache()
+    System.gc()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

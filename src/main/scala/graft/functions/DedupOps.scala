@@ -31,21 +31,14 @@ object DedupOps {
       "toks[i]||' '||toks[i+1]||' '||toks[i+2]))"
 
   /** 3-gram shingles as a RELATION (doc_id, source, g), one row per shingle
-    * occurrence: posexplode tokens → window lead(1)/lead(2) within the doc →
-    * concat. Fully codegen-friendly; the higher-order-function formulation
-    * (transform over sequence + element_at) is interpreted per element and
-    * measured ~20× slower at sf0.1. One shuffle on doc_id, which downstream
-    * per-doc aggregations reuse. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    * occurrence: the codegen-era StringShingles expression (one compiled eval
+    * per document — no per-element lambda dispatch, no window shuffle; an
+    * earlier window-lead formulation paid a 500k-row exchange here) exploded
+    * map-side. Short docs (<3 tokens) naturally yield zero rows. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
-      .select(col("doc_id"), col("source"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead(col("w"), 1).over(w))
-      .withColumn("w2", lead(col("w"), 2).over(w))
-      .filter(col("w2").isNotNull) // docs need ≥3 tokens; drops tail positions
       .select(col("doc_id"), col("source"),
-        concat_ws(" ", col("w"), col("w1"), col("w2")).as("g"))
-  }
+        explode(VectorExpr.shingles(split(col("text"), " "))).as("g"))
 
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands of 2 → catches jaccard ≳ 0.5 reliably
@@ -59,11 +52,13 @@ object DedupOps {
       (s, dir) => {
         // min over the shingle MULTISET ≡ min over the distinct set, so the
         // relation needs no dedup; the 8 salted-md5 mins are one codegen'd
-        // aggregation pass. sig is tiny (one row per doc) — cached because the
-        // band self-join reads it twice (at 100 TB: materialize to storage).
+        // aggregation pass. The band self-join recomputes sig per side —
+        // regeneration is two cheap map-side passes, measurably better than
+        // cache() whose large block allocations trigger multi-second GC
+        // pauses mid-suite (at 100 TB: materialize sig to storage instead).
         val mh = (0 until NumHashes).map(k =>
           min(md5(concat(lit(s"$k|"), col("g")))).as(s"m$k"))
-        val sig = shingleRows(s, dir).groupBy("doc_id").agg(mh.head, mh.tail: _*).cache()
+        val sig = shingleRows(s, dir).groupBy("doc_id").agg(mh.head, mh.tail: _*)
         val bandCols = (0 until NumHashes / BandSize).map { b =>
           concat((lit(s"$b|") +: (0 until BandSize).map(j => col(s"m${b * BandSize + j}"))): _*)
         }
@@ -95,8 +90,13 @@ object DedupOps {
         "rows self-join on shingle within a source block; |A∩B| from the join, sizes from " +
         "a per-doc count — pure relational set algebra, identical on both engines.",
       (s, dir) => {
-        // cached: read by the sizes aggregation AND both self-join sides
-        val sh = shingleRows(s, dir).distinct().cache()
+        // distinct per doc is per-ROW (array_distinct before explode) — no
+        // global DISTINCT exchange. Read three times (sizes + both join
+        // sides); regeneration is a cheap map-side pass, preferable to
+        // cache() heap churn (at 100 TB: materialize to storage).
+        val sh = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(VectorExpr.shingles(split(col("text"), " ")))).as("g"))
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val a = sh.select(col("doc_id").as("ida"), col("source").as("srca"), col("g"))
         val b = sh.select(col("doc_id").as("idb"), col("source").as("srcb"), col("g").as("g2"))
@@ -129,9 +129,11 @@ object DedupOps {
         "(relational aggregation, codegen-friendly) → fingerprint; pairs blocked by " +
         "source with hamming distance ≤ 3 via xor + bit_count.",
       (s, dir) => {
+        // per-doc token dedup happens per ROW (array_distinct) — no global
+        // DISTINCT exchange; the only shuffle is the per-doc aggregation
         val tok = table(s, dir, "documents")
-          .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
-          .distinct()
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(split(col("text"), " "))).as("w"))
           .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int"))
         val votes = (0 until 16).map(bt =>
           sum(when(expr(s"(h div ${1 << bt}) % 2") === 1, 1).otherwise(-1)).as(s"s$bt"))
