@@ -72,6 +72,47 @@ object Scalars {
           "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000")),
 
     GraftQuery(
+      "q_str_extra",
+      "lpad / rpad / trim / reverse / regexp_extract coverage.",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .orderBy("c_custkey")
+          .limit(500)
+          .select(
+            col("c_custkey"),
+            lpad(col("c_name"), 25, "0").as("lp"),
+            rpad(col("c_mktsegment"), 12, "_").as("rp"),
+            trim(concat(lit("  "), col("c_name"), lit("  "))).as("tr"),
+            reverse(col("c_name")).as("rev"),
+            regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits")),
+      Some(
+        "SELECT c_custkey, lpad(c_name, 25, '0') AS lp, rpad(c_mktsegment, 12, '_') AS rp, " +
+          "trim('  ' || c_name || '  ') AS tr, reverse(c_name) AS rev, " +
+          "regexp_extract(c_name, '([0-9]+)', 1) AS digits " +
+          "FROM customer ORDER BY c_custkey LIMIT 500")),
+
+    GraftQuery(
+      "q_date_extra",
+      "datediff / clamped month addition / last_day / day-of-month coverage. " +
+        "Month arithmetic clamps to month end identically on both engines (verified).",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .orderBy("o_orderkey")
+          .limit(1000)
+          .select(
+            col("o_orderkey"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast(TimestampType)).as("dd"),
+            add_months(col("o_orderdate"), 3).as("am"),
+            last_day(col("o_orderdate")).as("ld"),
+            dayofmonth(col("o_orderdate")).as("d")),
+      Some(
+        "SELECT o_orderkey, CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS dd, " +
+          "CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS am, " +
+          "last_day(CAST(o_orderdate AS DATE)) AS ld, " +
+          "CAST(day(o_orderdate) AS INT) AS d " +
+          "FROM orders ORDER BY o_orderkey LIMIT 1000")),
+
+    GraftQuery(
       "q_json_extract",
       "Extract an int field from a JSON string column (get_json_object — no JSON logical type).",
       (s, dir) =>

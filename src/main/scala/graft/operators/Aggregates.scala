@@ -106,6 +106,34 @@ object Aggregates {
           "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST")),
 
     GraftQuery(
+      "q_agg_percentile",
+      "Exact interpolated percentiles (median + p90) per group — Spark percentile ≡ " +
+        "DuckDB quantile_cont (both linear interpolation at p·(n−1)).",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(
+            round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+            round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90"))
+          .orderBy("c_mktsegment"),
+      Some(
+        "SELECT c_mktsegment, round(quantile_cont(c_acctbal, 0.5),4) AS p50, " +
+          "round(quantile_cont(c_acctbal, 0.9),4) AS p90 " +
+          "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+
+    GraftQuery(
+      "q_agg_approx_distinct",
+      "HLL approximate distinct count per group (SURVEY §2.4 stretch). No oracle: " +
+        "Spark's HLL++ and DuckDB's HLL produce different estimates by design — the " +
+        "driver records a rows-only check.",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(approx_count_distinct(col("o_custkey")).as("approx_users"))
+          .orderBy("o_orderpriority"),
+      None),
+
+    GraftQuery(
       "q_agg_having",
       "Post-aggregation filter (HAVING). l_quantity is integral so the double sum is exact.",
       (s, dir) =>

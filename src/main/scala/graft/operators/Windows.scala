@@ -55,6 +55,34 @@ object Windows {
           "FROM orders) WHERE rn = 1 AND dr <= 3")),
 
     GraftQuery(
+      "q_win_extra",
+      "ntile / percent_rank / cume_dist / first_value / last_value over a fully " +
+        "tie-broken per-segment window (explicit ROWS frame for the value functions).",
+      (s, dir) => {
+        val ord = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val framed = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            ntile(4).over(ord).as("nt"),
+            round(percent_rank().over(ord), 6).as("pr"),
+            round(cume_dist().over(ord), 6).as("cd"),
+            first_value(col("c_custkey")).over(framed).as("fv"),
+            last_value(col("c_custkey")).over(framed).as("lv"))
+          .orderBy("c_custkey")
+          .limit(1000)
+      },
+      Some(
+        "SELECT c_custkey, CAST(ntile(4) OVER w AS INT) AS nt, " +
+          "round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd, " +
+          "first_value(c_custkey) OVER wf AS fv, last_value(c_custkey) OVER wf AS lv " +
+          "FROM customer " +
+          "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey), " +
+          "wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+          "ORDER BY c_custkey LIMIT 1000")),
+
+    GraftQuery(
       "q_win_lag_lead",
       "Per-user delta vs previous event (analytic family).",
       (s, dir) => {
