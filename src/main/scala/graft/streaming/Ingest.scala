@@ -73,30 +73,77 @@ object EventStream {
   * parse stage between the raw text feed and the typed events table.
   *
   * Handles the TNC2 text form an APRS-IS feed delivers:
-  * `CALLSIGN>DEST,PATH:payload`, with uncompressed position payloads like
-  * `!4903.50N/07201.75W-comment` (ddmm.hh minutes notation). Unparseable
-  * fields are null — the stream never dies on a malformed packet.
+  * `CALLSIGN>DEST,PATH:payload`, covering the common payload families:
+  *  - position reports, bare (`!` `=`) and timestamped (`/` `@`, 7-char
+  *    DHM/HMS timestamp prefix), ddmm.hh minutes notation;
+  *  - messages (`:ADDRESSEE :text`) with addressee + text extraction;
+  *  - status reports (`>`);
+  *  - a `packet_type` classification column and the Maidenhead grid locator
+  *    (6 characters) derived from the parsed position.
+  *
+  * Unparseable fields are null/empty — the stream never dies on a malformed
+  * packet; `packet_type` = 'other' routes them to a dead-letter-style branch.
   */
 object PacketParse {
 
+  private val posBody = "([0-9]{4}\\.[0-9]{2})([NS])(.)([0-9]{5}\\.[0-9]{2})([EW])"
+  // bare position:  !/= + body       timestamped: / or @ + 7-char ts + body
+  private val barePos = s"^[!=]$posBody"
+  private val timedPos = s"^[/@][0-9]{6}[zh/]$posBody"
+
   def parse(lines: DataFrame, raw: String = "raw"): DataFrame = {
-    val payload = regexp_extract(col(raw), "^[^:]+:(.*)$", 1)
-    val latStr = regexp_extract(col("payload"), "^[!=]([0-9]{4}\\.[0-9]{2})([NS])", 1)
-    val latHemi = regexp_extract(col("payload"), "^[!=]([0-9]{4}\\.[0-9]{2})([NS])", 2)
-    val lonStr = regexp_extract(col("payload"), "^[!=][0-9]{4}\\.[0-9]{2}[NS].([0-9]{5}\\.[0-9]{2})([EW])", 1)
-    val lonHemi = regexp_extract(col("payload"), "^[!=][0-9]{4}\\.[0-9]{2}[NS].([0-9]{5}\\.[0-9]{2})([EW])", 2)
-    def toDeg(s: org.apache.spark.sql.Column, degDigits: Int, hemi: org.apache.spark.sql.Column,
-              neg: String): org.apache.spark.sql.Column =
+    def grp(pattern: String, i: Int) = regexp_extract(col("payload"), pattern, i)
+    def posGrp(i: Int) = // first matching flavor wins; "" when neither matches
+      when(grp(barePos, i) =!= "", grp(barePos, i)).otherwise(grp(timedPos, i))
+    def toDeg(s: org.apache.spark.sql.Column, degDigits: Int,
+              hemi: org.apache.spark.sql.Column, neg: String): org.apache.spark.sql.Column =
       when(s === "", lit(null).cast(DoubleType)).otherwise(
         (substring(s, 1, degDigits).cast(DoubleType) +
           substring(s, degDigits + 1, 5).cast(DoubleType) / 60.0) *
           when(hemi === neg, -1.0).otherwise(1.0))
+
+    val lat = toDeg(posGrp(1), 2, posGrp(2), "S")
+    val lon = toDeg(posGrp(4), 3, posGrp(5), "W")
+
+    // Maidenhead grid (6-char): field (20°×10°), square (2°×1°), subsquare
+    val adjLon = col("lon") + 180.0
+    val adjLat = col("lat") + 90.0
+    val gridExpr = concat(
+      element_at(split(lit("ABCDEFGHIJKLMNOPQR"), ""), (floor(adjLon / 20) + 1).cast("int")),
+      element_at(split(lit("ABCDEFGHIJKLMNOPQR"), ""), (floor(adjLat / 10) + 1).cast("int")),
+      floor(pmod(adjLon, lit(20)) / 2).cast("int").cast("string"),
+      floor(pmod(adjLat, lit(10))).cast("int").cast("string"),
+      element_at(split(lit("abcdefghijklmnopqrstuvwx"), ""),
+        (floor(pmod(adjLon, lit(2)) * 12) + 1).cast("int")),
+      element_at(split(lit("abcdefghijklmnopqrstuvwx"), ""),
+        (floor(pmod(adjLat, lit(1)) * 24) + 1).cast("int")))
+
     lines
       .withColumn("callsign", regexp_extract(col(raw), "^([A-Za-z0-9-]+)>", 1))
       .withColumn("path", regexp_extract(col(raw), "^[^>]+>([^:]*):", 1))
-      .withColumn("payload", payload)
+      .withColumn("payload", regexp_extract(col(raw), "^[^:]+:(.*)$", 1))
       .withColumn("dti", substring(col("payload"), 1, 1))
-      .withColumn("lat", toDeg(latStr, 2, latHemi, "S"))
-      .withColumn("lon", toDeg(lonStr, 3, lonHemi, "W"))
+      .withColumn("lat", lat)
+      .withColumn("lon", lon)
+      .withColumn("packet_type",
+        when(col("callsign") === "" || col("payload") === "", "other")
+          .when(col("dti").isin("!", "="), "position")
+          .when(col("dti").isin("/", "@"),
+            when(col("lat").isNotNull, "position_ts").otherwise("other"))
+          .when(col("dti") === ">", "status")
+          .when(col("dti") === ":" &&
+            regexp_extract(col("payload"), "^:([^:]{9}):", 1) =!= "", "message")
+          .otherwise("other"))
+      .withColumn("msg_addressee",
+        when(col("packet_type") === "message",
+          trim(regexp_extract(col("payload"), "^:([^:]{9}):", 1))).otherwise(lit(null)))
+      .withColumn("msg_text",
+        when(col("packet_type") === "message",
+          regexp_extract(col("payload"), "^:[^:]{9}:(.*)$", 1)).otherwise(lit(null)))
+      .withColumn("status_text",
+        when(col("packet_type") === "status", substring(col("payload"), 2, 256))
+          .otherwise(lit(null)))
+      .withColumn("grid",
+        when(col("lat").isNotNull && col("lon").isNotNull, gridExpr).otherwise(lit(null)))
   }
 }

@@ -105,6 +105,25 @@ class StreamingSpec extends SparkSuite {
     assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("station_bucket=")))
   }
 
+  test("packet parse: payload families — timestamped position, message, status, grid") {
+    val lines = Seq(
+      "N0CALL>APRS:@092345z4903.50N/07201.75W>mobile",        // timestamped position
+      "W1AW>APRS,TCPIP*::K1ABC-9  :hello there{001",          // message
+      "DB0XYZ>APRS:>station up and running",                  // status
+      "K2DEF>APRS:!4741.10N/12217.50W-Seattle area").toDF("raw")
+    val p = graft.streaming.PacketParse.parse(lines).collect()
+    assert(p(0).getAs[String]("packet_type") == "position_ts")
+    assert(math.abs(p(0).getAs[Double]("lat") - (49 + 3.5 / 60)) < 1e-9)
+    assert(p(1).getAs[String]("packet_type") == "message")
+    assert(p(1).getAs[String]("msg_addressee") == "K1ABC-9")
+    assert(p(1).getAs[String]("msg_text") == "hello there{001")
+    assert(p(2).getAs[String]("packet_type") == "status")
+    assert(p(2).getAs[String]("status_text") == "station up and running")
+    assert(p(3).getAs[String]("packet_type") == "position")
+    // CN87 is the Seattle Maidenhead square; subsquare for 47.685, -122.2917 is 'uq'
+    assert(p(3).getAs[String]("grid").startsWith("CN87"))
+  }
+
   test("stateful tracker: cumulative haversine distance across micro-batches") {
     import graft.streaming.{PacketFix, StationTracker}
     val in = Files.createTempDirectory("graft_fix_in").toString
