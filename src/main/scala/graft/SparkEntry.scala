@@ -25,7 +25,8 @@ object SparkEntry {
       functions.DedupOps.all ++     // §2.11+ minhash-LSH / simhash / jaccard / embed near-dup
       functions.TextAnalysis.all ++ // §2.11+ lang-id / quality / fingerprint
       functions.Similarity.all ++   // §2.11+ IVF / LSH approximate NN
-      functions.Multimodal.all      // §2.11+ binary media columns
+      functions.Multimodal.all ++   // §2.11+ binary media columns
+      streaming.StreamQueries.all   // §2.10 streaming executed under the oracle gate
 
   /** Flagship query on sf=0.001 (TPC-H Q1); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
