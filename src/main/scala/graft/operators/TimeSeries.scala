@@ -26,11 +26,11 @@ object TimeSeries {
           .groupBy(
             date_trunc("hour", col("ts")).as("w"),
             col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+          .agg(count(lit(1)).as("n"), graft.Exact.moneySum(col("value")).as("s"))
           .orderBy("w", "event_type"),
       Some(
         "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, event_type, count(*) AS n, " +
-          "round(sum(value),2) AS s FROM events GROUP BY 1,2 ORDER BY 1,2")),
+          graft.Exact.moneySumSql("value") + " AS s FROM events GROUP BY 1,2 ORDER BY 1,2")),
 
     GraftQuery(
       "q_ts_session",

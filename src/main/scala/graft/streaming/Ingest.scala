@@ -38,12 +38,15 @@ object EventStream {
   def readEvents(spark: SparkSession, dropDir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dropDir)
 
-  /** Streaming twin of q_ts_tumbling: per-hour counts/sums per event_type. */
+  /** Streaming twin of q_ts_tumbling: per-hour counts/sums per event_type.
+    * The sum uses the exact-decimal discipline (graft.Exact): streaming state
+    * merges add doubles in yet another order, so only an associative exact
+    * accumulation keeps stream ≡ batch ≡ oracle bit-for-bit. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .agg(count(lit(1)).as("n"), graft.Exact.moneySum(col("value")).as("s"))
 
   /** Streaming twin of q_ts_session: 30-min-gap session windows per user. */
   def sessionCounts(events: DataFrame): DataFrame =

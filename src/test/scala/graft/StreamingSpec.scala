@@ -28,7 +28,7 @@ class StreamingSpec extends SparkSuite {
       .select(col("window.start").as("w"), col("event_type"), col("n"), col("s"))
     val batch = Tables.table(spark, sf, "events")
       .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("s"))
     // append mode emits a window once its END passes the watermark
     // (maxTs - 2h); compare exactly on a horizon safely clear of the
     // boundary (window start ≤ maxTs - 4h ⇒ end ≤ maxTs - 3h < watermark)
