@@ -32,10 +32,16 @@ object Bench {
     // so timed queries aren't hit by a stop-the-world pause mid-measurement
     spark.catalog.clearCache()
     System.gc()
+    // median of 3 runs per query — the same method as the DuckDB baseline
+    // (BASELINE.md); the host shows occasional multi-second stalls that a
+    // single sample would attribute to whichever query it landed on
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> samples.sorted.apply(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
