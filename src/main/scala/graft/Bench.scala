@@ -26,7 +26,8 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
       }
     // drop warmup-scale cached relations and collect the warmup garbage now,
     // so timed queries aren't hit by a stop-the-world pause mid-measurement
@@ -34,14 +35,25 @@ object Bench {
     System.gc()
     // median of 3 runs per query — the same method as the DuckDB baseline
     // (BASELINE.md); the host shows occasional multi-second stalls that a
-    // single sample would attribute to whichever query it landed on
+    // single sample would attribute to whichever query it landed on.
+    // Action = noop-format write, which materializes EVERY output column
+    // (count() would let the optimizer prune projection-only queries down to
+    // an empty ReadSchema, timing a metadata scan instead of the real read).
+    // A failed query reports -1 — a silent near-zero "success" would
+    // under-report the total against the baseline with no signal.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
       }
-      name -> samples.sorted.apply(1)
+      name -> (if (samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

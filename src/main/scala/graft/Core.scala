@@ -39,12 +39,25 @@ object Tables {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memo.computeIfAbsent((System.identityHashCode(spark), sfDir, name), _ => {
-      if (name == "events")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (name == "events" && df.schema("ts").dataType == LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
+      if (name == "events") {
+        // scope the legacy conf to this read: spark.read.parquet resolves the
+        // schema eagerly and snapshots the hadoop conf into the relation, so
+        // restoring right after does not affect this plan's execution — but a
+        // session-wide leak would change how the EMBEDDER's own nanos parquet
+        // reads behave
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try {
+          val df = spark.read.parquet(s"$sfDir/$name.parquet")
+          if (df.schema("ts").dataType == LongType)
+            df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          else df
+        } finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      } else spark.read.parquet(s"$sfDir/$name.parquet")
     })
 }
 

@@ -78,8 +78,13 @@ case class FloatDotProduct(left: Expression, right: Expression)
   * to `aggregate(zip_with(v, array(lits...), (x,y) => x.cast(double)*y), 0d, _+_)`
   * and to the DuckDB list_zip twin with a literal list.
   */
-case class FloatDotConst(child: Expression, plane: Array[Double])
+case class FloatDotConst(child: Expression, plane: Seq[Double])
     extends UnaryExpression {
+
+  // Seq (not Array) so case-class equality is structural — Array fields are
+  // reference-equal, which would defeat canonicalization / subexpression
+  // elimination for semantically identical plans
+  @transient private lazy val planeArr: Array[Double] = plane.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -91,15 +96,16 @@ case class FloatDotConst(child: Expression, plane: Array[Double])
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), plane.length)
+    val arr = planeArr
+    val n = math.min(x.numElements(), arr.length)
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * plane(i); i += 1 }
+    while (i < n) { s += x.getFloat(i).toDouble * arr(i); i += 1 }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planeRef = ctx.addReferenceObj("plane", plane, "double[]")
+    val planeRef = ctx.addReferenceObj("plane", planeArr, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
@@ -173,7 +179,7 @@ object VectorExpr {
   def normF(a: Column): Column = org.apache.spark.sql.functions.sqrt(dotF(a, a))
 
   def dotConst(a: Column, plane: Seq[Double]): Column =
-    ColumnBridge.column(FloatDotConst(ColumnBridge.expression(a), plane.toArray))
+    ColumnBridge.column(FloatDotConst(ColumnBridge.expression(a), plane))
 
   def shingles(toks: Column, n: Int = 3): Column =
     ColumnBridge.column(StringShingles(ColumnBridge.expression(toks), n))

@@ -78,14 +78,18 @@ object Aggregates {
         "a join→rollup Dataset (the Expand duplicates grouping attrs); the SQL path " +
         "produces the identical plan without Dataset-id metadata.",
       (s, dir) => {
+        // unique per-invocation view name, dropped right after spark.sql's
+        // eager analysis resolves it — no catalog state leaks, re-entrant
+        val view = "graft_rollup_in_" + java.util.UUID.randomUUID().toString.replace("-", "")
         table(s, dir, "customer")
           .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-          .createOrReplaceTempView("graft_rollup_in")
-        s.sql(
-          "SELECT r_name, n_name, count(*) AS n FROM graft_rollup_in " +
+          .createOrReplaceTempView(view)
+        try s.sql(
+          s"SELECT r_name, n_name, count(*) AS n FROM $view " +
             "GROUP BY ROLLUP(r_name, n_name) " +
             "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST")
+        finally s.catalog.dropTempView(view)
       },
       Some(
         "SELECT r_name, n_name, count(*) AS n FROM customer " +

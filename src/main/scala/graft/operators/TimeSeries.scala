@@ -52,10 +52,15 @@ object TimeSeries {
           .orderBy("user_id", "sid")
       },
       Some(
-        "WITH g AS (SELECT user_id, ts, event_id, CASE WHEN " +
+        // ts cast to micros (TIMESTAMP) up front: DuckDB reads the raw
+        // fixture at nanos precision while Spark reads the micros-truncated
+        // form — a gap within 1µs of exactly 1800s would otherwise split
+        // sessions differently on the two engines
+        "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
+          "g AS (SELECT user_id, ts, event_id, CASE WHEN " +
           "epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 " +
           "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk " +
-          "FROM events), " +
+          "FROM e), " +
           "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
           "ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
           "SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid ORDER BY user_id, sid"))

@@ -33,9 +33,13 @@ object PacketCollector {
 
     val raw =
       if (args.contains("--socket")) {
-        val Array(host, port) = args(args.indexOf("--socket") + 1).split(":")
+        val idx = args.indexOf("--socket")
+        require(idx + 1 < args.length, "--socket requires a host:port value")
+        val hp = args(idx + 1).split(":", 2)
+        require(hp.length == 2 && hp(1).forall(_.isDigit) && hp(1).nonEmpty,
+          s"--socket value must be host:port, got '${args(idx + 1)}'")
         spark.readStream.format("socket")
-          .option("host", host).option("port", port.toInt).load()
+          .option("host", hp(0)).option("port", hp(1).toInt).load()
           .withColumnRenamed("value", "raw")
       } else
         spark.readStream.text(inDir).withColumnRenamed("value", "raw")

@@ -27,6 +27,7 @@ object StreamQueries {
   private def eventsDropDir(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     dropDirs.computeIfAbsent((System.identityHashCode(spark), dir), _ => {
       val drop = Files.createTempDirectory("graft_sq_in").toString
+      reapAtExit.add(drop)
       Tables.table(spark, dir, "events").write.mode("overwrite").parquet(drop)
       drop
     })
@@ -39,6 +40,12 @@ object StreamQueries {
         .foreach(p => Files.deleteIfExists(p))
   }
 
+  /** Paths deleted at JVM exit: sink output dirs must outlive the returned
+    * (lazy) DataFrame, so they can only be reclaimed when the session dies —
+    * without this, every bench sample leaks a windowed-output copy. */
+  private val reapAtExit = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  sys.addShutdownHook { reapAtExit.forEach(p => deleteRecursively(p)) }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_stream_tumbling",
@@ -47,6 +54,7 @@ object StreamQueries {
       (spark, dir) => {
         val out = Files.createTempDirectory("graft_sq_out").toString
         val ckpt = Files.createTempDirectory("graft_sq_ck").toString
+        reapAtExit.add(out)
         EventStream.writeParquet(
           EventStream.tumblingCounts(EventStream.readEvents(spark, eventsDropDir(spark, dir))),
           out, ckpt)
