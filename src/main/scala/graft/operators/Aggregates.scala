@@ -138,6 +138,56 @@ object Aggregates {
       None),
 
     GraftQuery(
+      "q_pivot",
+      "Pivot (long→wide conditional aggregation): order totals by priority × status. " +
+        "Pivot values are pinned explicitly — at scale an inferred pivot is an extra " +
+        "distinct-collect job and nondeterministic column order.",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(Exact.moneySum(col("o_totalprice")))
+          .orderBy("o_orderpriority"),
+      Some(
+        "SELECT o_orderpriority, " +
+          Seq("F", "O", "P").map(v =>
+            Exact.moneySumSql(s"CASE WHEN o_orderstatus = '$v' THEN o_totalprice END") + s" AS \"$v\"")
+            .mkString(", ") +
+          " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    GraftQuery(
+      "q_agg_grouping_sets",
+      "Arbitrary GROUPING SETS with the grouping_id marker (beyond rollup/cube): " +
+        "{(status,priority), (status), ()} — SQL path, like rollup.",
+      (s, dir) => {
+        val view = "graft_gsets_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        table(s, dir, "orders").createOrReplaceTempView(view)
+        try s.sql(
+          s"SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+            "CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid " +
+            s"FROM $view GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) " +
+            "ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST")
+        finally s.catalog.dropTempView(view)
+      },
+      Some(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+          "CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid " +
+          "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) " +
+          "ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST")),
+
+    GraftQuery(
+      "q_agg_approx_quantile",
+      "Approximate quantile sketch per group (SURVEY §2.4 stretch). No oracle: " +
+        "Spark's variant of Greenwald-Khanna and DuckDB's approx sketch differ by design " +
+        "— rows-only check, like the HLL query.",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)").as("qs"))
+          .orderBy("o_orderstatus"),
+      None),
+
+    GraftQuery(
       "q_agg_having",
       "Post-aggregation filter (HAVING). l_quantity is integral so the double sum is exact.",
       (s, dir) =>
