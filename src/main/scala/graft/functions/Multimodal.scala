@@ -47,6 +47,30 @@ object Multimodal {
           |       count(*) AS n,
           |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
           |       max(octet_length(encode(text))) AS max_bytes
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_multimodal_features",
+      "Runs the BATCHED mapPartitions decode stage (MediaDecode) under the oracle " +
+        "gate: per media-type feature aggregation. The checksum is a real byte sum " +
+        "(ASCII corpus ⇒ expressible as per-char ascii() in the oracle); width/height " +
+        "are the stub's deterministic byte-length derivations.",
+      (s, dir) =>
+        MediaDecode.decode(s, attachBinary(Tables.table(s, dir, "documents")))
+          .toDF()
+          .groupBy("media_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("checksum")).as("total_checksum"),
+            round(avg(col("width")), 4).as("avg_w"),
+            round(avg(col("height")), 4).as("avg_h"))
+          .orderBy("media_type"),
+      Some(
+        """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+          |  count(*) AS n,
+          |  CAST(sum(list_sum(list_transform(string_split(text,''), x -> ascii(x)))) AS BIGINT) AS total_checksum,
+          |  round(avg(16 + octet_length(encode(text)) % 64), 4) AS avg_w,
+          |  round(avg(16 + (octet_length(encode(text)) // 64) % 64), 4) AS avg_h
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

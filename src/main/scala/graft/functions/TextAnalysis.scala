@@ -106,6 +106,24 @@ object TextAnalysis {
           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GraftQuery(
+      "q_text_bpe_tokens",
+      "Token counting two ways: whitespace words and a BPE-ish subword regex " +
+        "([a-z]{1,4} greedy chunks) — the cheap pre-tokenization token estimator " +
+        "for training-data budgeting.",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).as("n_words"),
+            regexp_count(col("text"), lit("[a-z]{1,4}")).as("n_subtokens"))
+          .orderBy("doc_id")
+          .limit(500),
+      Some(
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words, " +
+          "CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INT) AS n_subtokens " +
+          "FROM documents ORDER BY doc_id LIMIT 500")),
+
+    GraftQuery(
       "q_text_fingerprint",
       "Document fingerprint via polynomial rolling hash over tokens " +
         "(h = fold (h*31 + ascii(first char)*len(token)) mod 1000003) — a pure " +
