@@ -52,6 +52,20 @@ object SortsSets {
         "SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY k")),
 
     GraftQuery(
+      "q_set_union_all",
+      "UNION ALL (bag union, no dedup shuffle) reduced to per-key multiplicities.",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .select(col("c_nationkey").as("k"))
+          .union(table(s, dir, "supplier").select(col("s_nationkey").as("k")))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("k"),
+      Some(
+        "SELECT k, count(*) AS n FROM (SELECT c_nationkey AS k FROM customer " +
+          "UNION ALL SELECT s_nationkey FROM supplier) GROUP BY k ORDER BY k")),
+
+    GraftQuery(
       "q_set_intersect",
       "INTERSECT of two key sets.",
       (s, dir) =>

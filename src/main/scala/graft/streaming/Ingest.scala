@@ -132,8 +132,11 @@ object PacketParse {
       .withColumn("path", regexp_extract(col(raw), "^[^>]+>([^:]*):", 1))
       .withColumn("payload", regexp_extract(col(raw), "^[^:]+:(.*)$", 1))
       .withColumn("dti", substring(col("payload"), 1, 1))
-      .withColumn("lat", lat)
-      .withColumn("lon", lon)
+      // out-of-range bodies that the regex admits ("9999.99N") become null
+      // here, so downstream classification dead-letters them like any other
+      // unparseable position
+      .withColumn("lat", when(lat.between(-90.0, 90.0), lat))
+      .withColumn("lon", when(lon.between(-180.0, 180.0), lon))
       .withColumn("packet_type",
         when(col("callsign") === "" || col("payload") === "", "other")
           .when(col("dti").isin("!", "="),

@@ -124,6 +124,14 @@ class StreamingSpec extends SparkSuite {
     assert(p(3).getAs[String]("grid").startsWith("CN87"))
   }
 
+  test("packet parse: regex-valid but out-of-range coordinates dead-letter safely") {
+    val lines = Seq("N0BAD>APRS:!9999.99N/19999.99W-junk").toDF("raw")
+    val p = graft.streaming.PacketParse.parse(lines).collect().head
+    assert(p.isNullAt(p.fieldIndex("lat")))
+    assert(p.getAs[String]("packet_type") == "other")
+    assert(p.isNullAt(p.fieldIndex("grid")))
+  }
+
   test("stateful tracker: cumulative haversine distance across micro-batches") {
     import graft.streaming.{PacketFix, StationTracker}
     val in = Files.createTempDirectory("graft_fix_in").toString
