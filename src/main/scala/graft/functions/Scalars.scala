@@ -127,6 +127,22 @@ object Scalars {
           "FROM events ORDER BY event_id LIMIT 1000")),
 
     GraftQuery(
+      "q_map_funcs",
+      "MapType surface: from_json into map<string,int>, key cardinality + lookup.",
+      (s, dir) =>
+        table(s, dir, "events")
+          .orderBy("event_id")
+          .limit(1000)
+          .select(
+            col("event_id"),
+            size(map_keys(from_json(col("props"), MapType(StringType, IntegerType)))).as("n_keys"),
+            element_at(from_json(col("props"), MapType(StringType, IntegerType)), "k").as("k")),
+      Some(
+        "SELECT event_id, CAST(len(json_keys(props)) AS INT) AS n_keys, " +
+          "CAST(json_extract(props, '$.k') AS INT) AS k " +
+          "FROM events ORDER BY event_id LIMIT 1000")),
+
+    GraftQuery(
       "q_str_split_tokens",
       "Whitespace tokenize + count. Spark split pattern is a regex — single space is literal-safe.",
       (s, dir) =>

@@ -79,6 +79,15 @@ class AlgebraSpec extends SparkSuite {
     }
   }
 
+  test("Exact.moneySum is partition-count invariant (plain double sum is not guaranteed)") {
+    val li = Tables.table(spark, sf, "lineitem").select("l_extendedprice")
+    def sumAt(parts: Int): Double =
+      li.repartition(parts).agg(Exact.moneySum(col("l_extendedprice")).as("s"))
+        .head().getDouble(0)
+    val reference = sumAt(1)
+    Seq(2, 7, 32).foreach(p => assert(sumAt(p) == reference)) // bitwise equal
+  }
+
   test("graft_dot is SQL-callable via GraftExtensions") {
     import org.apache.spark.sql.SparkSession
     val orig = spark // force the shared session into existence first
