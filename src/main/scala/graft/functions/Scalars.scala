@@ -127,6 +127,45 @@ object Scalars {
           "FROM events ORDER BY event_id LIMIT 1000")),
 
     GraftQuery(
+      "q_cond_bit_funcs",
+      "Conditional (coalesce/nullif/greatest/least) + bitwise (and/or/xor/shift) coverage.",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .orderBy("o_orderkey")
+          .limit(1000)
+          .select(
+            col("o_orderkey"),
+            coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st"),
+            greatest(col("o_totalprice"), lit(100000.0)).as("g"),
+            least(col("o_totalprice"), lit(100000.0)).as("l"),
+            col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+            col("o_orderkey").bitwiseOR(lit(7L)).as("bor"),
+            col("o_orderkey").bitwiseXOR(lit(255L)).as("bxor"),
+            expr("shiftright(o_orderkey, 4)").as("shr")),
+      Some(
+        "SELECT o_orderkey, coalesce(nullif(o_orderstatus,'O'),'open') AS st, " +
+          "greatest(o_totalprice, 100000.0) AS g, least(o_totalprice, 100000.0) AS l, " +
+          "(o_orderkey & 255) AS band, (o_orderkey | 7) AS bor, xor(o_orderkey, 255) AS bxor, " +
+          "(o_orderkey >> 4) AS shr FROM orders ORDER BY o_orderkey LIMIT 1000")),
+
+    GraftQuery(
+      "q_str_regex",
+      "regexp_replace (global — DuckDB needs the 'g' flag to match Spark's " +
+        "replace-all default) + translate.",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .orderBy("c_custkey")
+          .limit(500)
+          .select(
+            col("c_custkey"),
+            regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+            translate(col("c_name"), "0123456789", "abcdefghij").as("tr")),
+      Some(
+        "SELECT c_custkey, regexp_replace(c_name, '[0-9]', '#', 'g') AS masked, " +
+          "translate(c_name, '0123456789', 'abcdefghij') AS tr " +
+          "FROM customer ORDER BY c_custkey LIMIT 500")),
+
+    GraftQuery(
       "q_map_funcs",
       "MapType surface: from_json into map<string,int>, key cardinality + lookup.",
       (s, dir) =>

@@ -88,6 +88,19 @@ class AlgebraSpec extends SparkSuite {
     Seq(2, 7, 32).foreach(p => assert(sumAt(p) == reference)) // bitwise equal
   }
 
+  test("salted aggregation ≡ direct aggregation (count and decimal sum)") {
+    import operators.Skew
+    val li = Tables.table(spark, sf, "lineitem")
+    val directCount = li.groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("n"))
+    val saltedCount = Skew.saltedCount(li, col("l_partkey"))
+    assert(saltedCount.except(directCount).isEmpty && directCount.except(saltedCount).isEmpty)
+
+    val directSum = li.groupBy(col("l_partkey").as("key"))
+      .agg(Exact.moneySum(col("l_extendedprice")).as("total"))
+    val saltedSum = Skew.saltedMoneySum(li, col("l_partkey"), col("l_extendedprice"))
+    assert(saltedSum.except(directSum).isEmpty && directSum.except(saltedSum).isEmpty)
+  }
+
   test("graft_dot is SQL-callable via GraftExtensions") {
     import org.apache.spark.sql.SparkSession
     val orig = spark // force the shared session into existence first
