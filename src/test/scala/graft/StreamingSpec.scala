@@ -190,5 +190,17 @@ class StreamingSpec extends SparkSuite {
     // all sessions fully closed by the watermark must carry their full counts
     assert(streamed.agg(sum(col("n"))).head().getLong(0) > 0)
     assert(streamed.filter(col("n") <= 0).count() == 0)
+    // every emitted (user, session-size) must exist in the batch
+    // gaps-and-islands result as a multiset — session_window(30 min) and the
+    // batch gap>1800s logic agree except on measure-zero exact-boundary gaps
+    def multiset(rows: Array[org.apache.spark.sql.Row]): Map[(Long, Long), Int] =
+      rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n")))
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+    val streamedMs = multiset(streamed.select("user_id", "n").collect())
+    val batchMs = multiset(run("q_ts_session").select("user_id", "n").collect())
+    streamedMs.foreach { case (pair, cnt) =>
+      assert(batchMs.getOrElse(pair, 0) >= cnt,
+        s"streamed session $pair x$cnt missing from batch result")
+    }
   }
 }
