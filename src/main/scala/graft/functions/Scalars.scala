@@ -127,6 +127,26 @@ object Scalars {
           "FROM events ORDER BY event_id LIMIT 1000")),
 
     GraftQuery(
+      "q_array_funcs",
+      "Array function coverage: sort_array / array_contains / slice / array_distinct " +
+        "sizes over the token arrays.",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            element_at(sort_array(split(col("text"), " ")), 1).as("first_tok"),
+            array_contains(split(col("text"), " "), "the").as("has_the"),
+            size(slice(split(col("text"), " "), 1, 5)).as("n_first5"),
+            size(array_distinct(split(col("text"), " "))).as("n_uniq"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, list_sort(string_split(text,' '))[1] AS first_tok, " +
+          "list_contains(string_split(text,' '), 'the') AS has_the, " +
+          "CAST(len(string_split(text,' ')[1:5]) AS INT) AS n_first5, " +
+          "CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_uniq " +
+          "FROM documents ORDER BY doc_id")),
+
+    GraftQuery(
       "q_cond_bit_funcs",
       "Conditional (coalesce/nullif/greatest/least) + bitwise (and/or/xor/shift) coverage.",
       (s, dir) =>

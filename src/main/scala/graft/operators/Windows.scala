@@ -83,6 +83,25 @@ object Windows {
           "ORDER BY c_custkey LIMIT 1000")),
 
     GraftQuery(
+      "q_win_range_frame",
+      "Value-based RANGE frame (±1000 around the current price) — frame membership " +
+        "is defined by value distance, so it is order-deterministic even under ties.",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+          .rangeBetween(-1000L, 1000L)
+        table(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            count(lit(1)).over(w).as("n_near"))
+          .orderBy("o_orderkey")
+          .limit(1000)
+      },
+      Some(
+        "SELECT o_orderkey, count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice " +
+          "RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near " +
+          "FROM orders ORDER BY o_orderkey LIMIT 1000")),
+
+    GraftQuery(
       "q_win_lag_lead",
       "Per-user delta vs previous event (analytic family).",
       (s, dir) => {
