@@ -36,9 +36,11 @@ object Joins {
     GraftQuery(
       "q_join_large",
       "Fact-fact equi join (lineitem⋈orders) with a shuffle_hash hint on the smaller " +
-        "side: orders is structurally ~4× smaller than lineitem, so a per-partition " +
-        "hash build beats sorting both sides (measured 1.5×); Spark's SHJ spills, so " +
-        "the choice holds with data-sized shuffle partitioning at cluster scale.",
+        "side: orders is structurally ~4× smaller, so a per-partition hash build beats " +
+        "sorting both sides (measured 1.5× at bench scale). Cluster caveat: SHJ's " +
+        "build-side HashedRelation does NOT spill — the hint presumes partition counts " +
+        "sized so each orders partition fits execution memory; when that isn't assured, " +
+        "drop the hint and let AQE/sort-merge decide (sorts spill).",
       (s, dir) =>
         table(s, dir, "lineitem")
           .join(table(s, dir, "orders").hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))

@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  // DETERMINISTIC salt from full row content: non-deterministic salts
+  // (partition id, monotonic id, rand) are a correctness hazard as shuffle
+  // keys — a task retry after a fetch failure recomputes rows with different
+  // salts and silently double-counts/drops them. A content hash re-salts
+  // identically on retry; duplicate rows sharing a salt only skews bucket
+  // balance, never results.
   private def salted(df: DataFrame, key: Column, buckets: Int): DataFrame =
     df.withColumn("__key", key)
-      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      .withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
 
   /** count(*) per key, salted. */
   def saltedCount(df: DataFrame, key: Column, buckets: Int = 16): DataFrame =

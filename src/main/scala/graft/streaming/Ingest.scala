@@ -109,14 +109,13 @@ object PacketParse {
     val lon = toDeg(posGrp(4), 3, posGrp(5), "W")
 
     // Maidenhead grid (6-char): field (20°×10°), square (2°×1°), subsquare.
-    // Adjusted coords clamped just below the upper bound: lat=90/lon=180 maps
-    // to the last field (standard), and regex-valid-but-out-of-range bodies
-    // ("9999.99N") must never index past the 18-letter array — under Spark
-    // 4's ANSI-on default an out-of-range element_at would KILL the stream,
-    // violating the never-dies invariant (coordinate validity is also gated
-    // below via the `valid` predicate → grid null).
-    val adjLon = least(greatest(col("lon") + 180.0, lit(0.0)), lit(359.999999))
-    val adjLat = least(greatest(col("lat") + 90.0, lit(0.0)), lit(179.999999))
+    // lat/lon are range-gated to [-90,90]/[-180,180] upstream; the clamp here
+    // handles only the legitimate boundary values (lat=90 / lon=180 map to
+    // the last field per the standard) — without it they would index one past
+    // the 18-letter array, and under Spark 4's ANSI-on default that would
+    // KILL the stream.
+    val adjLon = least(col("lon") + 180.0, lit(359.999999))
+    val adjLat = least(col("lat") + 90.0, lit(179.999999))
     val gridExpr = concat(
       element_at(split(lit("ABCDEFGHIJKLMNOPQR"), ""), (floor(adjLon / 20) + 1).cast("int")),
       element_at(split(lit("ABCDEFGHIJKLMNOPQR"), ""), (floor(adjLat / 10) + 1).cast("int")),
@@ -140,9 +139,9 @@ object PacketParse {
       .withColumn("packet_type",
         when(col("callsign") === "" || col("payload") === "", "other")
           .when(col("dti").isin("!", "="),
-            when(col("lat").isNotNull, "position").otherwise("other"))
+            when(col("lat").isNotNull && col("lon").isNotNull, "position").otherwise("other"))
           .when(col("dti").isin("/", "@"),
-            when(col("lat").isNotNull, "position_ts").otherwise("other"))
+            when(col("lat").isNotNull && col("lon").isNotNull, "position_ts").otherwise("other"))
           .when(col("dti") === ">", "status")
           .when(col("dti") === ":" &&
             regexp_extract(col("payload"), "^:([^:]{9}):", 1) =!= "", "message")
@@ -157,8 +156,6 @@ object PacketParse {
         when(col("packet_type") === "status", substring(col("payload"), 2, 256))
           .otherwise(lit(null)))
       .withColumn("grid",
-        when(col("lat").isNotNull && col("lon").isNotNull &&
-          col("lat").between(-90.0, 90.0) && col("lon").between(-180.0, 180.0),
-          gridExpr).otherwise(lit(null)))
+        when(col("lat").isNotNull && col("lon").isNotNull, gridExpr).otherwise(lit(null)))
   }
 }
