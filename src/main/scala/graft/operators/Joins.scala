@@ -159,6 +159,33 @@ object Joins {
           "AND o1.o_orderkey < o2.o_orderkey AND o1.o_orderdate = o2.o_orderdate")),
 
     GraftQuery(
+      "q_join_cross",
+      "Explicit cross join of two dims reduced to the pair count — the deliberate " +
+        "cartesian surface (every other cartesian in the engine is a broadcast of a " +
+        "1-row side).",
+      (s, dir) =>
+        table(s, dir, "region")
+          .crossJoin(table(s, dir, "nation"))
+          .agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM region CROSS JOIN nation")),
+
+    GraftQuery(
+      "q_scalar_subquery",
+      "Uncorrelated scalar subquery in the projection (per-row compare against a " +
+        "global aggregate) — Catalyst plans it as a single-row broadcast.",
+      (s, dir) => {
+        val view = "graft_ssq_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        table(s, dir, "orders").createOrReplaceTempView(view)
+        try s.sql(
+          s"SELECT o_orderkey, o_totalprice > (SELECT avg(o_totalprice) FROM $view) AS above_avg " +
+            s"FROM $view ORDER BY o_orderkey LIMIT 1000")
+        finally s.catalog.dropTempView(view)
+      },
+      Some(
+        "SELECT o_orderkey, o_totalprice > (SELECT avg(o_totalprice) FROM orders) AS above_avg " +
+          "FROM orders ORDER BY o_orderkey LIMIT 1000")),
+
+    GraftQuery(
       "q_ts_asof_join",
       "As-of join: latest order date ≤ event ts per event. No native Spark as-of; " +
         "implemented as equi-join on the user key + range condition + per-event max — " +
