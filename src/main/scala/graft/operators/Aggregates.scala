@@ -188,6 +188,49 @@ object Aggregates {
       None),
 
     GraftQuery(
+      "q_agg_corr",
+      "Pearson correlation + sample covariance per group (co-moment aggregates).",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cv"))
+          .orderBy("l_returnflag"),
+      Some(
+        "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice),6) AS r, " +
+          "round(covar_samp(l_quantity, l_extendedprice),2) AS cv " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    GraftQuery(
+      "q_agg_string_agg",
+      "Ordered string aggregation per group — Spark sort_array(collect_list) + " +
+        "array_join ≡ DuckDB string_agg(... ORDER BY): collect_list alone is " +
+        "arrival-ordered (nondeterministic), the in-group sort is load-bearing.",
+      (s, dir) =>
+        table(s, dir, "nation")
+          .groupBy("n_regionkey")
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
+          .orderBy("n_regionkey"),
+      Some(
+        "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names " +
+          "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")),
+
+    GraftQuery(
+      "q_histogram",
+      "Fixed-width histogram via arithmetic bucketing (floor(x/step) clamped) — " +
+        "per-row deterministic on both engines; DuckDB 1.0 lacks width_bucket.",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .select(least(floor(col("o_totalprice") / 50000), lit(9.0)).cast("int").as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some(
+        "SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bucket, count(*) AS n " +
+          "FROM orders GROUP BY 1 ORDER BY 1")),
+
+    GraftQuery(
       "q_agg_having",
       "Post-aggregation filter (HAVING). l_quantity is integral so the double sum is exact.",
       (s, dir) =>
