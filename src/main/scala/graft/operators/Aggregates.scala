@@ -179,11 +179,17 @@ object Aggregates {
       "q_agg_approx_quantile",
       "Approximate quantile sketch per group (SURVEY §2.4 stretch). No oracle: " +
         "Spark's variant of Greenwald-Khanna and DuckDB's approx sketch differ by design " +
-        "— rows-only check, like the HLL query.",
+        "— rows-only check, like the HLL query. Quantiles are projected as scalar " +
+        "p50/p95 columns (not an array) so the driver's rows-only compare can sort " +
+        "the frame (an ArrayType column crashed the pandas sort in round 1).",
       (s, dir) =>
         table(s, dir, "orders")
           .groupBy("o_orderstatus")
           .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)").as("qs"))
+          .select(
+            col("o_orderstatus"),
+            element_at(col("qs"), 1).as("p50"),
+            element_at(col("qs"), 2).as("p95"))
           .orderBy("o_orderstatus"),
       None),
 

@@ -61,8 +61,12 @@ object TimeSeries {
           "epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 " +
           "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk " +
           "FROM e), " +
-          "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-          "ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+          // CAST to BIGINT: DuckDB types sum(INTEGER) as HUGEINT (INT128), which
+          // pandas fetches as object/float and hash-mismatches Spark's BIGINT sid
+          // even when every value is equal — the only bare int-sum output column
+          // in the contract (CORRECTNESS_r01: rows/schema matched, hash did not).
+          "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g) " +
           "SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid ORDER BY user_id, sid"))
   )
 }

@@ -10,6 +10,7 @@ Not part of the shipped library — mirrors the harness for fast iteration.
 """
 import sys, json, glob, math
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -22,6 +23,13 @@ def normalize(df):
 def cells_equal(a, b):
     if a is None and b is None:
         return True
+    # Timestamp vs datetime.date of the same instant: oracle DATE columns
+    # fetch as datetime64 while Spark parquet DATE reads as object-of-date;
+    # the driver hash-matched these in r1, so treat them equal here too.
+    import datetime
+    if isinstance(a, (datetime.date, datetime.datetime)) and \
+       isinstance(b, (datetime.date, datetime.datetime)):
+        return pd.Timestamp(a) == pd.Timestamp(b)
     try:
         if isinstance(a, float) or isinstance(b, float):
             if a is None or b is None:
@@ -48,14 +56,33 @@ def main():
             continue
         try:
             want = normalize(con.execute(oracle[name]).fetchdf())
-            got = normalize(con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf())
+            # Read the Spark side with pandas/pyarrow, NOT through DuckDB:
+            # the driver hashes the pandas frames, so type divergences the
+            # DuckDB round-trip would mask (e.g. oracle HUGEINT -> float vs
+            # Spark BIGINT -> int64) must fail here too.
+            got = normalize(pd.concat(
+                [pd.read_parquet(f) for f in sorted(files)], ignore_index=True))
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
         if list(want.columns) != list(got.columns):
             print(f"FAIL {name}: columns want={list(want.columns)} got={list(got.columns)}")
+            n_fail += 1
+            continue
+        # Numeric-kind divergence is the class that hash-fails in the driver
+        # (e.g. HUGEINT -> float/object vs BIGINT -> int64). Date columns
+        # legitimately differ in dtype (datetime64 vs object-of-date) yet
+        # hash-match there, so only numeric kinds are checked.
+        NUM = frozenset("iuf")
+        kind_bad = [
+            (c, want[c].dtype, got[c].dtype) for c in want.columns
+            if want[c].dtype.kind != got[c].dtype.kind
+            and (want[c].dtype.kind in NUM or got[c].dtype.kind in NUM)]
+        if kind_bad:
+            c, wd, gd = kind_bad[0]
+            print(f"FAIL {name}: dtype kind col={c} oracle={wd} spark={gd} "
+                  f"(driver hashes typed values — cast the oracle to match)")
             n_fail += 1
             continue
         if len(want) != len(got):
