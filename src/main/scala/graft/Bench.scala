@@ -33,32 +33,50 @@ object Bench {
     // so timed queries aren't hit by a stop-the-world pause mid-measurement
     spark.catalog.clearCache()
     System.gc()
-    // median of 3 runs per query — the same method as the DuckDB baseline
-    // (BASELINE.md); the host shows occasional multi-second stalls that a
-    // single sample would attribute to whichever query it landed on.
+    // Median of 3 runs per query — the same method as the DuckDB baseline
+    // (BASELINE.md). Samples are interleaved ROUND-ROBIN across queries
+    // (pass 1 of every query, then pass 2, then pass 3), not 3 back-to-back:
+    // this host shows occasional multi-second stalls lasting longer than one
+    // query, and back-to-back sampling let one stall poison all 3 samples of
+    // a single query (r1: q_agg_distinct 12.8 s median for a 2-shuffle agg).
+    // Interleaved, a stall inflates ONE sample of several queries and the
+    // per-query medians survive it.
     // Action = noop-format write, which materializes EVERY output column
     // (count() would let the optimizer prune projection-only queries down to
     // an empty ReadSchema, timing a metadata scan instead of the real read).
     // A failed query reports -1 — a silent near-zero "success" would
     // under-report the total against the baseline with no signal.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val samples = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
-        }
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (pass <- 1 to 3; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val t = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
       }
-      name -> (if (samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1))
+      samples(name) = samples(name) :+ t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // per-sample detail to stderr so anomalies are diagnosable without
+    // growing the driver-captured JSON line (r1's tail was truncated)
+    names.foreach { n =>
+      System.err.println(
+        s"[bench-samples] $n ${samples(n).map(t => f"$t%.3f").mkString(" ")}")
+    }
+    val results = names.map { name =>
+      val s = samples(name)
+      name -> (if (s.exists(_ < 0)) -1.0 else s.sorted.apply(s.size / 2))
+    }.toMap
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -91,12 +91,23 @@ object DedupOps {
         "a per-doc count — pure relational set algebra, identical on both engines.",
       (s, dir) => {
         // distinct per doc is per-ROW (array_distinct before explode) — no
-        // global DISTINCT exchange. Read three times (sizes + both join
-        // sides); regeneration is a cheap map-side pass, preferable to
-        // cache() heap churn (at 100 TB: materialize to storage).
-        val sh = table(s, dir, "documents")
+        // global DISTINCT exchange. The shingle relation is consumed three
+        // times (sizes + both join sides), so it is MATERIALIZED once to a
+        // scratch parquet and re-scanned — the same answer that holds at
+        // 100 TB (write the intermediate to storage), and measurably better
+        // here than 3× regeneration (r1: 3.1× baseline) or cache() whose
+        // large block allocations trigger GC pauses mid-suite.
+        val scratch = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_shingles_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             explode(array_distinct(VectorExpr.shingles(split(col("text"), " ")))).as("g"))
+          .write.mode("overwrite").parquet(scratch)
+        val sh = s.read.parquet(scratch)
+        // per-doc sizes: one row per doc — broadcastable at bench scale; at
+        // 100 TB this becomes a shuffle join on the (already-partitioned)
+        // doc_id key, still never touching text
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val a = sh.select(col("doc_id").as("ida"), col("source").as("srca"), col("g"))
         val b = sh.select(col("doc_id").as("idb"), col("source").as("srcb"), col("g").as("g2"))
@@ -104,8 +115,8 @@ object DedupOps {
             col("ida") < col("idb"))
           .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
         shared
-          .join(sizes.select(col("doc_id").as("ida"), col("sz").as("sza")), "ida")
-          .join(sizes.select(col("doc_id").as("idb"), col("sz").as("szb")), "idb")
+          .join(broadcast(sizes.select(col("doc_id").as("ida"), col("sz").as("sza"))), "ida")
+          .join(broadcast(sizes.select(col("doc_id").as("idb"), col("sz").as("szb"))), "idb")
           .select(col("ida"), col("idb"),
             round(col("shared") / (col("sza") + col("szb") - col("shared")), 6).as("jac"))
           .orderBy(col("jac").desc, col("ida"), col("idb"))

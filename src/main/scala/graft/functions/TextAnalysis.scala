@@ -127,14 +127,14 @@ object TextAnalysis {
       "q_text_fingerprint",
       "Document fingerprint via polynomial rolling hash over tokens " +
         "(h = fold (h*31 + ascii(first char)*len(token)) mod 1000003) — a pure " +
-        "sequential fold, identical on both engines (Spark aggregate ≡ DuckDB " +
-        "list_reduce with a prepended zero).",
+        "sequential fold, identical on both engines (TokenRollingHash codegen " +
+        "Expression ≡ DuckDB list_reduce with a prepended zero; the HOF " +
+        "transform+aggregate form it replaces paid interpreted-lambda dispatch " +
+        "per token, twice).",
       (s, dir) =>
         table(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
-          .select(col("doc_id"),
-            expr("aggregate(transform(toks, t -> CAST(ascii(t) * length(t) AS BIGINT)), " +
-              "CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000003)").as("fp"))
+          .select(col("doc_id"), VectorExpr.rollingFp(col("toks")).as("fp"))
           .orderBy("doc_id")
           .limit(500),
       Some(

@@ -170,6 +170,55 @@ case class StringShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Shared eval body for [[TokenRollingHash]] — a top-level object so the
+  * generated code can call it through the Scala static forwarder. */
+object RollingHashUtil {
+  /** h = fold over tokens: (h*31 + ascii(t)*numChars(t)) mod 1000003, h0 = 0.
+    * ascii(t) follows Spark's `ascii`: code point of the first character, 0
+    * for the empty string — which also matches DuckDB's `ascii`. */
+  def hash(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val nc = t.numChars()
+      val a = if (nc > 0) t.substring(0, 1).toString.codePointAt(0) else 0
+      h = (h * 31 + a.toLong * nc) % 1000003L
+      i += 1
+    }
+    h
+  }
+}
+
+/** Codegen'd polynomial rolling hash over a tokens array — the document
+  * fingerprint operator. Bitwise-identical to the composable form
+  * `aggregate(transform(toks, t -> ascii(t)*length(t)), 0L, (a,b) -> (a*31+b) % 1000003)`,
+  * but that pays interpreted-lambda dispatch per ELEMENT twice (transform +
+  * aggregate); this is one compiled call per ROW — the same treatment
+  * FloatDotProduct gave the dot product.
+  */
+case class TokenRollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_fp"
+
+  override def nullSafeEval(a: Any): Any =
+    RollingHashUtil.hash(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RollingHashUtil.hash($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the vector expressions. */
 object VectorExpr {
   def dotF(a: Column, b: Column): Column =
@@ -183,4 +232,7 @@ object VectorExpr {
 
   def shingles(toks: Column, n: Int = 3): Column =
     ColumnBridge.column(StringShingles(ColumnBridge.expression(toks), n))
+
+  def rollingFp(toks: Column): Column =
+    ColumnBridge.column(TokenRollingHash(ColumnBridge.expression(toks)))
 }

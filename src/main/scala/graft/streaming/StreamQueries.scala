@@ -75,6 +75,47 @@ object StreamQueries {
           graft.Exact.moneySumSql("value") + """ AS s
           |  FROM events GROUP BY 1, 2)
           |WHERE w + INTERVAL 1 HOUR <= (SELECT CAST(max(ts) AS TIMESTAMP) FROM events) - INTERVAL 2 HOUR
-          |ORDER BY w, event_type""".stripMargin))
+          |ORDER BY w, event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_stream_session",
+      "Structured Streaming 30-min session windows per user executed end-to-end " +
+        "(source→watermark→session state→sink); result = the watermark-closed " +
+        "sessions. Oracle = batch gaps-and-islands sessionization + the same " +
+        "watermark cut as a HAVING clause.",
+      (spark, dir) => {
+        val out = Files.createTempDirectory("graft_sq_out").toString
+        val ckpt = Files.createTempDirectory("graft_sq_ck").toString
+        reapAtExit.add(out)
+        EventStream.writeParquet(
+          EventStream.sessionCounts(EventStream.readEvents(spark, eventsDropDir(spark, dir))),
+          out, ckpt)
+          .awaitTermination()
+        deleteRecursively(ckpt)
+        spark.read.parquet(out)
+          .select(
+            col("session_window.start").as("ws"),
+            col("session_window.end").as("we"),
+            col("user_id"), col("n"))
+          .orderBy("user_id", "ws")
+      },
+      Some(
+        // Gap boundary: Spark's session_window treats an event landing exactly
+        // gap seconds after the previous one as a NEW session (sessions
+        // [t, t+gap) merge only on strict overlap), so the batch break flag is
+        // `>= 1800`, NOT q_ts_session's `> 1800`. Emission rule and micros
+        // truncation follow q_stream_tumbling (end <= max(ts) - 2h).
+        """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+          |g AS (SELECT user_id, ts, CASE WHEN
+          |  epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+          |  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk
+          |  FROM e),
+          |s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g),
+          |sess AS (SELECT user_id, min(ts) AS ws, max(ts) + INTERVAL 30 MINUTE AS we,
+          |  count(*) AS n FROM s GROUP BY user_id, sid)
+          |SELECT ws, we, user_id, n FROM sess
+          |WHERE we <= (SELECT max(ts) FROM e) - INTERVAL 2 HOUR
+          |ORDER BY user_id, ws""".stripMargin))
   )
 }
