@@ -29,7 +29,22 @@ object Tables {
     * for the same immutable files. The memo stores the lazy logical plan
     * only (no data is cached). */
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, String, String), DataFrame]()
+
+  /** Collision-free session identity: identityHashCode (the previous key)
+    * could collide across two live sessions and hand one a DataFrame bound to
+    * the other. The registry is weak-keyed and its boxed-long values hold no
+    * reference back to the session, so registry entries die with the session.
+    * A dead session's memo entries themselves are not proactively evicted —
+    * they are small lazy plans and every shipped main runs one session per
+    * JVM — but they can never be RETURNED to a different session again. */
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, java.lang.Long]()
+  private val nextSessionId = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def sessionId(s: SparkSession): Long = sessionIds.synchronized {
+    var id = sessionIds.get(s)
+    if (id == null) { id = nextSessionId.incrementAndGet(); sessionIds.put(s, id) }
+    id
+  }
 
   /** events.ts is physically TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects. Read it as a nanos Long (legacy conf) and truncate to micros —
@@ -38,7 +53,7 @@ object Tables {
     * would diverge). Double division would also be wrong: 1.7e18 > 2^53.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    memo.computeIfAbsent((System.identityHashCode(spark), sfDir, name), _ => {
+    memo.computeIfAbsent((sessionId(spark), sfDir, name), _ => {
       if (name == "events") {
         // scope the legacy conf to this read: spark.read.parquet resolves the
         // schema eagerly and snapshots the hadoop conf into the relation, so

@@ -16,12 +16,23 @@ final case class StationStat(callsign: String, n_fixes: Long, total_km: Double)
   * state is an arbitrary fold over event order.
   *
   * Scale: state is O(stations) × a few doubles, hash-partitioned by callsign
-  * across executors, checkpointed with the query; a production deployment
-  * adds a GroupStateTimeout to expire stations that stop beaconing.
+  * across executors, checkpointed with the query. State is bounded two ways:
+  * stations that stop beaconing expire after [[IdleTimeout]] of processing
+  * time (their next fix simply restarts the track at 0 km), and fixes that
+  * arrive with an event time at or before the last folded fix are DROPPED —
+  * without that, out-of-order arrival across micro-batches would fold in
+  * arrival order and silently inflate total_km.
   */
 object StationTracker {
 
   private val EarthRadiusKm = 6371.0
+
+  /** Idle-state expiry: a station whose last fix is more than this far behind
+    * the watermark is dropped from state. EVENT-time based deliberately —
+    * with ProcessingTimeTimeout, FlatMapGroupsWithStateExec reports
+    * shouldRunAnotherBatch=true on every batch, so a Trigger.AvailableNow
+    * refresh never terminates (observed as a livelock in StreamingSpec). */
+  private val IdleTimeoutMs: Long = 60 * 60 * 1000L
 
   private[streaming] def haversineKm(
       lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
@@ -33,31 +44,51 @@ object StationTracker {
     2 * EarthRadiusKm * math.asin(math.sqrt(a))
   }
 
-  /** (lastLat, lastLon, cumulativeKm, nFixes) */
-  private type TrackState = (Double, Double, Double, Long)
+  /** (lastLat, lastLon, cumulativeKm, nFixes, lastTsMillis) */
+  private type TrackState = (Double, Double, Double, Long, Long)
 
   def track(fixes: Dataset[PacketFix]): Dataset[StationStat] = {
     implicit val stateEnc: Encoder[TrackState] =
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
-        Encoders.scalaDouble, Encoders.scalaLong)
+        Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong)
     implicit val outEnc: Encoder[StationStat] = Encoders.product[StationStat]
     implicit val keyEnc: Encoder[String] = Encoders.STRING
 
     fixes
+      .withWatermark("ts", "2 hours")
       .groupByKey(_.callsign)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (callsign: String, batch: Iterator[PacketFix], state: GroupState[TrackState]) =>
-          // micro-batch iterators carry no order guarantee — order by event time
-          val fixesSorted = batch.toSeq.sortBy(_.ts.getTime)
-          var (lat, lon, km, n) = state.getOption.getOrElse((Double.NaN, Double.NaN, 0.0, 0L))
-          fixesSorted.foreach { f =>
-            if (!lat.isNaN) km += haversineKm(lat, lon, f.lat, f.lon)
-            lat = f.lat; lon = f.lon; n += 1
-          }
-          if (fixesSorted.isEmpty) Iterator.empty
-          else {
-            state.update((lat, lon, km, n))
-            Iterator(StationStat(callsign, n, km))
+          if (state.hasTimedOut) {
+            // station went quiet past the idle timeout — release its state
+            state.remove()
+            Iterator.empty
+          } else {
+            // micro-batch iterators carry no order guarantee — order by event
+            // time within the batch; ACROSS batches, fixes at or before the
+            // last folded event time are late arrivals and are dropped (a
+            // fold in arrival order would count the backtrack distance twice)
+            val fixesSorted = batch.toSeq.sortBy(_.ts.getTime)
+            var (lat, lon, km, n, lastTs) =
+              state.getOption.getOrElse((Double.NaN, Double.NaN, 0.0, 0L, Long.MinValue))
+            val nBefore = n
+            fixesSorted.foreach { f =>
+              if (f.ts.getTime > lastTs) {
+                if (!lat.isNaN) km += haversineKm(lat, lon, f.lat, f.lon)
+                lat = f.lat; lon = f.lon; n += 1; lastTs = f.ts.getTime
+              }
+            }
+            if (n == nBefore) Iterator.empty // nothing new folded (empty or all-late batch)
+            else {
+              state.update((lat, lon, km, n, lastTs))
+              // expire when the watermark passes lastTs + idle window; the
+              // timestamp must sit strictly past the current watermark or
+              // Spark rejects it (an already-idle station registers the
+              // earliest legal expiry instead)
+              state.setTimeoutTimestamp(
+                math.max(lastTs + IdleTimeoutMs, state.getCurrentWatermarkMs() + 1))
+              Iterator(StationStat(callsign, n, km))
+            }
           }
       }
   }

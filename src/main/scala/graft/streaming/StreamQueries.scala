@@ -22,10 +22,10 @@ object StreamQueries {
     * the copy is made once, not on every Verify/Bench invocation, and the
     * timed bench run measures the stream, not a redundant table copy. */
   private val dropDirs =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), String]()
 
   private def eventsDropDir(spark: org.apache.spark.sql.SparkSession, dir: String): String =
-    dropDirs.computeIfAbsent((System.identityHashCode(spark), dir), _ => {
+    dropDirs.computeIfAbsent((Tables.sessionId(spark), dir), _ => {
       val drop = Files.createTempDirectory("graft_sq_in").toString
       reapAtExit.add(drop)
       Tables.table(spark, dir, "events").write.mode("overwrite").parquet(drop)

@@ -154,7 +154,13 @@ class StreamingSpec extends SparkSuite {
     val firstBatch = stampNew(base, Set.empty)
     Seq(PacketFix("N0CALL", t("2024-01-01 00:20:00"), 42.0, -75.0))
       .toDS().coalesce(1).write.mode("append").parquet(in)
-    stampNew(base + 60000, firstBatch)
+    val secondBatch = stampNew(base + 60000, firstBatch)
+    // a LATE fix (event time before the last folded fix) arriving in a later
+    // micro-batch must be dropped — folding it in arrival order would count
+    // the 42°→40.5° backtrack and inflate total_km
+    Seq(PacketFix("N0CALL", t("2024-01-01 00:05:00"), 40.5, -75.0))
+      .toDS().coalesce(1).write.mode("append").parquet(in)
+    stampNew(base + 120000, secondBatch)
 
     val out = Files.createTempDirectory("graft_fix_out").toString
     val ckpt = Files.createTempDirectory("graft_fix_ckpt").toString
@@ -174,8 +180,9 @@ class StreamingSpec extends SparkSuite {
       .orderBy(col("n_fixes").desc) // latest emission has the max n_fixes per station
       .collect().groupBy(_.getAs[String]("callsign")).map { case (k, rs) => k -> rs.head }
     val n0 = finalStats("N0CALL")
+    // 3, not 4: the late batch-3 fix was dropped, not folded
     assert(n0.getAs[Long]("n_fixes") == 3)
-    // 2 × ~111.19 km per degree of latitude
+    // 2 × ~111.19 km per degree of latitude — unchanged by the late fix
     assert(math.abs(n0.getAs[Double]("total_km") - 222.39) < 0.5)
     assert(finalStats("PARKED").getAs[Double]("total_km") == 0.0)
   }
