@@ -27,6 +27,7 @@ object SparkEntry {
       functions.Similarity.all ++   // §2.11+ IVF / LSH approximate NN
       functions.Multimodal.all ++   // §2.11+ binary media columns
       functions.VectorAggregates.all ++ // §2.12 UDAF surface (typed Aggregator)
+      sources.FormatSources.all ++  // §2.1 CSV/JSON sources under the oracle gate
       streaming.StreamQueries.all   // §2.10 streaming executed under the oracle gate
 
   /** Flagship query on sf=0.001 (TPC-H Q1); driver smoke-checks rows>0. */

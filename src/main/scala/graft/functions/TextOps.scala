@@ -68,6 +68,23 @@ object TextOps {
           .limit(20),
       Some(
         "SELECT w AS word, count(*) AS n FROM (SELECT unnest(string_split(text,' ')) AS w " +
-          "FROM documents) GROUP BY w ORDER BY n DESC, w LIMIT 20"))
+          "FROM documents) GROUP BY w ORDER BY n DESC, w LIMIT 20")),
+
+    GraftQuery(
+      "q_str_posexplode",
+      "Positional explode (posexplode Generator): tokens with their 0-based " +
+        "ordinal — the UDTF-with-ordinality surface. Oracle uses DuckDB's " +
+        "aligned multi-unnest (range zips with the token list).",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "pos", "w")
+          .orderBy("doc_id", "pos")
+          .limit(1000),
+      Some(
+        "SELECT doc_id, pos, w FROM (SELECT doc_id, " +
+          "CAST(unnest(range(len(string_split(text,' ')))) AS INT) AS pos, " +
+          "unnest(string_split(text,' ')) AS w FROM documents) " +
+          "ORDER BY doc_id, pos LIMIT 1000"))
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Exact, GraftQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -247,6 +248,77 @@ object Aggregates {
           .orderBy(col("q").desc, col("l_partkey")),
       Some(
         "SELECT l_partkey, sum(l_quantity) AS q FROM lineitem GROUP BY l_partkey " +
-          "HAVING sum(l_quantity) > 150 ORDER BY q DESC, l_partkey"))
+          "HAVING sum(l_quantity) > 150 ORDER BY q DESC, l_partkey")),
+
+    GraftQuery(
+      "q_unpivot",
+      "Unpivot (wide→long): three exact money measures per return flag melted to " +
+        "(flag, metric, v) rows via the stack Generator — the inverse surface of " +
+        "q_pivot. Map-side fan-out after a single aggregation pass.",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            graft.Exact.moneySum(col("l_quantity")).as("qty"),
+            graft.Exact.moneySum(col("l_extendedprice")).as("price"),
+            graft.Exact.moneySum(col("l_discount")).as("disc"))
+          .selectExpr("l_returnflag",
+            "stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (metric, v)")
+          .orderBy("l_returnflag", "metric"),
+      Some {
+        def m(c: String) = graft.Exact.moneySumSql(c)
+        s"""WITH a AS (SELECT l_returnflag, ${m("l_quantity")} AS qty,
+           |  ${m("l_extendedprice")} AS price, ${m("l_discount")} AS disc
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, metric, v FROM (
+           |  SELECT l_returnflag, 'qty' AS metric, qty AS v FROM a
+           |  UNION ALL SELECT l_returnflag, 'price', price FROM a
+           |  UNION ALL SELECT l_returnflag, 'disc', disc FROM a)
+           |ORDER BY l_returnflag, metric""".stripMargin
+      }),
+
+    GraftQuery(
+      "q_agg_argmax",
+      "Arg-max per group: each user's most frequent event type, deterministic " +
+        "tie-break by type name — count + one windowed row_number, both " +
+        "partitioned on the same user key (one shuffle).",
+      (s, dir) => {
+        val counts = table(s, dir, "events")
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("n").desc, col("event_type"))
+        counts
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_type", "n")
+          .orderBy("user_id")
+          .limit(1000)
+      },
+      Some(
+        """SELECT user_id, event_type, n FROM (
+          |  SELECT user_id, event_type, n, row_number() OVER
+          |    (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+          |  FROM (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2))
+          |WHERE rn = 1 ORDER BY user_id LIMIT 1000""".stripMargin)),
+
+    GraftQuery(
+      "q_agg_bool_countif",
+      "Boolean/conditional aggregates per group: count_if, bool_and, bool_or — " +
+        "all partial-aggregable single-pass reducers.",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            expr("count_if(o_totalprice > 200000)").as("n_big"),
+            expr("bool_and(o_totalprice > 0)").as("all_pos"),
+            expr("bool_or(o_totalprice > 400000)").as("any_huge"))
+          .orderBy("o_orderstatus"),
+      Some(
+        // CAST: DuckDB's count_if sums BOOLEANs → HUGEINT, same class of
+        // divergence as q_ts_session's sid
+        "SELECT o_orderstatus, CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big, " +
+          "bool_and(o_totalprice > 0) AS all_pos, bool_or(o_totalprice > 400000) AS any_huge " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
   )
 }

@@ -85,6 +85,29 @@ object SortsSets {
           .except(table(s, dir, "supplier").select(col("s_nationkey").as("k")))
           .orderBy("k"),
       Some(
-        "SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY k"))
+        "SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY k")),
+
+    GraftQuery(
+      "q_set_except_all",
+      "EXCEPT ALL — bag difference keeping multiplicity (max(m−n, 0) copies per key), " +
+        "the SQL:2003 semantics both engines implement.",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .select(col("c_nationkey").as("k"))
+          .exceptAll(table(s, dir, "supplier").select(col("s_nationkey").as("k")))
+          .orderBy("k"),
+      Some(
+        "SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY k")),
+
+    GraftQuery(
+      "q_set_intersect_all",
+      "INTERSECT ALL — bag intersection keeping multiplicity (min(m, n) copies per key).",
+      (s, dir) =>
+        table(s, dir, "customer")
+          .select(col("c_nationkey").as("k"))
+          .intersectAll(table(s, dir, "supplier").select(col("s_nationkey").as("k")))
+          .orderBy("k"),
+      Some(
+        "SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY k"))
   )
 }

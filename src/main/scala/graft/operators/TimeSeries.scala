@@ -67,6 +67,47 @@ object TimeSeries {
           // in the contract (CORRECTNESS_r01: rows/schema matched, hash did not).
           "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
           "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g) " +
-          "SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid ORDER BY user_id, sid"))
+          "SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid ORDER BY user_id, sid")),
+
+    GraftQuery(
+      "q_ts_resample",
+      "Resample + gap-fill: hourly money sums per event_type on a DENSE hour grid " +
+        "(sequence over the global [min,max] hour span × distinct types), missing " +
+        "hours forward-filled with the last observed value (0 before the first). " +
+        "Scale: the grid is generated, not scanned (rows = hours × types, " +
+        "independent of event count); the only event-sized shuffles are the hourly " +
+        "aggregation and one window pass per type, both on the same (event_type) key.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+        val hourly = e
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(graft.Exact.moneySum(col("value")).as("s"))
+        val grid = e
+          .agg(min(date_trunc("hour", col("ts"))).as("mn"),
+               max(date_trunc("hour", col("ts"))).as("mx"))
+          .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+        val types = e.select(col("event_type")).distinct()
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.crossJoin(broadcast(types))
+          .join(hourly, Seq("h", "event_type"), "left")
+          .select(col("h"), col("event_type"),
+            coalesce(last(col("s"), ignoreNulls = true).over(w), lit(0.0)).as("s_fill"))
+          .orderBy("h", "event_type")
+      },
+      Some(
+        """WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, value FROM events),
+          |hourly AS (SELECT h, event_type, """.stripMargin +
+          graft.Exact.moneySumSql("value") + """ AS s FROM e GROUP BY 1, 2),
+          |b AS (SELECT min(h) AS mn, max(h) AS mx FROM e),
+          |grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+          |fg AS (SELECT g.h, t.event_type FROM grid g
+          |       CROSS JOIN (SELECT DISTINCT event_type FROM e) t),
+          |j AS (SELECT fg.h, fg.event_type, hourly.s FROM fg
+          |      LEFT JOIN hourly ON fg.h = hourly.h AND fg.event_type = hourly.event_type)
+          |SELECT h, event_type,
+          |  coalesce(last_value(s IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+          |    ROWS UNBOUNDED PRECEDING), 0.0) AS s_fill
+          |FROM j ORDER BY h, event_type""".stripMargin))
   )
 }

@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Non-parquet batch sources under the ORACLE gate (SURVEY.md §2.1): the
+  * documents table is exported once per (session, sf-dir) to CSV and JSON
+  * scratch directories, and the gated queries aggregate over a read of THAT
+  * export — so the driver's DuckDB compare (which reads the original parquet)
+  * verifies the full write→read round-trip of each format, not just that the
+  * reader doesn't throw. SourcesSpec covers schema fidelity; these cover
+  * value fidelity end-to-end.
+  *
+  * Scale note: CSV/JSON are ingest/interchange formats here, not the storage
+  * layer — both are row-major and schema-on-read. The engine's storage answer
+  * remains columnar parquet (pushdown, pruning, bucketing).
+  */
+object FormatSources {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** One export per (session, dir, format) — memoized like the streaming
+    * drop-dir so bench samples time the read, not a redundant re-export. */
+  private val exports =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String, String), String]()
+
+  private def exportDir(s: SparkSession, dir: String, fmt: String): String =
+    exports.computeIfAbsent((Tables.sessionId(s), dir, fmt), _ => {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_src_$fmt").toString
+      val docs = Tables.table(s, dir, "documents")
+      fmt match {
+        case "csv" => docs.write.mode("overwrite").option("header", "true").csv(out)
+        case "json" => docs.write.mode("overwrite").json(out)
+      }
+      out
+    })
+
+  /** Shared aggregation over whichever reader produced `docs` — counts and an
+    * exact integral sum per language. The oracle's sum(BIGINT) is cast back
+    * to BIGINT (DuckDB widens integer sums to HUGEINT, the q_ts_session
+    * lesson). */
+  private def langStats(docs: org.apache.spark.sql.DataFrame) =
+    docs.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+
+  private val langStatsSql =
+    "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars " +
+      "FROM documents GROUP BY lang ORDER BY lang"
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_source_csv",
+      "Aggregate over a CSV export of documents (explicit schema, quoted text) — " +
+        "oracle compares against the original parquet, verifying the CSV " +
+        "write→read round-trip value-exactly.",
+      (s, dir) =>
+        langStats(s.read.schema(docSchema).option("header", "true")
+          .csv(exportDir(s, dir, "csv"))),
+      Some(langStatsSql)),
+
+    GraftQuery(
+      "q_source_json",
+      "Aggregate over a JSON-lines export of documents (explicit schema) — " +
+        "oracle compares against the original parquet.",
+      (s, dir) =>
+        langStats(s.read.schema(docSchema).json(exportDir(s, dir, "json"))),
+      Some(langStatsSql))
+  )
+}
