@@ -92,19 +92,15 @@ object DedupOps {
       (s, dir) => {
         // distinct per doc is per-ROW (array_distinct before explode) — no
         // global DISTINCT exchange. The shingle relation is consumed three
-        // times (sizes + both join sides), so it is MATERIALIZED once to a
-        // scratch parquet and re-scanned — the same answer that holds at
-        // 100 TB (write the intermediate to storage), and measurably better
-        // here than 3× regeneration (r1: 3.1× baseline) or cache() whose
-        // large block allocations trigger GC pauses mid-suite.
-        val scratch = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          "graft_shingles_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-        table(s, dir, "documents")
+        // times (sizes + both join sides) and REGENERATED each time: it is a
+        // cheap map-side pass, and measured here the 3× recompute beats both
+        // materialize-to-scratch-parquet (write dominates at this scale;
+        // tried in round 2) and cache() (large block allocations → GC pauses
+        // mid-suite). At 100 TB the balance flips: write the shingle relation
+        // to storage once and re-scan it.
+        val sh = table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             explode(array_distinct(VectorExpr.shingles(split(col("text"), " ")))).as("g"))
-          .write.mode("overwrite").parquet(scratch)
-        val sh = s.read.parquet(scratch)
         // per-doc sizes: one row per doc — broadcastable at bench scale; at
         // 100 TB this becomes a shuffle join on the (already-partitioned)
         // doc_id key, still never touching text
@@ -133,6 +129,55 @@ object DedupOps {
            |SELECT ida, idb, round(shared / (sa.sz + sb.sz - shared), 6) AS jac
            |FROM shared JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
            |ORDER BY jac DESC, ida, idb LIMIT 20""".stripMargin)),
+
+    GraftQuery(
+      "q_dedup_canonical",
+      "Canonical-representative assignment over the MinHash/LSH candidate graph: " +
+        "every doc maps to min(doc_id) among its band-collision partners (self if " +
+        "none) — the keep-one decision that turns candidate pairs into an actual " +
+        "dedup. One min-propagation step, NOT full connected components: chains " +
+        "A~B~C with no A~C edge keep two canonicals; at 100 TB you iterate this " +
+        "same relational step to a fixpoint (alternating large-star/small-star), " +
+        "each iteration one shuffle on the band/doc key.",
+      (s, dir) => {
+        val mh = (0 until NumHashes).map(k =>
+          min(md5(concat(lit(s"$k|"), col("g")))).as(s"m$k"))
+        val sig = shingleRows(s, dir).groupBy("doc_id").agg(mh.head, mh.tail: _*)
+        val bandCols = (0 until NumHashes / BandSize).map { b =>
+          concat((lit(s"$b|") +: (0 until BandSize).map(j => col(s"m${b * BandSize + j}"))): _*)
+        }
+        val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        val partners = bands.select(col("doc_id").as("ida"), col("band"))
+          .join(bands.select(col("doc_id").as("idb"), col("band").as("band2")),
+            col("band") === col("band2") && col("ida") =!= col("idb"))
+          .groupBy("ida").agg(min(col("idb")).as("mp"))
+        table(s, dir, "documents").select(col("doc_id"))
+          .join(partners, col("doc_id") === col("ida"), "left")
+          .select(col("doc_id"),
+            least(coalesce(col("mp"), col("doc_id")), col("doc_id")).as("canonical"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("canonical") < col("doc_id"), 1L).otherwise(0L)).as("n_merged"),
+            countDistinct(col("canonical")).as("n_canon"))
+      },
+      Some {
+        val mh = (0 until NumHashes)
+          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k").mkString(", ")
+        val bandList = (0 until NumHashes / BandSize)
+          .map(b => s"'$b|' || " + (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(" || "))
+          .mkString(", ")
+        s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+           |shl AS (SELECT doc_id, $shingleSql AS sh FROM (SELECT doc_id, toks FROM d WHERE len(toks) >= 3) t),
+           |sig AS (SELECT doc_id, $mh FROM shl),
+           |bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sig),
+           |p AS (SELECT a.doc_id AS ida, min(b.doc_id) AS mp FROM bands a
+           |      JOIN bands b ON a.band = b.band AND a.doc_id <> b.doc_id GROUP BY 1),
+           |c AS (SELECT doc_id, least(coalesce(mp, doc_id), doc_id) AS canonical
+           |      FROM documents LEFT JOIN p ON doc_id = ida)
+           |SELECT count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN canonical < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
+           |  count(DISTINCT canonical) AS n_canon FROM c""".stripMargin
+      }),
 
     GraftQuery(
       "q_dedup_simhash",

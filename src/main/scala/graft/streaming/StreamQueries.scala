@@ -32,6 +32,21 @@ object StreamQueries {
       drop
     })
 
+  /** Drop-dir with every event delivered TWICE (two appended copies) — the
+    * at-least-once re-delivery fixture for the streaming dedup gate. */
+  private val dupDropDirs =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), String]()
+
+  private def duplicatedDropDir(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    dupDropDirs.computeIfAbsent((Tables.sessionId(spark), dir), _ => {
+      val drop = Files.createTempDirectory("graft_sq_dup").toString
+      reapAtExit.add(drop)
+      val ev = Tables.table(spark, dir, "events")
+      ev.write.mode("overwrite").parquet(drop)
+      ev.write.mode("append").parquet(drop)
+      drop
+    })
+
   private def deleteRecursively(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(path)
@@ -116,6 +131,29 @@ object StreamQueries {
           |  count(*) AS n FROM s GROUP BY user_id, sid)
           |SELECT ws, we, user_id, n FROM sess
           |WHERE we <= (SELECT max(ts) FROM e) - INTERVAL 2 HOUR
-          |ORDER BY user_id, ws""".stripMargin))
+          |ORDER BY user_id, ws""".stripMargin)),
+
+    GraftQuery(
+      "q_stream_dedup",
+      "Streaming exactly-once dedup under at-least-once delivery: every event is " +
+        "delivered TWICE to the stream; watermarked dropDuplicates(event_id) must " +
+        "reduce the sink back to the original per-type counts — oracle reads the " +
+        "single-copy events table. Dedup state is watermark-bounded (2 h of ids).",
+      (spark, dir) => {
+        val out = Files.createTempDirectory("graft_sq_out").toString
+        val ckpt = Files.createTempDirectory("graft_sq_ck").toString
+        reapAtExit.add(out)
+        EventStream.writeParquet(
+          EventStream.dedup(EventStream.readEvents(spark, duplicatedDropDir(spark, dir))),
+          out, ckpt)
+          .awaitTermination()
+        deleteRecursively(ckpt)
+        spark.read.parquet(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"))
   )
 }
