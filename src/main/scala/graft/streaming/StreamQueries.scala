@@ -28,7 +28,10 @@ object StreamQueries {
     dropDirs.computeIfAbsent((Tables.sessionId(spark), dir), _ => {
       val drop = Files.createTempDirectory("graft_sq_in").toString
       reapAtExit.add(drop)
-      Tables.table(spark, dir, "events").write.mode("overwrite").parquet(drop)
+      // few large files, not one per session core: the micro-batch planner
+      // lists and tracks every file, and 32 shards of a 100k-row fixture is
+      // pure per-file overhead for the stream
+      Tables.table(spark, dir, "events").coalesce(2).write.mode("overwrite").parquet(drop)
       drop
     })
 
@@ -41,7 +44,7 @@ object StreamQueries {
     dupDropDirs.computeIfAbsent((Tables.sessionId(spark), dir), _ => {
       val drop = Files.createTempDirectory("graft_sq_dup").toString
       reapAtExit.add(drop)
-      val ev = Tables.table(spark, dir, "events")
+      val ev = Tables.table(spark, dir, "events").coalesce(2)
       ev.write.mode("overwrite").parquet(drop)
       ev.write.mode("append").parquet(drop)
       drop
