@@ -71,7 +71,40 @@ object Multimodal {
           |  CAST(sum(list_sum(list_transform(string_split(text,''), x -> ascii(x)))) AS BIGINT) AS total_checksum,
           |  round(avg(16 + octet_length(encode(text)) % 64), 4) AS avg_w,
           |  round(avg(16 + (octet_length(encode(text)) // 64) % 64), 4) AS avg_h
-          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_multimodal_frames",
+      "Frame-sampling plan for video payloads: uniform-stride sample offsets " +
+        "(≤8 frames, 500-byte stride) generated PER ROW from payload metadata and " +
+        "fanned out map-side — the seek table a codec decode stage consumes; " +
+        "frame_byte peeks the payload byte at each offset (real byte access, " +
+        "exercising the binary column end-to-end). No shuffle until the final " +
+        "order-for-display.",
+      (s, dir) =>
+        attachBinary(table(s, dir, "documents"))
+          .filter(col("media_type") === "video")
+          .withColumn("len", octet_length(col("payload")))
+          .withColumn("n_frames",
+            least(lit(8L), lit(1) + (col("len") - 1) / lit(500)).cast("int"))
+          .select(col("doc_id"), col("payload"),
+            explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+          .select(
+            col("doc_id"),
+            col("frame_idx"),
+            (col("frame_idx") * 500).as("byte_offset"),
+            expr("ascii(substring(CAST(payload AS STRING), frame_idx * 500 + 1, 1))")
+              .as("frame_byte"))
+          .orderBy("doc_id", "frame_idx")
+          .limit(2000),
+      Some(
+        """WITH v AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+          |           FROM documents WHERE doc_id % 3 = 2),
+          |f AS (SELECT doc_id, text,
+          |        unnest(range(0, least(8, 1 + (len - 1) // 500))) AS fi FROM v)
+          |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(fi * 500 AS INT) AS byte_offset,
+          |       ascii(substr(text, CAST(fi * 500 + 1 AS INT), 1)) AS frame_byte
+          |FROM f ORDER BY doc_id, frame_idx LIMIT 2000""".stripMargin))
   )
 }
 

@@ -210,6 +210,24 @@ object Scalars {
           .orderBy("doc_id"),
       Some(
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens " +
-          "FROM documents ORDER BY doc_id"))
+          "FROM documents ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_str_levenshtein",
+      "Edit distance between each nation name and its region name (integer DP " +
+        "metric — deterministic cross-engine, unlike similarity scores) — the " +
+        "fuzzy-matching primitive for entity resolution.",
+      (s, dir) =>
+        table(s, dir, "nation")
+          .join(broadcast(table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(
+            col("n_name"),
+            col("r_name"),
+            levenshtein(col("n_name"), col("r_name")).as("dist"))
+          .orderBy("n_name"),
+      Some(
+        "SELECT n_name, r_name, CAST(levenshtein(n_name, r_name) AS INT) AS dist " +
+          "FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_name"))
   )
 }

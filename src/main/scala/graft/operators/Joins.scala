@@ -188,6 +188,37 @@ object Joins {
           "FROM orders ORDER BY o_orderkey LIMIT 1000")),
 
     GraftQuery(
+      "q_exists_correlated",
+      "Correlated EXISTS / NOT EXISTS subqueries — Catalyst decorrelates both " +
+        "into semi/anti joins on the correlation key (no per-row re-execution; " +
+        "verify with .explain: LeftSemi + LeftAnti, both hash-partitionable).",
+      (s, dir) => {
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        val cv = s"graft_exc_$tag"
+        val ov = s"graft_exo_$tag"
+        table(s, dir, "customer").createOrReplaceTempView(cv)
+        table(s, dir, "orders").createOrReplaceTempView(ov)
+        try s.sql(
+          s"""SELECT c_custkey, c_mktsegment FROM $cv c
+             |WHERE EXISTS (SELECT 1 FROM $ov o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+             |  AND NOT EXISTS (SELECT 1 FROM $ov o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+             |ORDER BY c_custkey LIMIT 1000""".stripMargin)
+        finally {
+          s.catalog.dropTempView(cv)
+          s.catalog.dropTempView(ov)
+        }
+      },
+      Some(
+        """SELECT c_custkey, c_mktsegment FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey LIMIT 1000""".stripMargin)),
+
+    GraftQuery(
       "q_ts_asof_join",
       "As-of join: latest order date ≤ event ts per event. No native Spark as-of; " +
         "implemented as the merge shape: union both relations on (user, time), one " +

@@ -81,6 +81,12 @@ object EventStream {
   *    DHM/HMS timestamp prefix), ddmm.hh minutes notation;
   *  - messages (`:ADDRESSEE :text`) with addressee + text extraction;
   *  - status reports (`>`);
+  *  - objects (`;NAME*ddhhmmz` + position body) with name, alive/killed
+  *    flag and the object's own position;
+  *  - telemetry (`T#SSS,a1,..,a5,bits`): sequence, first analog channel,
+  *    digital bits;
+  *  - positionless weather (`_ddhhmmmc...s...g...t...`): wind dir/speed,
+  *    gust, temperature;
   *  - a `packet_type` classification column and the Maidenhead grid locator
   *    (6 characters) derived from the parsed position.
   *
@@ -93,11 +99,24 @@ object PacketParse {
   // bare position:  !/= + body       timestamped: / or @ + 7-char ts + body
   private val barePos = s"^[!=]$posBody"
   private val timedPos = s"^[/@][0-9]{6}[zh/]$posBody"
+  // object: ;NAME(9ch) * (alive) or _ (killed) + 7-char ts + position body
+  private val objPos = s"^;.{9}[*_][0-9]{6}[zh/]$posBody"
+  // telemetry: T#SSS,a1,a2,a3,a4,a5,bits — classification keys on the HEADER
+  // (seq prefix) so one malformed analog doesn't reclassify the packet; the
+  // strict full pattern only gates field extraction (malformed → null field)
+  private val telemetryHead = "^T#([0-9]{1,5}),"
+  private val telemetry = "^T#([0-9]{1,5}),([0-9.-]+),[0-9.-]+,[0-9.-]+,[0-9.-]+,[0-9.-]+,([01]{8})"
+  // positionless weather: _MMDDHHMM c(dir) s(speed) g(gust) t(temp F); same
+  // header-vs-field split ('...' = field not reported)
+  private val weatherHead = "^_[0-9]{8}"
+  private val weather = "^_([0-9]{8})c([0-9. ]{3})s([0-9. ]{3})g([0-9. ]{3})t(-?[0-9. ]{2,3})"
 
   def parse(lines: DataFrame, raw: String = "raw"): DataFrame = {
     def grp(pattern: String, i: Int) = regexp_extract(col("payload"), pattern, i)
-    def posGrp(i: Int) = // first matching flavor wins; "" when neither matches
-      when(grp(barePos, i) =!= "", grp(barePos, i)).otherwise(grp(timedPos, i))
+    def posGrp(i: Int) = // first matching flavor wins; "" when none matches
+      when(grp(barePos, i) =!= "", grp(barePos, i))
+        .when(grp(timedPos, i) =!= "", grp(timedPos, i))
+        .otherwise(grp(objPos, i))
     def toDeg(s: org.apache.spark.sql.Column, degDigits: Int,
               hemi: org.apache.spark.sql.Column, neg: String): org.apache.spark.sql.Column =
       when(s === "", lit(null).cast(DoubleType)).otherwise(
@@ -145,7 +164,51 @@ object PacketParse {
           .when(col("dti") === ">", "status")
           .when(col("dti") === ":" &&
             regexp_extract(col("payload"), "^:([^:]{9}):", 1) =!= "", "message")
+          .when(col("dti") === ";" &&
+            col("lat").isNotNull && col("lon").isNotNull, "object")
+          .when(col("dti") === "T" && col("payload").rlike(telemetryHead), "telemetry")
+          .when(col("dti") === "_" && col("payload").rlike(weatherHead), "weather")
           .otherwise("other"))
+      // objects: 9-char name (trailing-space padded) + alive/killed marker
+      .withColumn("obj_name",
+        when(col("packet_type") === "object",
+          trim(regexp_extract(col("payload"), "^;(.{9})[*_]", 1))).otherwise(lit(null)))
+      .withColumn("obj_killed",
+        when(col("packet_type") === "object",
+          regexp_extract(col("payload"), "^;.{9}([*_])", 1) === "_").otherwise(lit(null)))
+      // telemetry: sequence number, first analog channel, digital bits.
+      // try_cast throughout — under Spark 4's ANSI-on default a plain cast of
+      // a malformed numeric field would KILL the stream, and these fields
+      // come off the air
+      .withColumn("tlm_seq",
+        when(col("packet_type") === "telemetry",
+          expr(s"try_cast(regexp_extract(payload, '$telemetryHead', 1) AS INT)"))
+          .otherwise(lit(null)))
+      .withColumn("tlm_a1",
+        when(col("packet_type") === "telemetry",
+          expr(s"try_cast(regexp_extract(payload, '$telemetry', 2) AS DOUBLE)"))
+          .otherwise(lit(null)))
+      .withColumn("tlm_bits",
+        when(col("packet_type") === "telemetry" && grp(telemetry, 3) =!= "",
+          grp(telemetry, 3)).otherwise(lit(null)))
+      // weather: wind dir/speed/gust, temperature °F ('...' = not reported →
+      // try_cast yields null rather than dying)
+      .withColumn("wx_wind_dir",
+        when(col("packet_type") === "weather",
+          expr(s"try_cast(regexp_extract(payload, '$weather', 2) AS INT)"))
+          .otherwise(lit(null)))
+      .withColumn("wx_wind_speed",
+        when(col("packet_type") === "weather",
+          expr(s"try_cast(regexp_extract(payload, '$weather', 3) AS INT)"))
+          .otherwise(lit(null)))
+      .withColumn("wx_gust",
+        when(col("packet_type") === "weather",
+          expr(s"try_cast(regexp_extract(payload, '$weather', 4) AS INT)"))
+          .otherwise(lit(null)))
+      .withColumn("wx_temp_f",
+        when(col("packet_type") === "weather",
+          expr(s"try_cast(regexp_extract(payload, '$weather', 5) AS INT)"))
+          .otherwise(lit(null)))
       .withColumn("msg_addressee",
         when(col("packet_type") === "message",
           trim(regexp_extract(col("payload"), "^:([^:]{9}):", 1))).otherwise(lit(null)))

@@ -124,6 +124,45 @@ class StreamingSpec extends SparkSuite {
     assert(p(3).getAs[String]("grid").startsWith("CN87"))
   }
 
+  test("packet parse: object / telemetry / weather payload families") {
+    val lines = Seq(
+      "N0CALL>APRS:;LEADER   *092345z4903.50N/07201.75W>chase car", // live object w/ position
+      "N0CALL>APRS:;OLDOBJ   _092345z4903.50N/07201.75W>gone",      // killed object
+      "W1AW>APRS:T#005,199.9,27.0,3.5,12.1,0.0,10110001",           // telemetry
+      "K7WX>APRS:_10090556c220s004g005t077r000p000P000h50b09900",   // positionless weather
+      "K7BAD>APRS:_10090556c...s...g...t077r000",                   // weather, wind not reported
+      "W2BAD>APRS:T#12,bogus,1,2,3,4,00000000").toDF("raw")          // malformed analog
+    // collect order is not guaranteed across partitions — key rows by callsign
+    val p = graft.streaming.PacketParse.parse(lines).collect()
+      .map(r => r.getAs[String]("raw") -> r).toMap
+    val live = p("N0CALL>APRS:;LEADER   *092345z4903.50N/07201.75W>chase car")
+    assert(live.getAs[String]("packet_type") == "object")
+    assert(live.getAs[String]("obj_name") == "LEADER")
+    assert(live.getAs[Boolean]("obj_killed") == false)
+    assert(math.abs(live.getAs[Double]("lat") - (49 + 3.5 / 60)) < 1e-9)
+    assert(p("N0CALL>APRS:;OLDOBJ   _092345z4903.50N/07201.75W>gone")
+      .getAs[Boolean]("obj_killed") == true)
+    val tlm = p("W1AW>APRS:T#005,199.9,27.0,3.5,12.1,0.0,10110001")
+    assert(tlm.getAs[String]("packet_type") == "telemetry")
+    assert(tlm.getAs[Int]("tlm_seq") == 5)
+    assert(math.abs(tlm.getAs[Double]("tlm_a1") - 199.9) < 1e-9)
+    assert(tlm.getAs[String]("tlm_bits") == "10110001")
+    val wx = p("K7WX>APRS:_10090556c220s004g005t077r000p000P000h50b09900")
+    assert(wx.getAs[String]("packet_type") == "weather")
+    assert(wx.getAs[Int]("wx_wind_dir") == 220)
+    assert(wx.getAs[Int]("wx_gust") == 5)
+    assert(wx.getAs[Int]("wx_temp_f") == 77)
+    // unreported fields parse as null, packet still classified (ANSI-safe try_cast)
+    val wxBad = p("K7BAD>APRS:_10090556c...s...g...t077r000")
+    assert(wxBad.getAs[String]("packet_type") == "weather")
+    assert(wxBad.isNullAt(wxBad.fieldIndex("wx_wind_dir")))
+    assert(wxBad.getAs[Int]("wx_temp_f") == 77)
+    // malformed analog value: telemetry classification survives, field is null
+    val tlmBad = p("W2BAD>APRS:T#12,bogus,1,2,3,4,00000000")
+    assert(tlmBad.getAs[String]("packet_type") == "telemetry")
+    assert(tlmBad.isNullAt(tlmBad.fieldIndex("tlm_a1")))
+  }
+
   test("packet parse: regex-valid but out-of-range coordinates dead-letter safely") {
     val lines = Seq("N0BAD>APRS:!9999.99N/19999.99W-junk").toDF("raw")
     val p = graft.streaming.PacketParse.parse(lines).collect().head
