@@ -85,6 +85,29 @@ object TextOps {
         "SELECT doc_id, pos, w FROM (SELECT doc_id, " +
           "CAST(unnest(range(len(string_split(text,' ')))) AS INT) AS pos, " +
           "unnest(string_split(text,' ')) AS w FROM documents) " +
-          "ORDER BY doc_id, pos LIMIT 1000"))
+          "ORDER BY doc_id, pos LIMIT 1000")),
+
+    GraftQuery(
+      "q_split_assign",
+      "Deterministic train/val/test split assignment (90/5/5) by content-free id " +
+        "hash (md5 prefix mod 100) — the reproducible dataset-split staple: same " +
+        "doc always lands in the same split, on any engine, at any partitioning, " +
+        "with no stored split column. Output = per-(lang, split) counts.",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .withColumn("b",
+            pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+              .cast("int"), lit(100)))
+          .withColumn("split",
+            when(col("b") < 90, "train").when(col("b") < 95, "val").otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "split"),
+      Some(
+        """SELECT lang, split, count(*) AS n FROM (
+          |  SELECT lang, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+          |  FROM (SELECT lang, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) % 100 AS b
+          |        FROM documents))
+          |GROUP BY lang, split ORDER BY lang, split""".stripMargin))
   )
 }

@@ -70,6 +70,30 @@ object FormatSources {
         "oracle compares against the original parquet.",
       (s, dir) =>
         langStats(s.read.schema(docSchema).json(exportDir(s, dir, "json"))),
-      Some(langStatsSql))
+      Some(langStatsSql)),
+
+    GraftQuery(
+      "q_source_partitioned",
+      "Hive-style partitioned parquet layout (partitionBy lang on write) with a " +
+        "partition-pruned read: the lang predicate is satisfied by DIRECTORY " +
+        "pruning — zero non-matching files opened. The on-disk shape of every " +
+        "time/key-partitioned archive at 100 TB (PartitionFilters in .explain, " +
+        "pinned in PlanShapeSpec).",
+      (s, dir) => {
+        val part = exports.computeIfAbsent((Tables.sessionId(s), dir, "part"), _ => {
+          val out = java.nio.file.Files.createTempDirectory("graft_src_part").toString
+          Tables.table(s, dir, "documents")
+            .write.mode("overwrite").partitionBy("lang").parquet(out)
+          out
+        })
+        s.read.parquet(part)
+          .filter(col("lang") === "en")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .orderBy("source")
+      },
+      Some(
+        "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars " +
+          "FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source"))
   )
 }

@@ -45,6 +45,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("graft_dot"), p)
   }
 
+  test("q_exists_correlated decorrelates to semi + anti joins") {
+    val p = plan("q_exists_correlated")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q_source_partitioned prunes partitions on the lang predicate") {
+    val p = plan("q_source_partitioned")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("lang"), p)
+  }
+
   test("bucketed fact-fact join runs with no Exchange in the plan") {
     // docs/SCALE.md's storage-layout claim, pinned as evidence: writing both
     // fact tables bucketed+sorted on the join key makes the join (and the
