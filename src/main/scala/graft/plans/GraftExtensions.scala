@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.FloatDotProduct
+import graft.functions.{FloatDotProduct, StringShingles, TokenRollingHash}
 
 /** SparkSessionExtensions entry point (SURVEY.md §4): registers the engine's
   * custom Catalyst expressions as SQL functions so `spark.sql("SELECT
@@ -29,6 +29,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot(arrayFloat, arrayFloat) takes 2 arguments")
         FloatDotProduct(children.head, children(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[StringShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_shingles(arrayString, n) takes 2 arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"graft_shingles n must be an INT literal, got $other")
+        }
+        StringShingles(children.head, n)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_rolling_fp"),
+      new ExpressionInfo(classOf[TokenRollingHash].getName, "graft_rolling_fp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_rolling_fp(arrayString) takes 1 argument")
+        TokenRollingHash(children.head)
       }))
   }
 }

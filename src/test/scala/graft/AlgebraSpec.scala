@@ -118,9 +118,31 @@ class AlgebraSpec extends SparkSuite {
       Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b").createOrReplaceTempView("graft_ext_v")
       val got = s2.sql("SELECT graft_dot(a, b) AS d FROM graft_ext_v").head().getDouble(0)
       assert(got == 11.0)
+      // the full custom-expression SQL surface
+      val sh = s2.sql("SELECT graft_shingles(array('a','b','c','d'), 3) AS s")
+        .head().getSeq[String](0)
+      assert(sh == Seq("a b c", "b c d"))
+      val fp = s2.sql("SELECT graft_rolling_fp(array('ab', 'xyz')) AS f").head().getLong(0)
+      // h = ((0*31 + 97*2) % M)*31 + 120*3) % M
+      assert(fp == (97L * 2 * 31 + 120L * 3) % 1000003L)
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
     }
+  }
+
+  test("TokenRollingHash equals the composable HOF fold on random token arrays") {
+    import org.apache.spark.sql.functions._
+    val gen = Gen.listOfN(12,
+      Gen.listOfN(6, Gen.oneOf(Gen.alphaNumStr.map(_.take(5)), Gen.const(""),
+        Gen.const("的是"), Gen.const("zz"))))
+    val toks = gen.pureApply(Gen.Parameters.default, Seed(7L))
+    import spark.implicits._
+    val df = toks.map(Tuple1(_)).toDF("toks")
+    val both = df.select(
+      functions.VectorExpr.rollingFp(col("toks")).as("fast"),
+      expr("aggregate(transform(toks, t -> CAST(ascii(t) * length(t) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000003)").as("ref")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 }
