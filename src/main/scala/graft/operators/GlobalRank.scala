@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global ranking — the cluster answer to the one deliberately
+  * single-partition operator in the contract (q_win_rownum_dense's bare
+  * `dense_rank() OVER (ORDER BY …)`, see Windows.scala scaladoc and
+  * docs/SCALE.md).
+  *
+  * A global window moves EVERY row to one partition. But a global DENSE rank
+  * is a function of the row's key VALUE alone, so it factors into:
+  *
+  *   1. distinct keys            — shuffle shrinks to key cardinality
+  *   2. rank each distinct key   — window over the (small) key relation
+  *   3. broadcast-join ranks back — map-side, no fact shuffle at all
+  *
+  * The fact table is never globally sorted and never leaves its partitions.
+  * Stage 2 is itself a window, but over |distinct keys| rows — for ranking
+  * dimensions like priority/status/grade (the common use) that is dozens of
+  * rows regardless of fact size; for high-cardinality keys swap stage 3's
+  * broadcast for a shuffle join and stage 2 stays bounded by the key count,
+  * not the row count.
+  *
+  * Equivalence to `dense_rank() OVER (ORDER BY key)` is pinned in
+  * WindowsTimeSeriesSpec for both dense and ordinary rank (rank needs the
+  * per-key multiplicities — a running sum over counts — also computed on the
+  * distinct relation).
+  */
+object GlobalRank {
+
+  /** dense_rank() OVER (ORDER BY key) without a global shuffle of `df`. */
+  def denseRank(df: DataFrame, key: Column, out: String): DataFrame = {
+    val ranks = df.select(key.as("__k")).distinct()
+      .withColumn(out, dense_rank().over(Window.orderBy(col("__k"))))
+    df.join(broadcast(ranks), key === col("__k")).drop("__k")
+  }
+
+  /** rank() OVER (ORDER BY key) — like [[denseRank]] plus per-key counts:
+    * rank(v) = 1 + Σ count(k < v), a running sum over the distinct relation. */
+  def rank(df: DataFrame, key: Column, out: String): DataFrame = {
+    val w = Window.orderBy(col("__k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = df.groupBy(key.as("__k")).agg(count(lit(1)).as("__n"))
+      .withColumn(out, (sum(col("__n")).over(w) - col("__n") + 1).cast("int"))
+      .drop("__n")
+    df.join(broadcast(ranks), key === col("__k")).drop("__k")
+  }
+}

@@ -52,4 +52,26 @@ class WindowsTimeSeriesSpec extends SparkSuite {
     val total = rows.map(_.getAs[Long]("n")).sum
     assert(total == Tables.table(spark, sf, "events").count())
   }
+
+  test("GlobalRank two-pass ranks equal the global-window forms, with no global sort of the fact") {
+    import graft.operators.GlobalRank
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority")
+
+    val denseRef = orders.withColumn("dr",
+      dense_rank().over(Window.orderBy(col("o_orderpriority"))))
+    val dense2p = GlobalRank.denseRank(orders, col("o_orderpriority"), "dr")
+    assert(dense2p.except(denseRef).isEmpty && denseRef.except(dense2p).isEmpty)
+
+    val rankRef = orders.withColumn("r",
+      rank().over(Window.orderBy(col("o_orderpriority"))))
+    val rank2p = GlobalRank.rank(orders, col("o_orderpriority"), "r")
+    assert(rank2p.except(rankRef).isEmpty && rankRef.except(rank2p).isEmpty)
+
+    // the scalable property: the fact table side of the plan carries no
+    // global (single-partition) sort — only the tiny distinct relation does
+    val p = dense2p.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
