@@ -62,17 +62,20 @@ object Bench {
       }
       samples(name) = samples(name) :+ t
     }
+    // Locale.ROOT: the f interpolator honors the default locale — a comma
+    // decimal separator would corrupt the JSON line the driver captures
+    def r3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // per-sample detail to stderr so anomalies are diagnosable without
     // growing the driver-captured JSON line (r1's tail was truncated)
     names.foreach { n =>
       System.err.println(
-        s"[bench-samples] $n ${samples(n).map(t => f"$t%.3f").mkString(" ")}")
+        s"[bench-samples] $n ${samples(n).map(r3).mkString(" ")}")
     }
     val results = names.map { name =>
       val s = samples(name)
       name -> (if (s.exists(_ < 0)) -1.0 else s.sorted.apply(s.size / 2))
     }.toMap
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0

@@ -14,7 +14,7 @@ object BenchProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")
     sys.env.getOrElse("PROBE_EXTRA", "").split(';').filter(_.nonEmpty).foreach { kv =>
-      val Array(k, v) = kv.split('=')
+      val Array(k, v) = kv.split("=", 2)
       b.config(k, v)
     }
     val spark = b.getOrCreate()

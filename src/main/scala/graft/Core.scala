@@ -33,11 +33,13 @@ object Tables {
 
   /** Collision-free session identity: identityHashCode (the previous key)
     * could collide across two live sessions and hand one a DataFrame bound to
-    * the other. The registry is weak-keyed and its boxed-long values hold no
-    * reference back to the session, so registry entries die with the session.
-    * A dead session's memo entries themselves are not proactively evicted —
-    * they are small lazy plans and every shipped main runs one session per
-    * JVM — but they can never be RETURNED to a different session again. */
+    * the other — that correctness hazard is what this registry fixes. It is
+    * NOT an eviction mechanism: a session whose DataFrames sit in `memo`
+    * stays strongly reachable through them, so neither its registry entry nor
+    * its memo entries are collected while this JVM lives. Every shipped main
+    * runs one session per JVM, where that cost is a handful of lazy plans; a
+    * long-lived multi-session host should call [[dropMemo]] when it retires a
+    * session. */
   private val sessionIds = new java.util.WeakHashMap[SparkSession, java.lang.Long]()
   private val nextSessionId = new java.util.concurrent.atomic.AtomicLong()
   private[graft] def sessionId(s: SparkSession): Long = sessionIds.synchronized {
@@ -52,6 +54,12 @@ object Tables {
     * (verified on the fixtures: nanos are NOT micro-aligned, so rounding
     * would diverge). Double division would also be wrong: 1.7e18 > 2^53.
     */
+  /** Release a retired session's memoized plans (multi-session hosts). */
+  def dropMemo(spark: SparkSession): Unit = {
+    val id = sessionId(spark)
+    memo.keySet.removeIf(_._1 == id)
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memo.computeIfAbsent((sessionId(spark), sfDir, name), _ => {
       if (name == "events") {
@@ -74,6 +82,26 @@ object Tables {
         }
       } else spark.read.parquet(s"$sfDir/$name.parquet")
     })
+}
+
+/** Scratch directories deleted at JVM exit. Shared by every module that
+  * exports fixture copies (streaming drop-dirs, CSV/JSON/partitioned
+  * exports): the dirs must outlive the lazy DataFrames that read them, so
+  * the earliest safe reclaim point is session death. */
+object TempReaper {
+  private val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def add(path: String): String = { paths.add(path); path }
+
+  def deleteRecursively(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  sys.addShutdownHook { paths.forEach(p => deleteRecursively(p)) }
 }
 
 /** Determinism helpers.

@@ -85,6 +85,10 @@ object Multimodal {
         attachBinary(table(s, dir, "documents"))
           .filter(col("media_type") === "video")
           .withColumn("len", octet_length(col("payload")))
+          // len > 0 guard: a zero-byte payload would give n_frames = 0 and
+          // sequence(0, -1) — which Spark evaluates as a DESCENDING [0, -1],
+          // emitting bogus negative frames instead of none
+          .filter(col("len") > 0)
           .withColumn("n_frames",
             least(lit(8L), lit(1) + (col("len") - 1) / lit(500)).cast("int"))
           .select(col("doc_id"), col("payload"),
@@ -99,7 +103,7 @@ object Multimodal {
           .limit(2000),
       Some(
         """WITH v AS (SELECT doc_id, text, octet_length(encode(text)) AS len
-          |           FROM documents WHERE doc_id % 3 = 2),
+          |           FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
           |f AS (SELECT doc_id, text,
           |        unnest(range(0, least(8, 1 + (len - 1) // 500))) AS fi FROM v)
           |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(fi * 500 AS INT) AS byte_offset,

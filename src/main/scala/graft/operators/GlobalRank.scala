@@ -30,11 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** dense_rank() OVER (ORDER BY key) without a global shuffle of `df`. */
+  /** dense_rank() OVER (ORDER BY key) without a global shuffle of `df`.
+    * Null-safe join (<=>): the window form ranks null keys (first), so the
+    * rewrite must not drop them — plain === would. */
   def denseRank(df: DataFrame, key: Column, out: String): DataFrame = {
     val ranks = df.select(key.as("__k")).distinct()
       .withColumn(out, dense_rank().over(Window.orderBy(col("__k"))))
-    df.join(broadcast(ranks), key === col("__k")).drop("__k")
+    df.join(broadcast(ranks), key <=> col("__k")).drop("__k")
   }
 
   /** rank() OVER (ORDER BY key) — like [[denseRank]] plus per-key counts:
@@ -44,6 +46,6 @@ object GlobalRank {
     val ranks = df.groupBy(key.as("__k")).agg(count(lit(1)).as("__n"))
       .withColumn(out, (sum(col("__n")).over(w) - col("__n") + 1).cast("int"))
       .drop("__n")
-    df.join(broadcast(ranks), key === col("__k")).drop("__k")
+    df.join(broadcast(ranks), key <=> col("__k")).drop("__k")
   }
 }

@@ -31,7 +31,8 @@ object FormatSources {
 
   private def exportDir(s: SparkSession, dir: String, fmt: String): String =
     exports.computeIfAbsent((Tables.sessionId(s), dir, fmt), _ => {
-      val out = java.nio.file.Files.createTempDirectory(s"graft_src_$fmt").toString
+      val out = graft.TempReaper.add(
+        java.nio.file.Files.createTempDirectory(s"graft_src_$fmt").toString)
       val docs = Tables.table(s, dir, "documents")
       fmt match {
         case "csv" => docs.write.mode("overwrite").option("header", "true").csv(out)
@@ -81,7 +82,8 @@ object FormatSources {
         "pinned in PlanShapeSpec).",
       (s, dir) => {
         val part = exports.computeIfAbsent((Tables.sessionId(s), dir, "part"), _ => {
-          val out = java.nio.file.Files.createTempDirectory("graft_src_part").toString
+          val out = graft.TempReaper.add(
+            java.nio.file.Files.createTempDirectory("graft_src_part").toString)
           Tables.table(s, dir, "documents")
             .write.mode("overwrite").partitionBy("lang").parquet(out)
           out

@@ -17,11 +17,11 @@ final case class StationStat(callsign: String, n_fixes: Long, total_km: Double)
   *
   * Scale: state is O(stations) × a few doubles, hash-partitioned by callsign
   * across executors, checkpointed with the query. State is bounded two ways:
-  * stations that stop beaconing expire after [[IdleTimeout]] of processing
-  * time (their next fix simply restarts the track at 0 km), and fixes that
-  * arrive with an event time at or before the last folded fix are DROPPED —
-  * without that, out-of-order arrival across micro-batches would fold in
-  * arrival order and silently inflate total_km.
+  * stations whose last fix falls more than [[IdleTimeoutMs]] of EVENT time
+  * behind the watermark expire (their next fix simply restarts the track at
+  * 0 km), and fixes that arrive with an event time at or before the last
+  * folded fix are DROPPED — without that, out-of-order arrival across
+  * micro-batches would fold in arrival order and silently inflate total_km.
   */
 object StationTracker {
 

@@ -50,19 +50,13 @@ object StreamQueries {
       drop
     })
 
-  private def deleteRecursively(path: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(path)
-    if (Files.exists(root))
-      Files.walk(root).iterator().asScala.toSeq.reverseIterator
-        .foreach(p => Files.deleteIfExists(p))
-  }
-
-  /** Paths deleted at JVM exit: sink output dirs must outlive the returned
-    * (lazy) DataFrame, so they can only be reclaimed when the session dies —
-    * without this, every bench sample leaks a windowed-output copy. */
-  private val reapAtExit = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  sys.addShutdownHook { reapAtExit.forEach(p => deleteRecursively(p)) }
+  /** Scratch reclaim is centralized in [[graft.TempReaper]]: sink output dirs
+    * must outlive the returned (lazy) DataFrame, so they can only be
+    * reclaimed at JVM exit — without this, every bench sample leaks a
+    * windowed-output copy. */
+  private val reapAtExit = graft.TempReaper
+  private def deleteRecursively(path: String): Unit =
+    graft.TempReaper.deleteRecursively(path)
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -123,12 +117,15 @@ object StreamQueries {
         // [t, t+gap) merge only on strict overlap), so the batch break flag is
         // `>= 1800`, NOT q_ts_session's `> 1800`. Emission rule and micros
         // truncation follow q_stream_tumbling (end <= max(ts) - 2h).
+        // both windowed CTEs order by (ts, event_id): dropping the tie-breaker
+        // from the running sum would let tied timestamps land in different
+        // sessions run-to-run
         """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
-          |g AS (SELECT user_id, ts, CASE WHEN
+          |g AS (SELECT user_id, ts, event_id, CASE WHEN
           |  epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
           |  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk
           |  FROM e),
-          |s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
           |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g),
           |sess AS (SELECT user_id, min(ts) AS ws, max(ts) + INTERVAL 30 MINUTE AS we,
           |  count(*) AS n FROM s GROUP BY user_id, sid)

@@ -74,4 +74,13 @@ class WindowsTimeSeriesSpec extends SparkSuite {
     val p = dense2p.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("GlobalRank keeps null keys, ranked first like the window form") {
+    import graft.operators.GlobalRank
+    val df = Seq(Some("b"), None, Some("a"), None).toDF("k")
+    val ranked = GlobalRank.denseRank(df, col("k"), "dr")
+    assert(ranked.count() == 4) // a plain === join would drop the null rows
+    assert(ranked.filter(col("k").isNull).select("dr").distinct().head().getInt(0) == 1)
+    assert(ranked.filter(col("k") === "a").head().getAs[Int]("dr") == 2)
+  }
 }

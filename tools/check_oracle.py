@@ -21,6 +21,14 @@ def normalize(df):
     return df
 
 def cells_equal(a, b):
+    # both-missing first: None/NaN/NaT in any combination (NaT is an instance
+    # of datetime but NaT == NaT is False — the date branch below would
+    # spuriously fail nullable date columns without this)
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
     if a is None and b is None:
         return True
     # Timestamp vs datetime.date of the same instant: oracle DATE columns
