@@ -55,6 +55,23 @@ object Windows {
           "FROM orders) WHERE rn = 1 AND dr <= 3")),
 
     GraftQuery(
+      "q_win_global_rank_2pass",
+      "The SCALABLE form of a global rank (GlobalRank.denseRank): rank the " +
+        "distinct keys, broadcast-join ranks back — the fact table never moves " +
+        "to one partition, unlike q_win_rownum_dense's bare window. Same oracle " +
+        "semantics as dense_rank() OVER (ORDER BY …), verified by the gate.",
+      (s, dir) =>
+        GlobalRank.denseRank(
+          table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          col("o_orderpriority"), "dr")
+          .groupBy("dr")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("dr"),
+      Some(
+        "SELECT CAST(dr AS INT) AS dr, count(*) AS n FROM (SELECT dense_rank() OVER " +
+          "(ORDER BY o_orderpriority) AS dr FROM orders) GROUP BY dr ORDER BY dr")),
+
+    GraftQuery(
       "q_win_extra",
       "ntile / percent_rank / cume_dist / first_value / last_value over a fully " +
         "tie-broken per-segment window (explicit ROWS frame for the value functions).",

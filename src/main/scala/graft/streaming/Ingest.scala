@@ -59,6 +59,25 @@ object EventStream {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
+  /** Stream-stream self-join: pairs of events of the same user within ±5 min
+    * (the co-occurrence/correlation shape). Both sides carry watermarks and
+    * the join condition carries the time bound, so each side's buffered state
+    * is evicted once the other side's watermark passes the range — state is
+    * O(5-min window × rate), independent of stream length. In append mode a
+    * match is emitted as soon as both rows have arrived; over static
+    * AvailableNow input that is ALL matches, which is what makes the batch
+    * join the exact oracle. */
+  def pairCounts(left: DataFrame, right: DataFrame): DataFrame = {
+    val a = left.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("ida"), col("user_id").as("ua"), col("ts").as("tsa"))
+    val b = right.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("idb"), col("user_id").as("ub"), col("ts").as("tsb"))
+    a.join(b,
+      col("ua") === col("ub") && col("ida") < col("idb") &&
+        col("tsb") >= col("tsa") - expr("interval 5 minutes") &&
+        col("tsb") <= col("tsa") + expr("interval 5 minutes"))
+  }
+
   /** Checkpointed parquet sink, processing all available input then stopping
     * (Trigger.AvailableNow) — the batch-refresh deployment mode; drop the
     * trigger for a continuously-running collector. */

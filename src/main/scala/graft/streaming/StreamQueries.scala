@@ -154,6 +154,38 @@ object StreamQueries {
           .orderBy("event_type")
       },
       Some(
-        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"))
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type")),
+
+    GraftQuery(
+      "q_stream_join",
+      "REAL stream-stream self-join under the oracle gate: same-user event pairs " +
+        "within ±5 min, both sides watermarked so join state stays bounded. Over " +
+        "AvailableNow static input append mode emits every match, so the plain " +
+        "batch join is the exact oracle — per-user pair counts.",
+      (spark, dir) => {
+        val out = Files.createTempDirectory("graft_sq_out").toString
+        val ckpt = Files.createTempDirectory("graft_sq_ck").toString
+        reapAtExit.add(out)
+        val drop = eventsDropDir(spark, dir)
+        EventStream.writeParquet(
+          EventStream.pairCounts(
+            EventStream.readEvents(spark, drop), EventStream.readEvents(spark, drop)),
+          out, ckpt)
+          .awaitTermination()
+        deleteRecursively(ckpt)
+        spark.read.parquet(out)
+          .groupBy(col("ua").as("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("user_id")
+      },
+      Some(
+        // micros truncation first (CAST AS TIMESTAMP) — the stream reads the
+        // micros-normalized copy, and a pair exactly at the ±300 s boundary
+        // would otherwise join differently at nanos precision
+        """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+          |SELECT a.user_id, count(*) AS n FROM e a JOIN e b
+          |ON a.user_id = b.user_id AND a.event_id < b.event_id
+          |AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts <= a.ts + INTERVAL 5 MINUTE
+          |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin))
   )
 }
