@@ -100,6 +100,55 @@ object Similarity {
            |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
 
     GraftQuery(
+      "q_ann_ivf_multiprobe",
+      "IVF ANN with multi-probe (nprobe=2): route the query to its TWO nearest " +
+        "centroids and search the union of those cells — the standard recall " +
+        "knob when the true neighbor sits just across a cell boundary. Cost is " +
+        "O(nprobe · n / cells); the probed-cell set is tiny and broadcast, so " +
+        "the plan shape is identical to single-probe.",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val cent = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos").agg(avg(col("v")).as("c"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
+            .as("centroid"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
+        val cells = cent.crossJoin(broadcast(q))
+          .select(col("label"),
+            (Exact.dot(col("centroid"), col("qv")) /
+              (Exact.norm(col("centroid")) * col("qn"))).as("csim"))
+          .orderBy(col("csim").desc, col("label"))
+          .limit(2)
+          .select(col("label").as("cell"))
+        e.filter(col("vec_id") =!= 0)
+          .join(broadcast(cells), col("label") === col("cell"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(Exact.dot(col("embedding"), col("qv")) /
+              (Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+           |exp AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM e),
+           |avgs AS (SELECT label, pos, avg(v) AS c FROM exp GROUP BY label, pos),
+           |cent AS (SELECT label, list_transform(list(c ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
+           |         FROM avgs GROUP BY label),
+           |q AS (SELECT embedding AS qv, sqrt(${Exact.squaredNormSql("embedding")}) AS qn
+           |      FROM e WHERE vec_id = 0),
+           |cell AS (SELECT label FROM cent, q
+           |  ORDER BY ${Exact.dotSql("centroid", "qv")} / (sqrt(${Exact.squaredNormSql("centroid")}) * qn) DESC, label
+           |  LIMIT 2)
+           |SELECT e.vec_id, round(${Exact.dotSql("e.embedding", "q.qv")} /
+           |    (sqrt(${Exact.squaredNormSql("e.embedding")}) * q.qn), 6) AS sim
+           |FROM e, q WHERE e.label IN (SELECT label FROM cell) AND e.vec_id <> 0
+           |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
+
+    GraftQuery(
       "q_ann_lsh",
       s"Random-hyperplane LSH ANN: $NumPlanes fixed seeded hyperplanes → sign-bit bucket; " +
         "top-10 cosine within the query's bucket. Hyperplane constants are shared " +
