@@ -48,18 +48,18 @@ object Tables {
     id
   }
 
-  /** events.ts is physically TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects. Read it as a nanos Long (legacy conf) and truncate to micros —
-    * integer `div 1000`, matching DuckDB's nanos→micros truncation exactly
-    * (verified on the fixtures: nanos are NOT micro-aligned, so rounding
-    * would diverge). Double division would also be wrong: 1.7e18 > 2^53.
-    */
   /** Release a retired session's memoized plans (multi-session hosts). */
   def dropMemo(spark: SparkSession): Unit = {
     val id = sessionId(spark)
     memo.keySet.removeIf(_._1 == id)
   }
 
+  /** events.ts is physically TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects. Read it as a nanos Long (legacy conf) and truncate to micros —
+    * integer `div 1000`, matching DuckDB's nanos→micros truncation exactly
+    * (verified on the fixtures: nanos are NOT micro-aligned, so rounding
+    * would diverge). Double division would also be wrong: 1.7e18 > 2^53.
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memo.computeIfAbsent((sessionId(spark), sfDir, name), _ => {
       if (name == "events") {
@@ -110,10 +110,17 @@ object TempReaper {
   * when the computation is either exact (decimal / integral) or bitwise
   * identical on both engines. Two disciplines, used by every declared query:
   *
-  *  1. Money sums: per-row cast DOUBLE→DECIMAL(28,6) (deterministic per row),
-  *     exact decimal accumulation (associative ⇒ partition-order-insensitive),
-  *     round to cents, cast back to DOUBLE. A plain double sum would depend on
-  *     partition/merge order — fine at sf0.01, a hash mismatch at 100 TB.
+  *  1. Money sums: per-row DOUBLE → micro-unit LONG (floor(x·1e6 + 0.5) —
+  *     deterministic per row, exact for the ≤6-dp money fixtures whose
+  *     micro-values sit within 1e-4 of an integer), exact LONG accumulation
+  *     (associative ⇒ partition-order-insensitive), integer round-to-cents,
+  *     cast to DOUBLE. A plain double sum would depend on partition/merge
+  *     order — fine at sf0.01, a hash mismatch at 100 TB. Round 2 used
+  *     DECIMAL(28,6) accumulation for the same determinism; at precision 28
+  *     Spark sums via BigDecimal (non-compact representation), which measured
+  *     as the dominant avoidable cost in the suite (~1.3 s for three sums over
+  *     600 k rows). The scaled-long form is whole-stage-codegen'd integer
+  *     arithmetic end to end.
   *
   *  2. Vector math: products computed as DOUBLE (exact for float operands),
   *     sequential left-to-right fold — bitwise identical to DuckDB's
@@ -122,13 +129,75 @@ object TempReaper {
   *     so the oracle SQL uses the manual double formula instead).
   */
 object Exact {
-  /** Order-insensitive exact money sum rounded to cents, as DOUBLE. */
-  def moneySum(c: Column): Column =
-    round(sum(c.cast(DecimalType(28, 6))), 2).cast(DoubleType)
+  /** Order-insensitive exact money sum rounded to cents, as DOUBLE.
+    *
+    * Fixed-point accumulation in LONG micro-units, split into whole-dollar and
+    * fractional sums so neither overflows at cluster scale:
+    *
+    *   m  = floor(x·1e6 + 0.5)            per-row micro-units (exact: money
+    *                                      values are ≤6 dp, so x·1e6 lands
+    *                                      within ~1e-4 of an integer — both
+    *                                      engines compute the identical IEEE
+    *                                      double before the floor)
+    *   fr = pmod(m, 1e6), dw = (m−fr)/1e6 per-row split; the division is over
+    *                                      an exact multiple, so truncating and
+    *                                      floor division agree for any sign
+    *   Σdw, Σfr                           two LONG sums in one codegen'd hash
+    *                                      agg. Σdw overflows only past ~9.2
+    *                                      QUADRILLION dollars per group (a
+    *                                      100 TB TPC-H group sums ~3e16 — ok);
+    *                                      Σfr ≤ 1e6·rows, safe to ~9e12 rows
+    *                                      per group. ANSI mode makes overflow
+    *                                      loud, never silent.
+    *   carry/rem/cents                    integer round-half-up to cents, then
+    *                                      one double add + divide — identical
+    *                                      IEEE ops on both engines.
+    *
+    * Equal to the DECIMAL(28,6)-accumulate-then-round form on all fixture
+    * money columns (verified: every moneySum call site sums non-negative ≤2-dp
+    * values), at integer-sum speed instead of BigDecimal speed.
+    */
+  private val micro = lit(1000000L)
 
-  /** DuckDB twin of [[moneySum]]. */
-  def moneySumSql(expr: String): String =
-    s"CAST(round(sum(CAST($expr AS DECIMAL(28,6))),2) AS DOUBLE)"
+  /** Per-row micro-units: floor(x·1e6 + 0.5) as LONG. */
+  def microUnits(c: Column): Column = floor(c * lit(1000000d) + lit(0.5d))
+
+  /** Per-row fractional micro part, in [0, 1e6) for any sign. */
+  def microFr(c: Column): Column = pmod(microUnits(c), micro)
+
+  /** Per-row whole-dollar part (floor semantics; exact-multiple division). */
+  def microDw(c: Column): Column = {
+    val m = microUnits(c)
+    call_function("div", m - pmod(m, micro), micro)
+  }
+
+  /** Final integer round-to-cents over the two accumulated LONG sums.
+    * Because integer addition is associative, feeding this PARTIAL sums of
+    * (dw, fr) — e.g. pre-aggregated per join key before a fact-fact join —
+    * yields the bit-identical result to the flat single-level sum. */
+  def moneyFinish(sd: Column, sf: Column): Column = {
+    val carry = call_function("div", sf, micro)
+    val rem = sf % micro
+    val cents = call_function("div", rem + lit(5000L), lit(10000L))
+    (sd + carry).cast(DoubleType) + cents.cast(DoubleType) / lit(100.0)
+  }
+
+  def moneySum(c: Column): Column =
+    moneyFinish(sum(microDw(c)), sum(microFr(c)))
+
+  /** DuckDB twin of [[moneySum]] — the same integer arithmetic, spelled in
+    * DuckDB SQL. `//` only ever divides non-negative values or exact
+    * multiples, where floor and truncating division agree; integer sums are
+    * cast back from DuckDB's HUGEINT widening before use. */
+  def moneySumSql(expr: String): String = {
+    val m = s"CAST(floor(($expr)*1000000 + 0.5) AS BIGINT)"
+    val fr = s"((($m) % 1000000 + 1000000) % 1000000)"
+    val dw = s"((($m) - $fr) // 1000000)"
+    val sd = s"CAST(sum($dw) AS BIGINT)"
+    val sf = s"CAST(sum($fr) AS BIGINT)"
+    s"(CAST($sd + ($sf // 1000000) AS DOUBLE) + " +
+      s"CAST((($sf % 1000000) + 5000) // 10000 AS DOUBLE)/100.0)"
+  }
 
   /** Dot product of two float arrays in double precision. Delegates to the
     * codegen'd [[graft.functions.FloatDotProduct]] Catalyst expression —

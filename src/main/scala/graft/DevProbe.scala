@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only single-query timing probe (companion to [[BenchProbe]], which
+  * measures the per-query harness floor). Times ONLY the named queries —
+  * median of N noop-sink runs under the exact Bench session config — so a
+  * plan change can be measured in seconds instead of a full suite run.
+  * Not part of the driver contract.
+  *
+  * Usage: runMain graft.DevProbe <sfDir> <samples> <query> [<query> ...]
+  */
+object DevProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val n = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.max(4, math.min(cpus.toInt, 8)).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same warmup discipline as Bench: compile codegen classes at tiny scale
+    val warmDir = "/root/testdata/sf0.001"
+    names.foreach { q =>
+      try SparkEntry.queries(q)(spark, warmDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    }
+    for (pass <- 1 to n; q <- names) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] pass=$pass $q%-28s $dt%7.3f s")
+    }
+    spark.stop()
+  }
+}
