@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   *
   * Scale note: windows partitioned by a key (c_mktsegment, user_id, o_custkey)
   * shuffle once on that key and sort within partitions — linear scale-out.
-  * The single global window in q_win_rownum_dense (dense_rank with no
-  * PARTITION BY) is inherently single-partition; it exists to cover the
-  * operator family, and its input is one slim column projection.
+  * Global (no PARTITION BY) ranks never run as bare windows in the contract:
+  * q_win_rownum_dense and q_win_global_rank_2pass both route through
+  * GlobalRank, which single-partitions only the distinct-key relation
+  * (PlanShapeSpec pins that). The bare-window form survives solely as the
+  * semantics reference in WindowsTimeSeriesSpec.
   */
 object Windows {
   import Tables.table
@@ -38,15 +40,26 @@ object Windows {
 
     GraftQuery(
       "q_win_rownum_dense",
-      "row_number per key + global dense_rank, reduced to a count.",
+      "row_number per key + global dense_rank, reduced to a count. The global " +
+        "dense_rank is computed via GlobalRank.denseRank (rank the distinct keys, " +
+        "broadcast-join back) so the plan never funnels the fact table into one " +
+        "partition — the bare Window.orderBy form this replaces is semantically " +
+        "identical (pinned in WindowsTimeSeriesSpec) but single-partitions every " +
+        "row, the one scale-killer plan the round-2 contract still shipped.",
       (s, dir) => {
         val wrn = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-        val wdr = Window.orderBy(col("o_orderpriority"))
-        table(s, dir, "orders")
-          .select(
-            row_number().over(wrn).as("rn"),
-            dense_rank().over(wdr).as("dr"))
-          .filter(col("rn") === 1 && col("dr") <= 3)
+        val base = table(s, dir, "orders")
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        // ranks come from the FULL key domain (joining ranks derived from the
+        // rn=1 subset would renumber if a priority value vanished from it);
+        // the join itself runs after the rn filter, over the surviving rows
+        val ranks = base.select(col("o_orderpriority").as("__k")).distinct()
+          .withColumn("dr", dense_rank().over(Window.orderBy(col("__k"))))
+        base
+          .select(row_number().over(wrn).as("rn"), col("o_orderpriority"))
+          .filter(col("rn") === 1)
+          .join(broadcast(ranks), col("o_orderpriority") <=> col("__k"))
+          .filter(col("dr") <= 3)
           .agg(count(lit(1)).as("n"))
       },
       Some(

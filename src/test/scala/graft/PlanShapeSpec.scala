@@ -89,6 +89,34 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("q_win_rownum_dense single-partitions only aggregated (distinct-key) relations") {
+    // The round-2 contract shipped a bare dense_rank() OVER (ORDER BY …) here —
+    // a plan that funnels every fact row into one partition. The GlobalRank
+    // rewrite keeps a single-partition exchange ONLY under the distinct-keys
+    // window (a handful of rows at any scale); the fact table itself must
+    // never feed one. AQE off for a stable, directly walkable plan.
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("q_win_rownum_dense").queryExecution.executedPlan
+      val globals = plan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      // the tiny ranks relation legitimately goes global — but anything that
+      // does must sit above a distinct aggregation, proving it is the shrunken
+      // key relation and not the fact scan
+      assert(globals.nonEmpty, plan.toString)
+      globals.foreach { e =>
+        assert(e.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"single-partition exchange over a non-aggregated (fact-sized) input:\n$plan")
+      }
+      assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("whole-stage codegen is active for the flagship") {
     // AQE prints codegen stages ("*(n)" prefixes) only once the final plan is
     // materialized — execute, then inspect.
