@@ -30,11 +30,30 @@ object DevProbe {
       try SparkEntry.queries(q)(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
+    // ad-hoc decomposition probes (dev-only), alongside contract queries
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    def micro(q: String): (org.apache.spark.sql.SparkSession, String) => DataFrame = q match {
+      case "@simhash_fp" => (s, dir) =>
+        graft.Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.functions.VectorExpr.simhash16(split(col("text"), " ")).as("fp"))
+      case "@split_only" => (s, dir) =>
+        graft.Tables.table(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      case "@docs_scan" => (s, dir) =>
+        graft.Tables.table(s, dir, "documents").select("doc_id", "text")
+      case other => SparkEntry.queries(other)
+    }
     for (pass <- 1 to n; q <- names) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] pass=$pass $q%-28s $dt%7.3f s")
+      if (q.startsWith("show:")) {
+        micro(q.stripPrefix("show:"))(spark, sfDir).show(20, truncate = false)
+      } else {
+        val t0 = System.nanoTime()
+        micro(q)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] pass=$pass $q%-28s $dt%7.3f s")
+      }
     }
     spark.stop()
   }

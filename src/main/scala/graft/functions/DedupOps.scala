@@ -181,27 +181,38 @@ object DedupOps {
 
     GraftQuery(
       "q_dedup_simhash",
-      "16-bit SimHash near-dup: per-token md5-prefix hash → per-bit signed vote sums " +
-        "(relational aggregation, codegen-friendly) → fingerprint; pairs blocked by " +
-        "source with hamming distance ≤ 3 via xor + bit_count.",
+      "16-bit SimHash near-dup: one codegen'd SimHash16 eval per document (md5-prefix " +
+        "per-token vote accumulation inside the expression — no explode, no 16-way " +
+        "agg, no per-doc shuffle), then source-blocked pair generation from ONE " +
+        "fingerprint pass: (doc_id ≪ 16 | fp) packed longs collected per source " +
+        "block, intra-block pairs fanned out by generators — a self-join would run " +
+        "the md5 pass once per side, measured as the dominant cost. Scale note, " +
+        "measured on this corpus: 31% of blocked pairs qualify (191,890 at sf0.1) " +
+        "and the mean number of equal 4-bit bands per qualifying pair is ~3, so " +
+        "LSH banding on fingerprint nibbles generates MORE candidate rows than " +
+        "all-pairs here; on a real sparse corpus (near-dups rare) the banding " +
+        "variant — bucket on (source, band, nibble), emit each pair from its first " +
+        "equal band — is the 100 TB shape, with per-block pair generation bounded " +
+        "by a block-size cap either way. The oracle keeps the all-pairs relational " +
+        "spelling of the same hash, so the gate pins the expression bit-for-bit.",
       (s, dir) => {
-        // per-doc token dedup happens per ROW (array_distinct) — no global
-        // DISTINCT exchange; the only shuffle is the per-doc aggregation
-        val tok = table(s, dir, "documents")
+        val fp = table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            explode(array_distinct(split(col("text"), " "))).as("w"))
-          .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int"))
-        val votes = (0 until 16).map(bt =>
-          sum(when(expr(s"(h div ${1 << bt}) % 2") === 1, 1).otherwise(-1)).as(s"s$bt"))
-        val fp = tok.groupBy("doc_id", "source").agg(votes.head, votes.tail: _*)
-          .withColumn("fp",
-            (0 until 16).map(bt => when(col(s"s$bt") > 0, 1 << bt).otherwise(0))
-              .reduce(_ + _))
-          .select("doc_id", "source", "fp")
-        val a = fp.select(col("doc_id").as("ida"), col("source").as("srca"), col("fp").as("fa"))
-        val b = fp.select(col("doc_id").as("idb"), col("source").as("srcb"), col("fp").as("fb"))
-        a.join(b, col("srca") === col("srcb") && col("ida") < col("idb"))
-          .filter(expr("bit_count(fa ^ fb)") <= 3)
+            VectorExpr.simhash16(split(col("text"), " ")).as("fp"))
+        // packed (doc_id ≪ 16 | fp): fp < 2^16, so xor stays field-aligned and
+        // the block arrays are primitive longs — no struct serialization in
+        // collect/explode; sort_array gives ida < idb via the id high bits
+        val blocks = fp
+          .select(col("source"), (col("doc_id") * lit(65536L) + col("fp")).as("p"))
+          .groupBy("source")
+          .agg(sort_array(collect_list(col("p"))).as("xs"))
+          .filter(size(col("xs")) > 1)
+        val xorv = col("x").bitwiseXOR(col("y")).bitwiseAND(lit(65535L))
+        blocks
+          .select(col("xs"), posexplode(col("xs")).as(Seq("i", "x")))
+          .select(col("x"),
+            explode(slice(col("xs"), col("i") + lit(2), size(col("xs")))).as("y"))
+          .filter(call_function("bit_count", xorv) <= 3)
           .agg(count(lit(1)).as("n_pairs"))
       },
       Some {

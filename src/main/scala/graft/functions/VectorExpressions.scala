@@ -219,6 +219,77 @@ case class TokenRollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared eval body for [[SimHash16]] — top-level object so generated code
+  * can call it through the Scala static forwarder. */
+object SimHashUtil {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 16-bit SimHash over the DISTINCT tokens of the array: per token,
+    * h = first two md5 bytes big-endian (≡ the relational
+    * `conv(substring(md5(w),1,4),16,10)`), each of h's 16 bits votes ±1,
+    * fingerprint bit bt set iff its vote sum is positive. Dedup happens here
+    * (HashSet over the row's tokens) — same contribution set as the
+    * `explode(array_distinct(...))` relational form, without materializing
+    * the distinct array or the exploded relation. */
+  def fingerprint(toks: ArrayData): Int = {
+    val digest = md.get()
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val votes = new Array[Int](16)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (seen.add(t)) {
+        digest.reset()
+        val d = digest.digest(t.getBytes)
+        val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+        var bt = 0
+        while (bt < 16) {
+          votes(bt) += (if (((h >> bt) & 1) == 1) 1 else -1)
+          bt += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0
+    var bt = 0
+    while (bt < 16) { if (votes(bt) > 0) fp |= 1 << bt; bt += 1 }
+    fp
+  }
+}
+
+/** Codegen'd 16-bit SimHash fingerprint over a tokens array — one compiled
+  * call per DOCUMENT. Replaces round 2's relational formulation
+  * (explode(array_distinct(tokens)) → md5-prefix int → 16 conditional vote
+  * sums → per-doc 16-way aggregation), which paid an md5 + 16 CASE
+  * evaluations per (doc, token) ROW plus a full explode shuffle — measured
+  * 4.8× the DuckDB twin; the oracle SQL still spells that relational form,
+  * and the bit-identical hash is pinned by the gate.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_simhash16"
+
+  override def nullSafeEval(a: Any): Any =
+    SimHashUtil.fingerprint(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHashUtil.fingerprint($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the vector expressions. */
 object VectorExpr {
   def dotF(a: Column, b: Column): Column =
@@ -235,4 +306,7 @@ object VectorExpr {
 
   def rollingFp(toks: Column): Column =
     ColumnBridge.column(TokenRollingHash(ColumnBridge.expression(toks)))
+
+  def simhash16(toks: Column): Column =
+    ColumnBridge.column(SimHash16(ColumnBridge.expression(toks)))
 }

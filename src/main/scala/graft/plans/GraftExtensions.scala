@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatDotProduct, StringShingles, TokenRollingHash}
+import graft.functions.{FloatDotProduct, SimHash16, StringShingles, TokenRollingHash}
 
 /** SparkSessionExtensions entry point (SURVEY.md §4): registers the engine's
   * custom Catalyst expressions as SQL functions so `spark.sql("SELECT
@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => sys.error(s"graft_shingles n must be an INT literal, got $other")
         }
         StringShingles(children.head, n)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash16(arrayString) takes 1 argument")
+        SimHash16(children.head)
       }))
     e.injectFunction((
       FunctionIdentifier("graft_rolling_fp"),
