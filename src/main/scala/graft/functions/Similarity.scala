@@ -149,6 +149,98 @@ object Similarity {
            |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
 
     GraftQuery(
+      "q_ann_ivf_kmeans",
+      "IVF ANN with a REAL trained coarse quantizer: seeded fixed-iteration " +
+        "Lloyd's k-means (K=8, init = embeddings of vec_id 1..8, 2 unrolled " +
+        "iterations), then route the query to its nearest trained centroid and " +
+        "search that cell only. Every step is deterministic and oracle-expressible: " +
+        "assignment is an argmin window (ORDER BY dist, cid — double distance math " +
+        "is the identical IEEE expression on both engines), centroid updates are " +
+        "per-dim double averages cast to FLOAT (absorbing partition-order noise), " +
+        "and the iteration count is pinned. Scale shape: assignments are one " +
+        "broadcast-join + one vec_id-keyed window per round (the window is " +
+        "per-vector over K rows, never global), updates are one posexplode " +
+        "aggregation — all linear passes; the trained centroid table stays tiny " +
+        "and broadcast at any corpus size.",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.expressions.Window
+        val K = 8
+        val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        def dist(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+          Exact.dot(v, v) + Exact.dot(c, c) - lit(2.0) * Exact.dot(v, c)
+        // nearest-centroid assignment: K candidate rows per vector, argmin by
+        // (dist, cid) via row_number — deterministic tie-break, no global sort
+        def assign(cent: DataFrame): DataFrame = {
+          val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+          e.join(broadcast(cent))
+            .select(col("vec_id"), col("embedding"), col("cid"),
+              dist(col("embedding"), col("centroid")).as("dist"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("embedding"), col("cid"))
+        }
+        // Lloyd update: per-dim double avg over the cell, re-assembled in pos
+        // order and cast per-element to FLOAT
+        def update(assigned: DataFrame): DataFrame = assigned
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos").agg(avg(col("v")).as("c"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
+            .as("centroid"))
+        val c0 = e.filter(col("vec_id").between(1, K))
+          .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
+        val c2 = update(assign(update(assign(c0))))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
+        val qCell = c2.crossJoin(broadcast(q))
+          .select(col("cid"), dist(col("qv"), col("centroid")).as("dist"))
+          .orderBy(col("dist"), col("cid"))
+          .limit(1)
+          .select(col("cid").as("qcell"))
+        assign(c2).filter(col("vec_id") =!= 0)
+          .join(broadcast(qCell), col("cid") === col("qcell"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(Exact.dot(col("embedding"), col("qv")) /
+              (Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some {
+        val K = 8
+        def distSql(v: String, c: String) =
+          s"(${Exact.squaredNormSql(v)} + ${Exact.squaredNormSql(c)} - 2.0*${Exact.dotSql(v, c)})"
+        def assignSql(cent: String, out: String) =
+          s"""$out AS (SELECT vec_id, embedding, cid FROM (
+             |  SELECT e.vec_id, e.embedding, c.cid,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY ${distSql("e.embedding", "c.centroid")}, c.cid) AS rn
+             |  FROM e CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+        def updateSql(assigned: String, out: String) =
+          s"""${out}_exp AS (SELECT cid, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+             |  FROM $assigned),
+             |${out}_avg AS (SELECT cid, pos, avg(v) AS c FROM ${out}_exp GROUP BY cid, pos),
+             |$out AS (SELECT cid, list_transform(list(c ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
+             |  FROM ${out}_avg GROUP BY cid)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS centroid FROM e
+           |  WHERE vec_id BETWEEN 1 AND $K),
+           |${assignSql("c0", "a1")},
+           |${updateSql("a1", "c1")},
+           |${assignSql("c1", "a2")},
+           |${updateSql("a2", "c2")},
+           |${assignSql("c2", "a3")},
+           |q AS (SELECT embedding AS qv, sqrt(${Exact.squaredNormSql("embedding")}) AS qn
+           |  FROM e WHERE vec_id = 0),
+           |qcell AS (SELECT cid FROM c2, q ORDER BY ${distSql("qv", "centroid")}, cid LIMIT 1)
+           |SELECT a3.vec_id, round(${Exact.dotSql("a3.embedding", "q.qv")} /
+           |    (sqrt(${Exact.squaredNormSql("a3.embedding")}) * q.qn), 6) AS sim
+           |FROM a3, q, qcell WHERE a3.cid = qcell.cid AND a3.vec_id <> 0
+           |ORDER BY sim DESC, a3.vec_id LIMIT 10""".stripMargin
+      }),
+
+    GraftQuery(
       "q_ann_lsh",
       s"Random-hyperplane LSH ANN: $NumPlanes fixed seeded hyperplanes → sign-bit bucket; " +
         "top-10 cosine within the query's bucket. Hyperplane constants are shared " +
