@@ -12,6 +12,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", math.max(4, math.min(cpus.toInt, 8)).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // saveAsTable targets (bucketed-layout query) land in a temp warehouse
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       // bench-scale session tuning: AQE's per-stage replanning costs
       // ~100 ms × stages × 56 queries at sf0.1 while optimizing nothing at
       // this data size — off for the timed run. The library leaves AQE at its

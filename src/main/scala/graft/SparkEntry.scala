@@ -28,6 +28,7 @@ object SparkEntry {
       functions.Multimodal.all ++   // §2.11+ binary media columns
       functions.VectorAggregates.all ++ // §2.12 UDAF surface (typed Aggregator)
       sources.FormatSources.all ++  // §2.1 CSV/JSON sources under the oracle gate
+      sources.BucketedLayout.all ++ // §2.1/§4 bucketed storage layout under the gate
       streaming.StreamQueries.all   // §2.10 streaming executed under the oracle gate
 
   /** Flagship query on sf=0.001 (TPC-H Q1); driver smoke-checks rows>0. */

@@ -1,0 +1,76 @@
+package graft.sources
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed storage layout (SURVEY.md §4, docs/SCALE.md) — the shuffle-free
+  * repeated-join story, under the ORACLE gate.
+  *
+  * A 100 TB archive that is joined on the same key every day should be
+  * WRITTEN bucketed+sorted on that key: `bucketBy(N, key).sortBy(key)` makes
+  * every later join and key-keyed aggregation exchange-free AND sort-free —
+  * the shuffle is paid once at write time, not per query. q_join_bucketed
+  * runs lineitem⋈orders over bucketed copies of both facts and aggregates on
+  * the join key; its DuckDB oracle reads the ORIGINAL parquet, so the gate
+  * proves the bucketed layout changes the plan, never the answer.
+  * PlanShapeSpec pins the no-Exchange/no-Sort plan through this same builder.
+  *
+  * The bucketed copies are written once per (session, sf-dir) and memoized —
+  * the same discipline as FormatSources' exports, so bench samples time the
+  * bucketed JOIN, not the one-time layout write (at cluster scale that write
+  * is the nightly ingest job, not the query).
+  */
+object BucketedLayout {
+
+  val Buckets = 8
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), String]()
+
+  /** Returns the table-name suffix for this (session, dir), writing the
+    * bucketed copies on first use. */
+  private def ensureTables(s: SparkSession, dir: String): String =
+    built.computeIfAbsent((Tables.sessionId(s), dir), _ => {
+      val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables.table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"graft_bkt_orders_$suffix")
+      Tables.table(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"graft_bkt_lineitem_$suffix")
+      suffix
+    })
+
+  /** The bucketed fact-fact join + join-key aggregation, pre-limit — shared
+    * between the gated query and PlanShapeSpec's no-Exchange pin. l_quantity
+    * holds small integral values, so the per-row LONG cast makes the sum
+    * exact under any partitioning. */
+  def joinAgg(s: SparkSession, dir: String): DataFrame = {
+    val suffix = ensureTables(s, dir)
+    s.table(s"graft_bkt_lineitem_$suffix")
+      .join(s.table(s"graft_bkt_orders_$suffix"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_join_bucketed",
+      "Fact-fact join + join-key aggregation over bucketed+sorted copies of both " +
+        "facts — exchange-free and sort-free at query time (PlanShapeSpec pins the " +
+        "plan); the oracle reads the original parquet, proving layout changes the " +
+        "plan, not the answer.",
+      (s, dir) =>
+        joinAgg(s, dir)
+          .orderBy("o_orderkey")
+          .limit(1000),
+      Some(
+        "SELECT o_orderkey, o_orderpriority, count(*) AS n, " +
+          "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "GROUP BY o_orderkey, o_orderpriority ORDER BY o_orderkey LIMIT 1000"))
+  )
+}

@@ -57,35 +57,23 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("lang"), p)
   }
 
-  test("bucketed fact-fact join runs with no Exchange in the plan") {
-    // docs/SCALE.md's storage-layout claim, pinned as evidence: writing both
-    // fact tables bucketed+sorted on the join key makes the join (and the
-    // follow-on aggregation on that key) shuffle-free AND sort-free.
-    // Broadcast is disabled so the test proves bucketing, not small-table
-    // broadcast; at sf0.001 either side would otherwise be broadcast.
-    import org.apache.spark.sql.functions._
-    spark.sql("DROP TABLE IF EXISTS graft_b_orders")
-    spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
-    Tables.table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_b_orders")
-    Tables.table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_b_lineitem")
+  test("q_join_bucketed (contract query's own builder) runs with no Exchange in the plan") {
+    // docs/SCALE.md's storage-layout claim, pinned on the SAME join+agg the
+    // gated q_join_bucketed ships: writing both fact tables bucketed+sorted
+    // on the join key makes the join (and the follow-on aggregation on that
+    // key) shuffle-free AND sort-free. Broadcast is disabled so the test
+    // proves bucketing, not small-table broadcast; at sf0.001 either side
+    // would otherwise be broadcast.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val j = spark.table("graft_b_orders")
-        .join(spark.table("graft_b_lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderkey").agg(sum(col("l_quantity")).as("q"))
+      val j = graft.sources.BucketedLayout.joinAgg(spark, sf)
       j.collect() // finalize the (possibly adaptive) plan before inspecting
       val p = j.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"), p)
       assert(p.contains("SortMergeJoin"), p)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
-      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
     }
   }
 
