@@ -78,9 +78,11 @@ object Multimodal {
       "Frame-sampling plan for video payloads: uniform-stride sample offsets " +
         "(≤8 frames, 500-byte stride) generated PER ROW from payload metadata and " +
         "fanned out map-side — the seek table a codec decode stage consumes; " +
-        "frame_byte peeks the payload byte at each offset (real byte access, " +
-        "exercising the binary column end-to-end). No shuffle until the final " +
-        "order-for-display.",
+        "frame_byte peeks the payload at each offset. NOTE the peek is " +
+        "CHARACTER-indexed after a UTF-8 decode (both engines do the same, so " +
+        "the oracle matches); offsets equal true byte offsets only because this " +
+        "corpus is ASCII — a binary-faithful peek would substr the BINARY column " +
+        "directly. No shuffle until the final order-for-display.",
       (s, dir) =>
         attachBinary(table(s, dir, "documents"))
           .filter(col("media_type") === "video")

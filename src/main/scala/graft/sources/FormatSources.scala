@@ -35,7 +35,14 @@ object FormatSources {
         java.nio.file.Files.createTempDirectory(s"graft_src_$fmt").toString)
       val docs = Tables.table(s, dir, "documents")
       fmt match {
-        case "csv" => docs.write.mode("overwrite").option("header", "true").csv(out)
+        // escape pinned to '"' (RFC-4180 doubled quotes) on BOTH write and
+        // read, and the read side is multiLine-capable: without these, text
+        // containing an embedded newline or a backslash-quote sequence would
+        // round-trip through the default writer into sheared/regrouped rows.
+        // The current fixtures contain neither — the options make the query
+        // robust to fixture changes instead of relying on that invariant.
+        case "csv" => docs.write.mode("overwrite")
+          .option("header", "true").option("escape", "\"").csv(out)
         case "json" => docs.write.mode("overwrite").json(out)
       }
       out
@@ -62,6 +69,7 @@ object FormatSources {
         "write→read round-trip value-exactly.",
       (s, dir) =>
         langStats(s.read.schema(docSchema).option("header", "true")
+          .option("escape", "\"").option("multiLine", "true")
           .csv(exportDir(s, dir, "csv"))),
       Some(langStatsSql)),
 

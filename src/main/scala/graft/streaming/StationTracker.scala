@@ -19,9 +19,11 @@ final case class StationStat(callsign: String, n_fixes: Long, total_km: Double)
   * across executors, checkpointed with the query. State is bounded two ways:
   * stations whose last fix falls more than [[IdleTimeoutMs]] of EVENT time
   * behind the watermark expire (their next fix simply restarts the track at
-  * 0 km), and fixes that arrive with an event time at or before the last
-  * folded fix are DROPPED — without that, out-of-order arrival across
-  * micro-batches would fold in arrival order and silently inflate total_km.
+  * 0 km), and fixes whose event time is at or before the last event time
+  * folded by a PREVIOUS batch are DROPPED — without that, out-of-order
+  * arrival across micro-batches would fold in arrival order and silently
+  * inflate total_km. Within a batch, distinct fixes sharing a timestamp all
+  * fold (in deterministic (ts, lat, lon) order); exact duplicates drop.
   */
 object StationTracker {
 
@@ -64,16 +66,24 @@ object StationTracker {
             state.remove()
             Iterator.empty
           } else {
-            // micro-batch iterators carry no order guarantee — order by event
-            // time within the batch; ACROSS batches, fixes at or before the
-            // last folded event time are late arrivals and are dropped (a
-            // fold in arrival order would count the backtrack distance twice)
-            val fixesSorted = batch.toSeq.sortBy(_.ts.getTime)
+            // micro-batch iterators carry no order guarantee — order by a
+            // TOTAL key (ts, lat, lon) so tied-timestamp fixes fold in a
+            // deterministic order and are all counted within a batch. ACROSS
+            // batches the bound stays strict: a fix at or before the last
+            // folded event time is indistinguishable from an at-least-once
+            // redelivery and is dropped (folding it in arrival order would
+            // count backtrack distance twice); a tied fix split across two
+            // batches is therefore collapsed — the price of replay safety.
+            // exact within-batch duplicates (same ts AND position) are
+            // redeliveries, dropped via the distinct pass after the sort
+            val fixesSorted =
+              batch.toSeq.sortBy(f => (f.ts.getTime, f.lat, f.lon)).distinct
             var (lat, lon, km, n, lastTs) =
               state.getOption.getOrElse((Double.NaN, Double.NaN, 0.0, 0L, Long.MinValue))
             val nBefore = n
+            val stateBound = lastTs // pre-batch bound: strict only across batches
             fixesSorted.foreach { f =>
-              if (f.ts.getTime > lastTs) {
+              if (f.ts.getTime > stateBound) {
                 if (!lat.isNaN) km += haversineKm(lat, lon, f.lat, f.lon)
                 lat = f.lat; lon = f.lon; n += 1; lastTs = f.ts.getTime
               }
