@@ -226,6 +226,71 @@ class StreamingSpec extends SparkSuite {
     assert(finalStats("PARKED").getAs[Double]("total_km") == 0.0)
   }
 
+  test("transformWithState twin emits exactly what flatMapGroupsWithState emits") {
+    import graft.streaming.{PacketFix, StationTracker, StationTrackerTws}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // same fixture discipline as the tracker test: one file per micro-batch,
+    // mtime-stamped so arrival order is deterministic
+    val in = Files.createTempDirectory("graft_tws_in").toString
+    def stampNew(stamp: Long, seen: Set[String]): Set[String] = {
+      val files = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
+      files.filterNot(f => seen(f.getName)).foreach(_.setLastModified(stamp))
+      files.map(_.getName).toSet
+    }
+    val base = 1700000000000L
+    Seq(PacketFix("N0CALL", t("2024-01-01 00:00:00"), 40.0, -75.0),
+        PacketFix("N0CALL", t("2024-01-01 00:10:00"), 41.0, -75.0),
+        PacketFix("TWIN", t("2024-01-01 00:00:00"), 10.0, 10.0),
+        // distinct fix with a TIED timestamp — folds deterministically
+        PacketFix("TWIN", t("2024-01-01 00:00:00"), 10.0, 11.0))
+      .toDS().coalesce(1).write.mode("append").parquet(in)
+    val b1 = stampNew(base, Set.empty)
+    Seq(PacketFix("N0CALL", t("2024-01-01 00:20:00"), 42.0, -75.0),
+        // late cross-batch fix — dropped by both implementations
+        PacketFix("TWIN", t("2023-12-31 23:59:00"), 10.0, 12.0))
+      .toDS().coalesce(1).write.mode("append").parquet(in)
+    stampNew(base + 60000, b1)
+
+    def runTracker(fn: org.apache.spark.sql.Dataset[PacketFix] =>
+        org.apache.spark.sql.Dataset[graft.streaming.StationStat]): Set[(String, Long, Long)] = {
+      val out = Files.createTempDirectory("graft_tws_out").toString
+      val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[PacketFix]].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in).as[PacketFix]
+      val q = fn(stream).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).collect()
+        .map(r => (r.getAs[String]("callsign"), r.getAs[Long]("n_fixes"),
+          math.round(r.getAs[Double]("total_km") * 1e6)))
+        .toSet
+    }
+
+    val viaFmgws = runTracker(StationTracker.track)
+    // transformWithState refuses the HDFS-backed default store — RocksDB only
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val viaTws =
+      try runTracker(StationTrackerTws.track)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    assert(viaFmgws.nonEmpty)
+    assert(viaTws == viaFmgws,
+      s"tws=$viaTws\nfmgws=$viaFmgws")
+    // the tied-timestamp TWIN fixes both folded (one degree of longitude
+    // apart at lat 10 ≈ 109.5 km); the late cross-batch fix stayed dropped
+    assert(viaFmgws.exists { case (c, n, km) => c == "TWIN" && n == 2 && km > 0 })
+  }
+
   test("streaming session windows: count preserved per user") {
     val out = Files.createTempDirectory("graft_sess_out").toString
     val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
