@@ -45,6 +45,35 @@ object DevProbe {
           .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
       case "@docs_scan" => (s, dir) =>
         graft.Tables.table(s, dir, "documents").select("doc_id", "text")
+      case "@jac_sh" => (s, dir) =>
+        graft.Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(graft.functions.VectorExpr.shingles(
+              split(col("text"), " ")))).as("g"))
+      case "@jac_shared" => (s, dir) => {
+        val sh = graft.Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(graft.functions.VectorExpr.shingles(
+              split(col("text"), " ")))).as("g"))
+        val a = sh.select(col("doc_id").as("ida"), col("source").as("srca"), col("g"))
+        val b = sh.select(col("doc_id").as("idb"), col("source").as("srcb"), col("g").as("g2"))
+        a.join(b, col("g") === col("g2") && col("srca") === col("srcb") &&
+            col("ida") < col("idb"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+      }
+      case "@jac_shared32" => (s, dir) => {
+        val sh = graft.Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(graft.functions.VectorExpr.shingles(
+              split(col("text"), " ")))).as("g"))
+        val a = sh.select(col("doc_id").as("ida"), col("source").as("srca"), col("g"))
+          .repartition(32, col("g"), col("srca"))
+        val b = sh.select(col("doc_id").as("idb"), col("source").as("srcb"), col("g").as("g2"))
+          .repartition(32, col("g2"), col("srcb"))
+        a.join(b, col("g") === col("g2") && col("srca") === col("srcb") &&
+            col("ida") < col("idb"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+      }
       case other => SparkEntry.queries(other)
     }
     for (pass <- 1 to n; q <- names) {

@@ -99,11 +99,16 @@ object DedupOps {
         // distinct per doc is per-ROW (array_distinct before explode) — no
         // global DISTINCT exchange. The shingle relation is consumed three
         // times (sizes + both join sides) and REGENERATED each time: it is a
-        // cheap map-side pass, and measured here the 3× recompute beats both
-        // materialize-to-scratch-parquet (write dominates at this scale;
-        // tried in round 2) and cache() (large block allocations → GC pauses
-        // mid-suite). At 100 TB the balance flips: write the shingle relation
-        // to storage once and re-scan it.
+        // cheap map-side pass (StringShingles is one compiled eval per doc),
+        // and every alternative has been measured slower at this scale:
+        // materialize-to-scratch-parquet (round 2: the write dominates),
+        // cache() (round 2: large block allocations → GC pauses mid-suite),
+        // and bucket-collect pair generation per (source, shingle) with
+        // generator fan-out (round 3: ~1.8 s vs ~1.45 s — millions of
+        // size-one shingle groups make per-group collect overhead exceed the
+        // join-side exchanges it saves; the same pattern WINS for simhash,
+        // whose 20 source blocks amortize the collect). At 100 TB the balance
+        // flips: write the shingle relation to storage once and re-scan it.
         val sh = table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             explode(array_distinct(VectorExpr.shingles(split(col("text"), " ")))).as("g"))
