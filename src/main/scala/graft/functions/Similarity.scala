@@ -154,32 +154,39 @@ object Similarity {
         "Lloyd's k-means (K=8, init = embeddings of vec_id 1..8, 2 unrolled " +
         "iterations), then route the query to its nearest trained centroid and " +
         "search that cell only. Every step is deterministic and oracle-expressible: " +
-        "assignment is an argmin window (ORDER BY dist, cid — double distance math " +
-        "is the identical IEEE expression on both engines), centroid updates are " +
-        "per-dim double averages cast to FLOAT (absorbing partition-order noise), " +
-        "and the iteration count is pinned. Scale shape: assignments are one " +
-        "broadcast-join + one vec_id-keyed window per round (the window is " +
-        "per-vector over K rows, never global), updates are one posexplode " +
-        "aggregation — all linear passes; the trained centroid table stays tiny " +
-        "and broadcast at any corpus size.",
+        "assignment is a (dist, cid) argmin — min(struct) here, the equivalent " +
+        "row_number spelling in the oracle; double distance math is the identical " +
+        "IEEE expression on both engines — centroid updates are per-dim double " +
+        "averages cast to FLOAT (absorbing partition-order noise), and the " +
+        "iteration count is pinned. Scale shape: the embedding table never " +
+        "crosses an exchange — distances are map-side behind the broadcast " +
+        "centroids, the argmin reduces slim (vec_id, dist, cid) rows, and the " +
+        "assignment broadcasts back; updates are one posexplode aggregation with " +
+        "map-side partial averages.",
       (s, dir) => {
         import org.apache.spark.sql.DataFrame
-        import org.apache.spark.sql.expressions.Window
         val K = 8
         val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         def dist(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
           Exact.dot(v, v) + Exact.dot(c, c) - lit(2.0) * Exact.dot(v, c)
-        // nearest-centroid assignment: K candidate rows per vector, argmin by
-        // (dist, cid) via row_number — deterministic tie-break, no global sort
-        def assign(cent: DataFrame): DataFrame = {
-          val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+        // nearest-centroid assignment, embeddings never shuffled: distances
+        // are computed map-side after broadcasting the K centroids, the argmin
+        // reduces SLIM (vec_id, dist, cid) rows — min(struct(dist, cid)) is
+        // the same lexicographic (dist, cid) tie-break a row_number window
+        // gives, without dragging the 64-dim arrays through an exchange —
+        // and the tiny assignment broadcasts back onto the embedding scan.
+        // (At corpus scales where the assignment outgrows a broadcast, that
+        // last join becomes a vec_id-keyed shuffle join; the embedding table
+        // still crosses no exchange for the distance math itself.)
+        def assign(cent: DataFrame): DataFrame =
           e.join(broadcast(cent))
-            .select(col("vec_id"), col("embedding"), col("cid"),
-              dist(col("embedding"), col("centroid")).as("dist"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("vec_id"), col("embedding"), col("cid"))
-        }
+            .select(col("vec_id"),
+              dist(col("embedding"), col("centroid")).as("dist"), col("cid"))
+            .groupBy("vec_id")
+            .agg(min(struct(col("dist"), col("cid"))).as("m"))
+            .select(col("vec_id").as("aid"), col("m.cid").as("cid"))
+        def withCells(asg: DataFrame): DataFrame =
+          e.join(broadcast(asg), col("vec_id") === col("aid")).drop("aid")
         // Lloyd update: per-dim double avg over the cell, re-assembled in pos
         // order and cast per-element to FLOAT
         def update(assigned: DataFrame): DataFrame = assigned
@@ -190,7 +197,7 @@ object Similarity {
             .as("centroid"))
         val c0 = e.filter(col("vec_id").between(1, K))
           .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
-        val c2 = update(assign(update(assign(c0))))
+        val c2 = update(withCells(assign(update(withCells(assign(c0))))))
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
         val qCell = c2.crossJoin(broadcast(q))
@@ -198,7 +205,7 @@ object Similarity {
           .orderBy(col("dist"), col("cid"))
           .limit(1)
           .select(col("cid").as("qcell"))
-        assign(c2).filter(col("vec_id") =!= 0)
+        withCells(assign(c2)).filter(col("vec_id") =!= 0)
           .join(broadcast(qCell), col("cid") === col("qcell"))
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
