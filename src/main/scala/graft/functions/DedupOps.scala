@@ -307,6 +307,42 @@ object DedupOps {
       }),
 
     GraftQuery(
+      "q_dedup_decontaminate",
+      "Train/test CONTAMINATION check — the decontamination staple of every " +
+        "training-data pipeline: split the corpus with the same content-free md5 " +
+        "id-hash as q_split_assign, then count test documents sharing at least one " +
+        "5-gram with any train document (a left-semi join on the shingle key). " +
+        "On this near-dup corpus 97 of 281 test docs are contaminated — exactly " +
+        "the leakage a held-out split inherits when dedup runs after splitting. " +
+        "Scale shape: shingles explode map-side (one compiled eval per doc), the " +
+        "semi join shuffles (shingle, doc_id) only and ships no text; at 100 TB " +
+        "swap the raw shingle strings for their 64-bit hashes + a verify pass.",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .withColumn("b",
+            pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+              .cast("int"), lit(100)))
+        val sh = d.select(col("doc_id"), col("b"),
+          explode(array_distinct(VectorExpr.shingles(split(col("text"), " "), 5))).as("g"))
+        val contaminated = sh.filter(col("b") >= 95).select("doc_id", "g")
+          .join(sh.filter(col("b") < 90).select("g"), Seq("g"), "left_semi")
+          .agg(countDistinct(col("doc_id")).as("n_contaminated"))
+        d.filter(col("b") >= 95).agg(count(lit(1)).as("n_test"))
+          .crossJoin(contaminated)
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
+          |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) % 100 AS b
+          |  FROM documents),
+          |sh AS (SELECT doc_id, b, unnest(list_distinct(list_transform(range(1, len(toks)-3),
+          |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))) AS g
+          |  FROM d WHERE len(toks) >= 5)
+          |SELECT (SELECT count(*) FROM d WHERE b >= 95) AS n_test,
+          |  count(DISTINCT doc_id) AS n_contaminated
+          |FROM (SELECT doc_id, g FROM sh WHERE b >= 95) t
+          |WHERE g IN (SELECT g FROM sh WHERE b < 90)""".stripMargin)),
+
+    GraftQuery(
       "q_dedup_embed",
       "Embedding-cosine near-dup: label-blocked pairs with similarity ≥ 0.4 " +
         "(corpus max same-label sim ≈ 0.47), count + max — the semantic-dedup shape.",

@@ -142,6 +142,43 @@ object TextAnalysis {
           |  list_reduce(list_concat([CAST(0 AS BIGINT)],
           |    list_transform(string_split(text,' '), t -> CAST(ascii(t) * len(t) AS BIGINT))),
           |    (a, b) -> (a * 31 + b) % 1000003) AS fp
-          |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin))
+          |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    GraftQuery(
+      "q_text_tfidf",
+      "TF-IDF term scoring — the classic corpus-weighting operator: tf = term " +
+        "count within the doc, df = number of docs containing the term, score = " +
+        "tf · ln(N/df); global top-20 (doc, term) scores with a total tie-break. " +
+        "Deterministic cross-engine because tf/df/N are exact integers and the " +
+        "single ln + multiply is the identical IEEE expression on both engines. " +
+        "Scale shape: one token explode → (doc, term) counts, df as a second " +
+        "aggregation of THAT relation (already term-keyed — no re-explode), one " +
+        "term-keyed join back; every stage key-partitioned, nothing global but " +
+        "the final top-k (TakeOrderedAndProject).",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val n = docs.select(count(lit(1)).as("n_docs"))
+        tf.join(df, "w")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("w").as("term"),
+            round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+              .as("score"))
+          .orderBy(col("score").desc, col("doc_id"), col("term"))
+          .limit(20)
+      },
+      Some(
+        """WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM (
+          |    SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+          |  GROUP BY doc_id, w),
+          |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+          |n AS (SELECT count(*) AS n_docs FROM documents)
+          |SELECT tf.doc_id, tf.w AS term,
+          |  round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+          |FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+          |ORDER BY score DESC, tf.doc_id, term LIMIT 20""".stripMargin))
   )
 }

@@ -72,6 +72,50 @@ object VectorOps {
           "round(avg(embedding[2]),6) AS c1 FROM embeddings GROUP BY label ORDER BY label")),
 
     GraftQuery(
+      "q_vec_outliers",
+      "Embedding OUTLIER detection — the quality-filtering staple: per-label " +
+        "centroid (per-dim double avg, float-cast to absorb partition-order " +
+        "noise), then count vectors whose squared L2 distance to their centroid " +
+        "exceeds a fixed threshold (1.03 ≈ p95 of this corpus). Distance uses the " +
+        "|v|²+|c|²−2v·c decomposition — the identical IEEE expression both " +
+        "engines, the q_ann_ivf_kmeans discipline. Scale shape: centroids are a " +
+        "posexplode aggregation with map-side partials, the distance pass is " +
+        "map-side behind a broadcast of the 10-row centroid table — embeddings " +
+        "cross no exchange.",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val cent = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos").agg(avg(col("v")).as("c"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
+            .as("centroid"))
+        val d2 = Exact.dot(col("embedding"), col("embedding")) +
+          Exact.dot(col("centroid"), col("centroid")) -
+          lit(2.0) * Exact.dot(col("embedding"), col("centroid"))
+        e.join(broadcast(cent), "label")
+          .select(col("label"), d2.as("d2"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("d2") > 1.03, 1L).otherwise(0L)).as("n_outliers"),
+            round(max(col("d2")), 6).as("max_d2"))
+          .orderBy("label")
+      },
+      Some(
+        s"""WITH exp AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+           |  FROM embeddings),
+           |cent AS (SELECT label, list_transform(list(c ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
+           |  FROM (SELECT label, pos, avg(v) AS c FROM exp GROUP BY label, pos) GROUP BY label),
+           |d AS (SELECT e.label,
+           |    (${Exact.squaredNormSql("e.embedding")} + ${Exact.squaredNormSql("c.centroid")}
+           |     - 2.0*${Exact.dotSql("e.embedding", "c.centroid")}) AS d2
+           |  FROM embeddings e JOIN cent c ON e.label = c.label)
+           |SELECT label, count(*) AS n,
+           |  CAST(sum(CASE WHEN d2 > 1.03 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           |  round(max(d2), 6) AS max_d2
+           |FROM d GROUP BY label ORDER BY label""".stripMargin)),
+
+    GraftQuery(
       "q_vec_pair_sim",
       "Top-20 most-similar same-label pairs — label-blocked self-join (near-dup shape).",
       (s, dir) => {
