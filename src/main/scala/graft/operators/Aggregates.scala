@@ -319,6 +319,26 @@ object Aggregates {
         // divergence as q_ts_session's sid
         "SELECT o_orderstatus, CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big, " +
           "bool_and(o_totalprice > 0) AS all_pos, bool_or(o_totalprice > 400000) AS any_huge " +
-          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
+    GraftQuery(
+      "q_agg_salted",
+      "Salted two-phase aggregation under the oracle gate — the hot-key " +
+        "mitigation (Skew.saltedStats) run end-to-end: each key splits into 16 " +
+        "content-hash salted sub-keys for the parallel first aggregation, a tiny " +
+        "second aggregation combines partials per original key. events.event_type " +
+        "has single-digit cardinality, exactly the shape whose plain groupBy " +
+        "stragglers at 100 TB. Exact by construction: counts and micro-unit LONG " +
+        "money partials are associative integers, and the salt is a content hash " +
+        "(deterministic under task retry — a rand()/partition-id salt silently " +
+        "double-counts on recompute). The oracle is the plain one-phase GROUP BY.",
+      (s, dir) =>
+        Skew.saltedStats(
+            graft.Tables.table(s, dir, "events"), col("event_type"), col("value"))
+          .select(col("key").as("event_type"), col("n"), col("total"))
+          .orderBy("event_type"),
+      Some(
+        "SELECT event_type, count(*) AS n, " + Exact.moneySumSql("value") + " AS total " +
+          "FROM events GROUP BY event_type ORDER BY event_type"))
   )
 }

@@ -33,12 +33,27 @@ object Skew {
       .groupBy("__key", "__salt").agg(count(lit(1)).as("__partial"))
       .groupBy(col("__key").as("key")).agg(sum(col("__partial")).as("n"))
 
-  /** Exact decimal sum per key, salted (graft.Exact discipline — associative,
-    * so the two-phase split cannot change the result). */
+  /** Exact money sum per key, salted (graft.Exact fixed-point discipline:
+    * LONG micro-unit partials are associative integers, so the two-phase
+    * split cannot change the result — moneyFinish rounds once at the end). */
   def saltedMoneySum(df: DataFrame, key: Column, value: Column, buckets: Int = 16): DataFrame =
     salted(df, key, buckets)
-      .withColumn("__v", value.cast(org.apache.spark.sql.types.DecimalType(28, 6)))
-      .groupBy("__key", "__salt").agg(sum(col("__v")).as("__partial"))
+      .withColumn("__dw", graft.Exact.microDw(value))
+      .withColumn("__fr", graft.Exact.microFr(value))
+      .groupBy("__key", "__salt")
+      .agg(sum(col("__dw")).as("__pd"), sum(col("__fr")).as("__pf"))
       .groupBy(col("__key").as("key"))
-      .agg(round(sum(col("__partial")), 2).cast(org.apache.spark.sql.types.DoubleType).as("total"))
+      .agg(graft.Exact.moneyFinish(sum(col("__pd")), sum(col("__pf"))).as("total"))
+
+  /** Count + exact money sum per key in ONE salted two-phase pass — the
+    * gated q_agg_salted shape. */
+  def saltedStats(df: DataFrame, key: Column, value: Column, buckets: Int = 16): DataFrame =
+    salted(df, key, buckets)
+      .withColumn("__dw", graft.Exact.microDw(value))
+      .withColumn("__fr", graft.Exact.microFr(value))
+      .groupBy("__key", "__salt")
+      .agg(count(lit(1)).as("__pc"), sum(col("__dw")).as("__pd"), sum(col("__fr")).as("__pf"))
+      .groupBy(col("__key").as("key"))
+      .agg(sum(col("__pc")).as("n"),
+        graft.Exact.moneyFinish(sum(col("__pd")), sum(col("__pf"))).as("total"))
 }
