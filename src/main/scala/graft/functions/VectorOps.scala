@@ -72,6 +72,42 @@ object VectorOps {
           "round(avg(embedding[2]),6) AS c1 FROM embeddings GROUP BY label ORDER BY label")),
 
     GraftQuery(
+      "q_vec_quantize",
+      "Int8 scalar quantization audit — the storage-compression staple for " +
+        "embedding tables (4× smaller than float32): per-vector symmetric scale " +
+        "127/max|v|, q_i = floor(v_i·scale + 0.5) (the money-sum floor trick — " +
+        "no cross-engine round() semantics in play), reconstruction error " +
+        "Σ(v_i − q_i/scale)². Reports the 10 WORST-quantized vectors — per-row " +
+        "math only, no cross-row float aggregation, so every double is the " +
+        "identical IEEE value on both engines. Scale shape: one map-side pass + " +
+        "global top-k (TakeOrderedAndProject).",
+      (s, dir) =>
+        table(s, dir, "embeddings")
+          // sc hoisted to its own column (the lambda references it as an outer
+          // column) — same single evaluation the oracle's CTE performs; the
+          // squared diff is an explicit product, never pow() (libm pow can
+          // differ across engines by an ulp)
+          .select(col("vec_id"), col("embedding"),
+            expr("127.0 / array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))")
+              .as("sc"))
+          .select(col("vec_id"),
+            expr("""round(aggregate(transform(embedding, x ->
+                  (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * sc + 0.5D) / sc) *
+                  (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * sc + 0.5D) / sc)),
+                CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)""").as("err"))
+          .orderBy(col("err").desc, col("vec_id"))
+          .limit(10),
+      Some(
+        """WITH s AS (SELECT vec_id, embedding,
+          |    127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS sc
+          |  FROM embeddings)
+          |SELECT vec_id,
+          |  round(list_sum(list_transform(embedding, x ->
+          |    (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * sc + 0.5) / sc) *
+          |    (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * sc + 0.5) / sc))), 6) AS err
+          |FROM s ORDER BY err DESC, vec_id LIMIT 10""".stripMargin)),
+
+    GraftQuery(
       "q_vec_outliers",
       "Embedding OUTLIER detection — the quality-filtering staple: per-label " +
         "centroid (per-dim double avg, float-cast to absorb partition-order " +

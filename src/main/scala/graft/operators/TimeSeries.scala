@@ -108,6 +108,39 @@ object TimeSeries {
           |SELECT h, event_type,
           |  coalesce(last_value(s IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
           |    ROWS UNBOUNDED PRECEDING), 0.0) AS s_fill
-          |FROM j ORDER BY h, event_type""".stripMargin))
+          |FROM j ORDER BY h, event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_sliding",
+      "SLIDING (hopping) windows in batch — the twin of streaming " +
+        "window(ts, '1 hour', '15 minutes'): every event belongs to 4 " +
+        "overlapping hour windows, generated map-side as explode(0..3) with the " +
+        "window start derived by integer epoch arithmetic " +
+        "(floor(epoch/slide) − k) · slide — identical IEEE/integer steps on both " +
+        "engines, sub-second timestamps included. Count + exact money sum per " +
+        "(window, type); the 4× fan-out happens before the single keyed " +
+        "aggregation, so the shape is one shuffle regardless of overlap factor.",
+      (s, dir) => {
+        val slide = 900L // 15 min; window = 4 slides = 1 h
+        val e = table(s, dir, "events")
+        // Spark floor(double) returns LONG; ts.cast(double) ≡ DuckDB epoch(ts)
+        // bitwise (sub-second precision), so the slot index matches exactly
+        e.select(col("event_type"), col("value"),
+            floor(col("ts").cast("double") / lit(slide.toDouble)).as("slot"),
+            explode(sequence(lit(0), lit(3))).as("k"))
+          .select(col("event_type"), col("value"),
+            timestamp_seconds((col("slot") - col("k")) * lit(slide)).as("w_start"))
+          .groupBy("w_start", "event_type")
+          .agg(count(lit(1)).as("n"), graft.Exact.moneySum(col("value")).as("s"))
+          .orderBy("w_start", "event_type")
+      },
+      Some(
+        """WITH f AS (SELECT event_type, value,
+          |    CAST(to_timestamp((CAST(floor(epoch(ts)/900.0) AS BIGINT) - k) * 900)
+          |      AS TIMESTAMP) AS w_start
+          |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
+          |SELECT w_start, event_type, count(*) AS n, """.stripMargin +
+          graft.Exact.moneySumSql("value") + """ AS s
+          |FROM f GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin))
   )
 }
