@@ -151,18 +151,22 @@ object TextAnalysis {
         "tf · ln(N/df); global top-20 (doc, term) scores with a total tie-break. " +
         "Deterministic cross-engine because tf/df/N are exact integers and the " +
         "single ln + multiply is the identical IEEE expression on both engines. " +
-        "Scale shape: one token explode → (doc, term) counts, df as a second " +
-        "aggregation of THAT relation (already term-keyed — no re-explode), one " +
-        "term-keyed join back; every stage key-partitioned, nothing global but " +
-        "the final top-k (TakeOrderedAndProject).",
+        "Scale shape: one token explode → (doc, term) counts (map-side partials " +
+        "compress the shuffle to the distinct-pair count); df is derived from a " +
+        "per-row array_distinct explode — NOT from the tf relation, whose lazy " +
+        "plan would be recomputed for the join's second leg — and is " +
+        "vocabulary-sized, so it broadcasts: the score join is map-side. Nothing " +
+        "global but the final top-k (TakeOrderedAndProject).",
       (s, dir) => {
         val docs = table(s, dir, "documents")
         val tf = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val df = docs
+          .select(explode(array_distinct(split(col("text"), " "))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("df"))
         val n = docs.select(count(lit(1)).as("n_docs"))
-        tf.join(df, "w")
+        tf.join(broadcast(df), "w")
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("w").as("term"),
             round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
