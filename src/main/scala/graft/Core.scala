@@ -185,6 +185,26 @@ object Exact {
   def moneySum(c: Column): Column =
     moneyFinish(sum(microDw(c)), sum(microFr(c)))
 
+  /** Order-insensitive average via nano-unit LONG accumulation — the
+    * deterministic replacement for avg() wherever the result feeds a
+    * threshold, argmin or cell assignment. A plain double avg() varies in the
+    * last bits with shuffle-block arrival order, so "cast to FLOAT absorbs
+    * the noise" is only probabilistic (and the margin shrinks as group sizes
+    * grow); here the per-row floor is identical IEEE on both engines and the
+    * integer sum is associative, so the result is bit-stable under ANY
+    * partitioning at any scale. Quantizes inputs to 1e-9 — far below the
+    * float ulp the centroid pipeline rounds to. Overflow: |x|≲1 inputs keep
+    * the sum within LONG up to ~7e9 rows per group; past that, split like
+    * [[moneySum]]. count(c) (null-skipping) mirrors avg()'s semantics. */
+  def nanoAvg(c: Column): Column =
+    sum(floor(c.cast(DoubleType) * lit(1e9) + lit(0.5d))).cast(DoubleType) /
+      (count(c).cast(DoubleType) * lit(1e9))
+
+  /** DuckDB twin of [[nanoAvg]] (HUGEINT sum cast back through BIGINT). */
+  def nanoAvgSql(e: String): String =
+    s"(CAST(CAST(sum(CAST(floor(CAST($e AS DOUBLE)*1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)" +
+      s" / (CAST(count($e) AS DOUBLE) * 1000000000))"
+
   /** DuckDB twin of [[moneySum]] — the same integer arithmetic, spelled in
     * DuckDB SQL. `//` only ever divides non-negative values or exact
     * multiples, where floor and truncating division agree; integer sums are

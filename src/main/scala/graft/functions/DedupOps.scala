@@ -200,8 +200,8 @@ object DedupOps {
         "decreases until the fixpoint (labels only ever decrease) — one scalar " +
         "per round to the driver, no data collected; past ~2^52 total label mass " +
         "switch the monitor to a changed-row count. Oracle: DuckDB recursive CTE " +
-        "reachability over the same edge relation (11.3 s at sf0.1 vs ~2 s here — " +
-        "set enumeration vs log-round propagation).",
+        "reachability over the same edge relation (9.3 s at sf0.1 vs 3.1 s here, " +
+        "BASELINE.md round-3 medians — set enumeration vs log-round propagation).",
       (s, dir) => {
         val bands = lshBands(s, dir)
         // both orientations of every collision pair (the =!= self-join emits
@@ -274,7 +274,11 @@ object DedupOps {
         "by a block-size cap either way. The oracle keeps the all-pairs relational " +
         "spelling of the same hash, so the gate pins the expression bit-for-bit.",
       (s, dir) => {
+        // source.isNotNull: the oracle's a.source = b.source join never pairs
+        // NULL-source docs, but groupBy would make NULL a real block — filter
+        // up front so the blocking matches the join semantics exactly
         val fp = table(s, dir, "documents")
+          .filter(col("source").isNotNull)
           .select(col("doc_id"), col("source"),
             VectorExpr.simhash16(split(col("text"), " ")).as("fp"))
         // packed (doc_id ≪ 16 | fp): fp < 2^16, so xor stays field-aligned and

@@ -242,7 +242,10 @@ object SimHashUtil {
     var i = 0
     while (i < n) {
       val t = toks.getUTF8String(i)
-      if (seen.add(t)) {
+      // null elements vote nothing — the relational form's md5(null) → null
+      // rows are skipped by the vote sums, and the SQL-registered function
+      // accepts containsNull arrays
+      if (t != null && seen.add(t)) {
         digest.reset()
         val d = digest.digest(t.getBytes)
         val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)

@@ -30,14 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** The (distinct key `__k` → dense rank `out`) relation alone — for callers
+    * that join it at a different point in their plan (e.g. after a row_number
+    * filter) while the rank DOMAIN stays the full input. Joining ranks derived
+    * from a filtered subset would renumber whenever a key value vanished from
+    * it — always build the ranks from the unfiltered relation. */
+  def denseRanks(df: DataFrame, key: Column, out: String): DataFrame =
+    df.select(key.as("__k")).distinct()
+      .withColumn(out, dense_rank().over(Window.orderBy(col("__k"))))
+
   /** dense_rank() OVER (ORDER BY key) without a global shuffle of `df`.
     * Null-safe join (<=>): the window form ranks null keys (first), so the
     * rewrite must not drop them — plain === would. */
-  def denseRank(df: DataFrame, key: Column, out: String): DataFrame = {
-    val ranks = df.select(key.as("__k")).distinct()
-      .withColumn(out, dense_rank().over(Window.orderBy(col("__k"))))
-    df.join(broadcast(ranks), key <=> col("__k")).drop("__k")
-  }
+  def denseRank(df: DataFrame, key: Column, out: String): DataFrame =
+    df.join(broadcast(denseRanks(df, key, out)), key <=> col("__k")).drop("__k")
 
   /** rank() OVER (ORDER BY key) — like [[denseRank]] plus per-key counts:
     * rank(v) = 1 + Σ count(k < v), a running sum over the distinct relation. */

@@ -50,11 +50,10 @@ object Windows {
         val wrn = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
         val base = table(s, dir, "orders")
           .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
-        // ranks come from the FULL key domain (joining ranks derived from the
-        // rn=1 subset would renumber if a priority value vanished from it);
-        // the join itself runs after the rn filter, over the surviving rows
-        val ranks = base.select(col("o_orderpriority").as("__k")).distinct()
-          .withColumn("dr", dense_rank().over(Window.orderBy(col("__k"))))
+        // ranks come from the FULL key domain via GlobalRank (joining ranks
+        // derived from the rn=1 subset would renumber if a priority value
+        // vanished from it); the join itself runs after the rn filter
+        val ranks = GlobalRank.denseRanks(base, col("o_orderpriority"), "dr")
         base
           .select(row_number().over(wrn).as("rn"), col("o_orderpriority"))
           .filter(col("rn") === 1)

@@ -32,7 +32,10 @@ object BucketedLayout {
     * bucketed copies on first use. */
   private def ensureTables(s: SparkSession, dir: String): String =
     built.computeIfAbsent((Tables.sessionId(s), dir), _ => {
-      val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // sessionId in the table name, matching the memo key: without it a
+      // second session on the same SparkContext would mode("overwrite") the
+      // files underneath a first session's in-flight scan
+      val suffix = s"${Tables.sessionId(s)}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
       Tables.table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
         .write.mode("overwrite")
         .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
