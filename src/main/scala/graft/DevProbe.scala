@@ -79,6 +79,8 @@ object DevProbe {
     for (pass <- 1 to n; q <- names) {
       if (q.startsWith("show:")) {
         micro(q.stripPrefix("show:"))(spark, sfDir).show(20, truncate = false)
+      } else if (q.startsWith("explain:")) {
+        micro(q.stripPrefix("explain:"))(spark, sfDir).explain("formatted")
       } else {
         val t0 = System.nanoTime()
         micro(q)(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -43,6 +43,10 @@ object DedupOps {
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands of 2 → catches jaccard ≳ 0.5 reliably
 
+  /** Upper bound on a simhash source-block's membership before pair
+    * generation (quadratic in block size) — see q_dedup_simhash. */
+  private val SimhashBlockCap = 65536
+
   /** (doc_id, band) LSH banding relation — the shared candidate-generation
     * core of q_dedup_minhash / q_dedup_canonical / q_dedup_components. */
   private def lshBands(s: SparkSession, dir: String): DataFrame = {
@@ -109,9 +113,18 @@ object DedupOps {
         // join-side exchanges it saves; the same pattern WINS for simhash,
         // whose 20 source blocks amortize the collect). At 100 TB the balance
         // flips: write the shingle relation to storage once and re-scan it.
+        // shingles are hashed to 64-bit longs MAP-SIDE (xxhash64), before
+        // anything shuffles: the self-join's two exchanges and the per-doc
+        // size aggregation ship 8-byte keys instead of ~20-40 byte shingle
+        // strings, and the join compares longs, not strings. Per-doc
+        // distinctness (array_distinct) still happens on the STRINGS, so a
+        // hash collision could only merge shingles across documents — at
+        // 2^-64 per pair it is astronomically unlikely at any corpus size,
+        // and the string-keyed DuckDB oracle pins the results as identical.
         val sh = table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            explode(array_distinct(VectorExpr.shingles(split(col("text"), " ")))).as("g"))
+            explode(array_distinct(VectorExpr.shingles(split(col("text"), " ")))).as("gs"))
+          .select(col("doc_id"), col("source"), xxhash64(col("gs")).as("g"))
         // per-doc sizes: one row per doc — broadcastable at bench scale; at
         // 100 TB this becomes a shuffle join on the (already-partitioned)
         // doc_id key, still never touching text
@@ -284,11 +297,19 @@ object DedupOps {
         // packed (doc_id ≪ 16 | fp): fp < 2^16, so xor stays field-aligned and
         // the block arrays are primitive longs — no struct serialization in
         // collect/explode; sort_array gives ida < idb via the id high bits
+        // Enforced block-size cap: pair generation inside a block is
+        // quadratic, so a pathological block (one source owning a huge slice
+        // of the corpus) is truncated to its first SimhashBlockCap members in
+        // deterministic packed-long (= doc_id) order. Inert on this corpus
+        // (blocks are O(100) docs at sf0.1); at 100 TB the real move is to
+        // sub-shard oversized blocks on a fingerprint nibble before pairing —
+        // the cap is the backstop that keeps a skewed block from going n².
         val blocks = fp
           .select(col("source"), (col("doc_id") * lit(65536L) + col("fp")).as("p"))
           .groupBy("source")
           .agg(sort_array(collect_list(col("p"))).as("xs"))
           .filter(size(col("xs")) > 1)
+          .select(col("source"), slice(col("xs"), 1, SimhashBlockCap).as("xs"))
         val xorv = col("x").bitwiseXOR(col("y")).bitwiseAND(lit(65535L))
         blocks
           .select(col("xs"), posexplode(col("xs")).as(Seq("i", "x")))

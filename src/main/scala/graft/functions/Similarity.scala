@@ -54,17 +54,18 @@ object Similarity {
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_ann_ivf",
-      "IVF ANN: per-cell full 64-dim centroids (posexplode → per-dim avg → re-assemble, " +
+      "IVF ANN: per-cell full 64-dim centroids (one aggregation of 64 per-dim avgs, " +
         "cast to float), query routed to its nearest centroid, exact top-10 within that " +
         "cell only.",
       (s, dir) => {
         val e = table(s, dir, "embeddings")
+        // fused centroid build: 64 avg aggregates in ONE groupBy(label) pass
+        // (no posexplode row inflation, one exchange of cells × 64 doubles);
+        // same IEEE doubles, order noise absorbed by the float cast
         val cent = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("label", "pos").agg(avg(col("v")).as("c"))
           .groupBy("label")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
-            .as("centroid"))
+          .agg(array((0 until Dims).map(i =>
+            avg(col("embedding")(i)).cast("float")): _*).as("centroid"))
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
         val cell = cent.crossJoin(broadcast(q))
@@ -109,11 +110,9 @@ object Similarity {
       (s, dir) => {
         val e = table(s, dir, "embeddings")
         val cent = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("label", "pos").agg(avg(col("v")).as("c"))
           .groupBy("label")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
-            .as("centroid"))
+          .agg(array((0 until Dims).map(i =>
+            avg(col("embedding")(i)).cast("float")): _*).as("centroid"))
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
         val cells = cent.crossJoin(broadcast(q))
@@ -161,8 +160,8 @@ object Similarity {
         "iteration count is pinned. Scale shape: the embedding table never " +
         "crosses an exchange — distances are map-side behind the broadcast " +
         "centroids, the argmin reduces slim (vec_id, dist, cid) rows, and the " +
-        "assignment broadcasts back; updates are one posexplode aggregation with " +
-        "map-side partial averages.",
+        "assignment broadcasts back; updates are ONE fused aggregation of 64 " +
+        "per-dim avgs with map-side partials.",
       (s, dir) => {
         import org.apache.spark.sql.DataFrame
         val K = 8
@@ -187,14 +186,18 @@ object Similarity {
             .select(col("vec_id").as("aid"), col("m.cid").as("cid"))
         def withCells(asg: DataFrame): DataFrame =
           e.join(broadcast(asg), col("vec_id") === col("aid")).drop("aid")
-        // Lloyd update: per-dim double avg over the cell, re-assembled in pos
-        // order and cast per-element to FLOAT
+        // Lloyd update: per-dim double avg over the cell, cast per-element to
+        // FLOAT. Fused to ONE aggregation — 64 avg aggregates keyed by cid —
+        // instead of the earlier posexplode → groupBy(cid,pos) → groupBy(cid)
+        // chain: no 64× row inflation, one exchange (8 cids × 64 doubles)
+        // instead of two, and the per-stage latency of an iterative fit is
+        // what dominates this query (each Lloyd round is a scheduling
+        // barrier). Same IEEE value: avg of the same doubles, order noise
+        // absorbed by the float cast exactly as before.
         def update(assigned: DataFrame): DataFrame = assigned
-          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("cid", "pos").agg(avg(col("v")).as("c"))
           .groupBy("cid")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
-            .as("centroid"))
+          .agg(array((0 until Dims).map(i =>
+            avg(col("embedding")(i)).cast("float")): _*).as("centroid"))
         val c0 = e.filter(col("vec_id").between(1, K))
           .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
         val c2 = update(withCells(assign(update(withCells(assign(c0))))))

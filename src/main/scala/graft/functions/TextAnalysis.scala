@@ -151,10 +151,12 @@ object TextAnalysis {
         "tf · ln(N/df); global top-20 (doc, term) scores with a total tie-break. " +
         "Deterministic cross-engine because tf/df/N are exact integers and the " +
         "single ln + multiply is the identical IEEE expression on both engines. " +
-        "Scale shape: one token explode → (doc, term) counts (map-side partials " +
-        "compress the shuffle to the distinct-pair count); df is derived from a " +
-        "per-row array_distinct explode — NOT from the tf relation, whose lazy " +
-        "plan would be recomputed for the join's second leg — and is " +
+        "Scale shape: ONE token explode → (doc, term) counts (map-side partials " +
+        "compress the shuffle to the distinct-pair count); df is derived FROM the " +
+        "tf relation — df(w) = count of (doc, w) rows — so Catalyst's " +
+        "ReuseExchange dedupes the (doc_id, w) shuffle between the join's tf leg " +
+        "and the df leg: the corpus is tokenized exactly once (the earlier " +
+        "array_distinct-explode df paid a second full tokenize pass). df is " +
         "vocabulary-sized, so it broadcasts: the score join is map-side. Nothing " +
         "global but the final top-k (TakeOrderedAndProject).",
       (s, dir) => {
@@ -162,8 +164,15 @@ object TextAnalysis {
         val tf = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val df = docs
-          .select(explode(array_distinct(split(col("text"), " "))).as("w"))
+        // The tf >= 1 guard is semantically inert (a count of ≥1 rows) but
+        // load-bearing for the PLAN: without a genuine reference to the tf
+        // column, Catalyst prunes partial_count from the df leg's inner
+        // aggregate (count(tf) gets rewritten to count(1) first — tf is
+        // provably non-null), the two (doc_id, w) exchanges then canonicalize
+        // differently, and ReuseExchange cannot fire — leaving a second full
+        // tokenize+shuffle subtree. With the guard, the formatted plan shows
+        // ReusedExchange: the corpus is tokenized and shuffled exactly once.
+        val df = tf.filter(col("tf") >= 1)
           .groupBy("w").agg(count(lit(1)).as("df"))
         val n = docs.select(count(lit(1)).as("n_docs"))
         tf.join(broadcast(df), "w")
