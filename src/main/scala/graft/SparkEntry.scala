@@ -20,6 +20,7 @@ object SparkEntry {
       operators.SortsSets.all ++  // §2.6–2.7 sorts / top-k / set ops
       functions.Scalars.all ++    // §2.8 scalar functions
       operators.TimeSeries.all ++ // §2.9 time-series (batch form)
+      operators.Geo.all ++        // §2.10 domain: position analytics over TNC2-parsed packets
       functions.TextOps.all ++    // §2.11 text / dedup
       functions.VectorOps.all ++  // §2.11 vector / similarity
       functions.DedupOps.all ++     // §2.11+ minhash-LSH / simhash / jaccard / embed near-dup

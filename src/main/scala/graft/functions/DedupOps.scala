@@ -368,6 +368,49 @@ object DedupOps {
           |WHERE g IN (SELECT g FROM sh WHERE b < 90)""".stripMargin)),
 
     GraftQuery(
+      "q_dedup_incremental",
+      "INCREMENTAL near-dup — the production daily-crawl shape: dedupe a new " +
+        "batch against the existing corpus instead of re-running the one-shot " +
+        "join over everything. The corpus is split with the same content-free " +
+        "md5 id-hash as q_split_assign (batch = buckets ≥ 95, corpus = the " +
+        "rest); the new batch's MinHash/LSH band signatures are LEFT-SEMI " +
+        "joined against the corpus band relation, so a new doc is flagged iff " +
+        "it collides with ANY indexed doc on at least one band. Scale shape: " +
+        "at 100 TB the corpus bands are a persisted index (written once, like " +
+        "BucketedLayout) — the daily job computes bands for the new batch only " +
+        "and the semi join ships (band, doc_id) pairs, never text; cost " +
+        "follows batch size, not corpus size.",
+      (s, dir) => {
+        val bands = lshBands(s, dir)
+          .withColumn("b",
+            pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+              .cast("int"), lit(100)))
+        val newBatch = bands.filter(col("b") >= 95)
+        val corpus = bands.filter(col("b") < 95).select("band")
+        val dup = newBatch.select("doc_id", "band")
+          .join(corpus, Seq("band"), "left_semi")
+          .agg(countDistinct(col("doc_id")).as("n_dup"))
+        newBatch.agg(countDistinct(col("doc_id")).as("n_new")).crossJoin(dup)
+      },
+      Some {
+        val mh = (0 until NumHashes)
+          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k").mkString(", ")
+        val bandList = (0 until NumHashes / BandSize)
+          .map(b => s"'$b|' || " + (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(" || "))
+          .mkString(", ")
+        s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+           |shl AS (SELECT doc_id, $shingleSql AS sh FROM (SELECT doc_id, toks FROM d WHERE len(toks) >= 3) t),
+           |sig AS (SELECT doc_id, $mh FROM shl),
+           |bands AS (SELECT doc_id, unnest([$bandList]) AS band,
+           |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS INTEGER) % 100 AS b
+           |  FROM sig)
+           |SELECT (SELECT count(DISTINCT doc_id) FROM bands WHERE b >= 95) AS n_new,
+           |  count(DISTINCT doc_id) AS n_dup
+           |FROM bands WHERE b >= 95
+           |  AND band IN (SELECT band FROM bands WHERE b < 95)""".stripMargin
+      }),
+
+    GraftQuery(
       "q_dedup_embed",
       "Embedding-cosine near-dup: label-blocked pairs with similarity ≥ 0.4 " +
         "(corpus max same-label sim ≈ 0.47), count + max — the semantic-dedup shape.",

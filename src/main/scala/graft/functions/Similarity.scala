@@ -1,6 +1,8 @@
 package graft.functions
 
 import graft.{Exact, GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -19,9 +21,13 @@ import org.apache.spark.sql.types._
   *    Bucketing is a map-side pass; the bucket join is an equi-join — both
   *    shapes shuffle-friendly at any scale.
   *
-  * Both are oracle-checked in DuckDB: the hyperplane constants are generated
-  * once (seeded) and embedded into BOTH the Spark plan and the oracle SQL, so
-  * there is a single source of truth.
+  *  - q_ann_recall closes the loop: recall@10 of the kmeans-IVF and LSH
+  *    variants against the brute-force ground truth — the number every ANN
+  *    deployment is actually judged by.
+  *
+  * Both index families are oracle-checked in DuckDB: the hyperplane constants
+  * are generated once (seeded) and embedded into BOTH the Spark plan and the
+  * oracle SQL, so there is a single source of truth.
   *
   * Determinism: centroids are double averages cast per-element to FLOAT
   * (absorbing partition-order noise far below float precision), after which
@@ -33,6 +39,7 @@ object Similarity {
 
   private val Dims = 64
   private val NumPlanes = 8
+  private val K = 8 // k-means cells
 
   /** Fixed hyperplanes, seeded — rounded to 6 decimals so the SQL literal and
     * the Scala double are the same IEEE value on both engines. */
@@ -45,11 +52,94 @@ object Similarity {
 
   /** dot(float[], const double[]) — codegen'd FloatDotConst: the hyperplane
     * is a referenced constant array, not a per-row literal construction. */
-  private def dotPlane(v: org.apache.spark.sql.Column, p: Seq[Double]) =
+  private def dotPlane(v: Column, p: Seq[Double]) =
     VectorExpr.dotConst(v, p)
 
   private def dotPlaneSql(v: String, p: Seq[Double]) =
     s"list_sum(list_transform(list_zip($v, ${planeSql(p)}), z -> CAST(z[1] AS DOUBLE) * z[2]))"
+
+  /** Squared euclidean distance expanded to pure dots — identical IEEE
+    * expression on both engines. */
+  private def dist(v: Column, c: Column): Column =
+    Exact.dot(v, v) + Exact.dot(c, c) - lit(2.0) * Exact.dot(v, c)
+  private def distSql(v: String, c: String) =
+    s"(${Exact.squaredNormSql(v)} + ${Exact.squaredNormSql(c)} - 2.0*${Exact.dotSql(v, c)})"
+
+  /** Fused centroid/Lloyd update: 64 avg aggregates in ONE pass keyed by the
+    * cell id (no posexplode row inflation, one exchange of cells × 64
+    * doubles); double avgs cast per-element to FLOAT. */
+  private def centroidAgg(rel: DataFrame, key: String): DataFrame = rel
+    .groupBy(key)
+    .agg(array((0 until Dims).map(i =>
+      avg(col("embedding")(i)).cast("float")): _*).as("centroid"))
+
+  /** Seeded fixed-iteration Lloyd k-means (K=8, init = embeddings of vec_id
+    * 1..8, 2 unrolled iterations): returns (final assignment with embeddings,
+    * trained centroids). Every step is deterministic and oracle-expressible —
+    * see q_ann_ivf_kmeans. Scale shape: the embedding table never crosses an
+    * exchange — distances are map-side behind the broadcast centroids, the
+    * argmin reduces slim (vec_id, dist, cid) rows (min(struct) ≡ the oracle's
+    * row_number argmin), and the tiny assignment broadcasts back. (At corpus
+    * scales where the assignment outgrows a broadcast, that last join becomes
+    * a vec_id-keyed shuffle join; the embeddings still cross no exchange for
+    * the distance math itself.) */
+  private def trainedCells(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    def assign(cent: DataFrame): DataFrame =
+      e.join(broadcast(cent))
+        .select(col("vec_id"),
+          dist(col("embedding"), col("centroid")).as("dist"), col("cid"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id").as("aid"), col("m.cid").as("cid"))
+    def withCells(asg: DataFrame): DataFrame =
+      e.join(broadcast(asg), col("vec_id") === col("aid")).drop("aid")
+    def update(assigned: DataFrame): DataFrame = centroidAgg(assigned, "cid")
+    val c0 = e.filter(col("vec_id").between(1, K))
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
+    val c2 = update(withCells(assign(update(withCells(assign(c0))))))
+    (withCells(assign(c2)), c2)
+  }
+
+  /** The k-means oracle CTE chain (e, c0, a1, c1, a2, c2, a3) shared by
+    * q_ann_ivf_kmeans and q_ann_recall — one source of truth for the trained
+    * quantizer on the DuckDB side. */
+  private def kmeansCtes: String = {
+    def assignSql(cent: String, out: String) =
+      s"""$out AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${distSql("e.embedding", "c.centroid")}, c.cid) AS rn
+         |  FROM e CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+    def updateSql(assigned: String, out: String) =
+      s"""${out}_exp AS (SELECT cid, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+         |  FROM $assigned),
+         |${out}_avg AS (SELECT cid, pos, avg(v) AS c FROM ${out}_exp GROUP BY cid, pos),
+         |$out AS (SELECT cid, list_transform(list(c ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
+         |  FROM ${out}_avg GROUP BY cid)""".stripMargin
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS centroid FROM e
+       |  WHERE vec_id BETWEEN 1 AND $K),
+       |${assignSql("c0", "a1")},
+       |${updateSql("a1", "c1")},
+       |${assignSql("c1", "a2")},
+       |${updateSql("a2", "c2")},
+       |${assignSql("c2", "a3")}""".stripMargin
+  }
+
+  /** (vec_id, embedding, nrm, bucket) under the fixed-hyperplane LSH —
+    * shared by q_ann_lsh and q_ann_recall. */
+  private def lshBucketed(s: SparkSession, dir: String): DataFrame = {
+    val bucketCol = planes.zipWithIndex
+      .map { case (p, k) => when(dotPlane(col("embedding"), p) > 0, 1 << k).otherwise(0) }
+      .reduce(_ + _)
+    table(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      Exact.norm(col("embedding")).as("nrm"), bucketCol.as("bucket"))
+  }
+
+  private def lshBucketSql: String = planes.zipWithIndex
+    .map { case (p, k) => s"CASE WHEN ${dotPlaneSql("embedding", p)} > 0 THEN ${1 << k} ELSE 0 END" }
+    .mkString(" + ")
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -59,22 +149,16 @@ object Similarity {
         "cell only.",
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-        // fused centroid build: 64 avg aggregates in ONE groupBy(label) pass
-        // (no posexplode row inflation, one exchange of cells × 64 doubles);
-        // same IEEE doubles, order noise absorbed by the float cast
-        val cent = e
-          .groupBy("label")
-          .agg(array((0 until Dims).map(i =>
-            avg(col("embedding")(i)).cast("float")): _*).as("centroid"))
+        val cent = centroidAgg(e, "label").withColumnRenamed("label", "clabel")
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
         val cell = cent.crossJoin(broadcast(q))
-          .select(col("label"),
+          .select(col("clabel"),
             (Exact.dot(col("centroid"), col("qv")) /
               (Exact.norm(col("centroid")) * col("qn"))).as("csim"))
-          .orderBy(col("csim").desc, col("label"))
+          .orderBy(col("csim").desc, col("clabel"))
           .limit(1)
-          .select(col("label").as("cell"))
+          .select(col("clabel").as("cell"))
         e.filter(col("vec_id") =!= 0)
           .join(broadcast(cell), col("label") === col("cell"))
           .crossJoin(broadcast(q))
@@ -109,19 +193,16 @@ object Similarity {
         "the plan shape is identical to single-probe.",
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-        val cent = e
-          .groupBy("label")
-          .agg(array((0 until Dims).map(i =>
-            avg(col("embedding")(i)).cast("float")): _*).as("centroid"))
+        val cent = centroidAgg(e, "label").withColumnRenamed("label", "clabel")
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
         val cells = cent.crossJoin(broadcast(q))
-          .select(col("label"),
+          .select(col("clabel"),
             (Exact.dot(col("centroid"), col("qv")) /
               (Exact.norm(col("centroid")) * col("qn"))).as("csim"))
-          .orderBy(col("csim").desc, col("label"))
+          .orderBy(col("csim").desc, col("clabel"))
           .limit(2)
-          .select(col("label").as("cell"))
+          .select(col("clabel").as("cell"))
         e.filter(col("vec_id") =!= 0)
           .join(broadcast(cells), col("label") === col("cell"))
           .crossJoin(broadcast(q))
@@ -163,44 +244,8 @@ object Similarity {
         "assignment broadcasts back; updates are ONE fused aggregation of 64 " +
         "per-dim avgs with map-side partials.",
       (s, dir) => {
-        import org.apache.spark.sql.DataFrame
-        val K = 8
+        val (asg, c2) = trainedCells(s, dir)
         val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        def dist(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-          Exact.dot(v, v) + Exact.dot(c, c) - lit(2.0) * Exact.dot(v, c)
-        // nearest-centroid assignment, embeddings never shuffled: distances
-        // are computed map-side after broadcasting the K centroids, the argmin
-        // reduces SLIM (vec_id, dist, cid) rows — min(struct(dist, cid)) is
-        // the same lexicographic (dist, cid) tie-break a row_number window
-        // gives, without dragging the 64-dim arrays through an exchange —
-        // and the tiny assignment broadcasts back onto the embedding scan.
-        // (At corpus scales where the assignment outgrows a broadcast, that
-        // last join becomes a vec_id-keyed shuffle join; the embedding table
-        // still crosses no exchange for the distance math itself.)
-        def assign(cent: DataFrame): DataFrame =
-          e.join(broadcast(cent))
-            .select(col("vec_id"),
-              dist(col("embedding"), col("centroid")).as("dist"), col("cid"))
-            .groupBy("vec_id")
-            .agg(min(struct(col("dist"), col("cid"))).as("m"))
-            .select(col("vec_id").as("aid"), col("m.cid").as("cid"))
-        def withCells(asg: DataFrame): DataFrame =
-          e.join(broadcast(asg), col("vec_id") === col("aid")).drop("aid")
-        // Lloyd update: per-dim double avg over the cell, cast per-element to
-        // FLOAT. Fused to ONE aggregation — 64 avg aggregates keyed by cid —
-        // instead of the earlier posexplode → groupBy(cid,pos) → groupBy(cid)
-        // chain: no 64× row inflation, one exchange (8 cids × 64 doubles)
-        // instead of two, and the per-stage latency of an iterative fit is
-        // what dominates this query (each Lloyd round is a scheduling
-        // barrier). Same IEEE value: avg of the same doubles, order noise
-        // absorbed by the float cast exactly as before.
-        def update(assigned: DataFrame): DataFrame = assigned
-          .groupBy("cid")
-          .agg(array((0 until Dims).map(i =>
-            avg(col("embedding")(i)).cast("float")): _*).as("centroid"))
-        val c0 = e.filter(col("vec_id").between(1, K))
-          .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
-        val c2 = update(withCells(assign(update(withCells(assign(c0))))))
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
         val qCell = c2.crossJoin(broadcast(q))
@@ -208,7 +253,7 @@ object Similarity {
           .orderBy(col("dist"), col("cid"))
           .limit(1)
           .select(col("cid").as("qcell"))
-        withCells(assign(c2)).filter(col("vec_id") =!= 0)
+        asg.filter(col("vec_id") =!= 0)
           .join(broadcast(qCell), col("cid") === col("qcell"))
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
@@ -217,38 +262,15 @@ object Similarity {
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10)
       },
-      Some {
-        val K = 8
-        def distSql(v: String, c: String) =
-          s"(${Exact.squaredNormSql(v)} + ${Exact.squaredNormSql(c)} - 2.0*${Exact.dotSql(v, c)})"
-        def assignSql(cent: String, out: String) =
-          s"""$out AS (SELECT vec_id, embedding, cid FROM (
-             |  SELECT e.vec_id, e.embedding, c.cid,
-             |    row_number() OVER (PARTITION BY e.vec_id
-             |      ORDER BY ${distSql("e.embedding", "c.centroid")}, c.cid) AS rn
-             |  FROM e CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
-        def updateSql(assigned: String, out: String) =
-          s"""${out}_exp AS (SELECT cid, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
-             |  FROM $assigned),
-             |${out}_avg AS (SELECT cid, pos, avg(v) AS c FROM ${out}_exp GROUP BY cid, pos),
-             |$out AS (SELECT cid, list_transform(list(c ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
-             |  FROM ${out}_avg GROUP BY cid)""".stripMargin
-        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-           |c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS centroid FROM e
-           |  WHERE vec_id BETWEEN 1 AND $K),
-           |${assignSql("c0", "a1")},
-           |${updateSql("a1", "c1")},
-           |${assignSql("c1", "a2")},
-           |${updateSql("a2", "c2")},
-           |${assignSql("c2", "a3")},
+      Some(
+        s"""WITH $kmeansCtes,
            |q AS (SELECT embedding AS qv, sqrt(${Exact.squaredNormSql("embedding")}) AS qn
            |  FROM e WHERE vec_id = 0),
            |qcell AS (SELECT cid FROM c2, q ORDER BY ${distSql("qv", "centroid")}, cid LIMIT 1)
            |SELECT a3.vec_id, round(${Exact.dotSql("a3.embedding", "q.qv")} /
            |    (sqrt(${Exact.squaredNormSql("a3.embedding")}) * q.qn), 6) AS sim
            |FROM a3, q, qcell WHERE a3.cid = qcell.cid AND a3.vec_id <> 0
-           |ORDER BY sim DESC, a3.vec_id LIMIT 10""".stripMargin
-      }),
+           |ORDER BY sim DESC, a3.vec_id LIMIT 10""".stripMargin)),
 
     GraftQuery(
       "q_ann_lsh",
@@ -256,12 +278,7 @@ object Similarity {
         "top-10 cosine within the query's bucket. Hyperplane constants are shared " +
         "verbatim between the Spark plan and the oracle SQL.",
       (s, dir) => {
-        val e = table(s, dir, "embeddings")
-        val bucketCol = planes.zipWithIndex
-          .map { case (p, k) => when(dotPlane(col("embedding"), p) > 0, 1 << k).otherwise(0) }
-          .reduce(_ + _)
-        val bucketed = e.select(col("vec_id"), col("embedding"),
-          Exact.norm(col("embedding")).as("nrm"), bucketCol.as("bucket"))
+        val bucketed = lshBucketed(s, dir)
         val q = bucketed.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), col("nrm").as("qn"), col("bucket").as("qb"))
         bucketed.filter(col("vec_id") =!= 0)
@@ -271,17 +288,94 @@ object Similarity {
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10)
       },
-      Some {
-        val bucketSql = planes.zipWithIndex
-          .map { case (p, k) => s"CASE WHEN ${dotPlaneSql("embedding", p)} > 0 THEN ${1 << k} ELSE 0 END" }
-          .mkString(" + ")
+      Some(
         s"""WITH b AS (SELECT vec_id, embedding,
            |  sqrt(${Exact.squaredNormSql("embedding")}) AS nrm,
-           |  $bucketSql AS bucket FROM embeddings),
+           |  $lshBucketSql AS bucket FROM embeddings),
            |q AS (SELECT embedding AS qv, nrm AS qn, bucket AS qb FROM b WHERE vec_id = 0)
            |SELECT b.vec_id, round(${Exact.dotSql("b.embedding", "q.qv")} / (b.nrm * q.qn), 6) AS sim
            |FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
-           |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin
-      })
+           |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin)),
+
+    GraftQuery(
+      "q_ann_recall",
+      "ANN recall audit — recall@10 of the trained-kmeans IVF and the LSH bucket " +
+        "variants against the brute-force cosine ground truth, for query vectors " +
+        "0..9: |ANN top-10 ∩ exact top-10| / 10 per query. Pure relational top-k " +
+        "intersection (row_number windows + equi-joins), so the oracle runs the " +
+        "identical computation. Scale shape: ground truth is the one O(q·n) " +
+        "brute-force leg (10 broadcast queries riding the embedding scan " +
+        "map-side — this is the AUDIT, priced like q_vec_knn); the ANN legs " +
+        "only score their own cell/bucket.",
+      (s, dir) => {
+        val (asg, c2) = trainedCells(s, dir)
+        val bucketed = lshBucketed(s, dir)
+        val qs = bucketed.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("nrm").as("qn"), col("bucket").as("qb"))
+        def sim(emb: Column, nrm: Column) =
+          Exact.dot(emb, col("qv")) / (nrm * col("qn"))
+        def top10(scored: DataFrame): DataFrame = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("rn") <= 10).select("qid", "vec_id")
+        val gt = top10(bucketed.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), sim(col("embedding"), col("nrm")).as("sim")))
+        val qcell = qs.join(broadcast(c2))
+          .select(col("qid"), dist(col("qv"), col("centroid")).as("dist"), col("cid"))
+          .groupBy("qid").agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("qid").as("cqid"), col("m.cid").as("qcell"))
+        val km = top10(asg
+          .join(broadcast(qcell), col("cid") === col("qcell"))
+          .join(broadcast(qs), col("qid") === col("cqid") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            sim(col("embedding"), Exact.norm(col("embedding"))).as("sim")))
+        val ls = top10(bucketed
+          .join(broadcast(qs), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), sim(col("embedding"), col("nrm")).as("sim")))
+        def hits(ann: DataFrame, out: String): DataFrame =
+          gt.join(ann, Seq("qid", "vec_id"))
+            .groupBy("qid").agg(count(lit(1)).as(out))
+            .withColumnRenamed("qid", out + "_qid")
+        qs.select(col("qid"))
+          .join(broadcast(hits(km, "km")), col("qid") === col("km_qid"), "left")
+          .join(broadcast(hits(ls, "ls")), col("qid") === col("ls_qid"), "left")
+          .select(col("qid").as("vec_id"),
+            (coalesce(col("km"), lit(0L)) / lit(10.0)).as("recall_kmeans"),
+            (coalesce(col("ls"), lit(0L)) / lit(10.0)).as("recall_lsh"))
+          .orderBy("vec_id")
+      },
+      Some(
+        s"""WITH $kmeansCtes,
+           |b AS (SELECT vec_id, embedding,
+           |  sqrt(${Exact.squaredNormSql("embedding")}) AS nrm,
+           |  $lshBucketSql AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn, bucket AS qb
+           |  FROM b WHERE vec_id < 10),
+           |gt AS (SELECT qid, vec_id FROM (
+           |  SELECT q.qid, b.vec_id, row_number() OVER (PARTITION BY q.qid
+           |    ORDER BY ${Exact.dotSql("b.embedding", "q.qv")} / (b.nrm * q.qn) DESC, b.vec_id) AS rn
+           |  FROM b JOIN q ON b.vec_id <> q.qid) t WHERE rn <= 10),
+           |qcell AS (SELECT qid, cid AS qcell FROM (
+           |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+           |    ORDER BY ${distSql("q.qv", "c.centroid")}, c.cid) AS rn
+           |  FROM q CROSS JOIN c2 c) t WHERE rn = 1),
+           |km AS (SELECT qid, vec_id FROM (
+           |  SELECT q.qid, a3.vec_id, row_number() OVER (PARTITION BY q.qid
+           |    ORDER BY ${Exact.dotSql("a3.embedding", "q.qv")} /
+           |      (sqrt(${Exact.squaredNormSql("a3.embedding")}) * q.qn) DESC, a3.vec_id) AS rn
+           |  FROM a3 JOIN qcell ON a3.cid = qcell.qcell
+           |           JOIN q ON q.qid = qcell.qid AND a3.vec_id <> q.qid) t WHERE rn <= 10),
+           |ls AS (SELECT qid, vec_id FROM (
+           |  SELECT q.qid, b.vec_id, row_number() OVER (PARTITION BY q.qid
+           |    ORDER BY ${Exact.dotSql("b.embedding", "q.qv")} / (b.nrm * q.qn) DESC, b.vec_id) AS rn
+           |  FROM b JOIN q ON b.bucket = q.qb AND b.vec_id <> q.qid) t WHERE rn <= 10),
+           |kmh AS (SELECT gt.qid, count(*) AS n FROM gt JOIN km USING (qid, vec_id) GROUP BY gt.qid),
+           |lsh AS (SELECT gt.qid, count(*) AS n FROM gt JOIN ls USING (qid, vec_id) GROUP BY gt.qid)
+           |SELECT q.qid AS vec_id,
+           |  coalesce(kmh.n, 0) / 10.0 AS recall_kmeans,
+           |  coalesce(lsh.n, 0) / 10.0 AS recall_lsh
+           |FROM q LEFT JOIN kmh ON q.qid = kmh.qid LEFT JOIN lsh ON q.qid = lsh.qid
+           |ORDER BY vec_id""".stripMargin))
   )
 }
