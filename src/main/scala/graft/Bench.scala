@@ -51,18 +51,17 @@ object Bench {
     }
     def runPlan(plan: SparkPlan): Unit =
       sc.runJob(plan.execute(), drain _)
-    // Timed-pass split for memoized plans: clone + .execute() — codegen
-    // source regeneration and RDD-chain construction, i.e. plan-reuse
-    // bookkeeping a real warm engine wouldn't pay per run — happen OUTSIDE
-    // the timer (~80 ms/query measured); the timed region is the runJob that
-    // executes every stage. One asterisk, stated honestly: BroadcastExchange
-    // starts its build future at execute() (doPrepare), so a broadcast-side
-    // build can overlap the timer start — every broadcast side in this suite
-    // is a tiny dimension/scalar relation, and all shuffle map stages +
-    // result stages run strictly inside the timer.
-    def prepareClone(plan: SparkPlan)
-        : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
-      plan.clone().asInstanceOf[SparkPlan].execute()
+    // Timed-pass split for memoized plans: the CLONE (a pure tree copy — no
+    // work starts) happens outside the timer; .execute() + runJob are INSIDE
+    // it. execute() must be timed: BroadcastExchange starts its build future
+    // at doPrepare, and for the ANN/tfidf family the broadcast side carries
+    // real aggregations over the full table — leaving execute() untimed let
+    // that work escape the measurement (observed: q_ann_ivf "0.43 s" vs
+    // 0.83 s with the broadcast legs priced). The codegen-source regeneration
+    // execute() also pays (~30-80 ms) is the price of not reusing cached
+    // shuffle/broadcast results across passes.
+    def prepareClone(plan: SparkPlan): SparkPlan =
+      plan.clone().asInstanceOf[SparkPlan]
 
     // Plan memoization (round-3..5 verdict prescription): analysis,
     // optimization, and physical planning run ONCE per (query, sfDir); each
@@ -134,9 +133,9 @@ object Bench {
       val t = try {
         planned.get(name) match {
           case Some(plan) =>
-            val rdd = prepareClone(plan) // untimed: clone + codegen regen
+            val cloned = prepareClone(plan) // untimed: pure tree copy
             val t0 = System.nanoTime()
-            sc.runJob(rdd, drain _)
+            runPlan(cloned)
             (System.nanoTime() - t0) / 1e9
           case None => // eager or rebuild-mode: full pipeline per pass
             val t0 = System.nanoTime()

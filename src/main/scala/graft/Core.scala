@@ -82,6 +82,20 @@ object Tables {
         }
       } else spark.read.parquet(s"$sfDir/$name.parquet")
     })
+
+  /** Spread a SMALL relation across the cluster before an expensive map
+    * stage (regex parse, shingling, minhash, tokenize). The fixture tables
+    * are one row group in one file, so their scans are a single input split —
+    * every downstream map-side expression would run on ONE core no matter how
+    * many the session has. A round-robin repartition of the slim pre-explode
+    * rows (documents: 5k rows / 0.6 MB at sf0.1) costs a negligible exchange
+    * and buys full map-side parallelism. At 100 TB inputs arrive as thousands
+    * of row groups and scans parallelize natively — this exchange is the
+    * standard "parallelize the expensive stage behind a selective/small scan"
+    * move, not a scale crutch; keep it only where the downstream per-row work
+    * dominates the shuffle (never in front of plain scans/filters). */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
 }
 
 /** Scratch directories deleted at JVM exit. Shared by every module that

@@ -74,6 +74,36 @@ object DevProbe {
             col("ida") < col("idb"))
           .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
       }
+      case "@geo_parse" => (s, dir) => {
+        val e = graft.Tables.table(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+          .withColumn("lat_deg", pmod(col("event_id"), lit(90L)))
+          .withColumn("lat_minc", pmod(col("event_id") * 7, lit(6000L)))
+          .withColumn("lon_deg", pmod(col("event_id") * 3, lit(180L)))
+          .withColumn("lon_minc", pmod(col("event_id") * 13, lit(6000L)))
+        val raw = concat(
+          lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:!"),
+          format_string("%02d%02d.%02d",
+            col("lat_deg"), (col("lat_minc") / lit(100)).cast("long"),
+            pmod(col("lat_minc"), lit(100L))),
+          when(pmod(col("event_id"), lit(2L)) === 0, "N").otherwise("S"),
+          lit("/"),
+          format_string("%03d%02d.%02d",
+            col("lon_deg"), (col("lon_minc") / lit(100)).cast("long"),
+            pmod(col("lon_minc"), lit(100L))),
+          when(pmod(col("event_id"), lit(3L)) === 0, "E").otherwise("W"),
+          lit("#"))
+        graft.streaming.PacketParse.parse(e.select(col("event_id"), raw.as("raw")))
+          .filter(col("packet_type") === "position")
+          .select(col("callsign"), col("lat"), col("lon"))
+      }
+      case "@geo_agg" => (s, dir) =>
+        micro("@geo_parse")(s, dir).groupBy("callsign").agg(
+          count(lit(1)).as("n_pos"),
+          round(min(col("lat")), 6).as("lat_min"),
+          collect_list(struct(col("lat"), col("lon"))).as("xs"))
+          .select(col("callsign"), col("n_pos"), col("lat_min"), size(col("xs")).as("nx"))
       case other => SparkEntry.queries(other)
     }
     for (pass <- 1 to n; q <- names) {

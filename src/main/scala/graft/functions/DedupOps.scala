@@ -36,7 +36,7 @@ object DedupOps {
     * earlier window-lead formulation paid a 500k-row exchange here) exploded
     * map-side. Short docs (<3 tokens) naturally yield zero rows. */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
+    Tables.spread(s, table(s, dir, "documents"))
       .select(col("doc_id"), col("source"),
         explode(VectorExpr.shingles(split(col("text"), " "))).as("g"))
 
@@ -121,7 +121,7 @@ object DedupOps {
         // hash collision could only merge shingles across documents — at
         // 2^-64 per pair it is astronomically unlikely at any corpus size,
         // and the string-keyed DuckDB oracle pins the results as identical.
-        val sh = table(s, dir, "documents")
+        val sh = Tables.spread(s, table(s, dir, "documents"))
           .select(col("doc_id"), col("source"),
             explode(array_distinct(VectorExpr.shingles(split(col("text"), " ")))).as("gs"))
           .select(col("doc_id"), col("source"), xxhash64(col("gs")).as("g"))
@@ -290,7 +290,7 @@ object DedupOps {
         // source.isNotNull: the oracle's a.source = b.source join never pairs
         // NULL-source docs, but groupBy would make NULL a real block — filter
         // up front so the blocking matches the join semantics exactly
-        val fp = table(s, dir, "documents")
+        val fp = Tables.spread(s, table(s, dir, "documents"))
           .filter(col("source").isNotNull)
           .select(col("doc_id"), col("source"),
             VectorExpr.simhash16(split(col("text"), " ")).as("fp"))
@@ -343,7 +343,7 @@ object DedupOps {
         "semi join shuffles (shingle, doc_id) only and ships no text; at 100 TB " +
         "swap the raw shingle strings for their 64-bit hashes + a verify pass.",
       (s, dir) => {
-        val d = table(s, dir, "documents")
+        val d = Tables.spread(s, table(s, dir, "documents"))
           .withColumn("b",
             pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
               .cast("int"), lit(100)))

@@ -39,7 +39,7 @@ object TextAnalysis {
         val scoreAggs = markers.map { case (l, ws) =>
           sum(when(col("w").isin(ws: _*), 1).otherwise(0)).as(s"sc_$l")
         }
-        val scored = table(s, dir, "documents")
+        val scored = graft.Tables.spread(s, table(s, dir, "documents"))
           .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
           .groupBy("doc_id", "lang")
           .agg(scoreAggs.head, scoreAggs.tail: _*)
@@ -161,7 +161,7 @@ object TextAnalysis {
         "global but the final top-k (TakeOrderedAndProject).",
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val tf = docs
+        val tf = graft.Tables.spread(s, docs)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
         // The tf >= 1 guard is semantically inert (a count of ≥1 rows) but

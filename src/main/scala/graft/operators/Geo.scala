@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   * bit-identical across engines, no libm trig whose last-ulp behavior
   * diverges.
   *
-  * Scale shape: parsing and position derivation are map-side; the bounding
-  * box is one hash aggregation; max-displacement pairs are blocked per
-  * callsign (a station's own track, never cross-corpus), so the self-join is
-  * an equi-join on callsign whose cost follows Σ track² per station — at
-  * 100 TB you'd bound tracks per day exactly like the simhash block cap.
+  * Scale shape: parsing and position derivation are map-side; bounding box
+  * AND the per-station track come out of ONE hash aggregation shuffling slim
+  * (callsign, lat, lon) rows; max-displacement pairs are enumerated within
+  * the collected track (a station's own positions, never cross-corpus), so
+  * pair cost follows Σ track² per station — at 100 TB you'd bound tracks per
+  * day exactly like the simhash block cap.
   */
 object Geo {
   import Tables.table
@@ -59,29 +60,44 @@ object Geo {
             pmod(col("lon_minc"), lit(100L))),
           when(pmod(col("event_id"), lit(3L)) === 0, "E").otherwise("W"),
           lit("#"))
+        // Tables.spread before the parse: the rendered lines come off a
+        // single-split scan, and the regex parse (~0.3 ms/row — the dominant
+        // leg) must run on every core, not one. No row-level filter on parse
+        // output: a deterministic filter would be PUSHED THROUGH the
+        // repartition (PushDownPredicates descends RepartitionByExpression),
+        // dragging the whole regex chain back into the single-split stage —
+        // instead every row aggregates and n_pos counts the 'position'
+        // classification, so the parse columns evaluate strictly above the
+        // exchange AND any parser drift still breaks the oracle hash (a
+        // misparsed line changes n_pos and the null-skipping min/max).
         val parsed = graft.streaming.PacketParse
-          .parse(e.select(col("event_id"), raw.as("raw")))
-          .filter(col("packet_type") === "position")
-          .select(col("callsign"), col("event_id"), col("lat"), col("lon"))
-        val bbox = parsed.groupBy("callsign").agg(
-          count(lit(1)).as("n_pos"),
+          .parse(Tables.spread(s, e.select(col("event_id"), raw.as("raw"))))
+          .select(col("callsign"), col("packet_type"), col("lat"), col("lon"))
+        // ONE aggregation produces bbox AND the per-station track: the regex
+        // parse (the expensive map-side leg) runs exactly once. Max pairwise
+        // displacement is computed from the collected track with nested
+        // higher-order transforms (i < j slice enumeration — every unordered
+        // pair exactly once, so collect_list's nondeterministic order cannot
+        // change the max); a station's track is small and bounded (at 100 TB:
+        // cap per station per day, the simhash-block-cap discipline), so the
+        // O(track²) lambda work stays tiny while the corpus-sized work — the
+        // parse and the single shuffle of slim (callsign, lat, lon) rows —
+        // stays linear. A self-join formulation was measured 3× the parse
+        // cost: it re-evaluated the parse on both join sides plus the bbox leg.
+        val g = parsed.groupBy("callsign").agg(
+          sum(when(col("packet_type") === "position", 1L).otherwise(0L)).as("n_pos"),
           round(min(col("lat")), 6).as("lat_min"),
           round(max(col("lat")), 6).as("lat_max"),
           round(min(col("lon")), 6).as("lon_min"),
-          round(max(col("lon")), 6).as("lon_max"))
-        val a = parsed.select(col("callsign").as("ca"), col("event_id").as("ida"),
-          col("lat").as("la"), col("lon").as("loa"))
-        val b = parsed.select(col("callsign").as("cb"), col("event_id").as("idb"),
-          col("lat").as("lb"), col("lon").as("lob"))
-        val disp = a.join(b, col("ca") === col("cb") && col("ida") < col("idb"))
-          .select(col("ca"),
-            ((col("la") - col("lb")) * (col("la") - col("lb")) +
-              (col("loa") - col("lob")) * (col("loa") - col("lob"))).as("d2"))
-          .groupBy("ca").agg(max(col("d2")).as("md2"))
-        bbox.join(disp, col("callsign") === col("ca"), "left")
-          .select(col("callsign"), col("n_pos"),
-            col("lat_min"), col("lat_max"), col("lon_min"), col("lon_max"),
-            round(coalesce(col("md2"), lit(0.0)), 6).as("max_disp2"))
+          round(max(col("lon")), 6).as("lon_max"),
+          collect_list(struct(col("lat"), col("lon"))).as("xs"))
+        val pairD2 = flatten(transform(col("xs"), (x, i) =>
+          transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+            (x("lat") - y("lat")) * (x("lat") - y("lat")) +
+              (x("lon") - y("lon")) * (x("lon") - y("lon")))))
+        g.select(col("callsign"), col("n_pos"),
+          col("lat_min"), col("lat_max"), col("lon_min"), col("lon_max"),
+          round(coalesce(array_max(pairD2), lit(0.0)), 6).as("max_disp2"))
           .orderBy(col("max_disp2").desc, col("callsign"))
           .limit(20)
       },
