@@ -25,6 +25,7 @@ object SparkEntry {
       functions.VectorOps.all ++  // §2.11 vector / similarity
       functions.DedupOps.all ++     // §2.11+ minhash-LSH / simhash / jaccard / embed near-dup
       functions.TextAnalysis.all ++ // §2.11+ lang-id / quality / fingerprint
+      functions.PipelineOps.all ++  // §2.11+ sampling / packing / surprisal / curation funnel
       functions.Similarity.all ++   // §2.11+ IVF / LSH approximate NN
       functions.Multimodal.all ++   // §2.11+ binary media columns
       functions.VectorAggregates.all ++ // §2.12 UDAF surface (typed Aggregator)

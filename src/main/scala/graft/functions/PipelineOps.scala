@@ -1,0 +1,207 @@
+package graft.functions
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline composition operators (SURVEY.md §2.11 stretch
+  * set, round 7): repetition scoring, deterministic stratified sampling,
+  * context-window sequence packing, unigram-LM surprisal, and the end-to-end
+  * curation funnel that chains the quality gates.
+  *
+  * Scale notes:
+  *  - Every operator is one token explode (map-side Generator) plus one or
+  *    two hash aggregations — no self-joins, nothing corpus-quadratic.
+  *  - q_pack_sequences is the one op that needs a GLOBAL running sum; it uses
+  *    the two-pass chunked prefix-sum (the q_win_global_rank_2pass technique)
+  *    instead of a single-partition window, so the token stream never
+  *    serializes through one task.
+  *  - Sampling and splitting are content-hash-deterministic (md5), so the
+  *    same document lands in the same sample on any engine at any
+  *    partitioning — reshuffling or re-running a 100 TB job cannot change
+  *    the selected set.
+  */
+object PipelineOps {
+  import Tables.table
+
+  /** Tokens-per-doc relation used by packing: exact split on single spaces
+    * matches the generator and the oracle's string_split. */
+  private def tokCounts(s: org.apache.spark.sql.SparkSession, dir: String) =
+    table(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_text_repetition",
+      "Gopher-style repetition signals per document: top-token fraction " +
+        "(share of the doc taken by its most frequent token) and type-token " +
+        "ratio, aggregated per language with a repetitive-doc count " +
+        "(top fraction > 0.1). One explode → (doc, token) counts → two hash " +
+        "aggs; the per-doc fractions are single IEEE divisions of exact " +
+        "integers, so the > 0.1 gate is cross-engine deterministic.",
+      (s, dir) => {
+        val tf = Tables.spread(s, table(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
+        val perDoc = tf.groupBy("doc_id", "lang").agg(
+          (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_frac"),
+          (count(lit(1)).cast("double") / sum(col("c")).cast("double")).as("ttr"))
+        perDoc.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("top_frac") > 0.1, 1L).otherwise(0L)).as("n_repetitive"),
+          round(avg(col("top_frac")), 4).as("avg_top_frac"),
+          round(avg(col("ttr")), 4).as("avg_ttr"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH tf AS (
+          |  SELECT doc_id, lang, w, count(*) AS c FROM (
+          |    SELECT doc_id, lang, unnest(string_split(text,' ')) AS w FROM documents)
+          |  GROUP BY doc_id, lang, w),
+          |per_doc AS (
+          |  SELECT doc_id, lang,
+          |         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac,
+          |         CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr
+          |  FROM tf GROUP BY doc_id, lang)
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(CASE WHEN top_frac > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+          |       round(avg(top_frac), 4) AS avg_top_frac,
+          |       round(avg(ttr), 4) AS avg_ttr
+          |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    GraftQuery(
+      "q_sample_stratified",
+      "Deterministic stratified sampling: keep a document iff the first hex " +
+        "digit of md5(doc_id) is 0 or 1 (expected 12.5% rate), reported per " +
+        "language stratum with the exact char mass of the sample. " +
+        "Content-free-id hashing means the sample is reproducible across " +
+        "engines, partitionings, and reruns — the dataset-card staple for " +
+        "eval-split carve-outs at 100 TB.",
+      (s, dir) => {
+        val sampled = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+        table(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"),
+            sum(when(sampled, col("n_chars")).otherwise(0L)).as("sampled_chars"))
+          .orderBy("lang")
+      },
+      Some(
+        """SELECT lang, count(*) AS n_total,
+          |  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('0','1') THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+          |  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('0','1') THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    GraftQuery(
+      "q_pack_sequences",
+      "Context-window sequence packing (concat-then-chop): documents ordered " +
+        "by doc_id are laid end to end and each starts in bin " +
+        "floor(preceding_tokens / 2048) — per-bin doc and token counts. The " +
+        "global prefix sum is TWO-PASS (per-chunk subtotals + a window over " +
+        "the tiny chunk relation, then a within-chunk window), so no stage " +
+        "ever sees the whole corpus in one partition; at 100 TB the chunk " +
+        "relation is ~n_docs/512 rows and the second pass is fully parallel " +
+        "per chunk.",
+      (s, dir) => {
+        val toks = tokCounts(s, dir).withColumn("chunk", expr("doc_id div 512"))
+        // pass 1: chunk subtotals; the window runs over the chunk RELATION
+        // (512x smaller than docs) — acceptable single-partition work here,
+        // hierarchical at extreme scale
+        val offsets = toks.groupBy("chunk").agg(sum(col("n_tok")).as("cs"))
+          .withColumn("off",
+            sum(col("cs")).over(Window.orderBy("chunk")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("cs"))
+          .drop("cs")
+        // pass 2: within-chunk running sum, shifted by the chunk offset
+        val cum = toks
+          .join(broadcast(offsets), "chunk")
+          .withColumn("cum",
+            col("off") + sum(col("n_tok")).over(
+              Window.partitionBy("chunk").orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        cum.withColumn("bin", expr("(cum - n_tok) div 2048"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .orderBy("bin")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents),
+          |c AS (
+          |  SELECT doc_id, n_tok, sum(n_tok) OVER (
+          |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+          |SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
+          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          |FROM c GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    GraftQuery(
+      "q_text_surprisal",
+      "Unigram-LM surprisal: train token probabilities on the corpus itself " +
+        "(cf/total), score each doc by mean negative log-likelihood per " +
+        "token, return the 10 most surprising docs. The corpus-frequency leg " +
+        "is derived FROM the tf relation (the q_text_tfidf exchange-reuse " +
+        "shape) so the corpus is tokenized and shuffled exactly once; cf is " +
+        "vocabulary-sized and broadcasts, making scoring map-side.",
+      (s, dir) => {
+        val tf = Tables.spread(s, table(s, dir, "documents"))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        // same inert guard as q_text_tfidf: keeps the partial count alive so
+        // the two (doc_id, w) exchanges canonicalize and ReuseExchange fires
+        val cf = tf.filter(col("tf") >= 1)
+          .groupBy("w").agg(sum(col("tf")).as("cf"))
+        val tot = cf.agg(sum(col("cf")).as("total"))
+        tf.join(broadcast(cf), "w")
+          .crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(round(
+            sum(col("tf") * -log(col("cf").cast("double") / col("total").cast("double")))
+              / sum(col("tf")), 6).as("avg_nll"))
+          .orderBy(col("avg_nll").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(
+        """WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM (
+          |    SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+          |  GROUP BY doc_id, w),
+          |cf AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY w),
+          |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS total FROM cf)
+          |SELECT doc_id,
+          |  round(sum(tf * -ln(CAST(cf AS DOUBLE) / CAST(total AS DOUBLE))) / sum(tf), 6) AS avg_nll
+          |FROM tf JOIN cf USING (w) CROSS JOIN tot
+          |GROUP BY doc_id ORDER BY avg_nll DESC, doc_id LIMIT 10""".stripMargin)),
+
+    GraftQuery(
+      "q_quality_pipeline",
+      "End-to-end curation funnel: token-length gate (20..400) → exact-dup " +
+        "removal keeping the first doc per content hash → language gate (en) " +
+        "→ survivors per source. The composition query — each stage is an " +
+        "operator gated elsewhere; this pins that chaining them preserves " +
+        "semantics. One explode-free pass: length from size(split), dedup " +
+        "via the md5-window, both before the cheap final agg.",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+          .filter(col("n_tok") >= 20 && col("n_tok") <= 400)
+        val rep = docs.withColumn("rn",
+          row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+        rep.filter(col("lang") === "en")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tokens"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH lengate AS (
+          |  SELECT *, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+          |  FROM documents
+          |  WHERE len(string_split(text,' ')) BETWEEN 20 AND 400),
+          |rep AS (
+          |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |  FROM lengate)
+          |SELECT source, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS tokens
+          |FROM rep WHERE rn = 1 AND lang = 'en'
+          |GROUP BY source ORDER BY source""".stripMargin))
+  )
+}

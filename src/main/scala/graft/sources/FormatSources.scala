@@ -44,6 +44,8 @@ object FormatSources {
         case "csv" => docs.write.mode("overwrite")
           .option("header", "true").option("escape", "\"").csv(out)
         case "json" => docs.write.mode("overwrite").json(out)
+        // columnar-but-not-parquet: schema travels in the file, no options
+        case "orc" => docs.write.mode("overwrite").orc(out)
       }
       out
     })
@@ -79,6 +81,15 @@ object FormatSources {
         "oracle compares against the original parquet.",
       (s, dir) =>
         langStats(s.read.schema(docSchema).json(exportDir(s, dir, "json"))),
+      Some(langStatsSql)),
+
+    GraftQuery(
+      "q_source_orc",
+      "Aggregate over an ORC export of documents — the second columnar " +
+        "format (vectorized reader, embedded schema, predicate pushdown like " +
+        "parquet); oracle compares against the original parquet, verifying " +
+        "the ORC write→read round-trip value-exactly.",
+      (s, dir) => langStats(s.read.orc(exportDir(s, dir, "orc"))),
       Some(langStatsSql)),
 
     GraftQuery(

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 curation-pipeline operators (functions/PipelineOps.scala,
+  * sources/FormatSources q_source_orc) — invariants beyond the oracle gate:
+  * partition/coverage identities, packing conservation laws, sampling
+  * determinism, and the ORC round-trip pinned against a direct parquet
+  * computation. Fixture scale sf0.001 via SparkSuite.run. */
+class CurationSpec extends SparkSuite {
+
+  private def docs = Tables.table(spark, sf, "documents")
+
+  test("repetition: per-lang rows cover the corpus; fractions are valid probabilities") {
+    val rows = run("q_text_repetition").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_repetitive") <= r.getAs[Long]("n_docs"))
+      val top = r.getAs[Double]("avg_top_frac")
+      val ttr = r.getAs[Double]("avg_ttr")
+      assert(top > 0.0 && top <= 1.0)
+      assert(ttr > 0.0 && ttr <= 1.0)
+      // the modal token can't be rarer than the average token
+      assert(top >= 1.0 / 500)
+    }
+  }
+
+  test("stratified sample: deterministic, within stratum bounds, and exactly the md5 rule") {
+    val rows = run("q_sample_stratified").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("sampled_chars") >= 0L)
+    }
+    // re-derive the selected set directly; the gated agg must match it exactly
+    val direct = docs
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+      .groupBy("lang").agg(count(lit(1)).as("m"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("m")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") == direct.getOrElse(r.getAs[String]("lang"), 0L))
+    }
+    // rerun identical (content-hash determinism, no RNG state anywhere)
+    assert(run("q_sample_stratified").collect().toSeq == rows.toSeq)
+  }
+
+  test("sequence packing: conservation, contiguous bins, and capacity discipline") {
+    val rows = run("q_pack_sequences").orderBy("bin").collect()
+    val totalToks = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    val maxDoc = docs.select(max(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // bins are exactly 0..k with no holes (a doc starts in every window)
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == (0L until rows.length).toSeq)
+    rows.dropRight(1).foreach { r =>
+      // a non-final bin spills only by the doc that straddles its boundary
+      assert(r.getAs[Long]("n_tokens") <= 2048 + maxDoc - 1)
+      // and the next doc moved on, so the bin holds at least one full window
+      // minus the largest possible straddle
+      assert(r.getAs[Long]("n_tokens") >= 2048 - maxDoc + 1)
+    }
+  }
+
+  test("surprisal: top-10 by mean NLL, positive, descending, deterministic") {
+    val rows = run("q_text_surprisal").collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Double]("avg_nll")).toSeq
+    assert(scores.forall(_ > 0.0))
+    assert(scores == scores.sorted.reverse)
+    assert(run("q_text_surprisal").collect().toSeq == rows.toSeq)
+  }
+
+  test("curation funnel: survivors obey every gate it chains") {
+    val rows = run("q_quality_pipeline").collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    // never more survivors than en docs in the length band
+    val upper = docs
+      .withColumn("t", size(split(col("text"), " ")))
+      .filter(col("lang") === "en" && col("t") >= 20 && col("t") <= 400)
+      .count()
+    assert(n > 0 && n <= upper)
+    rows.foreach { r =>
+      val tokens = r.getAs[Long]("tokens")
+      val cnt = r.getAs[Long]("n")
+      assert(tokens >= 20 * cnt && tokens <= 400 * cnt)
+    }
+  }
+
+  test("ORC round-trip equals the direct parquet aggregation") {
+    val orc = run("q_source_orc").collect().toSeq
+    val direct = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang").collect().toSeq
+    assert(orc == direct)
+  }
+}
