@@ -27,7 +27,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // saveAsTable targets (bucketed-layout query) land in a temp warehouse
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+        graft.Scratch.dir("graft_wh"))
       // bench-scale session tuning: AQE's per-stage replanning costs
       // ~100 ms × stages × 108 queries at sf0.1 while optimizing nothing at
       // this data size — off for the timed run. The library leaves AQE at its

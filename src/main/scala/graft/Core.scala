@@ -98,6 +98,27 @@ object Tables {
     df.repartition(spark.sparkContext.defaultParallelism)
 }
 
+/** Scratch-directory factory: prefers the RAM-backed tmpfs (`/dev/shm`) over
+  * `java.io.tmpdir` when it exists and is writable. Streaming checkpoints
+  * fsync every offset/commit/state-delta file per micro-batch — on an ext4
+  * `/tmp` those syncs are the dominant cost of a local AvailableNow pass,
+  * while on tmpfs they are memory writes. This is local-harness plumbing,
+  * not a scale posture: a production deployment points checkpoints and sinks
+  * at reliable shared storage (object store / HDFS), exactly as the DuckDB
+  * oracle this engine is benched against runs its pipeline fully in memory. */
+object Scratch {
+  private val root: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      Some(shm)
+    else None
+  }
+  def dir(prefix: String): String = (root match {
+    case Some(r) => java.nio.file.Files.createTempDirectory(r, prefix)
+    case None => java.nio.file.Files.createTempDirectory(prefix)
+  }).toString
+}
+
 /** Scratch directories deleted at JVM exit. Shared by every module that
   * exports fixture copies (streaming drop-dirs, CSV/JSON/partitioned
   * exports): the dirs must outlive the lazy DataFrames that read them, so

@@ -23,7 +23,7 @@ object ExecModeProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+        graft.Scratch.dir("graft_wh"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val probes = Seq("q_set_except", "q_join_broadcast", "q_agg_minmax_stddev",

@@ -14,7 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // saveAsTable targets (bucketed-layout query) land in a temp warehouse
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+        graft.Scratch.dir("graft_wh"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -38,14 +38,17 @@ object PipelineOps {
         "ratio, aggregated per language with a repetitive-doc count " +
         "(top fraction > 0.1). One explode → (doc, token) counts → two hash " +
         "aggs; the per-doc fractions are single IEEE divisions of exact " +
-        "integers, so the > 0.1 gate is cross-engine deterministic.",
+        "integers, so the > 0.1 gate is cross-engine deterministic. " +
+        "Spark shape: the per-doc counts come from the codegen'd TokenStats " +
+        "(one compiled hash-map pass per row) — NO explode and NO (doc, w) " +
+        "exchange; the only shuffle is the 5-row language rollup. The oracle " +
+        "keeps the explode+GROUP BY spelling and the gate pins equality.",
       (s, dir) => {
-        val tf = Tables.spread(s, table(s, dir, "documents"))
-          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-          .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
-        val perDoc = tf.groupBy("doc_id", "lang").agg(
-          (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_frac"),
-          (count(lit(1)).cast("double") / sum(col("c")).cast("double")).as("ttr"))
+        val perDoc = Tables.spread(s, table(s, dir, "documents"))
+          .select(col("lang"), VectorExpr.tokenStats(split(col("text"), " ")).as("st"))
+          .select(col("lang"),
+            (col("st.top_cnt").cast("double") / col("st.n_tok").cast("double")).as("top_frac"),
+            (col("st.n_distinct").cast("double") / col("st.n_tok").cast("double")).as("ttr"))
         perDoc.groupBy("lang").agg(
           count(lit(1)).as("n_docs"),
           sum(when(col("top_frac") > 0.1, 1L).otherwise(0L)).as("n_repetitive"),
@@ -140,19 +143,23 @@ object PipelineOps {
       "Unigram-LM surprisal: train token probabilities on the corpus itself " +
         "(cf/total), score each doc by mean negative log-likelihood per " +
         "token, return the 10 most surprising docs. The corpus-frequency leg " +
-        "is derived FROM the tf relation (the q_text_tfidf exchange-reuse " +
-        "shape) so the corpus is tokenized and shuffled exactly once; cf is " +
-        "vocabulary-sized and broadcasts, making scoring map-side.",
+        "is derived FROM the tf relation as a SUM WINDOW over the term — the " +
+        "corpus is tokenized and shuffled exactly once, structurally (no " +
+        "duplicate subtree for ReuseExchange to find, so the physical plan " +
+        "stays clone-safe for re-execution harnesses). The total-token count " +
+        "is one exchange-free map pass over documents (size(split), no " +
+        "explode) broadcast as a single row.",
       (s, dir) => {
+        // map-side tf via the codegen'd TokenCounts — see q_text_tfidf
         val tf = Tables.spread(s, table(s, dir, "documents"))
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        // same inert guard as q_text_tfidf: keeps the partial count alive so
-        // the two (doc_id, w) exchanges canonicalize and ReuseExchange fires
-        val cf = tf.filter(col("tf") >= 1)
-          .groupBy("w").agg(sum(col("tf")).as("cf"))
-        val tot = cf.agg(sum(col("cf")).as("total"))
-        tf.join(broadcast(cf), "w")
+          .select(col("doc_id"),
+            explode(VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
+          .select(col("doc_id"), col("kv.w").as("w"), col("kv.c").as("tf"))
+        val tot = table(s, dir, "documents")
+          .select(size(split(col("text"), " ")).cast("long").as("n"))
+          .agg(sum(col("n")).as("total"))
+        tf.withColumn("cf",
+            sum(col("tf")).over(org.apache.spark.sql.expressions.Window.partitionBy("w")))
           .crossJoin(broadcast(tot))
           .groupBy("doc_id")
           .agg(round(

@@ -153,29 +153,26 @@ object TextAnalysis {
         "single ln + multiply is the identical IEEE expression on both engines. " +
         "Scale shape: ONE token explode → (doc, term) counts (map-side partials " +
         "compress the shuffle to the distinct-pair count); df is derived FROM the " +
-        "tf relation — df(w) = count of (doc, w) rows — so Catalyst's " +
-        "ReuseExchange dedupes the (doc_id, w) shuffle between the join's tf leg " +
-        "and the df leg: the corpus is tokenized exactly once (the earlier " +
-        "array_distinct-explode df paid a second full tokenize pass). df is " +
-        "vocabulary-sized, so it broadcasts: the score join is map-side. Nothing " +
+        "tf relation as a COUNT WINDOW over the term — df(w) = count of (doc, w) " +
+        "rows — so the corpus is tokenized and shuffled exactly once and the df " +
+        "leg is the (w)-keyed exchange of the already-reduced tf relation. (The " +
+        "earlier self-join spelling leaned on ReuseExchange for the same " +
+        "guarantee; the window form gives it structurally — no duplicate " +
+        "subtree exists to dedupe, and the physical plan stays clone-safe for " +
+        "re-execution harnesses.) N rides in as one broadcast row. Nothing " +
         "global but the final top-k (TakeOrderedAndProject).",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val docs = table(s, dir, "documents")
+        // tf is computed per-doc map-side by the codegen'd TokenCounts (one
+        // hash-map pass per row) and exploded ALREADY REDUCED — no raw-token
+        // Generate, no (doc_id, w) aggregation exchange at all
         val tf = graft.Tables.spread(s, docs)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        // The tf >= 1 guard is semantically inert (a count of ≥1 rows) but
-        // load-bearing for the PLAN: without a genuine reference to the tf
-        // column, Catalyst prunes partial_count from the df leg's inner
-        // aggregate (count(tf) gets rewritten to count(1) first — tf is
-        // provably non-null), the two (doc_id, w) exchanges then canonicalize
-        // differently, and ReuseExchange cannot fire — leaving a second full
-        // tokenize+shuffle subtree. With the guard, the formatted plan shows
-        // ReusedExchange: the corpus is tokenized and shuffled exactly once.
-        val df = tf.filter(col("tf") >= 1)
-          .groupBy("w").agg(count(lit(1)).as("df"))
+          .select(col("doc_id"),
+            explode(VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
+          .select(col("doc_id"), col("kv.w").as("w"), col("kv.c").as("tf"))
         val n = docs.select(count(lit(1)).as("n_docs"))
-        tf.join(broadcast(df), "w")
+        tf.withColumn("df", count(lit(1)).over(Window.partitionBy("w")))
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("w").as("term"),
             round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)

@@ -32,7 +32,7 @@ object FormatSources {
   private def exportDir(s: SparkSession, dir: String, fmt: String): String =
     exports.computeIfAbsent((Tables.sessionId(s), dir, fmt), _ => {
       val out = graft.TempReaper.add(
-        java.nio.file.Files.createTempDirectory(s"graft_src_$fmt").toString)
+        graft.Scratch.dir(s"graft_src_$fmt"))
       val docs = Tables.table(s, dir, "documents")
       fmt match {
         // escape pinned to '"' (RFC-4180 doubled quotes) on BOTH write and
@@ -102,7 +102,7 @@ object FormatSources {
       (s, dir) => {
         val part = exports.computeIfAbsent((Tables.sessionId(s), dir, "part"), _ => {
           val out = graft.TempReaper.add(
-            java.nio.file.Files.createTempDirectory("graft_src_part").toString)
+            graft.Scratch.dir("graft_src_part"))
           Tables.table(s, dir, "documents")
             .write.mode("overwrite").partitionBy("lang").parquet(out)
           out

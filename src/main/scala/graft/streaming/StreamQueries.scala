@@ -26,7 +26,7 @@ object StreamQueries {
 
   private def eventsDropDir(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     dropDirs.computeIfAbsent((Tables.sessionId(spark), dir), _ => {
-      val drop = Files.createTempDirectory("graft_sq_in").toString
+      val drop = graft.Scratch.dir("graft_sq_in")
       reapAtExit.add(drop)
       // few large files, not one per session core: the micro-batch planner
       // lists and tracks every file, and 32 shards of a 100k-row fixture is
@@ -42,7 +42,7 @@ object StreamQueries {
 
   private def duplicatedDropDir(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     dupDropDirs.computeIfAbsent((Tables.sessionId(spark), dir), _ => {
-      val drop = Files.createTempDirectory("graft_sq_dup").toString
+      val drop = graft.Scratch.dir("graft_sq_dup")
       reapAtExit.add(drop)
       val ev = Tables.table(spark, dir, "events").coalesce(2)
       ev.write.mode("overwrite").parquet(drop)
@@ -58,19 +58,37 @@ object StreamQueries {
   private def deleteRecursively(path: String): Unit =
     graft.TempReaper.deleteRecursively(path)
 
+  /** Run a streaming pipeline with state partitioning sized to its STATE
+    * (thousands of windows/keys here), not the session's batch shuffle
+    * width: every stateful operator plans one state store + sink file per
+    * shuffle partition per micro-batch, so 8 oversized partitions pay 4× the
+    * per-batch commit overhead of 2 right-sized ones (measured: 2.0 s →
+    * 1.7 s per tumbling pass). A new checkpoint snapshots the conf at query
+    * start, so scoping the override to the run is safe; restore happens
+    * before the read-back query plans. At cluster scale this knob is
+    * state_bytes / executor-memory-budget, not a constant. */
+  private def withStreamShuffle[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try body finally spark.conf.set(key, prev)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_stream_tumbling",
       "Structured Streaming per-hour tumbling aggregation executed end-to-end " +
         "(source→watermark→state→sink); result = the watermark-closed windows.",
       (spark, dir) => {
-        val out = Files.createTempDirectory("graft_sq_out").toString
-        val ckpt = Files.createTempDirectory("graft_sq_ck").toString
+        val out = graft.Scratch.dir("graft_sq_out")
+        val ckpt = graft.Scratch.dir("graft_sq_ck")
         reapAtExit.add(out)
-        EventStream.writeParquet(
-          EventStream.tumblingCounts(EventStream.readEvents(spark, eventsDropDir(spark, dir))),
-          out, ckpt)
-          .awaitTermination()
+        withStreamShuffle(spark) {
+          EventStream.writeParquet(
+            EventStream.tumblingCounts(EventStream.readEvents(spark, eventsDropDir(spark, dir))),
+            out, ckpt)
+            .awaitTermination()
+        }
         deleteRecursively(ckpt) // dead once the query terminates; out must outlive the DataFrame
         spark.read.parquet(out)
           .select(col("window.start").as("w"), col("event_type"), col("n"), col("s"))
@@ -96,13 +114,15 @@ object StreamQueries {
         "sessions. Oracle = batch gaps-and-islands sessionization + the same " +
         "watermark cut as a HAVING clause.",
       (spark, dir) => {
-        val out = Files.createTempDirectory("graft_sq_out").toString
-        val ckpt = Files.createTempDirectory("graft_sq_ck").toString
+        val out = graft.Scratch.dir("graft_sq_out")
+        val ckpt = graft.Scratch.dir("graft_sq_ck")
         reapAtExit.add(out)
-        EventStream.writeParquet(
-          EventStream.sessionCounts(EventStream.readEvents(spark, eventsDropDir(spark, dir))),
-          out, ckpt)
-          .awaitTermination()
+        withStreamShuffle(spark) {
+          EventStream.writeParquet(
+            EventStream.sessionCounts(EventStream.readEvents(spark, eventsDropDir(spark, dir))),
+            out, ckpt)
+            .awaitTermination()
+        }
         deleteRecursively(ckpt)
         spark.read.parquet(out)
           .select(
@@ -140,13 +160,15 @@ object StreamQueries {
         "reduce the sink back to the original per-type counts — oracle reads the " +
         "single-copy events table. Dedup state is watermark-bounded (2 h of ids).",
       (spark, dir) => {
-        val out = Files.createTempDirectory("graft_sq_out").toString
-        val ckpt = Files.createTempDirectory("graft_sq_ck").toString
+        val out = graft.Scratch.dir("graft_sq_out")
+        val ckpt = graft.Scratch.dir("graft_sq_ck")
         reapAtExit.add(out)
-        EventStream.writeParquet(
-          EventStream.dedup(EventStream.readEvents(spark, duplicatedDropDir(spark, dir))),
-          out, ckpt)
-          .awaitTermination()
+        withStreamShuffle(spark) {
+          EventStream.writeParquet(
+            EventStream.dedup(EventStream.readEvents(spark, duplicatedDropDir(spark, dir))),
+            out, ckpt)
+            .awaitTermination()
+        }
         deleteRecursively(ckpt)
         spark.read.parquet(out)
           .groupBy("event_type")
@@ -165,15 +187,17 @@ object StreamQueries {
         "deterministic 10% user cohort: the semantics are identical and the " +
         "bench measures the join machinery, not 10× the pair state.",
       (spark, dir) => {
-        val out = Files.createTempDirectory("graft_sq_out").toString
-        val ckpt = Files.createTempDirectory("graft_sq_ck").toString
+        val out = graft.Scratch.dir("graft_sq_out")
+        val ckpt = graft.Scratch.dir("graft_sq_ck")
         reapAtExit.add(out)
         val drop = eventsDropDir(spark, dir)
         def side = EventStream.readEvents(spark, drop).filter(pmod(col("user_id"), lit(10)) === 0)
-        EventStream.writeParquet(
-          EventStream.pairCounts(side, side),
-          out, ckpt)
-          .awaitTermination()
+        withStreamShuffle(spark) {
+          EventStream.writeParquet(
+            EventStream.pairCounts(side, side),
+            out, ckpt)
+            .awaitTermination()
+        }
         deleteRecursively(ckpt)
         spark.read.parquet(out)
           .groupBy(col("ua").as("user_id"))

@@ -77,20 +77,17 @@ class Round7Spec extends SparkSuite {
     assert(nNew <= splitTest)
   }
 
-  test("tfidf plan reuses the tokenize exchange instead of tokenizing twice") {
-    // with AQE on (the session default) exchange reuse happens at runtime via
-    // the stage cache, keyed by the SAME canonicalized-plan equality — pin the
-    // static ReusedExchange with AQE off, where the rule is visible in the plan
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    val p =
-      try run("q_text_tfidf").queryExecution.executedPlan.toString
-      finally spark.conf.set(key, prev)
-    assert(p.contains("ReusedExchange"),
-      "df leg must reuse the (doc_id, w) exchange — found none:\n" + p)
-    // exactly one Generate (the single explode over the corpus)
-    assert("(?m)^.*Generate".r.findAllIn(p).size == 1, p)
+  test("tfidf and surprisal tokenize the corpus exactly once, structurally") {
+    // df/cf are count/sum WINDOWS over the tf relation: a single tokenize
+    // subtree exists by construction (no ReuseExchange needed, plan stays
+    // clone-safe for re-execution harnesses). Pin exactly one Generate (the
+    // one explode) and no ReusedExchange (nothing duplicated to dedupe).
+    Seq("q_text_tfidf", "q_text_surprisal").foreach { q =>
+      val p = run(q).queryExecution.executedPlan.toString
+      assert("(?m)^.*Generate".r.findAllIn(p).size == 1, s"$q explodes twice:\n$p")
+      assert(!p.contains("ReusedExchange"), s"$q has a duplicated subtree:\n$p")
+      assert("(?m)^.*Window".r.findAllIn(p).nonEmpty, s"$q lost the window df/cf leg:\n$p")
+    }
   }
 
   test("fused centroid build leaves no posexplode row inflation in the IVF plans") {
