@@ -31,16 +31,19 @@ object TextAnalysis {
         "priority tie-break ('und' when nothing matches); output = confusion matrix " +
         "versus the labeled lang column.",
       (s, dir) => {
-        // relational scoring: explode tokens once, 5 conditional sums in a
-        // single codegen'd aggregation — ~5× faster than the per-row
-        // higher-order filter(t -> t IN (...)) form it replaces, same counts
-        // (multiplicity preserved by explode). Every doc has ≥1 token, so the
-        // groupBy loses no documents.
+        // relational scoring over the codegen'd TokenCounts pre-reduction:
+        // explode already-reduced (word, count) pairs (~7× fewer generated
+        // rows than raw tokens) and take 5 conditional weighted sums in a
+        // single codegen'd aggregation — multiplicity preserved by the c
+        // weight, so counts equal the raw-explode form exactly. Every doc has
+        // ≥1 token, so the groupBy loses no documents.
         val scoreAggs = markers.map { case (l, ws) =>
-          sum(when(col("w").isin(ws: _*), 1).otherwise(0)).as(s"sc_$l")
+          sum(when(col("w").isin(ws: _*), col("c")).otherwise(0L)).as(s"sc_$l")
         }
         val scored = graft.Tables.spread(s, table(s, dir, "documents"))
-          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+          .select(col("doc_id"), col("lang"),
+            explode(VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
+          .select(col("doc_id"), col("lang"), col("kv.w").as("w"), col("kv.c").as("c"))
           .groupBy("doc_id", "lang")
           .agg(scoreAggs.head, scoreAggs.tail: _*)
         val best = greatest(markers.map { case (l, _) => col(s"sc_$l") }: _*)

@@ -318,6 +318,9 @@ object VectorExpr {
 
   def tokenStats(toks: Column): Column =
     ColumnBridge.column(TokenStats(ColumnBridge.expression(toks)))
+
+  def maxPairDist2(xs: Column): Column =
+    ColumnBridge.column(MaxPairDist2(ColumnBridge.expression(xs)))
 }
 
 /** Shared eval body for [[TokenCounts]] — top-level object so generated code
@@ -432,6 +435,75 @@ case class TokenStats(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TokenStatsUtil.stats($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared eval body for [[MaxPairDist2]]. */
+object MaxPairDist2Util {
+  /** max over unordered pairs of Δlat²+Δlon² — one compiled O(k²) loop.
+    * Returns Double.NegativeInfinity when fewer than 2 points (mapped to
+    * null by the expression, matching array_max over an empty pair list). */
+  def maxD2(xs: ArrayData): Double = {
+    val n = xs.numElements()
+    var best = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val a = xs.getStruct(i, 2)
+      val alat = a.getDouble(0); val alon = a.getDouble(1)
+      var j = i + 1
+      while (j < n) {
+        val b = xs.getStruct(j, 2)
+        val dlat = alat - b.getDouble(0)
+        val dlon = alon - b.getDouble(1)
+        val d2 = dlat * dlat + dlon * dlon
+        if (d2 > best) best = d2
+        j += 1
+      }
+      i += 1
+    }
+    best
+  }
+}
+
+/** Codegen'd max pairwise equirectangular squared displacement over a
+  * collected track (array<struct<lat double, lon double>>). Replaces the
+  * nested higher-order transform/slice/flatten/array_max formulation, which
+  * paid interpreted lambda dispatch per PAIR (O(track²) closure calls per
+  * station) and materialized the full pair-distance array; this is one
+  * compiled loop per ROW holding a running max. Same IEEE multiply-adds in
+  * the same per-pair expression — max is order-insensitive, so the result is
+  * bit-identical; fewer-than-2-point tracks yield null (≡ array_max([])).
+  */
+case class MaxPairDist2(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fs), _)
+        if fs.length == 2 && fs.forall(_.dataType == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<double,double>>, got $t")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_max_pair_dist2"
+
+  override def nullSafeEval(a: Any): Any = {
+    val d = MaxPairDist2Util.maxD2(a.asInstanceOf[ArrayData])
+    if (d == Double.NegativeInfinity) null else d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val d = ctx.freshName("d")
+      s"""
+         |final double $d = graft.functions.MaxPairDist2Util.maxD2($a);
+         |if ($d == Double.NEGATIVE_INFINITY) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $d; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

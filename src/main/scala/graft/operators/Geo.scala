@@ -75,15 +75,18 @@ object Geo {
           .select(col("callsign"), col("packet_type"), col("lat"), col("lon"))
         // ONE aggregation produces bbox AND the per-station track: the regex
         // parse (the expensive map-side leg) runs exactly once. Max pairwise
-        // displacement is computed from the collected track with nested
-        // higher-order transforms (i < j slice enumeration — every unordered
-        // pair exactly once, so collect_list's nondeterministic order cannot
-        // change the max); a station's track is small and bounded (at 100 TB:
-        // cap per station per day, the simhash-block-cap discipline), so the
-        // O(track²) lambda work stays tiny while the corpus-sized work — the
-        // parse and the single shuffle of slim (callsign, lat, lon) rows —
-        // stays linear. A self-join formulation was measured 3× the parse
-        // cost: it re-evaluated the parse on both join sides plus the bbox leg.
+        // displacement comes from the codegen'd MaxPairDist2 over the
+        // collected track — one compiled O(track²) loop per station holding a
+        // running max (the earlier nested transform/slice/flatten/array_max
+        // spelling paid interpreted lambda dispatch per PAIR and materialized
+        // the full pair array; max is order-insensitive, so collect_list's
+        // nondeterministic order cannot change the result either way). A
+        // station's track is small and bounded (at 100 TB: cap per station
+        // per day, the simhash-block-cap discipline), so the O(track²) work
+        // stays tiny while the corpus-sized work — the parse and the single
+        // shuffle of slim (callsign, lat, lon) rows — stays linear. A
+        // self-join formulation was measured 3× the parse cost: it
+        // re-evaluated the parse on both join sides plus the bbox leg.
         val g = parsed.groupBy("callsign").agg(
           sum(when(col("packet_type") === "position", 1L).otherwise(0L)).as("n_pos"),
           round(min(col("lat")), 6).as("lat_min"),
@@ -91,13 +94,10 @@ object Geo {
           round(min(col("lon")), 6).as("lon_min"),
           round(max(col("lon")), 6).as("lon_max"),
           collect_list(struct(col("lat"), col("lon"))).as("xs"))
-        val pairD2 = flatten(transform(col("xs"), (x, i) =>
-          transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
-            (x("lat") - y("lat")) * (x("lat") - y("lat")) +
-              (x("lon") - y("lon")) * (x("lon") - y("lon")))))
         g.select(col("callsign"), col("n_pos"),
           col("lat_min"), col("lat_max"), col("lon_min"), col("lon_max"),
-          round(coalesce(array_max(pairD2), lit(0.0)), 6).as("max_disp2"))
+          round(coalesce(
+            graft.functions.VectorExpr.maxPairDist2(col("xs")), lit(0.0)), 6).as("max_disp2"))
           .orderBy(col("max_disp2").desc, col("callsign"))
           .limit(20)
       },
