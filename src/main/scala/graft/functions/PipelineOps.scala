@@ -73,6 +73,74 @@ object PipelineOps {
           |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)),
 
     GraftQuery(
+      "q_text_top_bigram",
+      "Gopher-style n-gram repetition: fraction of each document occupied by " +
+        "its most frequent BIGRAM, per-language aggregate with a flagged-doc " +
+        "count (top bigram fraction > 0.05) — catches templated/boilerplate " +
+        "text that unigram stats miss. Spark shape: the codegen'd " +
+        "StringShingles(2) builds bigrams and TokenStats counts them in the " +
+        "same map-side projection — NO explode, NO (doc, bigram) exchange; " +
+        "the only shuffle is the 5-row language rollup. The oracle spells " +
+        "the full unnest+GROUP BY form; the gate pins equality.",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val perDoc = Tables.spread(s, table(s, dir, "documents"))
+          .filter(size(toks) >= 2)
+          .select(col("lang"),
+            VectorExpr.tokenStats(VectorExpr.shingles(toks, 2)).as("st"))
+          .select(col("lang"),
+            (col("st.top_cnt").cast("double") / col("st.n_tok").cast("double")).as("top_bg"))
+        perDoc.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("top_bg") > 0.05, 1L).otherwise(0L)).as("n_flagged"),
+          round(avg(col("top_bg")), 4).as("avg_top_bigram"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS l FROM documents
+          |           WHERE len(string_split(text,' ')) >= 2),
+          |bg AS (SELECT doc_id, lang,
+          |  list_transform(list_zip(l[1:len(l)-1], l[2:]), z -> z[1] || ' ' || z[2]) AS bigrams
+          |  FROM t),
+          |tf AS (SELECT doc_id, lang, b, count(*) AS c FROM (
+          |    SELECT doc_id, lang, unnest(bigrams) AS b FROM bg)
+          |  GROUP BY doc_id, lang, b),
+          |per_doc AS (SELECT doc_id, lang,
+          |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bg
+          |  FROM tf GROUP BY doc_id, lang)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN top_bg > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+          |  round(avg(top_bg), 4) AS avg_top_bigram
+          |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    GraftQuery(
+      "q_sample_topk_hash",
+      "Fixed-SIZE stratified sampling (the deterministic reservoir): the 20 " +
+        "docs per language with the smallest (md5(doc_id), doc_id) sort key. " +
+        "Unlike the rate-based q_sample_stratified, every stratum yields " +
+        "exactly min(20, |stratum|) docs — the eval-set carve-out shape — " +
+        "and the hash order makes the choice engine- and partitioning-" +
+        "independent. One windowed rank per stratum, then a 5-row rollup.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        table(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
+          .orderBy("lang")
+      },
+      Some(
+        """SELECT lang, count(*) AS n_sampled,
+          |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+          |FROM (SELECT lang, n_chars, row_number() OVER (
+          |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 20 GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    GraftQuery(
       "q_sample_stratified",
       "Deterministic stratified sampling: keep a document iff the first hex " +
         "digit of md5(doc_id) is 0 or 1 (expected 12.5% rate), reported per " +

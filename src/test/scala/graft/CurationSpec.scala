@@ -87,6 +87,29 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("top-bigram: per-lang coverage of multi-token docs; fractions valid") {
+    val rows = run("q_text_top_bigram").collect()
+    val multi = docs.filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == multi)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      val f = r.getAs[Double]("avg_top_bigram")
+      assert(f > 0.0 && f <= 1.0)
+    }
+  }
+
+  test("fixed-size hash sample: exactly min(20, stratum) per language, deterministic") {
+    val rows = run("q_sample_topk_hash").collect()
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Long]("n_sampled") == math.min(20L, strata(lang)))
+    }
+    assert(rows.map(_.getAs[String]("lang")).toSet == strata.keySet)
+    assert(run("q_sample_topk_hash").collect().toSeq == rows.toSeq)
+  }
+
   test("ORC round-trip equals the direct parquet aggregation") {
     val orc = run("q_source_orc").collect().toSeq
     val direct = docs.groupBy("lang")

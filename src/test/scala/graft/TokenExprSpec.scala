@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** TokenCounts / TokenStats / MaxPairDist2 expressions — pinned against the
+  * relational forms they replaced, on the real fixture corpus, under both
+  * the codegen and interpreted eval paths. */
+class TokenExprSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Tables.table(spark, sf, "documents")
+
+  private def withCodegen[A](on: Boolean)(body: => A): A = {
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key, "true")
+    try { spark.conf.set(key, on.toString); body }
+    finally spark.conf.set(key, prev)
+  }
+
+  test("TokenCounts equals explode+groupBy on the fixture corpus — both eval paths") {
+    val viaExplode = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .orderBy("doc_id", "w")
+      .collect().toSeq
+    Seq(true, false).foreach { cg =>
+      val viaExpr = withCodegen(cg) {
+        docs.select(col("doc_id"),
+            explode(functions.VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
+          .select(col("doc_id"), col("kv.w").as("w"), col("kv.c").as("c"))
+          .orderBy("doc_id", "w")
+          .collect().toSeq
+      }
+      assert(viaExpr == viaExplode, s"codegen=$cg")
+    }
+  }
+
+  test("TokenStats equals the aggregate spelling on the fixture corpus — both eval paths") {
+    val viaAgg = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tok"), max(col("c")).as("top_cnt"),
+        count(lit(1)).as("n_distinct"))
+      .orderBy("doc_id")
+      .collect().toSeq
+    Seq(true, false).foreach { cg =>
+      val viaExpr = withCodegen(cg) {
+        docs.select(col("doc_id"),
+            functions.VectorExpr.tokenStats(split(col("text"), " ")).as("st"))
+          .select(col("doc_id"), col("st.n_tok").as("n_tok"),
+            col("st.top_cnt").as("top_cnt"), col("st.n_distinct").as("n_distinct"))
+          .orderBy("doc_id")
+          .collect().toSeq
+      }
+      assert(viaExpr == viaAgg, s"codegen=$cg")
+    }
+  }
+
+  test("MaxPairDist2 equals the higher-order pair enumeration — both eval paths") {
+    // synthetic tracks incl. the degenerate sizes (0, 1, 2 points)
+    val tracks = Seq(
+      Seq((0.0, 0.0), (3.0, 4.0), (-1.0, 2.5)),
+      Seq((12.5, -30.25)),
+      Seq.empty[(Double, Double)],
+      Seq((1.0, 1.0), (1.0, 1.0)),
+      Seq.tabulate(40)(i => (i * 0.5, 90.0 - i * 1.25)))
+    val df = tracks.zipWithIndex
+      .map { case (t, i) => (i, t.map { case (a, b) => (a, b) }) }
+      .toDF("id", "raw")
+      .select(col("id"), transform(col("raw"),
+        x => struct(x("_1").as("lat"), x("_2").as("lon"))).as("xs"))
+    val viaHof = df.select(col("id"),
+        array_max(flatten(transform(col("xs"), (x, i) =>
+          transform(slice(col("xs"), i + lit(2), size(col("xs"))), y =>
+            (x("lat") - y("lat")) * (x("lat") - y("lat")) +
+              (x("lon") - y("lon")) * (x("lon") - y("lon")))))).as("d2"))
+      .orderBy("id").collect().map(r => (r.getInt(0), Option(r.get(1)))).toSeq
+    Seq(true, false).foreach { cg =>
+      val viaExpr = withCodegen(cg) {
+        df.select(col("id"), functions.VectorExpr.maxPairDist2(col("xs")).as("d2"))
+          .orderBy("id").collect().map(r => (r.getInt(0), Option(r.get(1)))).toSeq
+      }
+      assert(viaExpr == viaHof, s"codegen=$cg")
+    }
+  }
+}
