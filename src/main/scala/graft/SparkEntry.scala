@@ -21,6 +21,7 @@ object SparkEntry {
       functions.Scalars.all ++    // §2.8 scalar functions
       operators.TimeSeries.all ++ // §2.9 time-series (batch form)
       operators.Geo.all ++        // §2.10 domain: position analytics over TNC2-parsed packets
+      operators.Graph.all ++      // §2.11 iterative graph analytics (fixed-point PageRank)
       functions.TextOps.all ++    // §2.11 text / dedup
       functions.VectorOps.all ++  // §2.11 vector / similarity
       functions.DedupOps.all ++     // §2.11+ minhash-LSH / simhash / jaccard / embed near-dup

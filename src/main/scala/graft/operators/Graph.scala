@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the order graph (SURVEY.md §2.11 stretch
+  * set) — the second fixpoint-style operator family next to
+  * q_dedup_components' connected components.
+  *
+  * The graph: customers and suppliers are nodes (key spaces disambiguated by
+  * even/odd encoding — 2·custkey vs 2·suppkey+1), with an undirected edge
+  * wherever a customer's order contains a supplier's line item. PageRank
+  * runs in FIXED-POINT INTEGER arithmetic: ranks are scaled to 1e9, each
+  * edge ships pr div degree (integer division), the damping step is
+  * 0.15·1e9 + (85·inflow) div 100 — every operation is exact BIGINT math,
+  * so the result is bit-identical on any engine, any partitioning, any
+  * accumulation order. That determinism is the operational requirement for
+  * reproducible rankings at 100 TB (a float PageRank's low bits depend on
+  * reduction order); the rounding the fixed point introduces per iteration
+  * is ~1e-9 relative — far below any ranking-relevant difference.
+  *
+  * Scale shape: the edge list is the ingested graph — a write-once artifact
+  * (localCheckpoint here; a parquet edge table in production, the
+  * BucketedLayout discipline). Each iteration is one broadcast of the
+  * node-sized (pr, deg) relation, a map-side edge join, and ONE dst-keyed
+  * exchange of slim (dst, contrib) rows with map-side partial sums. At node
+  * counts beyond broadcast range the per-iteration join becomes a src-keyed
+  * shuffle join — the edge relation still moves at most once per iteration.
+  */
+object Graph {
+  import Tables.table
+
+  /** (edges, degrees), materialized once per (session, sf-dir): the graph
+    * ingest (a fact-fact join + distinct + symmetrization) is the offline
+    * artifact every graph query starts from. Oracle twins re-derive it
+    * inline, so the gate pins the ingest math too. */
+  private val graphMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), (DataFrame, DataFrame)]()
+
+  private def orderGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graphMemo.computeIfAbsent((Tables.sessionId(s), dir), _ => {
+      val base = table(s, dir, "orders")
+        .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = base.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(base.select(col("s").as("src"), col("c").as("dst")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(true)
+      (edges, deg)
+    })
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_graph_pagerank",
+      "Deterministic fixed-point PageRank (3 unrolled iterations, damping 0.85, " +
+        "ranks scaled to 1e9, ALL integer arithmetic) over the undirected " +
+        "customer–supplier order graph; top-20 suppliers by rank. Integer " +
+        "division per edge + associative BIGINT sums make the result " +
+        "bit-identical across engines and partitionings.",
+      (s, dir) => {
+        val (edges, deg) = orderGraph(s, dir)
+        val pr0 = deg.select(col("node"), lit(1000000000L).as("pr"), col("d"))
+        def step(p: DataFrame): DataFrame =
+          edges
+            .join(broadcast(p.withColumnRenamed("node", "jn")), col("src") === col("jn"))
+            .select(col("dst"), expr("pr div d").as("contrib"))
+            .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
+            .select(col("dst").as("node"),
+              (lit(150000000L) + expr("(85 * inflow) div 100")).as("pr"))
+            .join(broadcast(deg), "node")
+        val p3 = step(step(step(pr0)))
+        p3.filter(pmod(col("node"), lit(2L)) === 1)
+          .select(expr("(node - 1) div 2").as("supp_key"), col("pr"))
+          .orderBy(col("pr").desc, col("supp_key"))
+          .limit(20)
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+          |deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+          |pr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+          |it1 AS (SELECT e.dst AS node,
+          |    CAST(150000000 + (85 * CAST(sum(p.pr // d.d) AS BIGINT)) // 100 AS BIGINT) AS pr
+          |  FROM edges e JOIN pr0 p ON e.src = p.node JOIN deg d ON e.src = d.node
+          |  GROUP BY e.dst),
+          |it2 AS (SELECT e.dst AS node,
+          |    CAST(150000000 + (85 * CAST(sum(p.pr // d.d) AS BIGINT)) // 100 AS BIGINT) AS pr
+          |  FROM edges e JOIN it1 p ON e.src = p.node JOIN deg d ON e.src = d.node
+          |  GROUP BY e.dst),
+          |it3 AS (SELECT e.dst AS node,
+          |    CAST(150000000 + (85 * CAST(sum(p.pr // d.d) AS BIGINT)) // 100 AS BIGINT) AS pr
+          |  FROM edges e JOIN it2 p ON e.src = p.node JOIN deg d ON e.src = d.node
+          |  GROUP BY e.dst)
+          |SELECT (node - 1) // 2 AS supp_key, pr FROM it3 WHERE node % 2 = 1
+          |ORDER BY pr DESC, supp_key LIMIT 20""".stripMargin))
+  )
+}
