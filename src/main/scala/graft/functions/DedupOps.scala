@@ -411,6 +411,58 @@ object DedupOps {
       }),
 
     GraftQuery(
+      "q_dedup_cluster_rep",
+      "Cluster-representative selection — the keep-WHICH-copy decision that " +
+        "follows candidate generation: every doc maps to its canonical " +
+        "min-id partner over the band-collision graph (q_dedup_canonical's " +
+        "one-step assignment), then each multi-member cluster keeps the " +
+        "HIGHEST-QUALITY member (longest text, tie min doc_id) rather than " +
+        "blindly the smallest id. Output: the 20 biggest clusters with their " +
+        "representative. Scale shape: the argmax is min(struct(-quality, id)) " +
+        "— a hash aggregate over slim (canonical, n_chars, doc_id) rows, no " +
+        "window, no re-join of text.",
+      (s, dir) => {
+        val bands = lshBands(s, dir)
+        val partners = bands.select(col("doc_id").as("ida"), col("band"))
+          .join(bands.select(col("doc_id").as("idb"), col("band").as("band2")),
+            col("band") === col("band2") && col("ida") =!= col("idb"))
+          .groupBy("ida").agg(min(col("idb")).as("mp"))
+        val canon = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+          .join(partners, col("doc_id") === col("ida"), "left")
+          .select(col("doc_id"), col("n_chars"),
+            least(coalesce(col("mp"), col("doc_id")), col("doc_id")).as("canonical"))
+        canon.groupBy("canonical").agg(
+            count(lit(1)).as("n_members"),
+            min(struct((-col("n_chars")).as("nc"), col("doc_id").as("id"))).as("st"))
+          .filter(col("n_members") >= 2)
+          .select(col("canonical"), col("n_members"),
+            col("st.id").as("rep_doc"), (-col("st.nc")).as("rep_chars"))
+          .orderBy(col("n_members").desc, col("canonical"))
+          .limit(20)
+      },
+      Some {
+        val mh = (0 until NumHashes)
+          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k").mkString(", ")
+        val bandList = (0 until NumHashes / BandSize)
+          .map(b => s"'$b|' || " + (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(" || "))
+          .mkString(", ")
+        s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+           |shl AS (SELECT doc_id, $shingleSql AS sh FROM (SELECT doc_id, toks FROM d WHERE len(toks) >= 3) t),
+           |sig AS (SELECT doc_id, $mh FROM shl),
+           |bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sig),
+           |p AS (SELECT a.doc_id AS ida, min(b.doc_id) AS mp FROM bands a
+           |      JOIN bands b ON a.band = b.band AND a.doc_id <> b.doc_id GROUP BY 1),
+           |c AS (SELECT doc_id, n_chars, least(coalesce(mp, doc_id), doc_id) AS canonical
+           |      FROM documents LEFT JOIN p ON doc_id = ida),
+           |r AS (SELECT canonical, count(*) AS n_members,
+           |        min(struct_pack(nc := -n_chars, id := doc_id)) AS st
+           |      FROM c GROUP BY canonical)
+           |SELECT canonical, n_members, st.id AS rep_doc, -st.nc AS rep_chars
+           |FROM r WHERE n_members >= 2
+           |ORDER BY n_members DESC, canonical LIMIT 20""".stripMargin
+      }),
+
+    GraftQuery(
       "q_dedup_embed",
       "Embedding-cosine near-dup: label-blocked pairs with similarity ≥ 0.4 " +
         "(corpus max same-label sim ≈ 0.47), count + max — the semantic-dedup shape.",

@@ -141,6 +141,44 @@ object TimeSeries {
           |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
           |SELECT w_start, event_type, count(*) AS n, """.stripMargin +
           graft.Exact.moneySumSql("value") + """ AS s
-          |FROM f GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin))
+          |FROM f GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_funnel",
+      "Ordered event funnel — the product-analytics staple: per user, the " +
+        "earliest view, the earliest click STRICTLY AFTER that view, the " +
+        "earliest purchase strictly after that click; output = users reaching " +
+        "each stage. Stage timestamps are exact micros minima, so the strict " +
+        "inequalities are deterministic. Scale shape: three chained " +
+        "aggregations over (user, ts) rows with the per-stage relation " +
+        "broadcast back (user-sized; beyond broadcast range it becomes a " +
+        "user-keyed shuffle join) — never a self-join of the full event " +
+        "table, never a window over the corpus.",
+      (s, dir) => {
+        val e = table(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(broadcast(s1), "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(broadcast(s2), "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        s1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
+      },
+      Some(
+        """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+          |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+          |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+          |SELECT (SELECT count(*) FROM s1) AS n_view,
+          |       (SELECT count(*) FROM s2) AS n_click,
+          |       (SELECT count(*) FROM s3) AS n_purchase""".stripMargin))
   )
 }

@@ -110,6 +110,27 @@ class CurationSpec extends SparkSuite {
     assert(run("q_sample_topk_hash").collect().toSeq == rows.toSeq)
   }
 
+  test("cluster representatives: multi-member clusters, quality-ranked, deterministic") {
+    val rows = run("q_dedup_cluster_rep").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2)
+      assert(r.getAs[Long]("rep_chars") > 0)
+      assert(r.getAs[Long]("rep_doc") >= 0)
+    }
+    val sizes = rows.map(_.getAs[Long]("n_members")).toSeq
+    assert(sizes == sizes.sorted.reverse)
+    assert(run("q_dedup_cluster_rep").collect().toSeq == rows.toSeq)
+  }
+
+  test("funnel stages are monotonically non-increasing and bounded by the user count") {
+    val r = run("q_ts_funnel").head()
+    val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"), r.getAs[Long]("n_purchase"))
+    assert(v >= c && c >= p && p >= 0)
+    val users = Tables.table(spark, sf, "events")
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(v <= users)
+  }
+
   test("ORC round-trip equals the direct parquet aggregation") {
     val orc = run("q_source_orc").collect().toSeq
     val direct = docs.groupBy("lang")
