@@ -113,18 +113,20 @@ object DedupOps {
         // join-side exchanges it saves; the same pattern WINS for simhash,
         // whose 20 source blocks amortize the collect). At 100 TB the balance
         // flips: write the shingle relation to storage once and re-scan it.
-        // shingles are hashed to 64-bit longs MAP-SIDE (xxhash64), before
-        // anything shuffles: the self-join's two exchanges and the per-doc
-        // size aggregation ship 8-byte keys instead of ~20-40 byte shingle
-        // strings, and the join compares longs, not strings. Per-doc
-        // distinctness (array_distinct) still happens on the STRINGS, so a
-        // hash collision could only merge shingles across documents — at
-        // 2^-64 per pair it is astronomically unlikely at any corpus size,
-        // and the string-keyed DuckDB oracle pins the results as identical.
+        // shingles are hashed to 64-bit longs MAP-SIDE, before anything
+        // shuffles: the self-join's two exchanges and the per-doc size
+        // aggregation ship 8-byte keys instead of ~20-40 byte shingle
+        // strings, and the join compares longs, not strings. The fused
+        // DistinctShingleHashes expression builds each shingle, dedupes on
+        // the STRING (so a hash collision could only merge shingles across
+        // documents — 2^-64 per pair, astronomically unlikely at any corpus
+        // size; the string-keyed DuckDB oracle pins the results as
+        // identical), and hashes in ONE compiled pass — the previous
+        // xxhash64∘explode∘array_distinct∘shingles chain materialized the
+        // shingle-string array twice per regeneration.
         val sh = Tables.spread(s, table(s, dir, "documents"))
           .select(col("doc_id"), col("source"),
-            explode(array_distinct(VectorExpr.shingles(split(col("text"), " ")))).as("gs"))
-          .select(col("doc_id"), col("source"), xxhash64(col("gs")).as("g"))
+            explode(VectorExpr.shingleHashes(split(col("text"), " "))).as("g"))
         // per-doc sizes: one row per doc — broadcastable at bench scale; at
         // 100 TB this becomes a shuffle join on the (already-partitioned)
         // doc_id key, still never touching text

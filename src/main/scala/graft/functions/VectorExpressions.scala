@@ -321,6 +321,9 @@ object VectorExpr {
 
   def maxPairDist2(xs: Column): Column =
     ColumnBridge.column(MaxPairDist2(ColumnBridge.expression(xs)))
+
+  def shingleHashes(toks: Column, n: Int = 3): Column =
+    ColumnBridge.column(DistinctShingleHashes(ColumnBridge.expression(toks), n))
 }
 
 /** Shared eval body for [[TokenCounts]] — top-level object so generated code
@@ -504,6 +507,70 @@ case class MaxPairDist2(child: Expression) extends UnaryExpression {
          |else { ${ev.value} = $d; }
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared eval body for [[DistinctShingleHashes]]. */
+object ShingleHashUtil {
+  /** Per-doc DISTINCT word-n-gram shingles, as 64-bit hashes, in one pass:
+    * build each shingle string, dedupe on the STRING (a hash collision can
+    * therefore only merge shingles across documents, never within one), and
+    * emit XXH64(bytes, seed 42) — the same family Spark's xxhash64 uses; the
+    * consumers only ever compare these hashes to each other, so the exact
+    * constant does not matter, only determinism. */
+  def hashes(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    val out = len - n + 1
+    if (out <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](out * 2)
+    val res = new java.util.ArrayList[Any](out)
+    var i = 0
+    while (i < out) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val sh = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+      if (seen.add(sh)) {
+        val b = sh.getBytes
+        res.add(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            b.length, 42L))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res.toArray)
+  }
+}
+
+/** Codegen'd fused shingle→distinct→hash: array<string> tokens → array<long>
+  * of the doc's DISTINCT n-gram shingle hashes. Replaces the three-operator
+  * chain `xxhash64(explode(array_distinct(graft_shingles(toks))))`, which
+  * materialized the full shingle-string array, a second distinct copy, and
+  * per-row hash calls — this is one compiled pass per document with a string
+  * HashSet and in-loop hashing. Used by the jaccard/decontamination family,
+  * whose shingle relation is regenerated per consumer by design (see
+  * q_dedup_ngram_jaccard's scaladoc): cheaper regeneration compounds.
+  */
+case class DistinctShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleHashUtil.hashes(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleHashUtil.hashes($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
