@@ -341,16 +341,19 @@ object DedupOps {
         "5-gram with any train document (a left-semi join on the shingle key). " +
         "On this near-dup corpus 97 of 281 test docs are contaminated — exactly " +
         "the leakage a held-out split inherits when dedup runs after splitting. " +
-        "Scale shape: shingles explode map-side (one compiled eval per doc), the " +
-        "semi join shuffles (shingle, doc_id) only and ships no text; at 100 TB " +
-        "swap the raw shingle strings for their 64-bit hashes + a verify pass.",
+        "Scale shape: distinct shingle HASHES are built map-side in one fused " +
+        "compiled pass per doc (DistinctShingleHashes — dedup on the string, " +
+        "ship the 64-bit hash), the semi join shuffles (hash, doc_id) only and " +
+        "ships no text; a cross-document hash collision could only ADD a " +
+        "false contamination flag at 2^-64 per pair, and the string-keyed " +
+        "oracle pins the counts as identical.",
       (s, dir) => {
         val d = Tables.spread(s, table(s, dir, "documents"))
           .withColumn("b",
             pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
               .cast("int"), lit(100)))
         val sh = d.select(col("doc_id"), col("b"),
-          explode(array_distinct(VectorExpr.shingles(split(col("text"), " "), 5))).as("g"))
+          explode(VectorExpr.shingleHashes(split(col("text"), " "), 5)).as("g"))
         val contaminated = sh.filter(col("b") >= 95).select("doc_id", "g")
           .join(sh.filter(col("b") < 90).select("g"), Seq("g"), "left_semi")
           .agg(countDistinct(col("doc_id")).as("n_contaminated"))
