@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatDotProduct, SimHash16, StringShingles, TokenRollingHash}
+import graft.functions.{DistinctShingleHashes, FloatDotProduct, MaxPairDist2,
+  SimHash16, StringShingles, TokenCounts, TokenRollingHash, TokenStats}
 
 /** SparkSessionExtensions entry point (SURVEY.md §4): registers the engine's
   * custom Catalyst expressions as SQL functions so `spark.sql("SELECT
@@ -54,6 +55,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_rolling_fp(arrayString) takes 1 argument")
         TokenRollingHash(children.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_token_counts(arrayString) takes 1 argument")
+        TokenCounts(children.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_token_stats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "graft_token_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_token_stats(arrayString) takes 1 argument")
+        TokenStats(children.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_max_pair_dist2"),
+      new ExpressionInfo(classOf[MaxPairDist2].getName, "graft_max_pair_dist2"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_max_pair_dist2(arrayStruct(lat,lon)) takes 1 argument")
+        MaxPairDist2(children.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[DistinctShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_shingle_hashes(arrayString, n) takes 2 arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"graft_shingle_hashes n must be an INT literal, got $other")
+        }
+        DistinctShingleHashes(children.head, n)
       }))
   }
 }

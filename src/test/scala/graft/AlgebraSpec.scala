@@ -125,6 +125,18 @@ class AlgebraSpec extends SparkSuite {
       val fp = s2.sql("SELECT graft_rolling_fp(array('ab', 'xyz')) AS f").head().getLong(0)
       // h = ((0*31 + 97*2) % M)*31 + 120*3) % M
       assert(fp == (97L * 2 * 31 + 120L * 3) % 1000003L)
+      val tc = s2.sql("SELECT graft_token_counts(array('a','b','a')) AS t").head()
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(tc.map(r => (r.getString(0), r.getLong(1))).toSet == Set(("a", 2L), ("b", 1L)))
+      val st = s2.sql("SELECT graft_token_stats(array('a','b','a')).n_tok AS n").head().getLong(0)
+      assert(st == 3L)
+      val d2 = s2.sql(
+        "SELECT graft_max_pair_dist2(array(struct(0.0d, 0.0d), struct(3.0d, 4.0d))) AS d")
+        .head().getDouble(0)
+      assert(d2 == 25.0)
+      val nh = s2.sql("SELECT size(graft_shingle_hashes(array('a','b','c','d','b','c','d'), 3)) AS n")
+        .head().getInt(0)
+      assert(nh == 4) // 5 shingles, 'b c d' seen twice → 4 distinct
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)

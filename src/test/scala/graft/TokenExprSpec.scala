@@ -57,6 +57,27 @@ class TokenExprSpec extends SparkSuite {
     }
   }
 
+  test("DistinctShingleHashes: per-doc set size matches the relational chain; no fixture collisions") {
+    // hash CONSTANTS differ from xxhash64's on purpose (consumers only ever
+    // compare these hashes to each other) — parity is on set structure:
+    // per-doc count equals array_distinct(shingles) count, and corpus-wide
+    // the hash↔string mapping is 1:1 (no collisions on the fixtures)
+    val toks = split(col("text"), " ")
+    val viaStrings = docs.filter(size(toks) >= 3)
+      .select(col("doc_id"), size(array_distinct(
+        functions.VectorExpr.shingles(toks))).as("n"))
+      .orderBy("doc_id").collect().toSeq
+    val viaHashes = docs.filter(size(toks) >= 3)
+      .select(col("doc_id"), size(functions.VectorExpr.shingleHashes(toks)).as("n"))
+      .orderBy("doc_id").collect().toSeq
+    assert(viaStrings == viaHashes)
+    val strings = docs.select(explode(array_distinct(
+        functions.VectorExpr.shingles(toks))).as("g")).distinct().count()
+    val hashes = docs.select(explode(
+        functions.VectorExpr.shingleHashes(toks)).as("g")).distinct().count()
+    assert(strings == hashes)
+  }
+
   test("MaxPairDist2 equals the higher-order pair enumeration — both eval paths") {
     // synthetic tracks incl. the degenerate sizes (0, 1, 2 points)
     val tracks = Seq(
