@@ -74,6 +74,39 @@ object Multimodal {
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GraftQuery(
+      "q_multimodal_dedup",
+      "Binary-content dedup — the media-dedup staple (the same image shipped " +
+        "under many URLs): group payloads by md5 content hash per media type, " +
+        "report unique counts and the RECLAIMABLE bytes (every copy past the " +
+        "first). The shuffle carries (media_type, hash, length) — never the " +
+        "payload; at 100 TB this is exactly how petabytes of crawl media get " +
+        "deduped before any decode cost is paid.",
+      (s, dir) => {
+        val g = attachBinary(table(s, dir, "documents"))
+          .select(col("media_type"), md5(col("payload")).as("h"),
+            octet_length(col("payload")).cast("long").as("len"))
+        g.groupBy("media_type", "h")
+          .agg(count(lit(1)).as("cnt"), min(col("len")).as("len0"))
+          .groupBy("media_type")
+          .agg(
+            sum(col("cnt")).as("n_payloads"),
+            count(lit(1)).as("n_unique"),
+            sum((col("cnt") - 1) * col("len0")).as("dup_bytes"))
+          .orderBy("media_type")
+      },
+      Some(
+        """WITH g AS (SELECT
+          |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+          |    md5(text) AS h, octet_length(encode(text)) AS len
+          |  FROM documents),
+          |per AS (SELECT media_type, h, count(*) AS cnt, min(len) AS len0
+          |        FROM g GROUP BY media_type, h)
+          |SELECT media_type, CAST(sum(cnt) AS BIGINT) AS n_payloads,
+          |       count(*) AS n_unique,
+          |       CAST(sum((cnt - 1) * len0) AS BIGINT) AS dup_bytes
+          |FROM per GROUP BY media_type ORDER BY media_type""".stripMargin)),
+
+    GraftQuery(
       "q_multimodal_frames",
       "Frame-sampling plan for video payloads: uniform-stride sample offsets " +
         "(≤8 frames, 500-byte stride) generated PER ROW from payload metadata and " +
