@@ -248,6 +248,48 @@ object PipelineOps {
           |GROUP BY doc_id ORDER BY avg_nll DESC, doc_id LIMIT 10""".stripMargin)),
 
     GraftQuery(
+      "q_text_keywords",
+      "Distinctive vocabulary per language — smoothed frequency-ratio keyword " +
+        "extraction (the log-odds/keyness family): score(w, L) = " +
+        "(count in L + 1) / (count outside L + 1), top-3 terms per language. " +
+        "Exact integer counts and one IEEE division keep the ranking " +
+        "cross-engine deterministic. Spark shape: the (lang, term) counts " +
+        "explode pre-reduced TokenCounts pairs, the out-of-language count " +
+        "comes from a SUM WINDOW over the term (same structural single-" +
+        "tokenize as tfidf), and the per-language top-3 is one windowed rank " +
+        "over the vocabulary-sized score relation.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = Tables.spread(s, table(s, dir, "documents"))
+          .select(col("lang"),
+            explode(VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
+          .groupBy(col("lang"), col("kv.w").as("w"))
+          .agg(sum(col("kv.c")).as("cl"))
+        val scored = tf
+          .withColumn("ct", sum(col("cl")).over(Window.partitionBy("w")))
+          .select(col("lang"), col("w").as("term"),
+            round((col("cl") + 1).cast("double") / (col("ct") - col("cl") + 1).cast("double"), 6)
+              .as("score"))
+        scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(col("score").desc, col("term"))))
+          .filter(col("rn") <= 3)
+          .select("lang", "term", "score")
+          .orderBy("lang", "term")
+      },
+      Some(
+        """WITH tf AS (SELECT lang, w, count(*) AS cl FROM (
+          |    SELECT lang, unnest(string_split(text,' ')) AS w FROM documents)
+          |  GROUP BY lang, w),
+          |t AS (SELECT lang, w, cl, sum(cl) OVER (PARTITION BY w) AS ct FROM tf),
+          |s AS (SELECT lang, w AS term,
+          |    round(CAST(cl + 1 AS DOUBLE) / CAST(ct - cl + 1 AS DOUBLE), 6) AS score
+          |  FROM t),
+          |r AS (SELECT lang, term, score, row_number() OVER (
+          |    PARTITION BY lang ORDER BY score DESC, term) AS rn FROM s)
+          |SELECT lang, term, score FROM r WHERE rn <= 3 ORDER BY lang, term""".stripMargin)),
+
+    GraftQuery(
       "q_quality_pipeline",
       "End-to-end curation funnel: token-length gate (20..400) → exact-dup " +
         "removal keeping the first doc per content hash → language gate (en) " +

@@ -131,6 +131,18 @@ class CurationSpec extends SparkSuite {
     assert(v <= users)
   }
 
+  test("keywords: exactly 3 per language, scores positive, language markers surface") {
+    val rows = run("q_text_keywords").collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, rs) => assert(rs.length == 3) }
+    rows.foreach(r => assert(r.getAs[Double]("score") > 0.0))
+    // keyness: a top term must be MORE distinctive than the shared-vocabulary
+    // baseline (every language uses the common pool, so a term appearing
+    // uniformly across 5 languages scores well under 1)
+    assert(rows.map(_.getAs[Double]("score")).max > 0.3)
+    assert(run("q_text_keywords").collect().toSeq == rows.toSeq)
+  }
+
   test("ORC round-trip equals the direct parquet aggregation") {
     val orc = run("q_source_orc").collect().toSeq
     val direct = docs.groupBy("lang")

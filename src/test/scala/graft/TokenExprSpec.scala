@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 /** TokenCounts / TokenStats / MaxPairDist2 expressions — pinned against the
   * relational forms they replaced, on the real fixture corpus, under both
@@ -54,6 +56,29 @@ class TokenExprSpec extends SparkSuite {
           .collect().toSeq
       }
       assert(viaExpr == viaAgg, s"codegen=$cg")
+    }
+  }
+
+  test("TokenCounts/TokenStats property: match an in-memory reference on random token arrays") {
+    val tokGen = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "d e", "", "ζ", "xyz"))
+    val cases: Seq[List[String]] = (0 until 60).flatMap { i =>
+      tokGen.apply(Gen.Parameters.default, Seed(i.toLong))
+    }
+    val df = cases.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "toks")
+    val got = df.select(col("id"),
+        functions.VectorExpr.tokenStats(col("toks")).as("st"),
+        functions.VectorExpr.tokenCounts(col("toks")).as("tc"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      val toks = cases(r.getInt(0))
+      val ref = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val st = r.getStruct(1)
+      assert(st.getLong(0) == toks.length.toLong, "n_tok")
+      assert(st.getLong(1) == (if (ref.isEmpty) 0L else ref.values.max), "top_cnt")
+      assert(st.getLong(2) == ref.size.toLong, "n_distinct")
+      val tc = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(kv => kv.getString(0) -> kv.getLong(1)).toMap
+      assert(tc == ref, "token counts")
     }
   }
 
