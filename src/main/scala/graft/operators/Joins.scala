@@ -260,6 +260,44 @@ object Joins {
       Some(
         "SELECT e.event_id, (SELECT max(o.o_orderdate) FROM orders o " +
           "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS last_order " +
-          "FROM events e ORDER BY e.event_id LIMIT 1000"))
+          "FROM events e ORDER BY e.event_id LIMIT 1000")),
+
+    GraftQuery(
+      "q_ts_asof_forward",
+      "FORWARD as-of join with a tolerance — the other half of the merge_asof " +
+        "surface, as click-to-purchase attribution: for every click, the " +
+        "earliest purchase by the same user at-or-after it, kept only when " +
+        "within 24 hours. Same O(n+m) union-window shape as q_ts_asof_join with " +
+        "the frame flipped (running MIN over current-to-unbounded-FOLLOWING); " +
+        "clicks sort before purchases at equal timestamps (kind 0 < 1) so the " +
+        "≥ bound stays inclusive. The tolerance gate compares exact epoch " +
+        "seconds (ts.cast(double) ≡ DuckDB epoch, sub-second precision).",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("t"), lit(0).as("kind"),
+            col("event_id"), lit(null).cast(TimestampType).as("pts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+            lit(null).cast(LongType).as("event_id"), col("ts").as("pts"))
+        val w = Window.partitionBy("user_id").orderBy(col("t"), col("kind"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        clicks.unionByName(purchases)
+          .withColumn("next_raw", min(col("pts")).over(w))
+          .where(col("kind") === 0)
+          .select(col("event_id"),
+            when(col("next_raw").cast("double") - col("t").cast("double") <= 86400.0,
+              col("next_raw")).as("next_purchase"))
+          .orderBy("event_id")
+          .limit(1000)
+      },
+      Some(
+        """SELECT event_id, CASE WHEN epoch(np) - epoch(ts) <= 86400.0 THEN np END AS next_purchase
+          |FROM (SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS ts,
+          |    (SELECT min(CAST(p.ts AS TIMESTAMP)) FROM events p
+          |     WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          |       AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)) AS np
+          |  FROM events c WHERE c.event_type = 'click')
+          |ORDER BY event_id LIMIT 1000""".stripMargin))
   )
 }
