@@ -144,6 +144,45 @@ object TimeSeries {
           |FROM f GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin)),
 
     GraftQuery(
+      "q_ts_time_weighted",
+      "Time-weighted average of the value signal per user — the ops/finance " +
+        "staple where a reading holds until the next one: Σ value·Δt / Σ Δt " +
+        "over consecutive same-user events; top-20 users. EXACT under any " +
+        "partitioning: values are 2-dp money → integer cents, intervals are " +
+        "exact epoch MICROSECOND longs, so every product and both sums are " +
+        "associative BIGINT arithmetic — only the final two IEEE divisions " +
+        "touch floating point, identically on both engines. One window pass " +
+        "(lead) + one hash agg; the last event of each user carries no dt and " +
+        "drops out, same as the oracle's IS NOT NULL.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val dt = e
+          .withColumn("dt",
+            unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .filter(col("dt").isNotNull)
+        dt.groupBy("user_id")
+          .agg(sum(col("cents") * col("dt")).as("sw"), sum(col("dt")).as("sd"))
+          .select(col("user_id"),
+            round(col("sw").cast("double") / col("sd").cast("double") / 100.0, 6).as("twa"))
+          .orderBy(col("twa").desc, col("user_id"))
+          .limit(20)
+      },
+      Some(
+        """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+          |w AS (SELECT user_id, cents,
+          |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+          |  FROM e),
+          |a AS (SELECT user_id, CAST(sum(cents * dt) AS BIGINT) AS sw,
+          |    CAST(sum(dt) AS BIGINT) AS sd
+          |  FROM w WHERE dt IS NOT NULL GROUP BY user_id)
+          |SELECT user_id, round(CAST(sw AS DOUBLE) / CAST(sd AS DOUBLE) / 100.0, 6) AS twa
+          |FROM a ORDER BY twa DESC, user_id LIMIT 20""".stripMargin)),
+
+    GraftQuery(
       "q_ts_funnel",
       "Ordered event funnel — the product-analytics staple: per user, the " +
         "earliest view, the earliest click STRICTLY AFTER that view, the " +
