@@ -143,6 +143,12 @@ class CurationSpec extends SparkSuite {
     assert(run("q_text_keywords").collect().toSeq == rows.toSeq)
   }
 
+  test("driver entry contract: flagship query returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every declared query has a runnable fn; oracle map keys are a subset
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("ORC round-trip equals the direct parquet aggregation") {
     val orc = run("q_source_orc").collect().toSeq
     val direct = docs.groupBy("lang")
