@@ -113,4 +113,43 @@ class PlanShapeSpec extends SparkSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), p)
   }
+
+  test("round-7 curation kernels shuffle nothing but the rollup") {
+    // TokenStats/shingle kernels: no Generate (no explode), exactly one
+    // shuffle exchange (the per-language hash rollup)
+    Seq("q_text_repetition", "q_text_top_bigram").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Generate"), s"$q explodes:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$q extra shuffles:\n$p")
+    }
+  }
+
+  test("q_text_keywords tokenizes once and ranks over the vocabulary relation") {
+    val p = plan("q_text_keywords")
+    assert("(?m)^.*Generate".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("ReusedExchange"), p)
+  }
+
+  test("q_graph_pagerank iterations broadcast the node relation, never shuffle edges") {
+    val p = plan("q_graph_pagerank")
+    // three iterations -> three broadcast joins of the (node, pr) relation
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // the memoized edge artifact appears as a checkpointed scan, not a live join
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("as-of joins (both directions) are single-window plans, no join operator") {
+    Seq("q_ts_asof_join", "q_ts_asof_forward").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q joins instead of the union-window shape:\n$p")
+      assert(p.contains("Window"), s"$q lost the window:\n$p")
+    }
+  }
+
+  test("q_multimodal_dedup ships hashes, never payload bytes, through the exchange") {
+    val p = plan("q_multimodal_dedup")
+    // the first exchange's output schema must not contain the payload column
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty && ex.forall(!_.contains("payload")), p)
+  }
 }
