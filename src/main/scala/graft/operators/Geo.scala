@@ -30,6 +30,41 @@ import org.apache.spark.sql.functions._
 object Geo {
   import Tables.table
 
+  /** TNC2-rendered click positions, parsed back through the production
+    * PacketParse — shared by both geo queries. Rendering is exact integer
+    * arithmetic on event_id residues; Tables.spread precedes the regex parse
+    * (the dominant map-side leg) so it runs on every core; no deterministic
+    * row filter sits between spread and the consumer aggregation/window
+    * (PushDownPredicates would drag the parse back into the single-split
+    * stage — see q_geo_positions' scaladoc). */
+  private def parsedClicks(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = table(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"))
+      .withColumn("lat_deg", pmod(col("event_id"), lit(90L)))
+      .withColumn("lat_minc", pmod(col("event_id") * 7, lit(6000L)))
+      .withColumn("lon_deg", pmod(col("event_id") * 3, lit(180L)))
+      .withColumn("lon_minc", pmod(col("event_id") * 13, lit(6000L)))
+    // TNC2 line: CALL>APRS,TCPIP*:!ddmm.hhN/dddmm.hhE#  (bare position)
+    val raw = concat(
+      lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:!"),
+      format_string("%02d%02d.%02d",
+        col("lat_deg"), (col("lat_minc") / lit(100)).cast("long"),
+        pmod(col("lat_minc"), lit(100L))),
+      when(pmod(col("event_id"), lit(2L)) === 0, "N").otherwise("S"),
+      lit("/"),
+      format_string("%03d%02d.%02d",
+        col("lon_deg"), (col("lon_minc") / lit(100)).cast("long"),
+        pmod(col("lon_minc"), lit(100L))),
+      when(pmod(col("event_id"), lit(3L)) === 0, "E").otherwise("W"),
+      lit("#"))
+    graft.streaming.PacketParse
+      .parse(Tables.spread(s, e.select(col("event_id"), raw.as("raw"))))
+      .select(col("event_id"), col("callsign"), col("packet_type"),
+        col("lat"), col("lon"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_geo_positions",
@@ -38,55 +73,13 @@ object Geo {
         "integers, parsed by the production PacketParse, oracle computes positions " +
         "directly — format∘parse pinned as identity.",
       (s, dir) => {
-        // deterministic position synthesis: degrees/centiminutes/hemispheres
-        // from event_id residues (all exact integer ops on both engines)
-        val e = table(s, dir, "events")
-          .filter(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"))
-          .withColumn("lat_deg", pmod(col("event_id"), lit(90L)))
-          .withColumn("lat_minc", pmod(col("event_id") * 7, lit(6000L)))
-          .withColumn("lon_deg", pmod(col("event_id") * 3, lit(180L)))
-          .withColumn("lon_minc", pmod(col("event_id") * 13, lit(6000L)))
-        // TNC2 line: CALL>APRS,TCPIP*:!ddmm.hhN/dddmm.hhE#  (bare position)
-        val raw = concat(
-          lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:!"),
-          format_string("%02d%02d.%02d",
-            col("lat_deg"), (col("lat_minc") / lit(100)).cast("long"),
-            pmod(col("lat_minc"), lit(100L))),
-          when(pmod(col("event_id"), lit(2L)) === 0, "N").otherwise("S"),
-          lit("/"),
-          format_string("%03d%02d.%02d",
-            col("lon_deg"), (col("lon_minc") / lit(100)).cast("long"),
-            pmod(col("lon_minc"), lit(100L))),
-          when(pmod(col("event_id"), lit(3L)) === 0, "E").otherwise("W"),
-          lit("#"))
-        // Tables.spread before the parse: the rendered lines come off a
-        // single-split scan, and the regex parse (~0.3 ms/row — the dominant
-        // leg) must run on every core, not one. No row-level filter on parse
-        // output: a deterministic filter would be PUSHED THROUGH the
-        // repartition (PushDownPredicates descends RepartitionByExpression),
-        // dragging the whole regex chain back into the single-split stage —
-        // instead every row aggregates and n_pos counts the 'position'
-        // classification, so the parse columns evaluate strictly above the
-        // exchange AND any parser drift still breaks the oracle hash (a
-        // misparsed line changes n_pos and the null-skipping min/max).
-        val parsed = graft.streaming.PacketParse
-          .parse(Tables.spread(s, e.select(col("event_id"), raw.as("raw"))))
+        // No row-level filter on parse output: every rendered line aggregates
+        // and n_pos counts the 'position' classification, so the parse
+        // columns evaluate strictly above the spread exchange AND any parser
+        // drift still breaks the oracle hash (a misparsed line changes n_pos
+        // and the null-skipping min/max).
+        val parsed = parsedClicks(s, dir)
           .select(col("callsign"), col("packet_type"), col("lat"), col("lon"))
-        // ONE aggregation produces bbox AND the per-station track: the regex
-        // parse (the expensive map-side leg) runs exactly once. Max pairwise
-        // displacement comes from the codegen'd MaxPairDist2 over the
-        // collected track — one compiled O(track²) loop per station holding a
-        // running max (the earlier nested transform/slice/flatten/array_max
-        // spelling paid interpreted lambda dispatch per PAIR and materialized
-        // the full pair array; max is order-insensitive, so collect_list's
-        // nondeterministic order cannot change the result either way). A
-        // station's track is small and bounded (at 100 TB: cap per station
-        // per day, the simhash-block-cap discipline), so the O(track²) work
-        // stays tiny while the corpus-sized work — the parse and the single
-        // shuffle of slim (callsign, lat, lon) rows — stays linear. A
-        // self-join formulation was measured 3× the parse cost: it
-        // re-evaluated the parse on both join sides plus the bbox leg.
         val g = parsed.groupBy("callsign").agg(
           sum(when(col("packet_type") === "position", 1L).otherwise(0L)).as("n_pos"),
           round(min(col("lat")), 6).as("lat_min"),
@@ -124,6 +117,53 @@ object Geo {
           |  round(coalesce(md2, 0.0), 6) AS max_disp2
           |FROM bbox LEFT JOIN disp ON bbox.callsign = disp.callsign
           |ORDER BY max_disp2 DESC, bbox.callsign LIMIT 20""".stripMargin)
-    )
+    ),
+
+    GraftQuery(
+      "q_geo_track_length",
+      "Per-station track odometer over TNC2-parsed positions: sum of squared " +
+        "displacements between CONSECUTIVE points (event order). EXACT under " +
+        "any partitioning: positions are recovered from the parsed doubles " +
+        "into integer centi-minute units (round(lat·6000) — the parse error " +
+        "is ~1e-10 against a 0.5 rounding margin), so every Δ², the per-" +
+        "segment sum, and the per-station total are associative BIGINT " +
+        "arithmetic. The oracle computes the same integer units directly " +
+        "from the event_id residues, pinning format∘parse as the identity in " +
+        "INTEGER space. One window pass (lag, shuffles slim unit rows) + one " +
+        "hash agg; the dlat IS NOT NULL gate references the window output, so " +
+        "no filter can be pushed below the spread exchange.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = parsedClicks(s, dir)
+          .select(col("event_id"), col("callsign"),
+            round(col("lat") * 6000).cast("long").as("latu"),
+            round(col("lon") * 6000).cast("long").as("lonu"))
+        val w = Window.partitionBy("callsign").orderBy("event_id")
+        p.withColumn("dlat", col("latu") - lag(col("latu"), 1).over(w))
+          .withColumn("dlon", col("lonu") - lag(col("lonu"), 1).over(w))
+          .filter(col("dlat").isNotNull)
+          .groupBy("callsign")
+          .agg(count(lit(1)).as("n_seg"),
+            sum(col("dlat") * col("dlat") + col("dlon") * col("dlon")).as("track_d2"))
+          .orderBy(col("track_d2").desc, col("callsign"))
+          .limit(20)
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id,
+          |    event_id % 90 AS lat_deg, (event_id * 7) % 6000 AS lat_minc,
+          |    (event_id * 3) % 180 AS lon_deg, (event_id * 13) % 6000 AS lon_minc
+          |  FROM events WHERE event_type = 'click'),
+          |p AS (SELECT 'U' || CAST(user_id AS VARCHAR) AS callsign, event_id,
+          |    (lat_deg * 6000 + lat_minc) * (CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END) AS latu,
+          |    (lon_deg * 6000 + lon_minc) * (CASE WHEN event_id % 3 = 0 THEN 1 ELSE -1 END) AS lonu
+          |  FROM e),
+          |d AS (SELECT callsign,
+          |    latu - lag(latu) OVER (PARTITION BY callsign ORDER BY event_id) AS dlat,
+          |    lonu - lag(lonu) OVER (PARTITION BY callsign ORDER BY event_id) AS dlon
+          |  FROM p)
+          |SELECT callsign, count(*) AS n_seg,
+          |  CAST(sum(dlat * dlat + dlon * dlon) AS BIGINT) AS track_d2
+          |FROM d WHERE dlat IS NOT NULL GROUP BY callsign
+          |ORDER BY track_d2 DESC, callsign LIMIT 20""".stripMargin))
   )
 }
