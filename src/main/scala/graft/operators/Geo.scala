@@ -62,7 +62,7 @@ object Geo {
     graft.streaming.PacketParse
       .parse(Tables.spread(s, e.select(col("event_id"), raw.as("raw"))))
       .select(col("event_id"), col("callsign"), col("packet_type"),
-        col("lat"), col("lon"))
+        col("lat"), col("lon"), col("grid"))
   }
 
   val all: Seq[GraftQuery] = Seq(
@@ -164,6 +164,45 @@ object Geo {
           |SELECT callsign, count(*) AS n_seg,
           |  CAST(sum(dlat * dlat + dlon * dlon) AS BIGINT) AS track_d2
           |FROM d WHERE dlat IS NOT NULL GROUP BY callsign
-          |ORDER BY track_d2 DESC, callsign LIMIT 20""".stripMargin))
+          |ORDER BY track_d2 DESC, callsign LIMIT 20""".stripMargin)),
+
+    GraftQuery(
+      "q_geo_grid_density",
+      "Position density per Maidenhead grid locator — the APRS coverage-map " +
+        "query: count positions per 6-char grid square as derived by the " +
+        "production parser, top-50 squares. The oracle recomputes the full " +
+        "field/square/subsquare formula from the residue-derived lat/lon with " +
+        "the identical floor/fmod/substr steps, so the gate pins the parser's " +
+        "grid derivation end-to-end (no other gated query consumes it). " +
+        "Map-side derivation + one hash agg + TakeOrdered.",
+      (s, dir) =>
+        parsedClicks(s, dir)
+          .groupBy("grid")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("grid"))
+          .limit(50),
+      Some(
+        """WITH e AS (SELECT event_id, user_id,
+          |    event_id % 90 AS lat_deg, (event_id * 7) % 6000 AS lat_minc,
+          |    (event_id * 3) % 180 AS lon_deg, (event_id * 13) % 6000 AS lon_minc
+          |  FROM events WHERE event_type = 'click'),
+          |p AS (SELECT
+          |    (CAST(lat_deg AS DOUBLE) + CAST(lat_minc AS DOUBLE) / 100.0 / 60.0)
+          |      * (CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE -1.0 END) + 90.0 AS alat,
+          |    (CAST(lon_deg AS DOUBLE) + CAST(lon_minc AS DOUBLE) / 100.0 / 60.0)
+          |      * (CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE -1.0 END) + 180.0 AS alon
+          |  FROM e),
+          |a AS (SELECT least(alat, 179.999999) AS alat, least(alon, 359.999999) AS alon FROM p),
+          |g AS (SELECT
+          |    substr('ABCDEFGHIJKLMNOPQR', CAST(floor(alon / 20) AS INT) + 1, 1) ||
+          |    substr('ABCDEFGHIJKLMNOPQR', CAST(floor(alat / 10) AS INT) + 1, 1) ||
+          |    CAST(CAST(floor(fmod(alon, 20) / 2) AS INT) AS VARCHAR) ||
+          |    CAST(CAST(floor(fmod(alat, 10)) AS INT) AS VARCHAR) ||
+          |    substr('abcdefghijklmnopqrstuvwx', CAST(floor(fmod(alon, 2) * 12) AS INT) + 1, 1) ||
+          |    substr('abcdefghijklmnopqrstuvwx', CAST(floor(fmod(alat, 1) * 24) AS INT) + 1, 1)
+          |    AS grid
+          |  FROM a)
+          |SELECT grid, count(*) AS n FROM g GROUP BY grid
+          |ORDER BY n DESC, grid LIMIT 50""".stripMargin))
   )
 }
