@@ -203,6 +203,47 @@ object Geo {
           |    AS grid
           |  FROM a)
           |SELECT grid, count(*) AS n FROM g GROUP BY grid
-          |ORDER BY n DESC, grid LIMIT 50""".stripMargin))
+          |ORDER BY n DESC, grid LIMIT 50""".stripMargin)),
+
+    GraftQuery(
+      "q_packet_telemetry",
+      "Telemetry channel analytics over TNC2-parsed T# packets: per-station " +
+        "packet count, max sequence, exact analog-channel mass (tlm_a1 " +
+        "recovered to integer TENTHS — round(a1·10), parse error ~1e-13 " +
+        "against the 0.5 margin), and total set bits in the digital channel " +
+        "(popcount of the parsed 8-bit string). Pins the parser's telemetry " +
+        "fields (seq / a1 / bits) under the gate; the oracle computes every " +
+        "aggregate directly from the event integers (bit_count for the " +
+        "digital channel), so all sums are associative BIGINT.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"))
+        val v = pmod(col("event_id") * 3, lit(1000L))
+        val raw = concat(
+          lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:T#"),
+          format_string("%03d", pmod(col("event_id"), lit(1000L))), lit(","),
+          concat(expr("(event_id * 3) % 1000 div 10").cast("string"), lit("."),
+            pmod(v, lit(10L)).cast("string")),
+          lit(",0,0,0,0,"),
+          lpad(conv(pmod(col("event_id"), lit(256L)).cast("string"), 10, 2), 8, "0"))
+        graft.streaming.PacketParse
+          .parse(Tables.spread(s, e.select(raw.as("raw"))))
+          .groupBy("callsign")
+          .agg(
+            count(lit(1)).as("n_tel"),
+            max(col("tlm_seq")).as("max_seq"),
+            sum(round(col("tlm_a1") * 10).cast("long")).as("sum_a1_tenths"),
+            sum(length(regexp_replace(col("tlm_bits"), "0", "")).cast("long")).as("sum_bits"))
+          .orderBy("callsign")
+      },
+      Some(
+        """SELECT 'U' || CAST(user_id AS VARCHAR) AS callsign,
+          |  count(*) AS n_tel,
+          |  CAST(max(event_id % 1000) AS INT) AS max_seq,
+          |  CAST(sum((event_id * 3) % 1000) AS BIGINT) AS sum_a1_tenths,
+          |  CAST(sum(bit_count(event_id % 256)) AS BIGINT) AS sum_bits
+          |FROM events WHERE event_type = 'error'
+          |GROUP BY callsign ORDER BY callsign""".stripMargin))
   )
 }
