@@ -244,6 +244,50 @@ object Geo {
           |  CAST(sum((event_id * 3) % 1000) AS BIGINT) AS sum_a1_tenths,
           |  CAST(sum(bit_count(event_id % 256)) AS BIGINT) AS sum_bits
           |FROM events WHERE event_type = 'error'
+          |GROUP BY callsign ORDER BY callsign""".stripMargin)),
+
+    GraftQuery(
+      "q_packet_weather",
+      "Weather-station analytics over TNC2-parsed positionless weather " +
+        "packets (_MMDDHHMM c s g t): per-station report count, exact wind-" +
+        "direction mass, peak gust, and minimum temperature — the APRS WX " +
+        "roll-up. Pins the parser's weather fields (wind dir/speed, gust, " +
+        "temp incl. the negative-temperature path) under the gate; all " +
+        "aggregates are integer min/max/sums computed by the oracle directly " +
+        "from the event integers.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"))
+        val speed = pmod(col("event_id") * 7, lit(100L))
+        val raw = concat(
+          lit("W"), col("user_id").cast("string"), lit(">APRS,TCPIP*:_"),
+          format_string("%02d%02d%02d%02d",
+            lit(1) + pmod(col("event_id"), lit(12L)),
+            lit(1) + pmod(col("event_id"), lit(28L)),
+            pmod(col("event_id"), lit(24L)),
+            pmod(col("event_id") * 11, lit(60L))),
+          lit("c"), format_string("%03d", pmod(col("event_id"), lit(360L))),
+          lit("s"), format_string("%03d", speed),
+          lit("g"), format_string("%03d", speed + pmod(col("event_id"), lit(20L))),
+          lit("t"), format_string("%03d", pmod(col("event_id"), lit(120L)) - 20))
+        graft.streaming.PacketParse
+          .parse(Tables.spread(s, e.select(raw.as("raw"))))
+          .groupBy("callsign")
+          .agg(
+            count(lit(1)).as("n_wx"),
+            sum(col("wx_wind_dir").cast("long")).as("sum_dir"),
+            max(col("wx_gust")).as("max_gust"),
+            min(col("wx_temp_f")).as("min_temp"))
+          .orderBy("callsign")
+      },
+      Some(
+        """SELECT 'W' || CAST(user_id AS VARCHAR) AS callsign,
+          |  count(*) AS n_wx,
+          |  CAST(sum(event_id % 360) AS BIGINT) AS sum_dir,
+          |  CAST(max((event_id * 7) % 100 + event_id % 20) AS INT) AS max_gust,
+          |  CAST(min(event_id % 120 - 20) AS INT) AS min_temp
+          |FROM events WHERE event_type = 'signup'
           |GROUP BY callsign ORDER BY callsign""".stripMargin))
   )
 }
