@@ -288,6 +288,37 @@ object Geo {
           |  CAST(max((event_id * 7) % 100 + event_id % 20) AS INT) AS max_gust,
           |  CAST(min(event_id % 120 - 20) AS INT) AS min_temp
           |FROM events WHERE event_type = 'signup'
-          |GROUP BY callsign ORDER BY callsign""".stripMargin))
+          |GROUP BY callsign ORDER BY callsign""".stripMargin)),
+
+    GraftQuery(
+      "q_packet_messages",
+      "Message-traffic analytics over TNC2-parsed APRS messages " +
+        "(:ADDRESSEE:text with the 9-char padded addressee): per-ADDRESSEE " +
+        "inbound count and exact text mass — the who-talks-to-whom roll-up. " +
+        "Pins the parser's message fields (addressee trim, text extraction) " +
+        "under the gate; the oracle reproduces the deterministic payload " +
+        "lengths from the event integers.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"))
+        val addressee = concat(lit("U"), pmod(col("user_id") + 1, lit(150L)).cast("string"))
+        val raw = concat(
+          lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*::"),
+          rpad(addressee, 9, " "), lit(":m"),
+          pmod(col("event_id"), lit(97L)).cast("string"))
+        graft.streaming.PacketParse
+          .parse(Tables.spread(s, e.select(raw.as("raw"))))
+          .groupBy("msg_addressee")
+          .agg(count(lit(1)).as("n_msg"),
+            sum(length(col("msg_text")).cast("long")).as("text_chars"))
+          .orderBy("msg_addressee")
+      },
+      Some(
+        """SELECT 'U' || CAST((user_id + 1) % 150 AS VARCHAR) AS msg_addressee,
+          |  count(*) AS n_msg,
+          |  CAST(sum(1 + CASE WHEN event_id % 97 < 10 THEN 1 ELSE 2 END) AS BIGINT) AS text_chars
+          |FROM events WHERE event_type = 'view'
+          |GROUP BY msg_addressee ORDER BY msg_addressee""".stripMargin))
   )
 }
