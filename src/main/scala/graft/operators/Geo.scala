@@ -319,6 +319,59 @@ object Geo {
           |  count(*) AS n_msg,
           |  CAST(sum(1 + CASE WHEN event_id % 97 < 10 THEN 1 ELSE 2 END) AS BIGINT) AS text_chars
           |FROM events WHERE event_type = 'view'
-          |GROUP BY msg_addressee ORDER BY msg_addressee""".stripMargin))
+          |GROUP BY msg_addressee ORDER BY msg_addressee""".stripMargin)),
+
+    GraftQuery(
+      "q_packet_objects",
+      "Object-report analytics over TNC2-parsed object packets " +
+        "(;NAME*ddhhmmz + position body): per-object report count, killed-" +
+        "report count, and the object's position mass in exact integer " +
+        "centi-minute units — pins the parser's object fields (9-char name " +
+        "trim, alive/killed flag, and the OBJECT-flavor position extraction, " +
+        "which none of the bare-position queries exercise). Oracle derives " +
+        "everything from the event integers; all sums are associative BIGINT.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"))
+          .withColumn("lat_deg", pmod(col("event_id"), lit(90L)))
+          .withColumn("lat_minc", pmod(col("event_id") * 7, lit(6000L)))
+          .withColumn("lon_deg", pmod(col("event_id") * 3, lit(180L)))
+          .withColumn("lon_minc", pmod(col("event_id") * 13, lit(6000L)))
+        val raw = concat(
+          lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:;"),
+          rpad(concat(lit("OBJ"), pmod(col("user_id"), lit(37L)).cast("string")), 9, " "),
+          when(pmod(col("event_id"), lit(5L)) === 0, "_").otherwise("*"),
+          format_string("%06d", pmod(col("event_id"), lit(235959L))), lit("z"),
+          format_string("%02d%02d.%02d",
+            col("lat_deg"), (col("lat_minc") / lit(100)).cast("long"),
+            pmod(col("lat_minc"), lit(100L))),
+          when(pmod(col("event_id"), lit(2L)) === 0, "N").otherwise("S"),
+          lit("/"),
+          format_string("%03d%02d.%02d",
+            col("lon_deg"), (col("lon_minc") / lit(100)).cast("long"),
+            pmod(col("lon_minc"), lit(100L))),
+          when(pmod(col("event_id"), lit(3L)) === 0, "E").otherwise("W"),
+          lit("#"))
+        graft.streaming.PacketParse
+          .parse(Tables.spread(s, e.select(raw.as("raw"))))
+          .groupBy("obj_name")
+          .agg(
+            count(lit(1)).as("n_rep"),
+            sum(when(col("obj_killed"), 1L).otherwise(0L)).as("n_killed"),
+            sum(round(col("lat") * 6000).cast("long")).as("lat_mass"),
+            sum(round(col("lon") * 6000).cast("long")).as("lon_mass"))
+          .orderBy("obj_name")
+      },
+      Some(
+        """SELECT 'OBJ' || CAST(user_id % 37 AS VARCHAR) AS obj_name,
+          |  count(*) AS n_rep,
+          |  CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_killed,
+          |  CAST(sum((event_id % 90 * 6000 + (event_id * 7) % 6000)
+          |    * (CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS lat_mass,
+          |  CAST(sum(((event_id * 3) % 180 * 6000 + (event_id * 13) % 6000)
+          |    * (CASE WHEN event_id % 3 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS lon_mass
+          |FROM events WHERE event_type = 'purchase'
+          |GROUP BY obj_name ORDER BY obj_name""".stripMargin))
   )
 }
