@@ -89,5 +89,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         DistinctShingleHashes(children.head, n)
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_packet_fields"),
+      new ExpressionInfo(classOf[graft.streaming.PacketFields].getName, "graft_packet_fields"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_packet_fields(rawLine) takes 1 argument")
+        graft.streaming.PacketFields(children.head)
+      }))
   }
 }

@@ -114,130 +114,45 @@ object EventStream {
   */
 object PacketParse {
 
-  private val posBody = "([0-9]{4}\\.[0-9]{2})([NS])(.)([0-9]{5}\\.[0-9]{2})([EW])"
-  // bare position:  !/= + body       timestamped: / or @ + 7-char ts + body
-  private val barePos = s"^[!=]$posBody"
-  private val timedPos = s"^[/@][0-9]{6}[zh/]$posBody"
-  // object: ;NAME(9ch) * (alive) or _ (killed) + 7-char ts + position body
-  private val objPos = s"^;.{9}[*_][0-9]{6}[zh/]$posBody"
-  // telemetry: T#SSS,a1,a2,a3,a4,a5,bits — classification keys on the HEADER
-  // (seq prefix) so one malformed analog doesn't reclassify the packet; the
-  // strict full pattern only gates field extraction (malformed → null field)
-  private val telemetryHead = "^T#([0-9]{1,5}),"
-  private val telemetry = "^T#([0-9]{1,5}),([0-9.-]+),[0-9.-]+,[0-9.-]+,[0-9.-]+,[0-9.-]+,([01]{8})"
-  // positionless weather: _MMDDHHMM c(dir) s(speed) g(gust) t(temp F); same
-  // header-vs-field split ('...' = field not reported)
-  private val weatherHead = "^_[0-9]{8}"
-  private val weather = "^_([0-9]{8})c([0-9. ]{3})s([0-9. ]{3})g([0-9. ]{3})t(-?[0-9. ]{2,3})"
-
+  /** One fused pass: [[PacketFields]] evaluates once per row (the optimizer
+    * keeps the expensive struct-producing projection separate from the
+    * 20-field extraction above it — CollapseProject refuses to duplicate a
+    * non-cheap expression — and whole-stage codegen fuses both into one
+    * stage), replacing the ~15 regex executions per row of the original
+    * expression-tree formulation. The numeric fields come out of the struct
+    * as the RAW matched substrings and go through the SAME ANSI `try_cast`s
+    * as before: under Spark 4's ANSI-on default a plain cast of a malformed
+    * field off the air would KILL the stream, and try_cast nulls it instead —
+    * and keeping the cast at this layer pins cast semantics bit-for-bit to
+    * the replaced regexp_extract formulation (StreamingSpec's malformed
+    * telemetry/weather fixtures, Round7Spec's format∘parse identity). */
   def parse(lines: DataFrame, raw: String = "raw"): DataFrame = {
-    def grp(pattern: String, i: Int) = regexp_extract(col("payload"), pattern, i)
-    def posGrp(i: Int) = // first matching flavor wins; "" when none matches
-      when(grp(barePos, i) =!= "", grp(barePos, i))
-        .when(grp(timedPos, i) =!= "", grp(timedPos, i))
-        .otherwise(grp(objPos, i))
-    def toDeg(s: org.apache.spark.sql.Column, degDigits: Int,
-              hemi: org.apache.spark.sql.Column, neg: String): org.apache.spark.sql.Column =
-      when(s === "", lit(null).cast(DoubleType)).otherwise(
-        (substring(s, 1, degDigits).cast(DoubleType) +
-          substring(s, degDigits + 1, 5).cast(DoubleType) / 60.0) *
-          when(hemi === neg, -1.0).otherwise(1.0))
-
-    val lat = toDeg(posGrp(1), 2, posGrp(2), "S")
-    val lon = toDeg(posGrp(4), 3, posGrp(5), "W")
-
-    // Maidenhead grid (6-char): field (20°×10°), square (2°×1°), subsquare.
-    // lat/lon are range-gated to [-90,90]/[-180,180] upstream; the clamp here
-    // handles only the legitimate boundary values (lat=90 / lon=180 map to
-    // the last field per the standard) — without it they would index one past
-    // the 18-letter array, and under Spark 4's ANSI-on default that would
-    // KILL the stream.
-    val adjLon = least(col("lon") + 180.0, lit(359.999999))
-    val adjLat = least(col("lat") + 90.0, lit(179.999999))
-    val gridExpr = concat(
-      element_at(split(lit("ABCDEFGHIJKLMNOPQR"), ""), (floor(adjLon / 20) + 1).cast("int")),
-      element_at(split(lit("ABCDEFGHIJKLMNOPQR"), ""), (floor(adjLat / 10) + 1).cast("int")),
-      floor(pmod(adjLon, lit(20)) / 2).cast("int").cast("string"),
-      floor(pmod(adjLat, lit(10))).cast("int").cast("string"),
-      element_at(split(lit("abcdefghijklmnopqrstuvwx"), ""),
-        (floor(pmod(adjLon, lit(2)) * 12) + 1).cast("int")),
-      element_at(split(lit("abcdefghijklmnopqrstuvwx"), ""),
-        (floor(pmod(adjLat, lit(1)) * 24) + 1).cast("int")))
-
+    import org.apache.spark.sql.graft.ColumnBridge
+    val pf = ColumnBridge.column(PacketFields(ColumnBridge.expression(col(raw))))
     lines
-      .withColumn("callsign", regexp_extract(col(raw), "^([A-Za-z0-9-]+)>", 1))
-      .withColumn("path", regexp_extract(col(raw), "^[^>]+>([^:]*):", 1))
-      .withColumn("payload", regexp_extract(col(raw), "^[^:]+:(.*)$", 1))
-      .withColumn("dti", substring(col("payload"), 1, 1))
-      // out-of-range bodies that the regex admits ("9999.99N") become null
-      // here, so downstream classification dead-letters them like any other
-      // unparseable position
-      .withColumn("lat", when(lat.between(-90.0, 90.0), lat))
-      .withColumn("lon", when(lon.between(-180.0, 180.0), lon))
-      .withColumn("packet_type",
-        when(col("callsign") === "" || col("payload") === "", "other")
-          .when(col("dti").isin("!", "="),
-            when(col("lat").isNotNull && col("lon").isNotNull, "position").otherwise("other"))
-          .when(col("dti").isin("/", "@"),
-            when(col("lat").isNotNull && col("lon").isNotNull, "position_ts").otherwise("other"))
-          .when(col("dti") === ">", "status")
-          .when(col("dti") === ":" &&
-            regexp_extract(col("payload"), "^:([^:]{9}):", 1) =!= "", "message")
-          .when(col("dti") === ";" &&
-            col("lat").isNotNull && col("lon").isNotNull, "object")
-          .when(col("dti") === "T" && col("payload").rlike(telemetryHead), "telemetry")
-          .when(col("dti") === "_" && col("payload").rlike(weatherHead), "weather")
-          .otherwise("other"))
-      // objects: 9-char name (trailing-space padded) + alive/killed marker
-      .withColumn("obj_name",
-        when(col("packet_type") === "object",
-          trim(regexp_extract(col("payload"), "^;(.{9})[*_]", 1))).otherwise(lit(null)))
-      .withColumn("obj_killed",
-        when(col("packet_type") === "object",
-          regexp_extract(col("payload"), "^;.{9}([*_])", 1) === "_").otherwise(lit(null)))
-      // telemetry: sequence number, first analog channel, digital bits.
-      // try_cast throughout — under Spark 4's ANSI-on default a plain cast of
-      // a malformed numeric field would KILL the stream, and these fields
-      // come off the air
-      .withColumn("tlm_seq",
-        when(col("packet_type") === "telemetry",
-          expr(s"try_cast(regexp_extract(payload, '$telemetryHead', 1) AS INT)"))
-          .otherwise(lit(null)))
-      .withColumn("tlm_a1",
-        when(col("packet_type") === "telemetry",
-          expr(s"try_cast(regexp_extract(payload, '$telemetry', 2) AS DOUBLE)"))
-          .otherwise(lit(null)))
-      .withColumn("tlm_bits",
-        when(col("packet_type") === "telemetry" && grp(telemetry, 3) =!= "",
-          grp(telemetry, 3)).otherwise(lit(null)))
-      // weather: wind dir/speed/gust, temperature °F ('...' = not reported →
-      // try_cast yields null rather than dying)
-      .withColumn("wx_wind_dir",
-        when(col("packet_type") === "weather",
-          expr(s"try_cast(regexp_extract(payload, '$weather', 2) AS INT)"))
-          .otherwise(lit(null)))
-      .withColumn("wx_wind_speed",
-        when(col("packet_type") === "weather",
-          expr(s"try_cast(regexp_extract(payload, '$weather', 3) AS INT)"))
-          .otherwise(lit(null)))
-      .withColumn("wx_gust",
-        when(col("packet_type") === "weather",
-          expr(s"try_cast(regexp_extract(payload, '$weather', 4) AS INT)"))
-          .otherwise(lit(null)))
-      .withColumn("wx_temp_f",
-        when(col("packet_type") === "weather",
-          expr(s"try_cast(regexp_extract(payload, '$weather', 5) AS INT)"))
-          .otherwise(lit(null)))
-      .withColumn("msg_addressee",
-        when(col("packet_type") === "message",
-          trim(regexp_extract(col("payload"), "^:([^:]{9}):", 1))).otherwise(lit(null)))
-      .withColumn("msg_text",
-        when(col("packet_type") === "message",
-          regexp_extract(col("payload"), "^:[^:]{9}:(.*)$", 1)).otherwise(lit(null)))
-      .withColumn("status_text",
-        when(col("packet_type") === "status", substring(col("payload"), 2, 256))
-          .otherwise(lit(null)))
-      .withColumn("grid",
-        when(col("lat").isNotNull && col("lon").isNotNull, gridExpr).otherwise(lit(null)))
+      .withColumn("_pf", pf)
+      .withColumn("callsign", col("_pf.callsign"))
+      .withColumn("path", col("_pf.path"))
+      .withColumn("payload", col("_pf.payload"))
+      .withColumn("dti", col("_pf.dti"))
+      .withColumn("lat", col("_pf.lat"))
+      .withColumn("lon", col("_pf.lon"))
+      // null raw → null struct → coalesce reproduces the classifier's
+      // otherwise("other") branch
+      .withColumn("packet_type", coalesce(col("_pf.packet_type"), lit("other")))
+      .withColumn("obj_name", col("_pf.obj_name"))
+      .withColumn("obj_killed", col("_pf.obj_killed"))
+      .withColumn("tlm_seq", expr("try_cast(_pf.tlm_seq_s AS INT)"))
+      .withColumn("tlm_a1", expr("try_cast(_pf.tlm_a1_s AS DOUBLE)"))
+      .withColumn("tlm_bits", col("_pf.tlm_bits"))
+      .withColumn("wx_wind_dir", expr("try_cast(_pf.wx_dir_s AS INT)"))
+      .withColumn("wx_wind_speed", expr("try_cast(_pf.wx_speed_s AS INT)"))
+      .withColumn("wx_gust", expr("try_cast(_pf.wx_gust_s AS INT)"))
+      .withColumn("wx_temp_f", expr("try_cast(_pf.wx_temp_s AS INT)"))
+      .withColumn("msg_addressee", col("_pf.msg_addressee"))
+      .withColumn("msg_text", col("_pf.msg_text"))
+      .withColumn("status_text", col("_pf.status_text"))
+      .withColumn("grid", col("_pf.grid"))
+      .drop("_pf")
   }
 }
