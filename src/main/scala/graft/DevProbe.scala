@@ -104,6 +104,26 @@ object DevProbe {
           round(min(col("lat")), 6).as("lat_min"),
           collect_list(struct(col("lat"), col("lon"))).as("xs"))
           .select(col("callsign"), col("n_pos"), col("lat_min"), size(col("xs")).as("nx"))
+      case "@sketch_err" => (s, dir) => {
+        // actual relative errors behind the q_agg_approx_* quality bounds —
+        // run at each SF when recalibrating the 5% epsilons
+        val hll = graft.Tables.table(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(countDistinct(col("o_custkey")).as("exact"),
+            approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+          .select(col("o_orderpriority").as("grp"), lit("hll").as("sketch"),
+            round(abs(col("approx") - col("exact")) / col("exact"), 5).as("rel_err"))
+        val gk = graft.Tables.table(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(expr("percentile(o_totalprice, 0.5)").as("e50"),
+            expr("percentile(o_totalprice, 0.95)").as("e95"),
+            expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)").as("qs"))
+          .select(col("o_orderstatus").as("grp"), lit("gk_p50/p95").as("sketch"),
+            greatest(
+              round(abs(element_at(col("qs"), 1) - col("e50")) / col("e50"), 5),
+              round(abs(element_at(col("qs"), 2) - col("e95")) / col("e95"), 5)).as("rel_err"))
+        hll.unionAll(gk).orderBy(col("sketch"), col("grp"))
+      }
       case other => SparkEntry.queries(other)
     }
     for (pass <- 1 to n; q <- names) {

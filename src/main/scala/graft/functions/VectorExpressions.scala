@@ -446,23 +446,35 @@ case class TokenStats(child: Expression) extends UnaryExpression {
 /** Shared eval body for [[MaxPairDist2]]. */
 object MaxPairDist2Util {
   /** max over unordered pairs of Δlat²+Δlon² — one compiled O(k²) loop.
-    * Returns Double.NegativeInfinity when fewer than 2 points (mapped to
-    * null by the expression, matching array_max over an empty pair list). */
+    * Points with a null struct or a null lat/lon field are SKIPPED, matching
+    * the replaced transform/array_max formulation (null arithmetic → null
+    * pair distance → ignored by array_max) — without the guard a misparsed
+    * track point would read as 0.0 and contribute a bogus pair. Returns
+    * Double.NegativeInfinity when fewer than 2 valid points (mapped to null
+    * by the expression, matching array_max over an empty pair list). */
   def maxD2(xs: ArrayData): Double = {
     val n = xs.numElements()
     var best = Double.NegativeInfinity
     var i = 0
     while (i < n) {
-      val a = xs.getStruct(i, 2)
-      val alat = a.getDouble(0); val alon = a.getDouble(1)
-      var j = i + 1
-      while (j < n) {
-        val b = xs.getStruct(j, 2)
-        val dlat = alat - b.getDouble(0)
-        val dlon = alon - b.getDouble(1)
-        val d2 = dlat * dlat + dlon * dlon
-        if (d2 > best) best = d2
-        j += 1
+      if (!xs.isNullAt(i)) {
+        val a = xs.getStruct(i, 2)
+        if (!a.isNullAt(0) && !a.isNullAt(1)) {
+          val alat = a.getDouble(0); val alon = a.getDouble(1)
+          var j = i + 1
+          while (j < n) {
+            if (!xs.isNullAt(j)) {
+              val b = xs.getStruct(j, 2)
+              if (!b.isNullAt(0) && !b.isNullAt(1)) {
+                val dlat = alat - b.getDouble(0)
+                val dlon = alon - b.getDouble(1)
+                val d2 = dlat * dlat + dlon * dlon
+                if (d2 > best) best = d2
+              }
+            }
+            j += 1
+          }
+        }
       }
       i += 1
     }

@@ -24,11 +24,26 @@ import org.apache.spark.sql.functions._
   * AND the per-station track come out of ONE hash aggregation shuffling slim
   * (callsign, lat, lon) rows; max-displacement pairs are enumerated within
   * the collected track (a station's own positions, never cross-corpus), so
-  * pair cost follows Σ track² per station — at 100 TB you'd bound tracks per
-  * day exactly like the simhash block cap.
+  * pair cost follows Σ min(track, TrackCap)² per station — the cap is
+  * ENFORCED IN-PLAN ([[boundedTrack]]: deterministic sort + slice before
+  * pair enumeration), the same discipline as the simhash block cap.
   */
 object Geo {
   import Tables.table
+
+  /** Enforced per-station track cap for the O(k²) max-displacement pair
+    * stage — same discipline as the simhash block cap (DedupOps): the
+    * collected track is sorted (struct lexicographic: lat, then lon — a
+    * deterministic, partitioning-independent order) and truncated to its
+    * first `cap` points BEFORE pair enumeration, so one pathological
+    * station can never go n². Inert on the fixtures (tracks are O(100)
+    * points at sf0.1 vs cap 8192 ≈ 67M pairs ≈ tens of ms); at 100 TB
+    * you'd additionally bound tracks per time bucket upstream, and this
+    * is the in-plan backstop. */
+  private[graft] val TrackCap = 8192
+  private[graft] def boundedTrack(xs: org.apache.spark.sql.Column,
+      cap: Int = TrackCap): org.apache.spark.sql.Column =
+    slice(sort_array(xs), 1, cap)
 
   /** TNC2-rendered click positions, parsed back through the production
     * PacketParse — shared by both geo queries. Rendering is exact integer
@@ -90,7 +105,8 @@ object Geo {
         g.select(col("callsign"), col("n_pos"),
           col("lat_min"), col("lat_max"), col("lon_min"), col("lon_max"),
           round(coalesce(
-            graft.functions.VectorExpr.maxPairDist2(col("xs")), lit(0.0)), 6).as("max_disp2"))
+            graft.functions.VectorExpr.maxPairDist2(boundedTrack(col("xs"))),
+            lit(0.0)), 6).as("max_disp2"))
           .orderBy(col("max_disp2").desc, col("callsign"))
           .limit(20)
       },

@@ -130,4 +130,52 @@ class TokenExprSpec extends SparkSuite {
       assert(viaExpr == viaHof, s"codegen=$cg")
     }
   }
+
+  test("MaxPairDist2 skips points with null fields, like array_max over null pairs") {
+    // a misparsed point (null lat or lon) must not read as 0.0: the pair set
+    // is exactly the pairs of fully-non-null points
+    val df = spark.sql(
+      """SELECT array(
+        |  named_struct('lat', 0.0D, 'lon', 0.0D),
+        |  named_struct('lat', CAST(NULL AS DOUBLE), 'lon', 50.0D),
+        |  named_struct('lat', 3.0D, 'lon', 4.0D),
+        |  named_struct('lat', 90.0D, 'lon', CAST(NULL AS DOUBLE))) AS xs""".stripMargin)
+    Seq(true, false).foreach { cg =>
+      val d2 = withCodegen(cg) {
+        df.select(functions.VectorExpr.maxPairDist2(col("xs")).as("d2"))
+          .head().getDouble(0)
+      }
+      assert(d2 == 25.0, s"codegen=$cg: null-field points leaked into the pairs, d2=$d2")
+    }
+    // all-null-field track → no valid pair → null (≡ array_max([]))
+    val empty = spark.sql(
+      """SELECT array(
+        |  named_struct('lat', CAST(NULL AS DOUBLE), 'lon', 1.0D),
+        |  named_struct('lat', 2.0D, 'lon', CAST(NULL AS DOUBLE))) AS xs""".stripMargin)
+    Seq(true, false).foreach { cg =>
+      val r = withCodegen(cg) {
+        empty.select(functions.VectorExpr.maxPairDist2(col("xs")).as("d2")).head()
+      }
+      assert(r.isNullAt(0), s"codegen=$cg")
+    }
+  }
+
+  test("geo track cap binds deterministically on a synthetic hot station") {
+    // 5 points; cap 3 keeps the lexicographically-smallest 3 (sort + slice),
+    // so the capped max displacement is the max pair among THOSE, regardless
+    // of input order
+    val pts = Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (50.0, 50.0), (9.0, 0.0))
+    Seq(pts, pts.reverse, pts.sortBy(_._2)).foreach { perm =>
+      val df = Seq((1, perm)).toDF("id", "raw")
+        .select(transform(col("raw"),
+          x => struct(x("_1").as("lat"), x("_2").as("lon"))).as("xs"))
+      val capped = df.select(functions.VectorExpr.maxPairDist2(
+        operators.Geo.boundedTrack(col("xs"), cap = 3)).as("d2")).head().getDouble(0)
+      // smallest 3 by (lat, lon): (0,0),(1,1),(2,2) → max pair d2 = 8
+      assert(capped == 8.0, s"perm=$perm")
+      val uncapped = df.select(functions.VectorExpr.maxPairDist2(
+        operators.Geo.boundedTrack(col("xs"))).as("d2")).head().getDouble(0)
+      assert(uncapped == 5000.0) // (0,0)-(50,50): cap 8192 inert
+    }
+  }
 }
