@@ -38,7 +38,7 @@ object Graph {
   private val graphMemo =
     new java.util.concurrent.ConcurrentHashMap[(Long, String), (DataFrame, DataFrame)]()
 
-  private def orderGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private[graft] def orderGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     graphMemo.computeIfAbsent((Tables.sessionId(s), dir), _ => {
       val base = table(s, dir, "orders")
         .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
@@ -60,6 +60,18 @@ object Graph {
         .localCheckpoint(true)
       (edges, deg)
     })
+
+  /** One synchronous min-label propagation round: every node adopts the
+    * minimum label among itself and its neighbors. Per round the edge
+    * artifact NEVER shuffles (labels are the node-sized broadcast side) and
+    * exactly one exchange moves slim (node, lbl) rows into the min-agg —
+    * pinned in GraphSpec. */
+  private[graft] def lpRound(edges: DataFrame, l: DataFrame): DataFrame =
+    edges
+      .join(broadcast(l.withColumnRenamed("node", "jn")), col("src") === col("jn"))
+      .select(col("dst").as("node"), col("lbl"))
+      .unionAll(l.select(col("node"), col("lbl")))
+      .groupBy("node").agg(min(col("lbl")).as("lbl"))
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -105,6 +117,57 @@ object Graph {
           |  FROM edges e JOIN it2 p ON e.src = p.node JOIN deg d ON e.src = d.node
           |  GROUP BY e.dst)
           |SELECT (node - 1) // 2 AS supp_key, pr FROM it3 WHERE node % 2 = 1
-          |ORDER BY pr DESC, supp_key LIMIT 20""".stripMargin))
+          |ORDER BY pr DESC, supp_key LIMIT 20""".stripMargin)),
+
+    GraftQuery(
+      "q_graph_label_prop",
+      "Synchronous min-label propagation (3 unrolled rounds) over the " +
+        "customer–supplier order graph: every node starts labeled with its own " +
+        "id and adopts min(self, neighbors) each round — after round r a " +
+        "node's label is the minimum id within r hops. The result pins EACH " +
+        "round's full label state through three exact integer fingerprints " +
+        "(distinct labels, label mass = sum, max label): a single wrong label " +
+        "anywhere in any round breaks the hash. All-BIGINT like pagerank, so " +
+        "bit-identical on any engine and partitioning. Scale shape: labels are " +
+        "the node-sized broadcast side, the edge artifact never moves, one " +
+        "slim (node, lbl) exchange per round into the min hash-agg; each round " +
+        "is localCheckpoint'd (Pregel discipline, like q_dedup_components) so " +
+        "the per-round stats never replay earlier rounds.",
+      (s, dir) => {
+        val (edges, deg) = orderGraph(s, dir)
+        val l0 = deg.select(col("node"), col("node").as("lbl"))
+        val l1 = lpRound(edges, l0).localCheckpoint(true)
+        val l2 = lpRound(edges, l1).localCheckpoint(true)
+        val l3 = lpRound(edges, l2).localCheckpoint(true)
+        def stats(i: Int, l: DataFrame): DataFrame =
+          l.agg(
+            countDistinct(col("lbl")).as("n_labels"),
+            sum(col("lbl")).as("label_mass"),
+            max(col("lbl")).as("max_lbl"))
+            .select(lit(i).as("rnd"), col("n_labels"), col("label_mass"), col("max_lbl"))
+        stats(1, l1).unionAll(stats(2, l2)).unionAll(stats(3, l3)).orderBy("rnd")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+          |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+          |r1 AS (SELECT x.node, min(x.lbl) AS lbl FROM (
+          |    SELECT e.dst AS node, p.lbl FROM edges e JOIN l0 p ON e.src = p.node
+          |    UNION ALL SELECT node, lbl FROM l0) x GROUP BY x.node),
+          |r2 AS (SELECT x.node, min(x.lbl) AS lbl FROM (
+          |    SELECT e.dst AS node, p.lbl FROM edges e JOIN r1 p ON e.src = p.node
+          |    UNION ALL SELECT node, lbl FROM r1) x GROUP BY x.node),
+          |r3 AS (SELECT x.node, min(x.lbl) AS lbl FROM (
+          |    SELECT e.dst AS node, p.lbl FROM edges e JOIN r2 p ON e.src = p.node
+          |    UNION ALL SELECT node, lbl FROM r2) x GROUP BY x.node)
+          |SELECT 1 AS rnd, count(DISTINCT lbl) AS n_labels,
+          |  CAST(sum(lbl) AS BIGINT) AS label_mass, max(lbl) AS max_lbl FROM r1
+          |UNION ALL
+          |SELECT 2, count(DISTINCT lbl), CAST(sum(lbl) AS BIGINT), max(lbl) FROM r2
+          |UNION ALL
+          |SELECT 3, count(DISTINCT lbl), CAST(sum(lbl) AS BIGINT), max(lbl) FROM r3
+          |ORDER BY rnd""".stripMargin))
   )
 }

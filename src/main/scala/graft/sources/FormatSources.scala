@@ -19,6 +19,9 @@ import org.apache.spark.sql.types._
   */
 object FormatSources {
 
+  /** Avro datasource provider by class name — see the export-side comment. */
+  val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
@@ -46,6 +49,12 @@ object FormatSources {
         case "json" => docs.write.mode("overwrite").json(out)
         // columnar-but-not-parquet: schema travels in the file, no options
         case "orc" => docs.write.mode("overwrite").orc(out)
+        // row-major with an embedded schema — the streaming-interchange
+        // format (Kafka payloads, schema-registry pipelines). FQCN provider:
+        // this distribution bundles the avro classes in spark-sql but not
+        // the service-loader shortname registration, so format("avro")
+        // resolves only through the class name.
+        case "avro" => docs.write.mode("overwrite").format(AvroProvider).save(out)
       }
       out
     })
@@ -90,6 +99,16 @@ object FormatSources {
         "parquet); oracle compares against the original parquet, verifying " +
         "the ORC write→read round-trip value-exactly.",
       (s, dir) => langStats(s.read.orc(exportDir(s, dir, "orc"))),
+      Some(langStatsSql)),
+
+    GraftQuery(
+      "q_source_avro",
+      "Aggregate over an Avro export of documents — the row-major interchange " +
+        "format with an embedded schema (Kafka/schema-registry pipelines); " +
+        "oracle compares against the original parquet, verifying the Avro " +
+        "write→read round-trip value-exactly. Same write-once export " +
+        "discipline as CSV/JSON/ORC.",
+      (s, dir) => langStats(s.read.format(AvroProvider).load(exportDir(s, dir, "avro"))),
       Some(langStatsSql)),
 
     GraftQuery(

@@ -22,6 +22,32 @@ import org.apache.spark.sql.streaming.Trigger
   * parquet — the aprsdb "collect into DB, query with SQL" loop, Spark-native.
   */
 object PacketCollector {
+
+  /** Source selection — drop-dir text files (replayable, exactly-once) or a
+    * live TCP line feed (the APRS-IS deployment shape; Spark's socket source
+    * is at-most-once, acceptable for a broadcast radio feed whose drop-dir
+    * twin is the durable mode). Split out of main so the socket branch is
+    * testable against a loopback feeder (StreamingSpec). */
+  def source(spark: SparkSession, inDir: String,
+      socket: Option[(String, Int)]): org.apache.spark.sql.DataFrame =
+    socket match {
+      case Some((host, port)) =>
+        spark.readStream.format("socket")
+          .option("host", host).option("port", port).load()
+          .withColumnRenamed("value", "raw")
+      case None =>
+        spark.readStream.text(inDir).withColumnRenamed("value", "raw")
+    }
+
+  /** The collector transform: production parse + ingest timestamp + station
+    * bucket for sink partition pruning. Identical for both sources. */
+  def pipeline(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    PacketParse.parse(raw)
+      .withColumn("ingest_ts", current_timestamp())
+      .withColumn("station_bucket",
+        when(col("callsign") === "", lit("_"))
+          .otherwise(upper(substring(col("callsign"), 1, 1))))
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: PacketCollector <inDir> <outDir> <checkpointDir> [--socket host:port]")
@@ -31,26 +57,17 @@ object PacketCollector {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
 
-    val raw =
+    val sock =
       if (args.contains("--socket")) {
         val idx = args.indexOf("--socket")
         require(idx + 1 < args.length, "--socket requires a host:port value")
         val hp = args(idx + 1).split(":", 2)
-        require(hp.length == 2 && hp(1).forall(_.isDigit) && hp(1).nonEmpty,
+        require(hp.length == 2 && hp(1).nonEmpty && hp(1).forall(_.isDigit),
           s"--socket value must be host:port, got '${args(idx + 1)}'")
-        spark.readStream.format("socket")
-          .option("host", hp(0)).option("port", hp(1).toInt).load()
-          .withColumnRenamed("value", "raw")
-      } else
-        spark.readStream.text(inDir).withColumnRenamed("value", "raw")
+        Some((hp(0), hp(1).toInt))
+      } else None
 
-    val parsed = PacketParse.parse(raw)
-      .withColumn("ingest_ts", current_timestamp())
-      .withColumn("station_bucket",
-        when(col("callsign") === "", lit("_"))
-          .otherwise(upper(substring(col("callsign"), 1, 1))))
-
-    val query = parsed.writeStream
+    val query = pipeline(source(spark, inDir, sock)).writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", ckptDir)

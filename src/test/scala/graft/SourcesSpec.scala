@@ -44,4 +44,13 @@ class SourcesSpec extends SparkSuite {
     assert(back.count() == emb.count())
     assert(back.except(emb).isEmpty && emb.except(back).isEmpty)
   }
+
+  test("Avro round-trip preserves rows and exact values (incl. float arrays)") {
+    val dir = Files.createTempDirectory("graft_avro").toString
+    val emb = Tables.table(spark, sf, "embeddings")
+    emb.write.mode("overwrite").format(sources.FormatSources.AvroProvider).save(dir)
+    val back = spark.read.format(sources.FormatSources.AvroProvider).load(dir)
+    assert(back.count() == emb.count())
+    assert(back.except(emb).isEmpty && emb.except(back).isEmpty)
+  }
 }

@@ -105,6 +105,72 @@ class StreamingSpec extends SparkSuite {
     assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("station_bucket=")))
   }
 
+  test("packet collector --socket branch: loopback TNC2 feed equals the batch parse") {
+    // a tiny in-test APRS-IS stand-in: serve 20 TNC2 lines over a loopback
+    // TCP socket, run the collector's socket source + pipeline, and pin the
+    // sink contents against the batch parse of the same lines (the drop-dir
+    // test above pins file-source ≡ batch, so this closes the last untested
+    // branch of the collector's source selection)
+    val lines = (0 until 20).map { i =>
+      if (i % 5 == 4) s"noise $i"
+      else f"U$i%d>APRS,TCPIP*:!${40 + i}%02d03.50N/072${i}%02d.75W-pkt$i"
+    }
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val feeder = new Thread(() => {
+      try {
+        val s = server.accept()
+        val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          s.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+        lines.foreach(w.println)
+        w.flush()
+        // hold the connection open until the server socket is closed below —
+        // the socket source treats EOF as a source failure
+        while (!server.isClosed) Thread.sleep(50)
+        s.close()
+      } catch { case _: Throwable => () }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val out = Files.createTempDirectory("graft_sock_out").toString
+    val ckpt = Files.createTempDirectory("graft_sock_ckpt").toString
+    val q = graft.streaming.PacketCollector.pipeline(
+      graft.streaming.PacketCollector.source(
+        spark, "", Some(("127.0.0.1", server.getLocalPort))))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .partitionBy("station_bucket")
+      .outputMode("append")
+      .start()
+    try {
+      // drain until every fed line has been committed (the feeder and the
+      // source run asynchronously, so poll processAllAvailable)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def committed(): Long =
+        try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+      while (committed() < lines.size && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      assert(committed() == lines.size, s"only ${committed()} of ${lines.size} rows landed")
+    } finally {
+      q.stop()
+      server.close()
+    }
+    val parseCols = Seq("raw", "callsign", "path", "payload", "packet_type",
+      "lat", "lon", "grid", "station_bucket")
+    val viaSocket = spark.read.parquet(out)
+      .select(parseCols.map(col): _*).orderBy("raw").collect().toSeq
+    val viaBatch = graft.streaming.PacketParse.parse(lines.toDF("raw"))
+      .withColumn("station_bucket",
+        when(col("callsign") === "", lit("_"))
+          .otherwise(upper(substring(col("callsign"), 1, 1))))
+      .select(parseCols.map(col): _*).orderBy("raw").collect().toSeq
+    assert(viaSocket == viaBatch)
+    // the noise lines landed in the dead-letter bucket
+    assert(viaSocket.count(_.getAs[String]("station_bucket") == "_") == 4)
+  }
+
   test("packet parse: payload families — timestamped position, message, status, grid") {
     val lines = Seq(
       "N0CALL>APRS:@092345z4903.50N/07201.75W>mobile",        // timestamped position
