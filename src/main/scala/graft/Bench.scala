@@ -90,6 +90,24 @@ object Bench {
         try runPlan(SparkEntry.queries(n)(spark, warmDir).queryExecution.executedPlan)
         catch { case _: Throwable => () }
       }
+    // Write-once artifacts, built and TIMED as an explicit separate step
+    // before query warmup (advisor r7): the gated ANN/graph/bucketed/export
+    // queries amortize these builds by design — production treats them as
+    // the nightly index/ingest job — so their cost must be REPORTED, not
+    // silently absorbed into warmup, or cross-engine comparisons against a
+    // baseline that derives them inline read as inflated speedups.
+    val artifactSec: Seq[(String, Double)] = Seq(
+      ("ann_index", () => graft.functions.Similarity.ensureIndex(spark, sfDir)),
+      ("graph_edges", () => { graft.operators.Graph.orderGraph(spark, sfDir); () }),
+      ("bucketed_layout", () => { graft.sources.BucketedLayout.ensureTables(spark, sfDir); () }),
+      ("format_exports", () => graft.sources.FormatSources.ensureExports(spark, sfDir))
+    ).map { case (n, f) =>
+      val t0 = System.nanoTime()
+      try f() catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact $n failed: ${e.getMessage}") }
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+
     // Warmup pass 2 — lazy queries at the BENCHED dir: plan once (memoized),
     // run one untimed cloned execution. This warms codegen/JIT on the real
     // data shapes AND triggers the one-time memoized layout writes (bucketed
@@ -187,9 +205,15 @@ object Bench {
     // total sums the successful queries; "failed" makes a regression explicit
     // so a shrunken total can never read as an improvement
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    // one-time artifact builds (index training, graph ingest, bucketed
+    // layout, format exports), reported alongside — NOT summed into the
+    // per-query total, which prices the amortized production path
+    val artJson = artifactSec.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    System.err.println(s"[bench-artifacts] $artJson")
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}"""
+        s""""failed":$failedJson,"artifacts":$artJson,"sf":"$sfDir"}"""
     // The driver archives only a ~2000-char TAIL of this output and parses a
     // JSON line out of it; the full per-query line outgrew that window in
     // round 2 (parsed: null). Emit, in order:

@@ -107,16 +107,30 @@ object Tables {
   * at reliable shared storage (object store / HDFS), exactly as the DuckDB
   * oracle this engine is benched against runs its pipeline fully in memory. */
 object Scratch {
-  private val root: Option[java.nio.file.Path] = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      Some(shm)
+  /** Minimum usable space to keep allocating on the RAM-backed tmpfs —
+    * below this, fall back to java.io.tmpdir so leftover scratch (e.g. after
+    * a SIGKILL that skipped the shutdown hook) can never wedge /dev/shm. */
+  private val ShmMinFreeBytes: Long = 512L * 1024 * 1024
+
+  private val shm: Option[java.nio.file.Path] = {
+    val p = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p))
+      Some(p)
     else None
   }
-  def dir(prefix: String): String = (root match {
-    case Some(r) => java.nio.file.Files.createTempDirectory(r, prefix)
-    case None => java.nio.file.Files.createTempDirectory(prefix)
-  }).toString
+
+  private def shmUsable: Boolean = shm.exists { p =>
+    try java.nio.file.Files.getFileStore(p).getUsableSpace > ShmMinFreeBytes
+    catch { case _: java.io.IOException => false }
+  }
+
+  /** Every scratch dir is registered with [[TempReaper]] at creation
+    * (reap-at-exit): callers that need earlier reclaim still delete eagerly
+    * (idempotent), and dirs nothing else tracks — Bench/Verify/probe
+    * warehouse dirs — no longer outlive the JVM on the RAM-backed tmpfs. */
+  def dir(prefix: String): String = TempReaper.add((
+    if (shmUsable) java.nio.file.Files.createTempDirectory(shm.get, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)).toString)
 }
 
 /** Scratch directories deleted at JVM exit. Shared by every module that

@@ -122,6 +122,14 @@ object Similarity {
       (asg.localCheckpoint(true), c2.localCheckpoint(true))
     })
 
+  /** Build (or confirm) the trained index for this (session, dir) — the hook
+    * Bench uses to TIME the one-time training as a separately reported
+    * artifact step, so the amortized per-query ANN numbers are never read as
+    * including the index build. */
+  private[graft] def ensureIndex(s: SparkSession, dir: String): Unit = {
+    trainedIndex(s, dir); ()
+  }
+
   /** The k-means oracle CTE chain (e, c0, a1, c1, a2, c2, a3) shared by
     * q_ann_ivf_kmeans and q_ann_recall — one source of truth for the trained
     * quantizer on the DuckDB side. */

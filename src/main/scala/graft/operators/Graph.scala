@@ -83,7 +83,6 @@ object Graph {
         "bit-identical across engines and partitionings.",
       (s, dir) => {
         val (edges, deg) = orderGraph(s, dir)
-        val pr0 = deg.select(col("node"), lit(1000000000L).as("pr"))
         def step(p: DataFrame): DataFrame =
           edges
             .join(broadcast(p.withColumnRenamed("node", "jn")), col("src") === col("jn"))
@@ -91,7 +90,17 @@ object Graph {
             .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
             .select(col("dst").as("node"),
               (lit(150000000L) + expr("(85 * inflow) div 100")).as("pr"))
-        val p3 = step(step(step(pr0)))
+        // iteration 1 constant-folded: pr0 is UNIFORM (1e9 per node) and
+        // every edge src is in deg by construction, so the first
+        // join-with-broadcast is algebraically a map over the edge artifact
+        // (contrib = 1e9 div sd) — one fewer broadcast build + join barrier;
+        // iterations 2/3 are the general step. Same BIGINT math, same hash.
+        val p1 = edges
+          .select(col("dst"), expr("1000000000 div sd").as("contrib"))
+          .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
+          .select(col("dst").as("node"),
+            (lit(150000000L) + expr("(85 * inflow) div 100")).as("pr"))
+        val p3 = step(step(p1))
         p3.filter(pmod(col("node"), lit(2L)) === 1)
           .select(expr("(node - 1) div 2").as("supp_key"), col("pr"))
           .orderBy(col("pr").desc, col("supp_key"))

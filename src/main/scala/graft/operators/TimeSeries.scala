@@ -188,26 +188,36 @@ object TimeSeries {
         "earliest view, the earliest click STRICTLY AFTER that view, the " +
         "earliest purchase strictly after that click; output = users reaching " +
         "each stage. Stage timestamps are exact micros minima, so the strict " +
-        "inequalities are deterministic. Scale shape: three chained " +
-        "aggregations over (user, ts) rows with the per-stage relation " +
-        "broadcast back (user-sized; beyond broadcast range it becomes a " +
-        "user-keyed shuffle join) — never a self-join of the full event " +
-        "table, never a window over the corpus.",
+        "inequalities are deterministic. Scale shape: ONE user-keyed exchange " +
+        "total — the three stage minima are STACKED WINDOWS over the same " +
+        "user partitioning (t2's condition references the t1 window column, " +
+        "so each Window operator reuses the exchange below it; the " +
+        "q_win_global_rank_2pass exchange-reuse discipline), then a per-user " +
+        "reduce (no new shuffle: same key) and a single-row count. The " +
+        "previous shape — three chained agg+broadcast jobs — was " +
+        "latency-bound at 3 sequential stage barriers; this is one.",
       (s, dir) => {
-        val e = table(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
-        val s1 = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        val s2 = e.filter(col("event_type") === "click")
-          .join(broadcast(s1), "user_id")
-          .filter(col("ts") > col("t1"))
-          .groupBy("user_id").agg(min(col("ts")).as("t2"))
-        val s3 = e.filter(col("event_type") === "purchase")
-          .join(broadcast(s2), "user_id")
-          .filter(col("ts") > col("t2"))
-          .groupBy("user_id").agg(min(col("ts")).as("t3"))
-        s1.agg(count(lit(1)).as("n_view"))
-          .crossJoin(s2.agg(count(lit(1)).as("n_click")))
-          .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+        val e = table(s, dir, "events")
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val staged = e
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") > col("t1"),
+              col("ts"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+              col("ts"))).over(w))
+        staged
+          .groupBy("user_id")
+          .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+          .agg(
+            count(col("t1")).as("n_view"),
+            count(col("t2")).as("n_click"),
+            count(col("t3")).as("n_purchase"))
       },
       Some(
         """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -34,8 +34,9 @@ object BucketedLayout {
     new java.util.concurrent.ConcurrentHashMap[(Long, String), String]()
 
   /** Returns the table-name suffix for this (session, dir), writing the
-    * bucketed copies on first use. */
-  private def ensureTables(s: SparkSession, dir: String): String =
+    * bucketed copies on first use. private[graft]: Bench times this as a
+    * separately reported artifact step. */
+  private[graft] def ensureTables(s: SparkSession, dir: String): String =
     built.computeIfAbsent((Tables.sessionId(s), dir), _ => {
       // sessionId in the table name, matching the memo key: without it a
       // second session on the same SparkContext would mode("overwrite") the

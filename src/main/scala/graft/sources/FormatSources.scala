@@ -59,6 +59,25 @@ object FormatSources {
       out
     })
 
+  /** Build (or confirm) every format export for this (session, dir) — the
+    * hook Bench uses to time the one-time exports as a separately reported
+    * artifact step. */
+  private[graft] def ensureExports(s: SparkSession, dir: String): Unit = {
+    Seq("csv", "json", "orc", "avro").foreach(exportDir(s, dir, _))
+    partitionedDir(s, dir); ()
+  }
+
+  /** Hive-partitioned parquet copy of documents, written once per
+    * (session, dir) — shared by q_source_partitioned and ensureExports. */
+  private def partitionedDir(s: SparkSession, dir: String): String =
+    exports.computeIfAbsent((Tables.sessionId(s), dir, "part"), _ => {
+      val out = graft.TempReaper.add(
+        graft.Scratch.dir("graft_src_part"))
+      Tables.table(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      out
+    })
+
   /** Shared aggregation over whichever reader produced `docs` — counts and an
     * exact integral sum per language. The oracle's sum(BIGINT) is cast back
     * to BIGINT (DuckDB widens integer sums to HUGEINT, the q_ts_session
@@ -119,14 +138,7 @@ object FormatSources {
         "time/key-partitioned archive at 100 TB (PartitionFilters in .explain, " +
         "pinned in PlanShapeSpec).",
       (s, dir) => {
-        val part = exports.computeIfAbsent((Tables.sessionId(s), dir, "part"), _ => {
-          val out = graft.TempReaper.add(
-            graft.Scratch.dir("graft_src_part"))
-          Tables.table(s, dir, "documents")
-            .write.mode("overwrite").partitionBy("lang").parquet(out)
-          out
-        })
-        s.read.parquet(part)
+        s.read.parquet(partitionedDir(s, dir))
           .filter(col("lang") === "en")
           .groupBy("source")
           .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))

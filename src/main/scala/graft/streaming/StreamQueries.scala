@@ -86,12 +86,22 @@ object StreamQueries {
     * start, so scoping the override to the run is safe; restore happens
     * before the read-back query plans. At cluster scale this knob is
     * state_bytes / executor-memory-budget, not a constant. */
-  private def withStreamShuffle[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+  private def withStreamShuffle[A](spark: org.apache.spark.sql.SparkSession,
+      width: Int = StreamShuffleWidth)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "2")
+    spark.conf.set(key, width.toString)
     try body finally spark.conf.set(key, prev)
   }
+
+  /** Stream-state shuffle width — default 2 (measured best for these state
+    * sizes), overridable via SPROBE_SHUFFLE so StreamProbe's sweep knob
+    * tunes the SAME setting the gated stream queries run with (previously
+    * the hard-coded 2 silently overrode the probe's session-level set). */
+  private lazy val StreamShuffleWidth: Int =
+    sys.env.get("SPROBE_SHUFFLE")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(2)
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(

@@ -132,8 +132,12 @@ class PlanShapeSpec extends SparkSuite {
 
   test("q_graph_pagerank iterations broadcast the node relation, never shuffle edges") {
     val p = plan("q_graph_pagerank")
-    // three iterations -> three broadcast joins of the (node, pr) relation
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // iteration 1 is constant-folded (uniform pr0 ⇒ a pure map over the edge
+    // artifact); iterations 2 and 3 broadcast the (node, pr) relation —
+    // exactly two broadcast joins, never more (an extra one would mean the
+    // fold regressed), and never an edge-side shuffle join
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
     // the memoized edge artifact appears as a checkpointed scan, not a live join
     assert(p.contains("Scan ExistingRDD"), p)
   }
