@@ -138,10 +138,18 @@ object Aggregates {
         "one pass, fixed memory per group, no distinct-expansion shuffle for the " +
         "estimate leg; the exact leg here is the audit, not the production path.",
       (s, dir) =>
+        // both legs over the DEDUPED (priority, custkey) relation: the HLL
+        // sketch is duplicate-insensitive (identical estimate, same digest
+        // set), and the exact side becomes a plain count — one two-phase
+        // distinct shuffle, no Expand duplication of the fact rows (the
+        // mixed countDistinct+HLL single agg planned an Expand that 2×'d
+        // the scan through the exchange, measured 1.4s vs 0.3s)
         table(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_custkey"))
+          .distinct()
           .groupBy("o_orderpriority")
           .agg(
-            countDistinct(col("o_custkey")).as("exact_users"),
+            count(lit(1)).as("exact_users"),
             approx_count_distinct(col("o_custkey"), 0.02).as("approx_users"))
           .select(
             col("o_orderpriority"),
