@@ -319,6 +319,121 @@ object PipelineOps {
           |  FROM lengate)
           |SELECT source, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS tokens
           |FROM rep WHERE rn = 1 AND lang = 'en'
-          |GROUP BY source ORDER BY source""".stripMargin))
+          |GROUP BY source ORDER BY source""".stripMargin)),
+
+    GraftQuery(
+      "q_text_pii_scrub",
+      "PII redaction — the curation stage every released corpus runs: global " +
+        "regexp replacement of emails and phone-shaped spans with typed " +
+        "placeholders, plus per-author found-span counts and the exact char " +
+        "mass of the scrubbed text. The synthetic corpus carries no PII, so " +
+        "PII-bearing text is RENDERED deterministically from the events " +
+        "integers (the q_geo_* discipline) and the oracle runs the IDENTICAL " +
+        "portable regexes in DuckDB — the gate pins both engines' regex " +
+        "semantics (greedy classes only, no engine-specific syntax) and the " +
+        "byte-exact replacement. Scale shape: render + scrub + count are all " +
+        "map-side behind the spread; one author-keyed hash agg shuffles four " +
+        "integers per author.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        val text = concat(
+          lit("user "), col("user_id").cast("string"),
+          lit(" mail u"), col("user_id").cast("string"),
+          lit("@ex"), pmod(col("event_id"), lit(10L)).cast("string"),
+          lit(".com tel "),
+          lpad(pmod(col("event_id"), lit(1000L)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(col("event_id") * 7, lit(10000L)).cast("string"), 4, "0"),
+          when(pmod(col("event_id"), lit(3L)) === 0,
+            concat(lit(" alt u"), (col("user_id") + 1).cast("string"), lit("@ex0.com")))
+            .otherwise(lit("")),
+          lit(" end"))
+        val email = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+        val phone = "[0-9]{3}-[0-9]{4}"
+        Tables.spread(s, e.select(col("user_id"), text.as("text")))
+          .select(col("user_id"),
+            expr(s"regexp_count(text, '$email')").as("ne"),
+            expr(s"regexp_count(text, '$phone')").as("np"),
+            regexp_replace(
+              regexp_replace(col("text"), email, "<EMAIL>"),
+              phone, "<PHONE>").as("scrubbed"))
+          .groupBy(concat(lit("U"), col("user_id").cast("string")).as("who"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ne")).as("n_email"),
+            sum(col("np")).as("n_phone"),
+            sum(length(col("scrubbed")).cast("long")).as("scrubbed_chars"))
+          .orderBy("who")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT event_id, user_id,
+          |    'user ' || CAST(user_id AS VARCHAR) || ' mail u' || CAST(user_id AS VARCHAR) ||
+          |    '@ex' || CAST(event_id % 10 AS VARCHAR) || '.com tel ' ||
+          |    lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+          |    lpad(CAST((event_id * 7) % 10000 AS VARCHAR), 4, '0') ||
+          |    CASE WHEN event_id % 3 = 0
+          |         THEN ' alt u' || CAST(user_id + 1 AS VARCHAR) || '@ex0.com' ELSE '' END || ' end'
+          |    AS text
+          |  FROM events WHERE event_type = 'click'),
+          |s AS (
+          |  SELECT user_id,
+          |    len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS ne,
+          |    len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS np,
+          |    regexp_replace(regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+          |                   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+          |  FROM t)
+          |SELECT 'U' || CAST(user_id AS VARCHAR) AS who,
+          |  count(*) AS n_docs,
+          |  CAST(sum(ne) AS BIGINT) AS n_email,
+          |  CAST(sum(np) AS BIGINT) AS n_phone,
+          |  CAST(sum(length(scrubbed)) AS BIGINT) AS scrubbed_chars
+          |FROM s GROUP BY who ORDER BY who""".stripMargin)),
+
+    GraftQuery(
+      "q_text_url_stats",
+      "URL extraction + per-domain roll-up — the web-corpus provenance stage: " +
+        "pull every URL out of rendered text (regexp_extract_all → explode), " +
+        "derive the domain, count and mass per domain. Text is rendered " +
+        "deterministically from the events integers and the oracle runs the " +
+        "IDENTICAL portable regexes (greedy classes, no lazy ops) — the gate " +
+        "pins extraction, the multi-URL-per-row fan-out, and the domain " +
+        "derivation across engines. Map-side extract behind the spread; one " +
+        "10-domain hash agg.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "view")
+          .select(col("event_id"))
+        val text = concat(
+          lit("see https://site"), pmod(col("event_id"), lit(7L)).cast("string"),
+          lit(".example/p/"), col("event_id").cast("string"),
+          when(pmod(col("event_id"), lit(2L)) === 0,
+            concat(lit(" and http://cdn"), pmod(col("event_id"), lit(3L)).cast("string"),
+              lit(".example/img"))).otherwise(lit("")))
+        val urlPat = "https?://[a-z0-9.]+[a-z0-9./]*"
+        Tables.spread(s, e.select(text.as("text")))
+          .select(explode(expr(s"regexp_extract_all(text, '$urlPat', 0)")).as("url"))
+          .select(
+            regexp_extract(col("url"), "^https?://([a-z0-9.]+)", 1).as("domain"),
+            length(col("url")).cast("long").as("l"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_urls"), sum(col("l")).as("url_chars"))
+          .orderBy("domain")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT event_id,
+          |    'see https://site' || CAST(event_id % 7 AS VARCHAR) || '.example/p/' ||
+          |    CAST(event_id AS VARCHAR) ||
+          |    CASE WHEN event_id % 2 = 0
+          |         THEN ' and http://cdn' || CAST(event_id % 3 AS VARCHAR) || '.example/img' ELSE '' END
+          |    AS text
+          |  FROM events WHERE event_type = 'view'),
+          |u AS (SELECT unnest(regexp_extract_all(text, 'https?://[a-z0-9.]+[a-z0-9./]*')) AS url FROM t)
+          |SELECT regexp_extract(url, '^https?://([a-z0-9.]+)', 1) AS domain,
+          |  count(*) AS n_urls,
+          |  CAST(sum(length(url)) AS BIGINT) AS url_chars
+          |FROM u GROUP BY domain ORDER BY domain""".stripMargin))
   )
 }
