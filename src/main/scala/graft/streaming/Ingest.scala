@@ -59,6 +59,24 @@ object EventStream {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
+  /** Stream-STATIC enrichment join — the dimension-lookup shape every
+    * event pipeline runs (enrich each event with its account/customer/device
+    * row, then aggregate): watermarked stream inner-joined to a broadcast
+    * static dim, per-hour windowed aggregates per segment. The join is
+    * STATELESS (each micro-batch probes the broadcast dim; no join state
+    * store), and the watermark is established on the source BEFORE the join,
+    * so window emission follows the source's event-time progress exactly as
+    * in [[tumblingCounts]]. At 100 TB the static side is a snapshot dim
+    * table refreshed between runs — broadcast while it fits, else a
+    * shuffle join against the (already-keyed) stream. */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), graft.Exact.moneySum(col("value")).as("s"))
+
   /** Stream-stream self-join: pairs of events of the same user within ±5 min
     * (the co-occurrence/correlation shape). Both sides carry watermarks and
     * the join condition carries the time bound, so each side's buffered state

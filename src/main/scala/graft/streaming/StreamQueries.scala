@@ -242,6 +242,42 @@ object StreamQueries {
           |SELECT a.user_id, count(*) AS n FROM e a JOIN e b
           |ON a.user_id = b.user_id AND a.event_id < b.event_id
           |AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts <= a.ts + INTERVAL 5 MINUTE
-          |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin))
+          |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_stream_enrich",
+      "REAL stream-STATIC enrichment join under the oracle gate — the " +
+        "dimension-lookup shape every event pipeline runs: each event joined " +
+        "to its customer row (broadcast static dim, stateless join), then " +
+        "per-hour windowed count/exact-sum per market segment. The watermark " +
+        "is set on the source before the join, so append-mode emission " +
+        "follows q_stream_tumbling's rule (window.end <= max(ts) - 2h) and " +
+        "the batch join+HAVING is the exact oracle.",
+      (spark, dir) => {
+        val out = graft.Scratch.dir("graft_sq_out")
+        val ckpt = graft.Scratch.dir("graft_sq_ck")
+        reapAtExit.add(out)
+        val dim = Tables.table(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        withStreamShuffle(spark) {
+          EventStream.writeParquet(
+            EventStream.enrichedSegmentCounts(
+              EventStream.readEvents(spark, eventsDropDir(spark, dir)), dim),
+            out, ckpt)
+            .awaitTermination()
+        }
+        deleteRecursively(ckpt)
+        spark.read.parquet(out)
+          .select(col("window.start").as("w"), col("c_mktsegment"), col("n"), col("s"))
+          .orderBy("w", "c_mktsegment")
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, c_mktsegment,
+          |         count(*) AS n, """.stripMargin +
+          graft.Exact.moneySumSql("value") + """ AS s
+          |  FROM events JOIN customer ON user_id = c_custkey GROUP BY 1, 2)
+          |WHERE w + INTERVAL 1 HOUR <= (SELECT CAST(max(ts) AS TIMESTAMP) FROM events) - INTERVAL 2 HOUR
+          |ORDER BY w, c_mktsegment""".stripMargin))
   )
 }
