@@ -214,6 +214,46 @@ class PacketFieldsSpec extends SparkSuite {
     }
   }
 
+  test("fused PacketFields equals the regex formulation on 400 fuzzed lines — both eval paths") {
+    // grammar-aware fuzz: random concatenations of valid fragments and noise
+    // chars chosen to hit every structural break point of the char-level
+    // parser (deterministic seed — failures reproduce)
+    val rnd = new scala.util.Random(42)
+    val heads = Seq("N0CALL>APRS,WIDE1-1:", "a-1>b:", ">x:", "AB:", "", "X>:", "X>Y")
+    val bodies = Seq(
+      "!4903.50N/07201.75W-", "!9999.99N/19999.99W-", "@092345z4903.50N/07201.75W>",
+      ";LEADER   *092345z4903.50N/07201.75W>", ":K1ABC-9  :msg", ">status",
+      "T#005,199.9,27.0,3.5,12.1,0.0,10110001", "_10090556c220s004g005t077",
+      "T#12,x", "_1009", "!49", ";SHORT*092345z", "")
+    val noise = "!=/@;:>T_#,.-0123456789NSEW zhab"
+    def randChunk(): String =
+      (0 until rnd.nextInt(6)).map(_ => noise(rnd.nextInt(noise.length))).mkString
+    val lines = (0 until 400).map { _ =>
+      heads(rnd.nextInt(heads.length)) + randChunk() +
+        bodies(rnd.nextInt(bodies.length)) + randChunk()
+    }.distinct
+    val df = lines.toDF("raw")
+    val cols = Seq("raw", "callsign", "path", "payload", "dti", "lat", "lon",
+      "packet_type", "obj_name", "obj_killed", "tlm_seq", "tlm_a1", "tlm_bits",
+      "wx_wind_dir", "wx_wind_speed", "wx_gust", "wx_temp_f",
+      "msg_addressee", "msg_text", "status_text", "grid")
+    val expected = regexParse(df).select(cols.map(col): _*)
+      .orderBy("raw").collect().toSeq
+    Seq(true, false).foreach { cg =>
+      val key = "spark.sql.codegen.wholeStage"
+      val prev = spark.conf.get(key, "true")
+      val actual =
+        try {
+          spark.conf.set(key, cg.toString)
+          graft.streaming.PacketParse.parse(df).select(cols.map(col): _*)
+            .orderBy("raw").collect().toSeq
+        } finally spark.conf.set(key, prev)
+      expected.zip(actual).foreach { case (e, a) =>
+        assert(e == a, s"codegen=$cg\n raw=${e.getAs[String]("raw")}\n exp=$e\n got=$a")
+      }
+    }
+  }
+
   test("fused parse evaluates the packet struct once, structurally") {
     // CollapseProject must NOT inline the non-cheap PacketFields into the
     // 20-field extraction — exactly one occurrence in the optimized plan.
