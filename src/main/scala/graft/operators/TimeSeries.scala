@@ -228,6 +228,47 @@ object TimeSeries {
           |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
           |SELECT (SELECT count(*) FROM s1) AS n_view,
           |       (SELECT count(*) FROM s2) AS n_click,
-          |       (SELECT count(*) FROM s3) AS n_purchase""".stripMargin))
+          |       (SELECT count(*) FROM s3) AS n_purchase""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_anomaly",
+      "Volume anomaly detection — hours whose event count z-scores beyond " +
+        "|z| > 2 against the whole series. DETERMINISM BY CONSTRUCTION: the " +
+        "mean and variance are assembled from exact BIGINT sums (Σc, Σc², n " +
+        "— associative integer math under any partitioning), and the z " +
+        "expression applies the IDENTICAL double operations in the identical " +
+        "order on both engines — no stddev_samp aggregate, whose internal " +
+        "merge order is engine-specific and would break the hash. Scale " +
+        "shape: one hour-keyed hash agg, a 1-row global stats relation " +
+        "broadcast back, map-side scoring.",
+      (s, dir) => {
+        val h = table(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("w"))
+          .agg(count(lit(1)).as("c"))
+        val st = h.agg(
+          count(lit(1)).as("n"),
+          sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("ss"))
+        val mean = col("s").cast("double") / col("n").cast("double")
+        val varExpr = (col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n").cast("double")) /
+          (col("n") - 1).cast("double")
+        val z = (col("c").cast("double") - mean) / sqrt(varExpr)
+        h.crossJoin(broadcast(st))
+          .select(col("w"), col("c"), round(z, 6).as("z"))
+          .filter(abs(col("z")) > 2.0)
+          .orderBy("w")
+      },
+      Some(
+        """WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, count(*) AS c
+          |  FROM events GROUP BY 1),
+          |st AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+          |       CAST(sum(c*c) AS BIGINT) AS ss FROM h),
+          |z AS (SELECT w, c,
+          |    (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+          |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |         / CAST(n - 1 AS DOUBLE)) AS z
+          |  FROM h, st)
+          |SELECT w, c, round(z, 6) AS z FROM z WHERE abs(z) > 2.0 ORDER BY w""".stripMargin))
   )
 }
