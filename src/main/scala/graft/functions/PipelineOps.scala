@@ -434,6 +434,62 @@ object PipelineOps {
           |SELECT regexp_extract(url, '^https?://([a-z0-9.]+)', 1) AS domain,
           |  count(*) AS n_urls,
           |  CAST(sum(length(url)) AS BIGINT) AS url_chars
-          |FROM u GROUP BY domain ORDER BY domain""".stripMargin))
+          |FROM u GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    GraftQuery(
+      "q_dedup_url_canonical",
+      "URL canonicalization dedup — the crawl-frontier stage that collapses " +
+        "tracking-parameter/fragment/trailing-slash variants of the same " +
+        "resource: strip '?…'/'#…' then the trailing slash, count raw vs " +
+        "distinct-raw vs canonical per domain. URLs are rendered " +
+        "deterministically from the events integers WITH variant noise " +
+        "(utm params, fragments, optional trailing slash), and the oracle " +
+        "runs the IDENTICAL portable regexes — the gate pins the " +
+        "canonicalization rules and both distinct cardinalities. Scale " +
+        "shape: render + canonicalize map-side; the two DISTINCT legs plan " +
+        "one Expand + two-phase agg over slim (domain, url, canon) rows — " +
+        "at crawl scale the same query keyed by canon IS the frontier dedup.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"))
+        val url = concat(
+          lit("https://site"), pmod(col("event_id"), lit(5L)).cast("string"),
+          lit(".example/p/"), pmod(col("event_id"), lit(40L)).cast("string"),
+          when(pmod(col("event_id"), lit(3L)) === 0, "/").otherwise(""),
+          when(pmod(col("event_id"), lit(2L)) === 0,
+            concat(lit("?utm="), pmod(col("event_id"), lit(7L)).cast("string"))).otherwise(""),
+          when(pmod(col("event_id"), lit(4L)) === 0,
+            concat(lit("#s"), pmod(col("event_id"), lit(3L)).cast("string"))).otherwise(""))
+        Tables.spread(s, e.select(url.as("url")))
+          .select(col("url"),
+            regexp_replace(regexp_replace(col("url"), "[?#].*$", ""), "/$", "").as("canon"))
+          .groupBy(regexp_extract(col("canon"), "^https?://([a-z0-9.]+)", 1).as("domain"))
+          .agg(
+            count(lit(1)).as("n_raw"),
+            countDistinct(col("url")).as("n_distinct_raw"),
+            countDistinct(col("canon")).as("n_canonical"),
+            (countDistinct(col("url")) - countDistinct(col("canon"))).as("n_collapsed"))
+          .orderBy("domain")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT event_id,
+          |    'https://site' || CAST(event_id % 5 AS VARCHAR) || '.example/p/' ||
+          |    CAST(event_id % 40 AS VARCHAR) ||
+          |    CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END ||
+          |    CASE WHEN event_id % 2 = 0 THEN '?utm=' || CAST(event_id % 7 AS VARCHAR) ELSE '' END ||
+          |    CASE WHEN event_id % 4 = 0 THEN '#s' || CAST(event_id % 3 AS VARCHAR) ELSE '' END
+          |    AS url
+          |  FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT url,
+          |    regexp_replace(regexp_replace(url, '[?#].*$', ''), '/$', '') AS canon
+          |  FROM t)
+          |SELECT regexp_extract(canon, '^https?://([a-z0-9.]+)', 1) AS domain,
+          |  count(*) AS n_raw,
+          |  count(DISTINCT url) AS n_distinct_raw,
+          |  count(DISTINCT canon) AS n_canonical,
+          |  CAST(count(DISTINCT url) - count(DISTINCT canon) AS BIGINT) AS n_collapsed
+          |FROM c GROUP BY domain ORDER BY domain""".stripMargin))
   )
 }
