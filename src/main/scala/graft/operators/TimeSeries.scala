@@ -269,6 +269,38 @@ object TimeSeries {
           |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
           |         / CAST(n - 1 AS DOUBLE)) AS z
           |  FROM h, st)
-          |SELECT w, c, round(z, 6) AS z FROM z WHERE abs(z) > 2.0 ORDER BY w""".stripMargin))
+          |SELECT w, c, round(z, 6) AS z FROM z WHERE abs(z) > 2.0 ORDER BY w""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_retention",
+      "Cohort retention — the product-analytics staple the funnel doesn't " +
+        "cover: users cohorted by FIRST active day, then the count of users " +
+        "from each cohort active again at day offsets 0..7. All integer/date " +
+        "math (distinct days, min date, datediff), so the triangle is " +
+        "engine- and partitioning-exact. Scale shape: one distinct over slim " +
+        "(user, day) rows, a user-keyed min-agg, the user-sized cohort " +
+        "relation broadcast back (user-keyed shuffle join beyond broadcast " +
+        "range), and one (cohort, offset) hash agg — never a corpus " +
+        "self-join.",
+      (s, dir) => {
+        val act = table(s, dir, "events")
+          .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+          .distinct()
+        val coh = act.groupBy("user_id").agg(min(col("d")).as("cohort"))
+        act.join(broadcast(coh), "user_id")
+          .select(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("offset_days"))
+          .filter(col("offset_days") <= 7)
+          .groupBy("cohort", "offset_days")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort", "offset_days")
+      },
+      Some(
+        """WITH act AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+          |coh AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY user_id),
+          |r AS (SELECT c.cohort, CAST(a.d - c.cohort AS BIGINT) AS offset_days
+          |  FROM act a JOIN coh c ON a.user_id = c.user_id
+          |  WHERE a.d - c.cohort <= 7)
+          |SELECT cohort, offset_days, count(*) AS n_users
+          |FROM r GROUP BY cohort, offset_days ORDER BY cohort, offset_days""".stripMargin))
   )
 }
