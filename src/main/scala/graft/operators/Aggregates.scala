@@ -380,6 +380,35 @@ object Aggregates {
           .orderBy("event_type"),
       Some(
         "SELECT event_type, count(*) AS n, " + Exact.moneySumSql("value") + " AS total " +
-          "FROM events GROUP BY event_type ORDER BY event_type"))
+          "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    GraftQuery(
+      "q_agg_mode",
+      "Modal value per group (most frequent market segment per nation), " +
+        "spelled as count-then-rank rather than a native mode() aggregate: " +
+        "engines disagree on mode()'s tie rule, so the tie-break here is " +
+        "explicit (count DESC, then segment ASC) and the result is " +
+        "deterministic everywhere. Scale shape: the corpus reduces in a " +
+        "two-phase (group, value) hash agg first; the rank window then runs " +
+        "over the (groups × domain)-sized count relation only — the mode of " +
+        "100 TB never windows the corpus.",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("c_nationkey").orderBy(col("cnt").desc, col("c_mktsegment"))
+        c.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("c_nationkey"), col("c_mktsegment").as("mode_seg"), col("cnt").as("mode_cnt"))
+          .orderBy("c_nationkey")
+      },
+      Some(
+        """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+          |  FROM customer GROUP BY 1, 2),
+          |r AS (SELECT c_nationkey, c_mktsegment, cnt,
+          |  row_number() OVER (PARTITION BY c_nationkey ORDER BY cnt DESC, c_mktsegment) AS rn
+          |  FROM c)
+          |SELECT c_nationkey, c_mktsegment AS mode_seg, cnt AS mode_cnt
+          |FROM r WHERE rn = 1 ORDER BY c_nationkey""".stripMargin))
   )
 }

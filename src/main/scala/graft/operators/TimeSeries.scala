@@ -301,6 +301,43 @@ object TimeSeries {
           |  FROM act a JOIN coh c ON a.user_id = c.user_id
           |  WHERE a.d - c.cohort <= 7)
           |SELECT cohort, offset_days, count(*) AS n_users
-          |FROM r GROUP BY cohort, offset_days ORDER BY cohort, offset_days""".stripMargin))
+          |FROM r GROUP BY cohort, offset_days ORDER BY cohort, offset_days""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_gap_fill",
+      "Dense-grid gap fill — the regularization step every downstream " +
+        "forecaster/anomaly model needs: per-type event counts on a complete " +
+        "10-minute grid spanning [min, max] bucket, absent cells zero-filled " +
+        "(13.5k of 21.6k cells are gaps at sf0.01). Buckets are exact BIGINTs " +
+        "(floor(epoch/600) — identical double op then floor on both engines), " +
+        "the grid is generated, never scanned. Scale shape: one (type, " +
+        "bucket)-keyed hash agg over the corpus; the grid side is a 1-row " +
+        "span relation broadcast onto the tiny type dimension and exploded — " +
+        "grid size is (span × types), independent of corpus row count; the " +
+        "fill join keys on (type, bucket) against the ALREADY-aggregated " +
+        "counts, so nothing corpus-sized moves twice.",
+      (s, dir) => {
+        val b = table(s, dir, "events")
+          .select(
+            floor(col("ts").cast("double") / 600).cast("long").as("bkt"),
+            col("event_type"))
+        val c = b.groupBy("event_type", "bkt").agg(count(lit(1)).as("cnt"))
+        val span = b.agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"))
+        val grid = b.select("event_type").distinct()
+          .crossJoin(broadcast(span))
+          .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("bkt"))
+        grid.join(c, Seq("event_type", "bkt"), "left")
+          .select(col("event_type"), col("bkt"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .orderBy("event_type", "bkt")
+      },
+      Some(
+        """WITH b AS (SELECT CAST(floor(epoch(ts)/600) AS BIGINT) AS bkt, event_type FROM events),
+          |c AS (SELECT event_type, bkt, count(*) AS cnt FROM b GROUP BY 1, 2),
+          |sp AS (SELECT min(bkt) AS lo, max(bkt) AS hi FROM b),
+          |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bkt
+          |         FROM (SELECT DISTINCT event_type FROM b), sp)
+          |SELECT grid.event_type, grid.bkt, coalesce(c.cnt, 0) AS cnt
+          |FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.bkt = c.bkt
+          |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -182,6 +182,27 @@ object Windows {
       Some(
         "SELECT user_id, ts, round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
           "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),6) AS ma " +
-          "FROM events ORDER BY user_id, ts, event_id LIMIT 1000"))
+          "FROM events ORDER BY user_id, ts, event_id LIMIT 1000")),
+
+    GraftQuery(
+      "q_win_ntile",
+      "ntile(4) quartile assignment per market segment over (c_acctbal, " +
+        "c_custkey) — the standard percentile-bucketing surface. The order " +
+        "key carries the full tie-breaker, so bucket boundaries are a total " +
+        "order and both engines' standard ntile remainder rule (first " +
+        "buckets get the extra rows) lands identically. Scale shape: one " +
+        "segment-keyed exchange + in-partition sort, same as every keyed " +
+        "window here; a GLOBAL ntile would route through the GlobalRank " +
+        "2-pass discipline instead.",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+        table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), ntile(4).over(w).as("tile"))
+          .orderBy("c_mktsegment", "tile", "c_custkey")
+      },
+      Some(
+        "SELECT c_custkey, c_mktsegment, ntile(4) OVER (PARTITION BY c_mktsegment " +
+          "ORDER BY c_acctbal, c_custkey) AS tile " +
+          "FROM customer ORDER BY c_mktsegment, tile, c_custkey"))
   )
 }
