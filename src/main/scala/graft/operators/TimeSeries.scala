@@ -321,9 +321,16 @@ object TimeSeries {
           .select(
             floor(col("ts").cast("double") / 600).cast("long").as("bkt"),
             col("event_type"))
+        // the corpus reduces to the (type, bucket) counts relation ONCE and is
+        // materialized (column pruning makes the three downstream uses
+        // non-identical subtrees, so ReuseExchange alone cannot share them —
+        // without this the span/type/fill branches each rescan the corpus);
+        // span and the type dimension then derive from the tiny relation
+        // (pinned in Round8Spec: exactly one corpus scan)
         val c = b.groupBy("event_type", "bkt").agg(count(lit(1)).as("cnt"))
-        val span = b.agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"))
-        val grid = b.select("event_type").distinct()
+          .localCheckpoint(true)
+        val span = c.agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"))
+        val grid = c.select("event_type").distinct()
           .crossJoin(broadcast(span))
           .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("bkt"))
         grid.join(c, Seq("event_type", "bkt"), "left")
@@ -332,10 +339,10 @@ object TimeSeries {
       },
       Some(
         """WITH b AS (SELECT CAST(floor(epoch(ts)/600) AS BIGINT) AS bkt, event_type FROM events),
-          |c AS (SELECT event_type, bkt, count(*) AS cnt FROM b GROUP BY 1, 2),
-          |sp AS (SELECT min(bkt) AS lo, max(bkt) AS hi FROM b),
+          |c AS MATERIALIZED (SELECT event_type, bkt, count(*) AS cnt FROM b GROUP BY 1, 2),
+          |sp AS (SELECT min(bkt) AS lo, max(bkt) AS hi FROM c),
           |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bkt
-          |         FROM (SELECT DISTINCT event_type FROM b), sp)
+          |         FROM (SELECT DISTINCT event_type FROM c), sp)
           |SELECT grid.event_type, grid.bkt, coalesce(c.cnt, 0) AS cnt
           |FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.bkt = c.bkt
           |ORDER BY 1, 2""".stripMargin))

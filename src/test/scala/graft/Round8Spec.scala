@@ -59,6 +59,72 @@ class Round8Spec extends SparkSuite {
     }
   }
 
+  test("triangles: query output equals brute-force closure over the oriented edges") {
+    val oe = operators.Graph.affinityGraph(spark, sf)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val adj = oe.toSet
+    // brute-force node-iterator count over the collected edge list: every
+    // unordered out-neighbor pair of an apex closes a triangle iff the two
+    // neighbors are adjacent (the oriented store holds exactly one direction)
+    val part = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (apex, out) <- oe.groupBy(_._1)
+      i <- out.indices; j <- (i + 1) until out.length
+      b = out(i)._2; c = out(j)._2
+      if adj.contains((b, c)) || adj.contains((c, b))
+    } {
+      part(apex) += 1; part(b) += 1; part(c) += 1
+    }
+    val got = run("q_graph_triangles").collect()
+      .map(r => r.getAs[Long]("supp_key") -> r.getAs[Long]("tri_cnt")).toMap
+    val expTop = part.toSeq.sortBy { case (k, c) => (-c, k) }.take(20).toMap
+    assert(got == expTop, s"got $got\nexpected $expTop")
+  }
+
+  test("gap fill: mass preserved, grid complete, gaps genuinely zero-filled") {
+    val rows = run("q_ts_gap_fill").collect()
+    val total = Tables.table(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == total)
+    val bkts = rows.map(_.getAs[Long]("bkt"))
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    val span = bkts.max - bkts.min + 1
+    assert(rows.length == span * types.length, "grid must be dense: span x types")
+    assert(rows.count(_.getAs[Long]("cnt") == 0) > 0, "fixture must exercise the fill path")
+  }
+
+  test("ntile: buckets balanced within one row and ordered by the sort key") {
+    val rows = run("q_win_ntile").collect()
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, seg) =>
+      val sizes = seg.groupBy(_.getAs[Int]("tile")).view.mapValues(_.length)
+      assert(sizes.keys.forall(t => t >= 1 && t <= 4))
+      assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    }
+  }
+
+  test("mode: reported count is the true per-nation maximum") {
+    val truth = Tables.table(spark, sf, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").count()
+      .groupBy("c_nationkey").agg(max("count").as("m"))
+      .collect().map(r => r.getAs[Long]("c_nationkey") -> r.getAs[Long]("m")).toMap
+    val rows = run("q_agg_mode").collect()
+    assert(rows.length == truth.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mode_cnt") == truth(r.getAs[Long]("c_nationkey")))
+    }
+  }
+
+  test("gap fill / triangles plans: corpus scanned once, closure joins broadcast") {
+    // gap_fill: the only corpus scan happens at the eager checkpoint of the
+    // counts relation; the executed plan must hold NO parquet scan at all
+    val gp = run("q_ts_gap_fill").queryExecution.executedPlan.toString
+    assert(!gp.contains("Scan parquet"), s"gap_fill rescans the corpus:\n$gp")
+    // triangles: wedge + closing joins run as broadcasts over the edge
+    // artifact — no sort-merge join anywhere
+    val tp = run("q_graph_triangles").queryExecution.executedPlan.toString
+    assert(!tp.contains("SortMergeJoin"), s"triangles fell back to SMJ:\n$tp")
+    assert(tp.contains("BroadcastHashJoin"), s"triangles lost the broadcast:\n$tp")
+  }
+
   test("pii/url plans: render+regex stay map-side — one aggregation exchange only") {
     Seq("q_text_pii_scrub", "q_text_url_stats").foreach { q =>
       val p = run(q).queryExecution.executedPlan.toString
