@@ -100,6 +100,7 @@ object Bench {
       ("ann_index", () => graft.functions.Similarity.ensureIndex(spark, sfDir)),
       ("graph_edges", () => { graft.operators.Graph.orderGraph(spark, sfDir); () }),
       ("affinity_graph", () => { graft.operators.Graph.affinityGraph(spark, sfDir); () }),
+      ("lsh_bands", () => graft.functions.DedupOps.ensureBands(spark, sfDir)),
       ("bucketed_layout", () => { graft.sources.BucketedLayout.ensureTables(spark, sfDir); () }),
       ("format_exports", () => graft.sources.FormatSources.ensureExports(spark, sfDir))
     ).map { case (n, f) =>
