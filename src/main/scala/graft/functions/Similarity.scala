@@ -122,12 +122,28 @@ object Similarity {
       (asg.localCheckpoint(true), c2.localCheckpoint(true))
     })
 
+  /** The label-partition IVF coarse quantizer — one 64-dim centroid per
+    * label — memoized with the same write-once discipline as the trained
+    * kmeans index: the centroid table IS the index the router probes, built
+    * offline in production. Tiny (labels × 64 floats); the oracle twins of
+    * q_ann_ivf / q_ann_ivf_multiprobe re-derive it inline, so the centroid
+    * math stays under the gate every round. */
+  private val labelCentMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), DataFrame]()
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    labelCentMemo.computeIfAbsent((Tables.sessionId(s), dir), _ =>
+      centroidAgg(table(s, dir, "embeddings"), "label")
+        .withColumnRenamed("label", "clabel")
+        .localCheckpoint(true))
+
   /** Build (or confirm) the trained index for this (session, dir) — the hook
     * Bench uses to TIME the one-time training as a separately reported
     * artifact step, so the amortized per-query ANN numbers are never read as
     * including the index build. */
   private[graft] def ensureIndex(s: SparkSession, dir: String): Unit = {
-    trainedIndex(s, dir); ()
+    trainedIndex(s, dir)
+    labelCentroids(s, dir)
+    ()
   }
 
   /** The k-means oracle CTE chain (e, c0, a1, c1, a2, c2, a3) shared by
@@ -178,7 +194,7 @@ object Similarity {
         "cell only.",
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-        val cent = centroidAgg(e, "label").withColumnRenamed("label", "clabel")
+        val cent = labelCentroids(s, dir)
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
         val cell = cent.crossJoin(broadcast(q))
@@ -222,7 +238,7 @@ object Similarity {
         "the plan shape is identical to single-probe.",
       (s, dir) => {
         val e = table(s, dir, "embeddings")
-        val cent = centroidAgg(e, "label").withColumnRenamed("label", "clabel")
+        val cent = labelCentroids(s, dir)
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
         val cells = cent.crossJoin(broadcast(q))
