@@ -57,24 +57,30 @@ object DedupOps {
     * re-running the shingle → 8×salted-md5 signature pass each. Bench
     * reports the build under artifacts.lsh_bands; every oracle twin still
     * re-derives the bands inline, so the gate pins the derivation math. */
-  private val bandsMemo =
+  private val sigMemo =
     new java.util.concurrent.ConcurrentHashMap[(Long, String), DataFrame]()
 
   private[graft] def ensureBands(s: SparkSession, dir: String): Unit = {
-    lshBands(s, dir); ()
+    minhashSig(s, dir); ()
   }
 
-  private def lshBands(s: SparkSession, dir: String): DataFrame =
-    bandsMemo.computeIfAbsent((Tables.sessionId(s), dir), _ => {
+  /** The persisted artifact is the SIGNATURE table (doc_id, m0..m7) — one
+    * row per doc, the minimal index production writes; banding is a
+    * map-side explode over it, so every consumer derives bands for free. */
+  private[graft] def minhashSig(s: SparkSession, dir: String): DataFrame =
+    sigMemo.computeIfAbsent((Tables.sessionId(s), dir), _ => {
       val mh = (0 until NumHashes).map(k =>
         min(md5(concat(lit(s"$k|"), col("g")))).as(s"m$k"))
-      val sig = shingleRows(s, dir).groupBy("doc_id").agg(mh.head, mh.tail: _*)
-      val bandCols = (0 until NumHashes / BandSize).map { b =>
-        concat((lit(s"$b|") +: (0 until BandSize).map(j => col(s"m${b * BandSize + j}"))): _*)
-      }
-      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      shingleRows(s, dir).groupBy("doc_id").agg(mh.head, mh.tail: _*)
         .localCheckpoint(true)
     })
+
+  private def lshBands(s: SparkSession, dir: String): DataFrame = {
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      concat((lit(s"$b|") +: (0 until BandSize).map(j => col(s"m${b * BandSize + j}"))): _*)
+    }
+    minhashSig(s, dir).select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+  }
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -505,6 +511,84 @@ object DedupOps {
            |  sqrt(${Exact.squaredNormSql("embedding")}) AS nrm FROM embeddings),
            |p AS (SELECT ${Exact.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
            |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-           |SELECT count(*) AS n_pairs, round(max(sim), 6) AS max_sim FROM p WHERE sim >= 0.4""".stripMargin))
+           |SELECT count(*) AS n_pairs, round(max(sim), 6) AS max_sim FROM p WHERE sim >= 0.4""".stripMargin)),
+
+    GraftQuery(
+      "q_dedup_minhash_quality",
+      "MinHash estimator-quality audit — the dedup twin of q_ann_recall's " +
+        "honesty gate: for every LSH candidate pair, the signature-agreement " +
+        "similarity estimate (matching components / 8) NEXT TO the exact " +
+        "3-gram Jaccard and the absolute error. This is the number that " +
+        "justifies trusting the sketch at 100 TB, where the exact join is " +
+        "unaffordable corpus-wide but auditable on the candidate set. Scale " +
+        "shape: the tiny pair relation broadcasts into the signature " +
+        "artifact (8 strings/doc) for the estimate, and into the slim " +
+        "(doc, shingle-hash) relation for the exact side — the corpus text " +
+        "never moves; cost follows candidate count, not corpus size. A " +
+        "colliding band pins two equal component mins, so every candidate " +
+        "pair shares at least one shingle and the inner joins lose nothing.",
+      (s, dir) => {
+        val sig = minhashSig(s, dir)
+        val bands = lshBands(s, dir)
+        val pairs = bands.select(col("doc_id").as("ida"), col("band"))
+          .join(bands.select(col("doc_id").as("idb"), col("band").as("band2")),
+            col("band") === col("band2") && col("ida") < col("idb"))
+          .select("ida", "idb").distinct()
+        val sigA = (0 until NumHashes).foldLeft(
+          sig.withColumnRenamed("doc_id", "sa")) { (d, k) => d.withColumnRenamed(s"m$k", s"a$k") }
+        val sigB = (0 until NumHashes).foldLeft(
+          sig.withColumnRenamed("doc_id", "sb")) { (d, k) => d.withColumnRenamed(s"m$k", s"b$k") }
+        val agree = (0 until NumHashes)
+          .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        val est = sigA.join(broadcast(pairs), col("sa") === col("ida"))
+          .join(sigB, col("sb") === col("idb"))
+          .select(col("ida"), col("idb"), (agree.cast("double") / 8.0).as("est_sim"))
+        val sh3 = Tables.spread(s, table(s, dir, "documents"))
+          .select(col("doc_id"), explode(VectorExpr.shingleHashes(split(col("text"), " "))).as("h"))
+        val sizes = sh3.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val shared = sh3.join(broadcast(pairs), col("doc_id") === col("ida"))
+          .select(col("ida"), col("idb"), col("h"))
+          .join(sh3.select(col("doc_id").as("db"), col("h").as("h2")),
+            col("idb") === col("db") && col("h") === col("h2"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+        val exact = shared
+          .join(broadcast(sizes.select(col("doc_id").as("ida"), col("sz").as("sza"))), "ida")
+          .join(broadcast(sizes.select(col("doc_id").as("idb"), col("sz").as("szb"))), "idb")
+          .select(col("ida"), col("idb"),
+            (col("shared").cast("double") /
+              (col("sza") + col("szb") - col("shared")).cast("double")).as("jac"))
+        est.join(exact, Seq("ida", "idb"))
+          .select(col("ida"), col("idb"), round(col("est_sim"), 6).as("est_sim"),
+            round(col("jac"), 6).as("jaccard"),
+            round(abs(col("est_sim") - col("jac")), 6).as("err"))
+          .orderBy("ida", "idb")
+      },
+      Some {
+        val mh = (0 until NumHashes)
+          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k").mkString(", ")
+        val bandList = (0 until NumHashes / BandSize)
+          .map(b => s"'$b|' || " + (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(" || "))
+          .mkString(", ")
+        val agree = (0 until NumHashes)
+          .map(k => s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+           |shl AS MATERIALIZED (SELECT doc_id, $shingleSql AS sh
+           |  FROM (SELECT doc_id, toks FROM d WHERE len(toks) >= 3) t),
+           |sig AS MATERIALIZED (SELECT doc_id, $mh FROM shl),
+           |bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sig),
+           |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+           |est AS (SELECT p.ida, p.idb, ($agree) / 8.0 AS est_sim
+           |  FROM pairs p JOIN sig sa ON p.ida = sa.doc_id JOIN sig sb ON p.idb = sb.doc_id),
+           |ex AS (SELECT p.ida, p.idb,
+           |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+           |  FROM pairs p JOIN shl a ON p.ida = a.doc_id JOIN shl b ON p.idb = b.doc_id)
+           |SELECT est.ida, est.idb, round(est_sim, 6) AS est_sim, round(jac, 6) AS jaccard,
+           |  round(abs(est_sim - jac), 6) AS err
+           |FROM est JOIN ex ON est.ida = ex.ida AND est.idb = ex.idb
+           |ORDER BY est.ida, est.idb""".stripMargin
+      })
   )
 }

@@ -192,6 +192,48 @@ object TextAnalysis {
           |SELECT tf.doc_id, tf.w AS term,
           |  round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
           |FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
-          |ORDER BY score DESC, tf.doc_id, term LIMIT 20""".stripMargin))
+          |ORDER BY score DESC, tf.doc_id, term LIMIT 20""".stripMargin)),
+
+    GraftQuery(
+      "q_text_boilerplate",
+      "Cross-document boilerplate detection (the C4-style curation step the " +
+        "within-doc q_text_repetition cannot see): a 5-gram appearing in ≥ 3 " +
+        "distinct documents is boilerplate; per doc, the distinct-shingle " +
+        "count, boilerplate-shingle count, and ratio — top-20 most " +
+        "boilerplate-laden docs. The fixture's near-dup clusters are exactly " +
+        "what lights this up. Scale shape: distinct shingle HASHES are built " +
+        "map-side per doc (the decontaminate discipline — 8-byte keys " +
+        "shuffle, never text), one hash-keyed document-frequency agg, and " +
+        "the df verdict joins back on the hash key; a 2^-64 hash collision " +
+        "could only add a false boilerplate flag, and the string-keyed " +
+        "oracle pins the counts as identical.",
+      (s, dir) => {
+        val sh = Tables.spread(s, table(s, dir, "documents"))
+          .select(col("doc_id"), explode(VectorExpr.shingleHashes(split(col("text"), " "), 5)).as("g"))
+        val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+        sh.join(df, "g")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_sh"),
+            sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+          .filter(col("n_boiler") > 0)
+          .select(col("doc_id"), col("n_sh"), col("n_boiler"),
+            round(col("n_boiler").cast("double") / col("n_sh").cast("double"), 6).as("boiler_ratio"))
+          .orderBy(col("boiler_ratio").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+          |sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-3),
+          |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))) AS g
+          |  FROM d WHERE len(toks) >= 5),
+          |df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+          |p AS (SELECT doc_id, count(*) AS n_sh,
+          |    CAST(sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+          |  FROM sh JOIN df ON sh.g = df.g GROUP BY doc_id)
+          |SELECT doc_id, n_sh, n_boiler,
+          |  round(CAST(n_boiler AS DOUBLE) / CAST(n_sh AS DOUBLE), 6) AS boiler_ratio
+          |FROM p WHERE n_boiler > 0
+          |ORDER BY boiler_ratio DESC, doc_id LIMIT 20""".stripMargin))
   )
 }
