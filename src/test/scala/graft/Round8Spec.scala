@@ -125,6 +125,46 @@ class Round8Spec extends SparkSuite {
     assert(tp.contains("BroadcastHashJoin"), s"triangles lost the broadcast:\n$tp")
   }
 
+  test("minhash quality: estimate is k/8, error consistent, candidates share content") {
+    val rows = run("q_dedup_minhash_quality").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_sim")
+      val jac = r.getAs[Double]("jaccard")
+      assert((est * 8).round / 8.0 == est, s"estimate not a multiple of 1/8: $est")
+      assert(jac > 0.0, "band collision must imply at least one shared shingle")
+      assert(math.abs(r.getAs[Double]("err") - math.abs(est - jac)) < 1e-5)
+    }
+  }
+
+  test("dedup consumers read the signature artifact, not the corpus") {
+    // minhash + incremental derive everything from the checkpointed
+    // signature table: their executed plans must hold NO parquet scan
+    Seq("q_dedup_minhash", "q_dedup_incremental").foreach { q =>
+      val p = run(q).queryExecution.executedPlan.toString
+      assert(!p.contains("Scan parquet"), s"$q rescans the corpus:\n$p")
+      assert(p.contains("Scan ExistingRDD"), s"$q lost the artifact:\n$p")
+    }
+    // canonical/cluster_rep join the documents universe by design — but the
+    // signature pass itself must still come from the artifact
+    Seq("q_dedup_canonical", "q_dedup_cluster_rep").foreach { q =>
+      val p = run(q).queryExecution.executedPlan.toString
+      assert(p.contains("Scan ExistingRDD"), s"$q lost the artifact:\n$p")
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans <= 1, s"$q scans the corpus $scans times:\n$p")
+    }
+  }
+
+  test("boilerplate: ratios bounded, near-dup cluster members dominate") {
+    val rows = run("q_text_boilerplate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("boiler_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_sh"))
+    }
+  }
+
   test("pii/url plans: render+regex stay map-side — one aggregation exchange only") {
     Seq("q_text_pii_scrub", "q_text_url_stats").foreach { q =>
       val p = run(q).queryExecution.executedPlan.toString
