@@ -286,6 +286,33 @@ object Graph {
           |  JOIN oe z ON z.src = x.dst AND z.dst = y.dst)
           |SELECT node AS supp_key, count(*) AS tri_cnt FROM (
           |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
-          |GROUP BY 1 ORDER BY tri_cnt DESC, supp_key LIMIT 20""".stripMargin))
+          |GROUP BY 1 ORDER BY tri_cnt DESC, supp_key LIMIT 20""".stripMargin)),
+
+    GraftQuery(
+      "q_graph_degree_hist",
+      "Degree distribution of the order graph in width-10 buckets: node " +
+        "count, exact degree mass, and min/max degree per bucket — the " +
+        "first diagnostic run on any ingested graph (skew detection BEFORE " +
+        "choosing join strategies). All-BIGINT; reads the write-once degree " +
+        "relation, so the query itself is one tiny hash agg.",
+      (s, dir) => {
+        val (_, deg) = orderGraph(s, dir)
+        deg.groupBy(expr("d div 10").as("bucket"))
+          .agg(
+            count(lit(1)).as("n_nodes"),
+            sum(col("d")).as("deg_mass"),
+            min(col("d")).as("min_d"),
+            max(col("d")).as("max_d"))
+          .orderBy("bucket")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+          |deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src)
+          |SELECT d // 10 AS bucket, count(*) AS n_nodes,
+          |  CAST(sum(d) AS BIGINT) AS deg_mass, min(d) AS min_d, max(d) AS max_d
+          |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -345,6 +345,69 @@ object TimeSeries {
           |         FROM (SELECT DISTINCT event_type FROM c), sp)
           |SELECT grid.event_type, grid.bkt, coalesce(c.cnt, 0) AS cnt
           |FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.bkt = c.bkt
-          |ORDER BY 1, 2""".stripMargin))
+          |ORDER BY 1, 2""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_trend",
+      "Per-type linear trend of hourly volume — least-squares slope, " +
+        "intercept, and r² over (hour index, count), the q_ts_anomaly " +
+        "moment pattern extended to regression: every moment (n, Σx, Σy, " +
+        "Σxy, Σx², Σy²) is an exact BIGINT from integer hour indexes and " +
+        "counts, every covariance numerator/denominator is assembled in " +
+        "exact integer arithmetic, and only the final divisions are IEEE — " +
+        "in the identical order on both engines, so the fit is bit-exact " +
+        "under any partitioning (a float regr_slope aggregate's low bits " +
+        "depend on merge order). Hour indexes are rebased to the global " +
+        "minimum so the integer products stay far from BIGINT range (the " +
+        "bound to re-check if the series spans centuries or counts approach " +
+        "2^31). Scale shape: one hour-keyed agg, a 1-row rebase broadcast, " +
+        "one per-type moment agg over the tiny hourly relation.",
+      (s, dir) => {
+        val h = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(col("ts").cast("double") / 3600).cast("long").as("bkt"))
+          .agg(count(lit(1)).as("y"))
+        val mn = h.agg(min(col("bkt")).as("lo"))
+        val m = h.crossJoin(broadcast(mn))
+          .select(col("event_type"), (col("bkt") - col("lo")).as("x"), col("y"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        val dxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+        m.select(col("event_type"), dxy.as("dxy"), dxx.as("dxx"), dyy.as("dyy"),
+            col("sx").cast("double").as("dsx"), col("sy").cast("double").as("dsy"),
+            col("n").cast("double").as("dn"))
+          .select(col("event_type"),
+            round(col("dxy") / col("dxx"), 6).as("slope"),
+            round((col("dsy") - (col("dxy") / col("dxx")) * col("dsx")) / col("dn"), 6).as("intercept"),
+            round((col("dxy") * col("dxy")) / (col("dxx") * col("dyy")), 6).as("r2"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH h AS (SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS bkt, count(*) AS y
+          |  FROM events GROUP BY 1, 2),
+          |mn AS (SELECT min(bkt) AS lo FROM h),
+          |r AS (SELECT event_type, bkt - lo AS x, y FROM h, mn),
+          |m AS (SELECT event_type, count(*) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+          |    CAST(sum(y*y) AS BIGINT) AS syy
+          |  FROM r GROUP BY 1),
+          |f AS (SELECT event_type,
+          |    CAST(n*sxy - sx*sy AS DOUBLE) AS dxy,
+          |    CAST(n*sxx - sx*sx AS DOUBLE) AS dxx,
+          |    CAST(n*syy - sy*sy AS DOUBLE) AS dyy,
+          |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy, CAST(n AS DOUBLE) AS dn
+          |  FROM m)
+          |SELECT event_type, round(dxy / dxx, 6) AS slope,
+          |  round((dsy - (dxy / dxx) * dsx) / dn, 6) AS intercept,
+          |  round((dxy * dxy) / (dxx * dyy), 6) AS r2
+          |FROM f ORDER BY event_type""".stripMargin))
   )
 }
