@@ -64,8 +64,28 @@ object FormatSources {
     * artifact step. */
   private[graft] def ensureExports(s: SparkSession, dir: String): Unit = {
     Seq("csv", "json", "orc", "avro").foreach(exportDir(s, dir, _))
-    partitionedDir(s, dir); ()
+    partitionedDir(s, dir)
+    evolutionDir(s, dir); ()
   }
+
+  /** Two-generation parquet lake with SCHEMA DRIFT, written once per
+    * (session, dir): generation 1 (even doc_ids) predates the `source`
+    * column; generation 2 (odd doc_ids) carries the full schema. The layout
+    * every long-lived archive grows into — old files are never rewritten
+    * when a column lands. */
+  private def evolutionDir(s: SparkSession, dir: String): String =
+    exports.computeIfAbsent((Tables.sessionId(s), dir, "evo"), _ => {
+      val out = graft.TempReaper.add(
+        graft.Scratch.dir("graft_src_evo"))
+      val docs = Tables.table(s, dir, "documents")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").parquet(out + "/gen=1")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(out + "/gen=2")
+      out
+    })
 
   /** Hive-partitioned parquet copy of documents, written once per
     * (session, dir) — shared by q_source_partitioned and ensureExports. */
@@ -146,6 +166,31 @@ object FormatSources {
       },
       Some(
         "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars " +
-          "FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source"))
+          "FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source")),
+
+    GraftQuery(
+      "q_source_evolution",
+      "Schema-evolution read over a two-generation parquet lake (generation " +
+        "1 written before the `source` column existed, generation 2 with " +
+        "it): mergeSchema unifies the footers and the old files surface " +
+        "source as NULL — counted per language next to the total, so the " +
+        "oracle (which sees the original table and simulates the drift by " +
+        "generation parity) pins both the merge and the null semantics. " +
+        "The schema-drift read every archive that never rewrites old files " +
+        "eventually depends on; generation is also a partition column, so " +
+        "generation-targeted reads prune directories.",
+      (s, dir) =>
+        s.read.option("mergeSchema", "true").parquet(evolutionDir(s, dir))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("source")).as("n_sourced"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy("lang"),
+      Some(
+        "SELECT lang, count(*) AS n, " +
+          "count(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_sourced, " +
+          "CAST(sum(n_chars) AS BIGINT) AS chars " +
+          "FROM documents GROUP BY lang ORDER BY lang"))
   )
 }
