@@ -388,6 +388,62 @@ object Geo {
           |  CAST(sum(((event_id * 3) % 180 * 6000 + (event_id * 13) % 6000)
           |    * (CASE WHEN event_id % 3 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS lon_mass
           |FROM events WHERE event_type = 'purchase'
-          |GROUP BY obj_name ORDER BY obj_name""".stripMargin))
+          |GROUP BY obj_name ORDER BY obj_name""".stripMargin)),
+
+    GraftQuery(
+      "q_packet_paths",
+      "Digipeater path analytics over VARIABLE rendered paths — the network-" +
+        "infrastructure view (which digis carry the traffic, which actually " +
+        "digipeated): 1–3 WIDEn-N hops per packet with a '*' used marker, " +
+        "all derived from event-id residues; per digi the heard count, " +
+        "used count, and distinct stations. The other packet queries render " +
+        "a CONSTANT path, so this is the first query that gates the " +
+        "parser's path capture on varying content (multi-hop, used flags, " +
+        "dest stripping via pos>=1 after the split). Scale shape: render + " +
+        "parse + split map-side behind the spread; one digi-keyed hash agg " +
+        "of slim rows (the distinct-station leg is the usual two-phase " +
+        "distinct).",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        val nh = pmod(col("event_id"), lit(3L)) + lit(1L)
+        // div-based residues: multiplicative ones correlate (k·id mod 2 is
+        // id's parity for every odd k, and (5·id mod 3) is a function of
+        // (id mod 3) = nh), collapsing the digi vocabulary and pinning the
+        // used marker off hop 3 — id div p for distinct primes decorrelates
+        val usedIdx = pmod(expr("event_id div 11"), nh) + lit(1L)
+        def digi(h: Int) = concat(
+          lit(s"WIDE$h-"),
+          (pmod(expr(s"event_id div ${2 * h + 1}"), lit(2L)) + 1).cast("string"),
+          when(usedIdx === h, lit("*")).otherwise(lit("")))
+        val path = concat_ws(",", digi(1),
+          when(nh >= 2, digi(2)), when(nh >= 3, digi(3)))
+        val raw = concat(
+          lit("U"), col("user_id").cast("string"), lit(">APRS,"), path, lit(":>OK"))
+        graft.streaming.PacketParse
+          .parse(Tables.spread(s, e.select(raw.as("raw"))))
+          .select(col("callsign"), posexplode(split(col("path"), ",")))
+          .filter(col("pos") >= 1) // pos 0 is the dest (APRS), not a digi
+          .groupBy(regexp_replace(col("col"), "\\*$", "").as("digi"))
+          .agg(
+            count(lit(1)).as("n_heard"),
+            sum(when(col("col").like("%*"), 1L).otherwise(0L)).as("n_used"),
+            countDistinct(col("callsign")).as("n_stations"))
+          .orderBy("digi")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id, 1 + event_id % 3 AS nh
+          |  FROM events WHERE event_type = 'click'),
+          |hops AS (
+          |  SELECT event_id, user_id, nh, 1 AS h FROM e
+          |  UNION ALL SELECT event_id, user_id, nh, 2 FROM e WHERE nh >= 2
+          |  UNION ALL SELECT event_id, user_id, nh, 3 FROM e WHERE nh >= 3)
+          |SELECT 'WIDE' || CAST(h AS VARCHAR) || '-' ||
+          |    CAST(1 + (event_id // (2*h + 1)) % 2 AS VARCHAR) AS digi,
+          |  count(*) AS n_heard,
+          |  CAST(sum(CASE WHEN h = 1 + (event_id // 11) % nh THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+          |  count(DISTINCT user_id) AS n_stations
+          |FROM hops GROUP BY digi ORDER BY digi""".stripMargin))
   )
 }
