@@ -298,6 +298,60 @@ object Joins {
           |     WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
           |       AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)) AS np
           |  FROM events c WHERE c.event_type = 'click')
+          |ORDER BY event_id LIMIT 1000""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_asof_nearest",
+      "NEAREST as-of join — the third merge_asof direction: for every click, " +
+        "the same-user purchase closest in time on EITHER side, ties to the " +
+        "earlier one. BOTH direction legs ride ONE union relation and one " +
+        "(user)-keyed exchange+sort: a backward running max and a forward " +
+        "running min are two frames over the same window spec, so Spark " +
+        "plans a single Window operator — O(n+m), never a pair join. " +
+        "Purchases sort before clicks at equal timestamps (kind 0 < 1): the " +
+        "backward leg is then ts-inclusive and the forward leg strictly " +
+        "after — an equal-ts purchase resolves through the backward leg " +
+        "with distance zero, which the tie rule prefers anyway. The " +
+        "distance comparison is exact epoch-double subtraction in identical " +
+        "order on both engines.",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+            col("event_id"), lit(null).cast(TimestampType).as("pts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("t"), lit(0).as("kind"),
+            lit(null).cast(LongType).as("event_id"), col("ts").as("pts"))
+        val spec = Window.partitionBy("user_id").orderBy(col("t"), col("kind"))
+        val wB = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = spec.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        clicks.unionByName(purchases)
+          .withColumn("prev_p", max(col("pts")).over(wB))
+          .withColumn("next_p", min(col("pts")).over(wF))
+          .where(col("kind") === 1)
+          .select(col("event_id"),
+            when(col("prev_p").isNull, col("next_p"))
+              .when(col("next_p").isNull, col("prev_p"))
+              .when(col("t").cast("double") - col("prev_p").cast("double") <=
+                col("next_p").cast("double") - col("t").cast("double"), col("prev_p"))
+              .otherwise(col("next_p")).as("nearest_purchase"))
+          .orderBy("event_id")
+          .limit(1000)
+      },
+      Some(
+        """SELECT event_id,
+          |  CASE WHEN prev_p IS NULL THEN next_p
+          |       WHEN next_p IS NULL THEN prev_p
+          |       WHEN epoch(ts) - epoch(prev_p) <= epoch(next_p) - epoch(ts) THEN prev_p
+          |       ELSE next_p END AS nearest_purchase
+          |FROM (SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS ts,
+          |    (SELECT max(CAST(p.ts AS TIMESTAMP)) FROM events p
+          |     WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          |       AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)) AS prev_p,
+          |    (SELECT min(CAST(p.ts AS TIMESTAMP)) FROM events p
+          |     WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          |       AND CAST(p.ts AS TIMESTAMP) > CAST(c.ts AS TIMESTAMP)) AS next_p
+          |  FROM events c WHERE c.event_type = 'click')
           |ORDER BY event_id LIMIT 1000""".stripMargin))
   )
 }

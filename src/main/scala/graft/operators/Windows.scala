@@ -203,6 +203,29 @@ object Windows {
       Some(
         "SELECT c_custkey, c_mktsegment, ntile(4) OVER (PARTITION BY c_mktsegment " +
           "ORDER BY c_acctbal, c_custkey) AS tile " +
-          "FROM customer ORDER BY c_mktsegment, tile, c_custkey"))
+          "FROM customer ORDER BY c_mktsegment, tile, c_custkey")),
+
+    GraftQuery(
+      "q_win_pct_rank",
+      "percent_rank and cume_dist per market segment over (c_acctbal, " +
+        "c_custkey) — the relative-standing pair (rank-1)/(n-1) and " +
+        "rank/n. The full tie-breaker makes both exact rational values of " +
+        "integer rank and count, so the IEEE divisions land identically on " +
+        "both engines; top-50 by segment/position keeps the output stable. " +
+        "Same one-exchange keyed-window shape as every §2.5 operator.",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+        table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("c_mktsegment", "pr", "c_custkey")
+          .limit(50)
+      },
+      Some(
+        "SELECT c_custkey, c_mktsegment, " +
+          "round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pr, " +
+          "round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS cd " +
+          "FROM customer ORDER BY c_mktsegment, pr, c_custkey LIMIT 50"))
   )
 }
