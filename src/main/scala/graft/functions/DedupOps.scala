@@ -589,6 +589,48 @@ object DedupOps {
            |  round(abs(est_sim - jac), 6) AS err
            |FROM est JOIN ex ON est.ida = ex.ida AND est.idb = ex.idb
            |ORDER BY est.ida, est.idb""".stripMargin
-      })
+      }),
+
+    GraftQuery(
+      "q_dedup_containment",
+      "Asymmetric shingle CONTAINMENT (Broder's second resemblance measure): " +
+        "|A∩B| / min(|A|,|B|) over source-blocked pairs — the doc-inclusion " +
+        "detector that Jaccard structurally under-reports (a quote of a " +
+        "short doc inside a long one has tiny union-normalized similarity " +
+        "but containment ≈ 1), which is why decontamination and quote-chain " +
+        "curation key on it. Same scale shape as q_dedup_ngram_jaccard: " +
+        "8-byte shingle hashes built map-side, source-blocked hash self-" +
+        "join, per-doc sizes broadcast back; only the normalizer changes — " +
+        "min instead of union — so the measured alternatives documented " +
+        "there carry over verbatim.",
+      (s, dir) => {
+        val sh = Tables.spread(s, table(s, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            explode(VectorExpr.shingleHashes(split(col("text"), " "))).as("g"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val a = sh.select(col("doc_id").as("ida"), col("source").as("srca"), col("g"))
+        val b = sh.select(col("doc_id").as("idb"), col("source").as("srcb"), col("g").as("g2"))
+        val shared = a.join(b, col("g") === col("g2") && col("srca") === col("srcb") &&
+            col("ida") < col("idb"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+        shared
+          .join(broadcast(sizes.select(col("doc_id").as("ida"), col("sz").as("sza"))), "ida")
+          .join(broadcast(sizes.select(col("doc_id").as("idb"), col("sz").as("szb"))), "idb")
+          .select(col("ida"), col("idb"),
+            round(col("shared") / least(col("sza"), col("szb")), 6).as("containment"))
+          .orderBy(col("containment").desc, col("ida"), col("idb"))
+          .limit(20)
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents),
+           |shl AS (SELECT doc_id, source, $shingleSql AS sh FROM (SELECT * FROM d WHERE len(toks) >= 3) t),
+           |sh AS (SELECT doc_id, source, unnest(sh) AS g FROM shl),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |shared AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+           |  FROM sh a JOIN sh b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT ida, idb, round(shared / least(sa.sz, sb.sz), 6) AS containment
+           |FROM shared JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+           |ORDER BY containment DESC, ida, idb LIMIT 20""".stripMargin))
   )
 }

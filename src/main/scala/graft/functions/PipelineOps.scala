@@ -490,6 +490,46 @@ object PipelineOps {
           |  count(DISTINCT url) AS n_distinct_raw,
           |  count(DISTINCT canon) AS n_canonical,
           |  CAST(count(DISTINCT url) - count(DISTINCT canon) AS BIGINT) AS n_collapsed
-          |FROM c GROUP BY domain ORDER BY domain""".stripMargin))
+          |FROM c GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    GraftQuery(
+      "q_sample_weighted",
+      "Weighted sampling without replacement, Efraimidis–Spirakis A-ES " +
+        "(exponential-jumps form): per source stratum keep the 5 docs with " +
+        "the smallest key = -ln(u)/w, where w = n_chars and u is a " +
+        "DETERMINISTIC uniform built from the first 52 bits of md5(doc_id) " +
+        "— the md5-order discipline of q_sample_topk_hash extended to " +
+        "WEIGHTED inclusion probability (the data-mixing primitive: sample " +
+        "proportional to token mass, reproducible across engines, runs, and " +
+        "partitionings; no RNG, so a task retry cannot resample). Scale " +
+        "shape: key is map-side arithmetic, selection is one per-stratum " +
+        "top-k window — no shuffle beyond the stratum key. The key itself " +
+        "stays OUT of the output: both engines' ln() agree to ~1 ulp while " +
+        "the fixture's rank-5/6 key margins are ≥ 2e-7, so the SELECTION is " +
+        "engine-stable even though the raw doubles might differ in the last " +
+        "bit.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("double") / lit(9007199254740992d)) + lit(5.551115123125783e-17)
+        val key = -log(u) / col("n_chars").cast("double")
+        val w = Window.partitionBy("source").orderBy(col("key"), col("doc_id"))
+        table(s, dir, "documents")
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("source"), col("n_chars"), key.as("key"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+          .orderBy("source", "rk")
+      },
+      Some(
+        """WITH k AS (SELECT doc_id, source, n_chars,
+          |    -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS UBIGINT) / 9007199254740992.0)
+          |        + 5.551115123125783e-17) / CAST(n_chars AS DOUBLE) AS key
+          |  FROM documents WHERE n_chars > 0),
+          |r AS (SELECT doc_id, source, n_chars, key,
+          |    row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk FROM k)
+          |SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 5
+          |ORDER BY source, rk""".stripMargin))
   )
 }

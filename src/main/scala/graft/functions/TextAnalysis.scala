@@ -203,15 +203,18 @@ object TextAnalysis {
         "boilerplate-laden docs. The fixture's near-dup clusters are exactly " +
         "what lights this up. Scale shape: distinct shingle HASHES are built " +
         "map-side per doc (the decontaminate discipline — 8-byte keys " +
-        "shuffle, never text), one hash-keyed document-frequency agg, and " +
-        "the df verdict joins back on the hash key; a 2^-64 hash collision " +
+        "shuffle, never text), then df is a count-over-window keyed on the " +
+        "hash — ONE scan, ONE wide exchange; the agg+self-join form scanned " +
+        "and re-shingled the corpus twice (or broadcast it whole). The " +
+        "window group for a universal shingle is df rows of 16-byte pairs, " +
+        "buffered via Spark's spilling window array. A 2^-64 hash collision " +
         "could only add a false boilerplate flag, and the string-keyed " +
         "oracle pins the counts as identical.",
       (s, dir) => {
         val sh = Tables.spread(s, table(s, dir, "documents"))
           .select(col("doc_id"), explode(VectorExpr.shingleHashes(split(col("text"), " "), 5)).as("g"))
-        val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
-        sh.join(df, "g")
+        import org.apache.spark.sql.expressions.Window
+        sh.withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_sh"),

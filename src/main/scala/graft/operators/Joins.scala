@@ -352,6 +352,45 @@ object Joins {
           |     WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
           |       AND CAST(p.ts AS TIMESTAMP) > CAST(c.ts AS TIMESTAMP)) AS next_p
           |  FROM events c WHERE c.event_type = 'click')
-          |ORDER BY event_id LIMIT 1000""".stripMargin))
+          |ORDER BY event_id LIMIT 1000""".stripMargin)),
+
+    GraftQuery(
+      "q_join_band",
+      "Pure band (interval-distance) join with NO equi key: for each " +
+        "purchase, how many clicks — by ANY user — landed within ±60 s. A " +
+        "naive |Δt| ≤ 60 predicate gives Catalyst nothing to hash on and " +
+        "plans a BroadcastNestedLoopJoin: quadratic, and the one join shape " +
+        "that cannot survive 100 TB. The Spark-native answer is BUCKET " +
+        "EXPANSION: quantize time into band-width buckets, explode the " +
+        "smaller side to its bucket and both neighbors (width = band ⇒ " +
+        "every qualifying pair shares a bucket, and exactly one of the " +
+        "three), equi-join on the synthesized bucket key, and re-check the " +
+        "exact predicate post-match. One 3× fan-out of the slim side buys a " +
+        "shuffled hash join that partitions like any other equi-join. The " +
+        "DuckDB twin hands the same predicate to its IEJoin. Epoch doubles " +
+        "are bitwise-identical across engines, so the ±60.0 boundary is " +
+        "exact; the bucket key never reaches the output.",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("ts").cast("double").as("ct"))
+          .withColumn("b", floor(col("ct") / 60d).cast(LongType))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts").cast("double").as("pt"))
+          .withColumn("b0", floor(col("pt") / 60d).cast(LongType))
+          .select(col("event_id"), col("pt"),
+            explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("b"))
+        purchases.join(clicks, "b")
+          .where(abs(col("ct") - col("pt")) <= 60d)
+          .groupBy("event_id").agg(count(lit(1)).as("n_near"))
+          .orderBy(col("n_near").desc, col("event_id"))
+          .limit(100)
+      },
+      Some(
+        """SELECT p.event_id, count(*) AS n_near
+          |FROM events p JOIN events c
+          |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+          | AND abs(epoch(c.ts) - epoch(p.ts)) <= 60.0
+          |GROUP BY 1 ORDER BY n_near DESC, p.event_id LIMIT 100""".stripMargin))
   )
 }

@@ -408,6 +408,51 @@ object TimeSeries {
           |SELECT event_type, round(dxy / dxx, 6) AS slope,
           |  round((dsy - (dxy / dxx) * dsx) / dn, 6) AS intercept,
           |  round((dxy * dxy) / (dxx * dyy), 6) AS r2
-          |FROM f ORDER BY event_type""".stripMargin))
+          |FROM f ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_ewma",
+      "Exponentially weighted moving average per user (α-decay smoothing, " +
+        "the monitoring/trend primitive). The textbook recurrence " +
+        "s_i = α·x_i + (1−α)·s_{i−1} is non-associative driver-bait — a " +
+        "per-partition sequential fold. The scalable form is the TRUNCATED " +
+        "kernel: weights (1−α)^k decay geometrically, so a 4-tap window " +
+        "(α=0.2: 1, .8, .64, .512) captures all but ~41% → renormalized " +
+        "over the taps actually present it is a bounded-frame window " +
+        "expression — one keyed exchange, no recursion, identical on a " +
+        "1000-executor cluster. The weights are written as double LITERALS " +
+        "(no pow()) and the kernel as the same left-associative chain in " +
+        "both engines, so every IEEE op lands bitwise-identically; lag " +
+        "nulls at partition heads drop out of both numerator and " +
+        "denominator via the same coalesce/indicator pair.",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val l1 = lag(col("value"), 1).over(w)
+        val l2 = lag(col("value"), 2).over(w)
+        val l3 = lag(col("value"), 3).over(w)
+        table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+          .withColumn("ewma", round(
+            (col("value") + lit(0.8) * coalesce(l1, lit(0d)) +
+              lit(0.64) * coalesce(l2, lit(0d)) + lit(0.512) * coalesce(l3, lit(0d))) /
+              (lit(1.0) + lit(0.8) * when(l1.isNull, 0d).otherwise(1d) +
+                lit(0.64) * when(l2.isNull, 0d).otherwise(1d) +
+                lit(0.512) * when(l3.isNull, 0d).otherwise(1d)), 6))
+          .select(col("user_id"), col("event_id"), col("ewma"))
+          .orderBy("user_id", "event_id")
+          .limit(1000)
+      },
+      Some(
+        """WITH o AS (SELECT user_id, event_id, value,
+          |    lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+          |    lag(value, 3) OVER w AS l3
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT user_id, event_id,
+          |  round((value + 0.8 * coalesce(l1, 0.0) + 0.64 * coalesce(l2, 0.0)
+          |      + 0.512 * coalesce(l3, 0.0)) /
+          |    (1.0 + 0.8 * (CASE WHEN l1 IS NULL THEN 0.0 ELSE 1.0 END)
+          |      + 0.64 * (CASE WHEN l2 IS NULL THEN 0.0 ELSE 1.0 END)
+          |      + 0.512 * (CASE WHEN l3 IS NULL THEN 0.0 ELSE 1.0 END)), 6) AS ewma
+          |FROM o ORDER BY user_id, event_id LIMIT 1000""".stripMargin))
   )
 }

@@ -156,4 +156,20 @@ class PlanShapeSpec extends SparkSuite {
     val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(ex.nonEmpty && ex.forall(!_.contains("payload")), p)
   }
+
+  test("q_join_band plans an equi join on the bucket key, never a nested loop") {
+    val p = plan("q_join_band")
+    assert(!p.contains("NestedLoop"),
+      s"band predicate fell through to a nested-loop join:\n$p")
+    // the 3-bucket expansion is the Generate; the join must hash on it
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q_text_boilerplate scans the corpus once — window df, no self-join") {
+    val p = plan("q_text_boilerplate")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"boilerplate scans the corpus $scans times:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"boilerplate broadcasts a corpus-sized relation:\n$p")
+  }
 }

@@ -174,4 +174,69 @@ class Round8Spec extends SparkSuite {
       assert(n <= 2, s"$q has $n hash exchanges (want <= 2: spread round-robin is separate):\n$p")
     }
   }
+
+  test("band join: bucket expansion equals the naive theta join exactly") {
+    import spark.implicits._
+    val got = run("q_join_band").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("n_near")))
+    val ev = Tables.table(spark, sf, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"ts".cast("double").as("pt"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"ts".cast("double").as("ct"))
+    val naive = p.crossJoin(c).where(abs($"ct" - $"pt") <= 60d)
+      .groupBy("event_id").agg(count(lit(1)).as("n_near"))
+      .orderBy($"n_near".desc, $"event_id").limit(100)
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("n_near")))
+    assert(got.nonEmpty && got.sameElements(naive),
+      s"band=${got.take(5).mkString(",")} naive=${naive.take(5).mkString(",")}")
+  }
+
+  test("containment: bounded, sorted, and >= Jaccard on the same pair") {
+    val rows = run("q_dedup_containment").collect()
+    assert(rows.nonEmpty)
+    val vals = rows.map(_.getAs[Double]("containment"))
+    assert(vals.forall(v => v > 0.0 && v <= 1.0))
+    assert(vals.sameElements(vals.sorted(Ordering[Double].reverse)))
+    // containment normalizes by min size <= union size, so for any fixed
+    // pair containment >= jaccard; check against the jaccard query's rows
+    val jac = run("q_dedup_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb")) -> r.getAs[Double]("jac")).toMap
+    val both = rows.flatMap { r =>
+      jac.get((r.getAs[Long]("ida"), r.getAs[Long]("idb")))
+        .map(j => (r.getAs[Double]("containment"), j))
+    }
+    assert(both.forall { case (cont, j) => cont >= j - 1e-9 })
+  }
+
+  test("ewma: convex combination stays inside each user's value range") {
+    import spark.implicits._
+    val bounds = Tables.table(spark, sf, "events")
+      .groupBy("user_id").agg(min($"value").as("lo"), max($"value").as("hi"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    val rows = run("q_ts_ewma").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getAs[Long]("user_id"))
+      val e = r.getAs[Double]("ewma")
+      assert(e >= lo - 1e-6 && e <= hi + 1e-6, s"ewma $e outside [$lo,$hi]")
+    }
+  }
+
+  test("weighted sampling: full strata, rank-complete, and deterministic") {
+    val rows = run("q_sample_weighted").collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    val stratum = Tables.table(spark, sf, "documents")
+      .filter(col("n_chars") > 0)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(bySrc.keySet == stratum.keySet)
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length == math.min(5L, stratum(src)).toInt)
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rs.length))
+    }
+    val again = run("q_sample_weighted").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }
