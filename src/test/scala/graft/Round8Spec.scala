@@ -239,4 +239,33 @@ class Round8Spec extends SparkSuite {
     val again = run("q_sample_weighted").collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("misra-gries: heavy key survives evictions under every partitioning") {
+    import spark.implicits._
+    // key 7 holds 30% of the mass (>> 1/65); 700 unique tail keys force
+    // evictions in every partition and summary merge
+    val data = Seq.fill(300)(7L) ++ (100L until 800L)
+    Seq(1, 4, 13).foreach { parts =>
+      val mg = udaf(new functions.MisraGries(64))
+      val m = data.toDF("k").repartition(parts)
+        .agg(mg(col("k"))).head().getMap[Long, Long](0)
+      assert(m.contains(7L), s"parts=$parts evicted the guaranteed key")
+      assert(300L - m(7L) <= 1000.0 / 65, s"parts=$parts undercount ${m(7L)}")
+      assert(m.size <= 64)
+    }
+  }
+
+  test("topk heap: partial merges equal the global sort at any partitioning") {
+    import spark.implicits._
+    val vals = (1 to 500).map(i => ((i * 37 % 101).toDouble, i.toLong))
+    val expected = vals.sortBy { case (s2, id) => (-s2, id) }.take(7)
+    Seq(1, 3, 11).foreach { parts =>
+      val topk = udaf(new functions.TopKHeap(7))
+      val got = vals.toDF("s", "id").repartition(parts)
+        .agg(topk(col("s"), col("id"))).head()
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      assert(got == expected, s"parts=$parts: $got")
+    }
+  }
 }
