@@ -530,6 +530,63 @@ object PipelineOps {
           |r AS (SELECT doc_id, source, n_chars, key,
           |    row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk FROM k)
           |SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 5
-          |ORDER BY source, rk""".stripMargin))
+          |ORDER BY source, rk""".stripMargin)),
+
+    GraftQuery(
+      "q_text_perplexity",
+      "Bigram-LM document scoring with Laplace smoothing — the CCNet-style " +
+        "quality filter, and the SEQUENCE model q_text_surprisal's unigram " +
+        "bag cannot express: train P(w2|w1) = (B(w1,w2)+1)/(U(w1)+V) on the " +
+        "corpus itself, score each doc by mean negative log-likelihood over " +
+        "its bigram INSTANCES, surface the 10 least-fluent docs. Scale " +
+        "shape: the slim (doc, bigram-hash, prefix-hash) instance relation " +
+        "is materialized ONCE (eager checkpoint — the write-once posture; " +
+        "text and token strings never shuffle, 8-byte hashes do), then B " +
+        "and U are COUNT WINDOWS over the two hash keys (the tfidf window-" +
+        "form df discipline: counts flow back to instances without a self-" +
+        "join), the vocabulary size is one distinct-count over the same " +
+        "checkpoint broadcast as a scalar, and the per-doc mean is the " +
+        "final slim agg. Double-sum accumulation sits under round(6) with " +
+        "~1e-13 partition-order noise (the surprisal precedent).",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val inst = Tables.spread(s, table(s, dir, "documents"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(slice(toks, 1, size(toks)-1), " +
+              "(x, i) -> struct(x AS w1, element_at(toks, i+2) AS w2))")).as("p"))
+          .select(col("doc_id"),
+            xxhash64(col("p.w1"), col("p.w2")).as("bgh"),
+            xxhash64(col("p.w1")).as("w1h"))
+          .localCheckpoint(true)
+        val vocab = inst.agg(countDistinct(col("w1h")).as("vocab"))
+        inst
+          .withColumn("bc", count(lit(1)).over(Window.partitionBy("bgh")))
+          .withColumn("uc", count(lit(1)).over(Window.partitionBy("w1h")))
+          .crossJoin(broadcast(vocab))
+          .groupBy("doc_id")
+          .agg(round(
+            sum(-log((col("bc") + lit(1L)).cast("double") /
+              (col("uc") + col("vocab")).cast("double"))) / count(lit(1)), 6)
+            .as("bigram_nll"))
+          .orderBy(col("bigram_nll").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+          |inst AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          |    i -> toks[i] || chr(31) || toks[i+1])) AS bg
+          |  FROM d WHERE len(toks) >= 2),
+          |b AS (SELECT bg, count(*) AS bc FROM inst GROUP BY bg),
+          |u AS (SELECT split_part(bg, chr(31), 1) AS w1, CAST(sum(bc) AS BIGINT) AS uc
+          |  FROM b GROUP BY 1),
+          |v AS (SELECT count(*) AS vocab FROM (SELECT DISTINCT split_part(bg, chr(31), 1) FROM b)),
+          |s AS (SELECT i.doc_id,
+          |    -ln((b.bc + 1) / CAST(u.uc + v.vocab AS DOUBLE)) AS nll
+          |  FROM inst i JOIN b ON i.bg = b.bg
+          |  JOIN u ON split_part(i.bg, chr(31), 1) = u.w1 CROSS JOIN v)
+          |SELECT doc_id, round(sum(nll) / count(*), 6) AS bigram_nll
+          |FROM s GROUP BY doc_id ORDER BY bigram_nll DESC, doc_id LIMIT 10""".stripMargin))
   )
 }

@@ -65,7 +65,8 @@ object FormatSources {
   private[graft] def ensureExports(s: SparkSession, dir: String): Unit = {
     Seq("csv", "json", "orc", "avro").foreach(exportDir(s, dir, _))
     partitionedDir(s, dir)
-    evolutionDir(s, dir); ()
+    evolutionDir(s, dir)
+    malformedDir(s, dir); ()
   }
 
   /** Two-generation parquet lake with SCHEMA DRIFT, written once per
@@ -84,6 +85,26 @@ object FormatSources {
       docs.filter(pmod(col("doc_id"), lit(2)) === 1)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(out + "/gen=2")
+      out
+    })
+
+  /** CSV with deterministically injected malformed lines (doc_id % 10 == 3
+    * rows rendered as a single unparseable token), written once per
+    * (session, dir) — the PERMISSIVE-ingest fixture. Real feeds carry bad
+    * rows; an engine that can only FAILFAST on them cannot ingest at all. */
+  private def malformedDir(s: SparkSession, dir: String): String =
+    exports.computeIfAbsent((Tables.sessionId(s), dir, "bad"), _ => {
+      val out = graft.TempReaper.add(
+        graft.Scratch.dir("graft_src_bad"))
+      // the corruption hits a REQUIRED column's cast (n_chars = 'x'): with
+      // CSV column pruning, missing TRAILING tokens alone are not flagged
+      // as malformed, but an uncastable required field always is
+      Tables.table(s, dir, "documents")
+        .select(when(pmod(col("doc_id"), lit(10)) === 3,
+            concat(lit("bad_"), col("doc_id"), lit(",??,x")))
+          .otherwise(concat_ws(",",
+            col("doc_id"), col("lang"), col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(out)
       out
     })
 
@@ -191,6 +212,37 @@ object FormatSources {
         "SELECT lang, count(*) AS n, " +
           "count(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_sourced, " +
           "CAST(sum(n_chars) AS BIGINT) AS chars " +
-          "FROM documents GROUP BY lang ORDER BY lang"))
+          "FROM documents GROUP BY lang ORDER BY lang")),
+
+    GraftQuery(
+      "q_source_csv_malformed",
+      "PERMISSIVE ingest of a CSV feed with deterministically injected " +
+        "malformed lines (doc_id % 10 == 3 rows rendered as one unparseable " +
+        "token): corrupt rows are captured via columnNameOfCorruptRecord and " +
+        "rolled up under a '__corrupt' bucket next to the per-language " +
+        "stats of the rows that DID parse. The oracle reads the original " +
+        "parquet and simulates the corruption rule, so the gate pins the " +
+        "parse/capture split value-exactly — the ingest-robustness surface " +
+        "(FAILFAST-only engines cannot read real feeds; silently dropping " +
+        "bad rows loses the signal this query surfaces).",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("n_chars", LongType), StructField("_bad", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(malformedDir(s, dir))
+          .groupBy(when(col("_bad").isNotNull, lit("__corrupt"))
+            .otherwise(col("lang")).as("lang"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("chars"))
+          .orderBy("lang")
+      },
+      Some(
+        "SELECT CASE WHEN doc_id % 10 = 3 THEN '__corrupt' ELSE lang END AS lang, " +
+          "count(*) AS n, " +
+          "CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 0 ELSE n_chars END) AS BIGINT) AS chars " +
+          "FROM documents GROUP BY 1 ORDER BY 1"))
   )
 }
