@@ -453,6 +453,42 @@ object TimeSeries {
           |    (1.0 + 0.8 * (CASE WHEN l1 IS NULL THEN 0.0 ELSE 1.0 END)
           |      + 0.64 * (CASE WHEN l2 IS NULL THEN 0.0 ELSE 1.0 END)
           |      + 0.512 * (CASE WHEN l3 IS NULL THEN 0.0 ELSE 1.0 END)), 6) AS ewma
-          |FROM o ORDER BY user_id, event_id LIMIT 1000""".stripMargin))
+          |FROM o ORDER BY user_id, event_id LIMIT 1000""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_ohlc",
+      "OHLC candlestick resample — the financial/metrics staple: per hour × " +
+        "type, the opening value (first by time), high, low, and closing " +
+        "value (last by time), plus the bar's sample count. Open/close are " +
+        "argmin/argmax over the TOTAL key (epoch, event_id) expressed as " +
+        "min/max(struct(...)) — ONE hash aggregate with partial-aggregable " +
+        "reducers, no window sort anywhere (the q_dedup_cluster_rep argmax " +
+        "discipline); event_id uniqueness makes the selection deterministic " +
+        "even for equal timestamps, on any engine and partitioning. " +
+        "High/low are plain min/max. The whole bar build is a single " +
+        "two-phase agg that partitions by (hour, type) at any scale.",
+      (s, dir) =>
+        table(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "view"))
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(
+            round(min(struct(col("ts").cast("double").as("e"),
+              col("event_id").as("id"), col("value").as("v"))).getField("v"), 6).as("open"),
+            round(max(col("value")), 6).as("high"),
+            round(min(col("value")), 6).as("low"),
+            round(max(struct(col("ts").cast("double").as("e"),
+              col("event_id").as("id"), col("value").as("v"))).getField("v"), 6).as("close"),
+            count(lit(1)).as("n"))
+          .orderBy("h", "event_type")
+          .limit(500),
+      Some(
+        """SELECT date_trunc('hour', ts) AS h, event_type,
+          |  round((min({'e': epoch(ts), 'id': event_id, 'v': value})).v, 6) AS open,
+          |  round(max(value), 6) AS high,
+          |  round(min(value), 6) AS low,
+          |  round((max({'e': epoch(ts), 'id': event_id, 'v': value})).v, 6) AS close,
+          |  count(*) AS n
+          |FROM events WHERE event_type IN ('purchase', 'view')
+          |GROUP BY 1, 2 ORDER BY h, event_type LIMIT 500""".stripMargin))
   )
 }
