@@ -391,6 +391,50 @@ object Joins {
           |FROM events p JOIN events c
           |  ON p.event_type = 'purchase' AND c.event_type = 'click'
           | AND abs(epoch(c.ts) - epoch(p.ts)) <= 60.0
-          |GROUP BY 1 ORDER BY n_near DESC, p.event_id LIMIT 100""".stripMargin))
+          |GROUP BY 1 ORDER BY n_near DESC, p.event_id LIMIT 100""".stripMargin)),
+
+    GraftQuery(
+      "q_join_salted",
+      "SALTED fact-dim join under engineered 70% single-key skew — the join " +
+        "half of the Skew module's salted-aggregation story: a plain " +
+        "shuffle join on this key sends 70% of the fact through ONE reducer " +
+        "(the straggler that kills a 1000-executor job). The fact side " +
+        "salts each row into 16 sub-keys with a CONTENT hash of the row's " +
+        "primary key (the Skew.scala discipline — a rand()/partition-id " +
+        "salt re-rolls on task retry and silently corrupts the join), the " +
+        "dim side replicates ×16 via explode(sequence), and the join keys " +
+        "on (k, salt): the hot key's rows spread across 16 reducers. " +
+        "SHUFFLE_HASH is hinted deliberately — at bench scale AQE would " +
+        "broadcast the 16k-row dim and no skew exists to demonstrate; the " +
+        "hint pins the exchange-on-(k,salt) shape the technique exists for " +
+        "(dims beyond broadcast range), checked in PlanShapeSpec. The " +
+        "oracle runs the plain unsalted join: same rows is the proof the " +
+        "salt never changes the answer.",
+      (s, dir) => {
+        val fact = table(s, dir, "lineitem")
+          .select(
+            when(col("l_orderkey") % 10 < 7, 0L)
+              .otherwise(col("l_orderkey") % 1000).as("k"),
+            col("l_quantity"),
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)).as("salt"))
+        val dim = s.range(0, 1000).select(
+            col("id").as("k"),
+            substring(md5(col("id").cast("string")), 1, 1).as("attr"))
+          .withColumn("salt", explode(sequence(lit(0L), lit(15L))))
+        fact.join(dim.hint("SHUFFLE_HASH"), Seq("k", "salt"))
+          .groupBy("attr")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+          .orderBy("attr")
+      },
+      Some(
+        """WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+          |      ELSE l_orderkey % 1000 END AS k, l_quantity FROM lineitem),
+          |d AS (SELECT range AS k, substr(md5(CAST(range AS VARCHAR)), 1, 1) AS attr
+          |  FROM range(0, 1000))
+          |SELECT attr, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          |FROM f JOIN d USING (k)
+          |GROUP BY attr ORDER BY attr""".stripMargin))
   )
 }

@@ -165,6 +165,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("q_join_salted exchanges the skewed fact on (k, salt), never broadcast") {
+    val p = plan("q_join_salted")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // the fact-side exchange must hash on BOTH the key and the salt — that
+    // spread of the hot key across 16 reducers is the whole technique
+    val factEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("salt")).toSeq
+    assert(factEx.size >= 2, s"expected both join sides keyed by (k, salt):\n$p")
+  }
+
   test("q_text_boilerplate scans the corpus once — window df, no self-join") {
     val p = plan("q_text_boilerplate")
     val scans = "Scan parquet".r.findAllIn(p).size
