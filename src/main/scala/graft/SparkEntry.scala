@@ -31,6 +31,7 @@ object SparkEntry {
       functions.Multimodal.all ++   // §2.11+ binary media columns
       functions.VectorAggregates.all ++ // §2.12 UDAF surface (typed Aggregator)
       functions.SketchAggregates.all ++ // §2.12 bounded-state sketch aggregators
+      functions.TypedOps.all ++     // §2.12 typed mapGroups surface
       sources.FormatSources.all ++  // §2.1 CSV/JSON sources under the oracle gate
       sources.BucketedLayout.all ++ // §2.1/§4 bucketed storage layout under the gate
       streaming.StreamQueries.all   // §2.10 streaming executed under the oracle gate
