@@ -255,6 +255,31 @@ class Round8Spec extends SparkSuite {
     }
   }
 
+  test("ohlc: bars are internally consistent (low <= open/close <= high, n > 0)") {
+    val rows = run("q_ts_ohlc").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h, s"open $o outside [$l,$h]")
+      assert(l <= c && c <= h, s"close $c outside [$l,$h]")
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("typed streak: bounded by the distinct-day count of the busiest user") {
+    import spark.implicits._
+    val spanMax = Tables.table(spark, sf, "events")
+      .select($"user_id", $"ts".cast("date").as("d")).distinct()
+      .groupBy("user_id").count().agg(max("count")).head().getLong(0)
+    val rows = run("q_typed_streak").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s2 = r.getAs[Long]("max_streak")
+      assert(s2 >= 1 && s2 <= spanMax, s"streak $s2 outside [1,$spanMax]")
+    }
+  }
+
   test("topk heap: partial merges equal the global sort at any partitioning") {
     import spark.implicits._
     val vals = (1 to 500).map(i => ((i * 37 % 101).toDouble, i.toLong))
