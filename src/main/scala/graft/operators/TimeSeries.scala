@@ -489,6 +489,36 @@ object TimeSeries {
           |  round((max({'e': epoch(ts), 'id': event_id, 'v': value})).v, 6) AS close,
           |  count(*) AS n
           |FROM events WHERE event_type IN ('purchase', 'view')
-          |GROUP BY 1, 2 ORDER BY h, event_type LIMIT 500""".stripMargin))
+          |GROUP BY 1, 2 ORDER BY h, event_type LIMIT 500""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_locf",
+      "Last-observation-carried-forward imputation — the third member of " +
+        "the regularization family next to zero-fill (q_ts_gap_fill) and " +
+        "kernel smoothing (q_ts_ewma): at every event on a user's timeline, " +
+        "the amount of their most recent purchase, NULL until the first one " +
+        "(LOCF's honest prefix). last(…, ignoreNulls) over the running " +
+        "frame — one user-keyed exchange + sort, values COPIED not " +
+        "computed, so the gate is arithmetic-free and exact by " +
+        "construction. The sparse observed column is synthesized in-query " +
+        "(value where purchase, else NULL), pinning the ignore-nulls frame " +
+        "semantics cross-engine — the piece a naive coalesce(lag…) chain " +
+        "gets wrong at any gap length its unrolling misses.",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+              .over(w).as("last_purchase"))
+          .orderBy("user_id", "event_id")
+          .limit(1000)
+      },
+      Some(
+        """SELECT user_id, event_id,
+          |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+          |FROM events ORDER BY user_id, event_id LIMIT 1000""".stripMargin))
   )
 }
