@@ -89,6 +89,47 @@ class TopKHeap(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], S
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
+/** Exact distinct-count over a DENSE integer key domain as a fixed bitset —
+  * the bitmap-index technique: one bit per possible key, partials merge by
+  * OR (associative, commutative, idempotent), finish = popcount. Against
+  * the two existing distinct paths this is the third point of the design
+  * space: `countDistinct` is exact but plans an Expand + distinct shuffle
+  * of the keys; HLL (q_agg_approx_distinct) is one-pass bounded-state but
+  * approximate; the bitset is exact AND one-pass with map-side merge — the
+  * right call whenever keys are dense surrogate ids (customer/user/part
+  * numbers), which is exactly what warehouse dimensions hand out. State is
+  * domain/8 bytes per group regardless of row count (32 KiB here); at a
+  * 2^31 user-id domain the production step is the compressed (roaring)
+  * variant of the same idea, with identical algebra.
+  */
+class BitsetDistinct(domain: Int) extends Aggregator[Long, Array[Long], Long] {
+
+  override def zero: Array[Long] = new Array[Long]((domain + 63) >> 6)
+
+  override def reduce(b: Array[Long], k: Long): Array[Long] = {
+    require(k >= 0 && k < domain, s"key $k outside the dense domain [0, $domain)")
+    b((k >> 6).toInt) |= 1L << (k & 63)
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[Long]): Long = {
+    var n = 0L
+    var i = 0
+    while (i < r.length) { n += java.lang.Long.bitCount(r(i)); i += 1 }
+    n
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
 object SketchAggregates {
   import Tables.table
 
@@ -161,6 +202,30 @@ object SketchAggregates {
           |    row_number() OVER (PARTITION BY c_mktsegment
           |      ORDER BY c_acctbal DESC, c_custkey) AS rk
           |  FROM customer)
-          |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin))
+          |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin)),
+
+    GraftQuery(
+      "q_agg_bitmap_distinct",
+      "EXACT distinct customers per order priority via a fixed-bitset typed " +
+        "Aggregator (the bitmap-index move): one bit per key in the dense " +
+        "surrogate-id domain, partials merge by OR map-side, finish is a " +
+        "popcount. The third point of the distinct design space next to " +
+        "countDistinct (exact, but Expand + distinct shuffle of every key) " +
+        "and HLL (one-pass bounded state, but approximate): exact AND " +
+        "one-pass, state domain/8 bytes per group independent of row " +
+        "count. The oracle is count(DISTINCT …) — same numbers from the " +
+        "shuffle-free plan. At a 2^31 id domain the production variant is " +
+        "the compressed (roaring) bitmap with identical algebra.",
+      (s, dir) => {
+        val bits = udaf(new BitsetDistinct(1 << 18))
+        table(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(bits(col("o_custkey")).as("n_users"), count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_users, " +
+          "count(*) AS n_orders FROM orders " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority"))
   )
 }

@@ -280,6 +280,19 @@ class Round8Spec extends SparkSuite {
     }
   }
 
+  test("bitmap distinct: equals countDistinct under every partitioning") {
+    import spark.implicits._
+    val data = (1 to 2000).map(i => (i % 7, (i * i % 997).toLong))
+    val expected = data.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    Seq(1, 4, 13).foreach { parts =>
+      val bits = udaf(new functions.BitsetDistinct(1 << 10))
+      val got = data.toDF("g", "k").repartition(parts)
+        .groupBy("g").agg(bits(col("k")).as("n")).collect()
+        .map(r => r.getAs[Int]("g") -> r.getAs[Long]("n")).toMap
+      assert(got == expected, s"parts=$parts: $got vs $expected")
+    }
+  }
+
   test("topk heap: partial merges equal the global sort at any partitioning") {
     import spark.implicits._
     val vals = (1 to 500).map(i => ((i * 37 % 101).toDouble, i.toLong))
