@@ -435,6 +435,59 @@ object Joins {
           |SELECT attr, count(*) AS n,
           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
           |FROM f JOIN d USING (k)
-          |GROUP BY attr ORDER BY attr""".stripMargin))
+          |GROUP BY attr ORDER BY attr""".stripMargin)),
+
+    GraftQuery(
+      "q_merge_upsert",
+      "MERGE INTO semantics (the warehouse upsert Spark core lacks and " +
+        "Delta/Iceberg bolt on) expressed as its relational core: a " +
+        "time-bounded CDC batch (latest order per customer since " +
+        "2001-06-01, latest = max(struct(date, key, price)) — the argmax " +
+        "discipline) full-outer-joined with the target dim; matched keys " +
+        "become 'update' rows taking the new balance, source-only keys " +
+        "'insert', target-only keys 'keep' their old value. At 100 TB both " +
+        "sides hash-partition on the merge key into one sort-merge " +
+        "exchange — the CDC batch is usually the small side, but a " +
+        "full-outer join cannot broadcast, so the co-partitioned shuffle " +
+        "IS the right plan (with bucketed targets it degenerates to a " +
+        "zero-shuffle merge-on-read). Output: per-action row counts and " +
+        "the exact money sum of the post-merge balances (Exact.moneySum, " +
+        "partition-order-insensitive).",
+      (s, dir) => {
+        val target = table(s, dir, "customer")
+          .filter(col("c_custkey") % 4 =!= 0)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val updates = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2001-06-01").cast(TimestampType))
+          .groupBy(col("o_custkey").as("u_custkey"))
+          .agg(max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice")))
+            .getField("o_totalprice").as("new_bal"))
+        target.join(updates, col("c_custkey") === col("u_custkey"), "full_outer")
+          .select(
+            when(col("c_custkey").isNotNull && col("u_custkey").isNotNull, "update")
+              .when(col("c_custkey").isNull, "insert")
+              .otherwise("keep").as("action"),
+            coalesce(col("new_bal"), col("c_acctbal")).as("final_bal"))
+          .groupBy("action")
+          .agg(count(lit(1)).as("n_rows"), Exact.moneySum(col("final_bal")).as("sum_bal"))
+          .orderBy("action")
+      },
+      Some(
+        """WITH target AS (
+          |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 4 != 0),
+          |updates AS (
+          |  SELECT o_custkey AS u_custkey,
+          |    (max({'d': o_orderdate, 'k': o_orderkey, 'p': o_totalprice})).p AS new_bal
+          |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+          |  GROUP BY o_custkey),
+          |merged AS (
+          |  SELECT CASE WHEN t.c_custkey IS NOT NULL AND u.u_custkey IS NOT NULL THEN 'update'
+          |              WHEN t.c_custkey IS NULL THEN 'insert' ELSE 'keep' END AS action,
+          |         COALESCE(u.new_bal, t.c_acctbal) AS final_bal
+          |  FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.u_custkey)
+          |SELECT action, count(*) AS n_rows, """.stripMargin +
+          Exact.moneySumSql("final_bal") +
+          """ AS sum_bal
+          |FROM merged GROUP BY action ORDER BY action""".stripMargin))
   )
 }

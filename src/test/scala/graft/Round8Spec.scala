@@ -293,6 +293,64 @@ class Round8Spec extends SparkSuite {
     }
   }
 
+  test("count-min: sketch state is partition-invariant and never undercounts") {
+    import spark.implicits._
+    val (d, w) = (4, 64)
+    val keys = (1 to 3000).map(i => ((i * i) % 97).toString)
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sketches = Seq(1, 5, 17).map { parts =>
+      val cm = udaf(new functions.CountMinSketch(d, w))
+      keys.toDF("k").repartition(parts).agg(cm($"k")).head.getSeq[Long](0)
+    }
+    assert(sketches.distinct.size == 1, "sketch differs across partitionings")
+    val sk = sketches.head
+    def md5hex(s2: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s2.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    exact.foreach { case (k, cnt) =>
+      val est = (0 until d).map { i =>
+        sk(i * w + (java.lang.Long.parseLong(md5hex(k).substring(8 * i, 8 * i + 8), 16) % w).toInt)
+      }.min
+      assert(est >= cnt, s"key $k: est $est < exact $cnt")
+    }
+    assert(sk.grouped(w).forall(_.sum == keys.size.toLong), "each row must sum to n")
+  }
+
+  test("or-bitset bloom: no false negatives under every partitioning") {
+    import spark.implicits._
+    val nbits = 512
+    val members = (1 to 400).map(i => (i * 13 % 1000).toLong).distinct
+    def pos(k: Long): Seq[Long] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Seq(java.lang.Long.parseLong(hex.substring(0, 13), 16) % nbits,
+        java.lang.Long.parseLong(hex.substring(13, 26), 16) % nbits)
+    }
+    Seq(1, 4, 9).foreach { parts =>
+      val ob = udaf(new functions.OrBitset(nbits))
+      val bits = members.flatMap(pos).toDF("p").repartition(parts)
+        .agg(ob($"p")).head.getSeq[Long](0)
+      def hit(p: Long): Boolean = (bits((p >> 6).toInt) >> (p & 63) & 1L) == 1L
+      members.foreach { k =>
+        assert(pos(k).forall(hit), s"parts=$parts: member $k rejected (false negative)")
+      }
+    }
+  }
+
+  test("merge upsert: action partition is exhaustive and consistent") {
+    val rows = run("q_merge_upsert").collect().map(r =>
+      r.getAs[String]("action") -> r.getAs[Long]("n_rows")).toMap
+    assert(rows.keySet == Set("insert", "keep", "update"))
+    val target = Tables.table(spark, sf, "customer")
+      .filter(col("c_custkey") % 4 =!= 0).count()
+    assert(rows("update") + rows("keep") == target,
+      s"update+keep ${rows("update") + rows("keep")} != |target| $target")
+    val updates = Tables.table(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("2001-06-01").cast(org.apache.spark.sql.types.TimestampType))
+      .select("o_custkey").distinct().count()
+    assert(rows("update") + rows("insert") == updates,
+      s"update+insert ${rows("update") + rows("insert")} != |updates| $updates")
+  }
+
   test("topk heap: partial merges equal the global sort at any partitioning") {
     import spark.implicits._
     val vals = (1 to 500).map(i => ((i * 37 % 101).toDouble, i.toLong))
