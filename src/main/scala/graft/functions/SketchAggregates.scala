@@ -430,6 +430,47 @@ object SketchAggregates {
           |SELECT k AS custkey, cnt AS exact_cnt, est,
           |  (est >= cnt) AS ge_ok,
           |  ((est - cnt) * 2048 <= 4 * (SELECT CAST(sum(cnt) AS BIGINT) FROM c)) AS bound_ok
-          |FROM est ORDER BY cnt DESC, k LIMIT 10""".stripMargin))
+          |FROM est ORDER BY cnt DESC, k LIMIT 10""".stripMargin)),
+
+    GraftQuery(
+      "q_agg_bitmap_and",
+      "Bitmap-index INTERSECTION: per order priority, the exact count of " +
+        "distinct ordering customers and of those also in the BUILDING " +
+        "segment — computed entirely in bitset algebra. Each priority " +
+        "group ORs customer ids into a dense bitset over the surrogate-id " +
+        "domain (map-side mergeable, like q_agg_bitmap_distinct); the " +
+        "BUILDING segment becomes an 8-KiB literal bitmap; intersection = " +
+        "zip_with(&) + popcount — pure word-parallel ops, no second " +
+        "distinct shuffle, no join of the fact table. That is the bitmap-" +
+        "index move at 100 TB: predicate sets compose with AND/OR on " +
+        "domain/8 bytes per group regardless of row count, while the " +
+        "relational form (oracle: count(DISTINCT) + count(DISTINCT) " +
+        "FILTER (IN dim)) re-shuffles every key per predicate. Exactness " +
+        "of AND+popcount over any merge order is structural: OR is " +
+        "associative/commutative/idempotent and AND distributes over it.",
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+        val dom = cust.agg(max(col("c_custkey"))).head.getLong(0).toInt + 1
+        val orBits = udaf(new OrBitset(dom))
+        val dimBits = typedLit(
+          cust.filter(col("c_mktsegment") === "BUILDING")
+            .agg(orBits(col("c_custkey")))
+            .head.getSeq[Long](0))
+        def popcount(bits: Column): Column =
+          aggregate(transform(bits, b => bit_count(b).cast("long")), lit(0L), _ + _)
+        table(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(orBits(col("o_custkey")).as("bits"))
+          .select(
+            col("o_orderpriority"),
+            popcount(col("bits")).as("n_distinct"),
+            popcount(zip_with(col("bits"), dimBits, _ bitwiseAND _)).as("n_building"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          |SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct,
+          |  count(DISTINCT o_custkey) FILTER (o_custkey IN (SELECT c_custkey FROM dim)) AS n_building
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

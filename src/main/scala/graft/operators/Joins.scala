@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Exact, GraftQuery, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, TimestampType}
 
 /** Join families (SURVEY.md §2.3): broadcast, sort-merge, multiway, all outer
   * variants, semi/anti, theta, self, and the as-of join.
@@ -488,6 +488,51 @@ object Joins {
           |SELECT action, count(*) AS n_rows, """.stripMargin +
           Exact.moneySumSql("final_bal") +
           """ AS sum_bal
-          |FROM merged GROUP BY action ORDER BY action""".stripMargin))
+          |FROM merged GROUP BY action ORDER BY action""".stripMargin)),
+
+    GraftQuery(
+      "q_join_interval_overlap",
+      "Interval-overlap join (a.lo <= b.hi AND b.lo <= a.hi) between two " +
+        "30-minute interval sets (click vs error events, [ts, ts+1800s]) — " +
+        "the second inequality-join family next to q_join_band's point " +
+        "predicate. Spark plans a pure inequality join as a broadcast " +
+        "nested loop, so the rewrite is the partition-based spatial-join " +
+        "discipline: quantize to bucket width = max interval length (every " +
+        "interval then spans exactly 2 buckets), explode both sides to " +
+        "their buckets, EQUI-join on bucket, re-check the exact predicate, " +
+        "and count each pair exactly once in its canonical bucket — the " +
+        "bucket of max(a.lo, b.lo), which overlap guarantees both " +
+        "intervals occupy (no dedup shuffle, a theorem not a distinct). " +
+        "Per-day overlap-pair counts; the oracle is DuckDB's native IEJoin " +
+        "over the raw theta predicate, so the gate proves the bucket " +
+        "rewrite exhaustive AND duplicate-free.",
+      (s, dir) => {
+        val w = 1800L
+        val ev = table(s, dir, "events")
+          .select(col("event_type"), col("ts").cast(DoubleType).as("lo"))
+        def side(t: String, p: String) = {
+          val lo = col(p + "_lo")
+          ev.filter(col("event_type") === t)
+            .select(col("lo").as(p + "_lo"), (col("lo") + lit(w.toDouble)).as(p + "_hi"))
+            .withColumn(p + "_bkt",
+              explode(array(floor(lo / w).cast(LongType), floor(lo / w).cast(LongType) + lit(1L))))
+        }
+        val a = side("click", "a")
+        val b = side("error", "b")
+        a.join(b,
+            col("a_bkt") === col("b_bkt") &&
+              col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi") &&
+              col("a_bkt") === floor(greatest(col("a_lo"), col("b_lo")) / w).cast(LongType))
+          .select(to_date(timestamp_seconds(greatest(col("a_lo"), col("b_lo")))).as("day"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH a AS (SELECT epoch(ts) AS lo, epoch(ts)+1800 AS hi FROM events WHERE event_type='click'),
+          |b AS (SELECT epoch(ts) AS lo, epoch(ts)+1800 AS hi FROM events WHERE event_type='error')
+          |SELECT CAST(to_timestamp(greatest(a.lo, b.lo)) AS DATE) AS day, count(*) AS n_pairs
+          |FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
+          |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sorts / limits / top-k (SURVEY.md §2.6) and set operations (§2.7).
@@ -108,6 +109,46 @@ object SortsSets {
           .intersectAll(table(s, dir, "supplier").select(col("s_nationkey").as("k")))
           .orderBy("k"),
       Some(
-        "SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY k"))
+        "SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY k")),
+
+    GraftQuery(
+      "q_pareto_frontier",
+      "Pareto frontier (skyline) over parts maximizing (p_size, " +
+        "p_retailprice): the points no other part weakly dominates with at " +
+        "least one strict improvement. The naive form is a quadratic " +
+        "NOT-EXISTS self-join (exactly what the oracle runs); the " +
+        "distributed form exploits frontier algebra — frontier(A ∪ B) = " +
+        "frontier(frontier(A) ∪ frontier(B)) — specialized to the x-axis: " +
+        "a map-side-combinable max(y) per x level (50 rows out of 2000 " +
+        "parts), a running strictly-preceding max over x descending on " +
+        "that tiny set (a point survives iff its level max beats every " +
+        "higher-x level max), and a broadcast join back to recover point " +
+        "multiplicities. One partial-agg exchange + one 50-row window + " +
+        "one broadcast — no pairwise comparison ever materializes, at any " +
+        "scale. Equality-only double comparisons (values copied from " +
+        "data), so the gate is float-safe.",
+      (s, dir) => {
+        val pts = table(s, dir, "part").select(col("p_size"), col("p_retailprice").as("y"))
+        val perX = pts.groupBy("p_size").agg(max(col("y")).as("ymax"))
+        // 50 distinct sizes: the single-partition window is a driver-scale
+        // reduction over the pre-aggregated level maxima, not the data.
+        val w = Window.orderBy(col("p_size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = perX
+          .withColumn("rmax", max(col("ymax")).over(w))
+          .filter(col("rmax").isNull || col("ymax") > col("rmax"))
+          .select(col("p_size").as("fx"), col("ymax"))
+        pts.join(broadcast(frontier), col("p_size") === col("fx") && col("y") === col("ymax"))
+          .groupBy("p_size", "y")
+          .agg(count(lit(1)).as("n_parts"))
+          .orderBy("p_size")
+      },
+      Some(
+        """SELECT p_size, p_retailprice AS y, count(*) AS n_parts FROM part p
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM part q
+          |  WHERE q.p_size >= p.p_size AND q.p_retailprice >= p.p_retailprice
+          |    AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice))
+          |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
   )
 }

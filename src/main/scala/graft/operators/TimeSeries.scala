@@ -519,6 +519,44 @@ object TimeSeries {
           |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
           |    OVER (PARTITION BY user_id ORDER BY ts, event_id
           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
-          |FROM events ORDER BY user_id, event_id LIMIT 1000""".stripMargin))
+          |FROM events ORDER BY user_id, event_id LIMIT 1000""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_rolling_distinct",
+      "Trailing-24h DISTINCT users per hour — the rolling-distinct problem " +
+        "no window frame solves (count(DISTINCT) over a frame is " +
+        "unsupported in both engines) and the naive form is a range self-" +
+        "join Spark would execute as a broadcast nested loop. Instead: " +
+        "BOUNDED fan-out — dedup to (hour, user) pairs map-side, explode " +
+        "each pair into the 24 report hours it contributes to (hour " +
+        "ordinals = floor(epoch/3600), pure integer steps), semi-join " +
+        "against the observed-hour set (720 rows, broadcast), then one " +
+        "exact distinct aggregation. Linear in events × window/grain, one " +
+        "distinct shuffle of slim (long, long) pairs, no quadratic pair " +
+        "blowup at any scale. The oracle is the genuinely different range-" +
+        "join formulation, so the gate proves the fan-out rewrite, not " +
+        "just the arithmetic.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(
+            floor(date_trunc("hour", col("ts")).cast(DoubleType) / lit(3600d))
+              .cast(LongType).as("e_hr"),
+            col("user_id"))
+          .distinct()
+        val hrs = e.select(col("e_hr").as("hr_id")).distinct()
+        e.select(explode(sequence(lit(0L), lit(23L))).as("k"), col("e_hr"), col("user_id"))
+          .select((col("e_hr") + col("k")).as("hr_id"), col("user_id"))
+          .join(broadcast(hrs), "hr_id")
+          .groupBy("hr_id")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .select(timestamp_seconds(col("hr_id") * lit(3600L)).as("hr"), col("n_users"))
+          .orderBy("hr")
+      },
+      Some(
+        """WITH h AS (SELECT DISTINCT date_trunc('hour', ts) AS hr FROM events)
+          |SELECT h.hr, count(DISTINCT e.user_id) AS n_users
+          |FROM h JOIN events e
+          |  ON date_trunc('hour', e.ts) BETWEEN h.hr - INTERVAL 23 HOUR AND h.hr
+          |GROUP BY h.hr ORDER BY h.hr""".stripMargin))
   )
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.{Exact, GraftQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Warehouse-maintenance patterns (SURVEY.md §2 appendix, round-8 batch):
+  * the table-evolution side of the engine next to [[Joins]]' MERGE upsert —
+  * SCD Type 2 interval construction and incremental (partial-aggregate)
+  * view maintenance.
+  *
+  * Scale notes (100 TB design intent):
+  *  - SCD2 is ONE window pass: the change history hash-partitions on the
+  *    business key, lead() closes each version in-partition — no self-join,
+  *    no second shuffle. At 100 TB the per-key history (tens of rows) is
+  *    the sort unit, never the table.
+  *  - View maintenance is the partial-aggregate algebra: (count, Σdw, Σfr)
+  *    partials are associative+commutative LONG sums, so base⊕delta merge
+  *    equals the flat recompute bit-for-bit (the oracle IS the flat form).
+  *    In production the base partial is a stored artifact and only the
+  *    delta scans — the query keeps both legs live so the gate re-proves
+  *    the merge identity every run.
+  */
+object Warehouse {
+  import Tables.table
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_scd2_intervals",
+      "Slowly-Changing-Dimension Type 2 interval construction: each " +
+        "customer's order history becomes versioned rows valid_from = " +
+        "o_orderdate, valid_to = lead(o_orderdate) over (customer, date, " +
+        "key) — the deterministic tie-break the SCD discipline needs — " +
+        "with the open interval (valid_to IS NULL) as the current version. " +
+        "One window pass, one hash exchange on the business key; the gate " +
+        "aggregates per currency flag: version counts, total closed-" +
+        "interval days (calendar-day diff on DATE-truncated bounds, " +
+        "identical on both engines), and the exact money sum of version " +
+        "balances. The companion to q_merge_upsert: MERGE keeps only the " +
+        "latest state, SCD2 keeps the full validity timeline.",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+          .groupBy(col("valid_to").isNull.as("is_current"))
+          .agg(
+            count(lit(1)).as("n_versions"),
+            coalesce(sum(datediff(to_date(col("valid_to")), to_date(col("o_orderdate")))), lit(0L))
+              .cast(LongType).as("days_closed"),
+            Exact.moneySum(col("o_totalprice")).as("bal_sum"))
+          .orderBy("is_current")
+      },
+      Some(
+        """WITH v AS (
+          |  SELECT o_custkey, o_orderdate, o_totalprice,
+          |    lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+          |  FROM orders)
+          |SELECT (valid_to IS NULL) AS is_current, count(*) AS n_versions,
+          |  CAST(coalesce(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(valid_to AS DATE))), 0) AS BIGINT) AS days_closed,
+          |  """.stripMargin + Exact.moneySumSql("o_totalprice") +
+          """ AS bal_sum
+          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_view_maintenance",
+      "Incremental aggregate-view maintenance: lineitem splits at a ship-" +
+        "date cutoff into a 'base' leg (the stored materialized view in " +
+        "production) and a 'delta' leg (the new batch); each leg computes " +
+        "per-(returnflag, linestatus) PARTIALS — row count plus the " +
+        "(whole-dollar, fractional-micro) LONG sums of moneySum — and the " +
+        "view refresh is a union + re-sum + single final rounding. Because " +
+        "integer addition is associative and commutative, base⊕delta " +
+        "equals the flat single-pass aggregate BIT-FOR-BIT, which is " +
+        "exactly what the oracle computes (the flat form). The 100 TB " +
+        "posture: a refresh touches only the delta scan plus a 6-row " +
+        "merge, never the history; the same algebra is why moneySum " +
+        "partials can pre-aggregate below joins (SURVEY round-7 notes). " +
+        "Both legs' filters push to the parquet scan.",
+      (s, dir) => {
+        val cutoff = lit("2000-01-01").cast(TimestampType)
+        val li = table(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"), col("l_shipdate"))
+        def partial(df: DataFrame): DataFrame =
+          df.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+              count(lit(1)).as("n_part"),
+              sum(Exact.microDw(col("l_extendedprice"))).as("sd"),
+              sum(Exact.microFr(col("l_extendedprice"))).as("sf"))
+        partial(li.filter(col("l_shipdate") < cutoff))
+          .unionByName(partial(li.filter(col("l_shipdate") >= cutoff)))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("n_part")).as("n"),
+            Exact.moneyFinish(sum(col("sd")), sum(col("sf"))).as("price_sum"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+          Exact.moneySumSql("l_extendedprice") + " AS price_sum " +
+          "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"))
+  )
+}

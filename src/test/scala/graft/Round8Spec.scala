@@ -364,4 +364,93 @@ class Round8Spec extends SparkSuite {
       assert(got == expected, s"parts=$parts: $got")
     }
   }
+
+  test("scd2: versions partition the history, one current row per customer") {
+    val rows = run("q_scd2_intervals").collect()
+      .map(r => r.getAs[Boolean]("is_current") -> r.getAs[Long]("n_versions")).toMap
+    val orders = Tables.table(spark, sf, "orders")
+    assert(rows.values.sum == orders.count(), "every order is exactly one version")
+    assert(rows(true) == orders.select("o_custkey").distinct().count(),
+      "exactly one open (current) version per customer")
+  }
+
+  test("view maintenance: partial merge is cutoff-invariant (associativity)") {
+    import spark.implicits._
+    // the same algebra the query runs, over adversarial cent values and
+    // three different base/delta splits — all must equal the flat sum
+    val vals = (1 to 400).map(i => (i % 7).toString -> (i * 0.01 + (i % 3) * 999.99))
+    val flat = vals.toDF("k", "v").groupBy("k")
+      .agg(Exact.moneySum(col("v")).as("s")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Seq(0.25, 0.5, 0.9).foreach { frac =>
+      val df = vals.toDF("k", "v")
+      val cut = (vals.size * frac).toInt
+      def partial(d: org.apache.spark.sql.DataFrame) = d.groupBy("k").agg(
+        sum(Exact.microDw(col("v"))).as("sd"), sum(Exact.microFr(col("v"))).as("sf"))
+      val merged = partial(df.limit(cut))
+        .unionByName(partial(df.offset(cut)))
+        .groupBy("k")
+        .agg(Exact.moneyFinish(sum(col("sd")), sum(col("sf"))).as("s"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(merged == flat, s"split at $frac diverged from flat sum")
+    }
+  }
+
+  test("rolling distinct: bounded by total users, dominates the single hour") {
+    import spark.implicits._
+    val total = Tables.table(spark, sf, "events").select("user_id").distinct().count()
+    val perHour = Tables.table(spark, sf, "events")
+      .select(date_trunc("hour", col("ts")).as("hr"), col("user_id"))
+      .groupBy("hr").agg(countDistinct("user_id").as("n1")).as("p")
+    val rolled = run("q_ts_rolling_distinct")
+    val joined = rolled.join(perHour, "hr").select("n_users", "n1").collect()
+    assert(joined.nonEmpty && joined.length == rolled.count())
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= total)
+      assert(r.getAs[Long]("n_users") >= r.getAs[Long]("n1"),
+        "a 24h trailing window can never see fewer users than its last hour")
+    }
+  }
+
+  test("interval overlap: bucket rewrite equals the brute-force theta join") {
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_type"), col("ts").cast("double").as("lo"))
+    def ivals(t: String, p: String) = ev.filter(col("event_type") === t)
+      .select(col("lo").as(p + "lo"), (col("lo") + 1800d).as(p + "hi"))
+    val brute = ivals("click", "a").crossJoin(ivals("error", "b"))
+      .filter(col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .count()
+    val got = run("q_join_interval_overlap").agg(sum("n_pairs")).head.getLong(0)
+    assert(got == brute, s"bucketed $got != brute-force $brute")
+  }
+
+  test("pareto frontier: nothing on it is dominated, everything off it is") {
+    val pts = Tables.table(spark, sf, "part")
+      .select(col("p_size"), col("p_retailprice")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    val frontier = run("q_pareto_frontier").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet
+    def dominated(p: (Int, Double)) = pts.exists(q =>
+      q._1 >= p._1 && q._2 >= p._2 && (q._1 > p._1 || q._2 > p._2))
+    pts.foreach { p =>
+      assert(frontier.contains(p) == !dominated(p),
+        s"$p: frontier=${frontier.contains(p)} dominated=${dominated(p)}")
+    }
+  }
+
+  test("bitmap AND: popcount intersection equals the relational distinct") {
+    val dim = Tables.table(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val expect = Tables.table(spark, sf, "orders")
+      .join(dim, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("e_distinct"),
+        countDistinct(when(col("c_custkey").isNotNull, col("o_custkey"))).as("e_building"))
+    val rows = run("q_agg_bitmap_and").join(expect, "o_orderpriority").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") == r.getAs[Long]("e_distinct"))
+      assert(r.getAs[Long]("n_building") == r.getAs[Long]("e_building"))
+    }
+  }
 }
