@@ -183,4 +183,52 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("BroadcastExchange"),
       s"boilerplate broadcasts a corpus-sized relation:\n$p")
   }
+
+  test("q_ts_rolling_distinct hash-joins the hour set, never a nested loop") {
+    val p = plan("q_ts_rolling_distinct")
+    assert(!p.contains("NestedLoop"),
+      s"rolling distinct fell through to the quadratic range-join plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q_join_interval_overlap equi-joins on the bucket key, never a nested loop") {
+    val p = plan("q_join_interval_overlap")
+    assert(!p.contains("NestedLoop"),
+      s"overlap predicate fell through to a nested-loop join:\n$p")
+    assert(p.contains("_bkt"), p) // join keyed by the quantized bucket
+  }
+
+  test("q_merge_upsert full-outer sort-merges on the key — broadcast is impossible") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_pareto_frontier broadcasts the 50-row frontier, pre-aggregates per level") {
+    val p = plan("q_pareto_frontier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final per-x max
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q_view_maintenance pushes both cutoff filters to the parquet scans") {
+    val p = plan("q_view_maintenance")
+    assert(p.contains("LessThan(l_shipdate"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q_scd2_intervals is one hash exchange on the business key") {
+    val p = plan("q_scd2_intervals")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(o_custkey"), p)
+  }
+
+  test("q_join_bloom prunes the fact scan before the exact broadcast join") {
+    val p = plan("q_join_bloom")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the literal-bitset membership check is a Filter directly over the scan,
+    // upstream of the join — no fact row shuffles before pruning
+    assert(!p.contains("Exchange hashpartitioning(o_custkey"), p)
+  }
 }
