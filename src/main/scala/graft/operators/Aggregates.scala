@@ -409,6 +409,39 @@ object Aggregates {
           |  row_number() OVER (PARTITION BY c_nationkey ORDER BY cnt DESC, c_mktsegment) AS rn
           |  FROM c)
           |SELECT c_nationkey, c_mktsegment AS mode_seg, cnt AS mode_cnt
-          |FROM r WHERE rn = 1 ORDER BY c_nationkey""".stripMargin))
+          |FROM r WHERE rn = 1 ORDER BY c_nationkey""".stripMargin)),
+
+    GraftQuery(
+      "q_skew_profile",
+      "Join-key skew diagnostics — the profile you run BEFORE choosing a " +
+        "join strategy at 100 TB: per-key counts of orders.o_custkey " +
+        "reduced to (total rows, distinct keys, max/min per-key count, the " +
+        "hottest key with a deterministic min-key tie-break via " +
+        "min(struct(-cnt, k)), and the top-1 key's share of all rows). " +
+        "Two cascaded aggregations, both map-side combinable; the share is " +
+        "ONE IEEE division of two exact integers then round(…, 9) — " +
+        "margin from the decimal rounding tie measured at both fixture " +
+        "scales before wiring. This is the measurement behind " +
+        "q_join_salted's salting decision and AQE's skew-join threshold.",
+      (s, dir) => {
+        table(s, dir, "orders")
+          .groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(
+            sum(col("cnt")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max(col("cnt")).as("max_cnt"),
+            min(col("cnt")).as("min_cnt"),
+            min(struct((-col("cnt")).as("c"), col("k").as("k"))).getField("k").as("top1_key"),
+            round(max(col("cnt")).cast(DoubleType) / sum(col("cnt")).cast(DoubleType), 9)
+              .as("top1_share"))
+      },
+      Some(
+        """WITH c AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1)
+          |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+          |  CAST(max(cnt) AS BIGINT) AS max_cnt, CAST(min(cnt) AS BIGINT) AS min_cnt,
+          |  (min({'c': -cnt, 'k': k})).k AS top1_key,
+          |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 9) AS top1_share
+          |FROM c""".stripMargin))
   )
 }

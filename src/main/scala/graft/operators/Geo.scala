@@ -444,6 +444,66 @@ object Geo {
           |  count(*) AS n_heard,
           |  CAST(sum(CASE WHEN h = 1 + (event_id // 11) % nh THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
           |  count(DISTINCT user_id) AS n_stations
-          |FROM hops GROUP BY digi ORDER BY digi""".stripMargin))
+          |FROM hops GROUP BY digi ORDER BY digi""".stripMargin)),
+
+    GraftQuery(
+      "q_geo_zorder",
+      "Z-order (Morton) locality key — the space-filling-curve layout move " +
+        "behind data-skipping file layouts: click positions quantize to an " +
+        "8-bit (x, y) grid in PURE integer arithmetic (signed centiminutes " +
+        "from the same event_id residues the TNC2 renderer uses — no " +
+        "floats anywhere), the 16-bit Morton code interleaves the bits as " +
+        "a sum of 16 div/mod terms identical on both engines, and the " +
+        "report counts packets + distinct stations per coarse 64-tile " +
+        "(top-6-bit) cell. Why it matters at 100 TB: sorting/bucketing " +
+        "files by zval makes every 2D range predicate prune to " +
+        "O(perimeter) files instead of O(rows) — the key is the layout " +
+        "artifact, and this query IS its derivation, gated exactly. " +
+        "Map-side arithmetic + one small aggregation; the distinct " +
+        "count shuffles only (tile, user) pairs.",
+      (s, dir) => {
+        val id = col("event_id")
+        val slat = (pmod(id, lit(90L)) * 6000 + pmod(id * 7, lit(6000L))) *
+          when(pmod(id, lit(2L)) === 0, 1L).otherwise(-1L)
+        val slon = (pmod(id * 3, lit(180L)) * 6000 + pmod(id * 13, lit(6000L))) *
+          when(pmod(id, lit(3L)) === 0, 1L).otherwise(-1L)
+        val xi = call_function("div", (slon + lit(1080000L)) * 256, lit(2160000L))
+        val yi = call_function("div", (slat + lit(540000L)) * 256, lit(1080000L))
+        val z = (0 until 8).map { i =>
+          call_function("div", xi, lit(1L << i)) % 2 * lit(1L << (2 * i)) +
+            call_function("div", yi, lit(1L << i)) % 2 * lit(1L << (2 * i + 1))
+        }.reduce(_ + _)
+        table(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), z.as("zval"))
+          .groupBy(call_function("div", col("zval"), lit(1024L)).as("tile"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("n").desc, col("tile"))
+          .limit(20)
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT event_id, user_id,
+          |    ((event_id % 90) * 6000 + (event_id * 7) % 6000)
+          |      * (CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END) AS slat,
+          |    (((event_id * 3) % 180) * 6000 + (event_id * 13) % 6000)
+          |      * (CASE WHEN event_id % 3 = 0 THEN 1 ELSE -1 END) AS slon
+          |  FROM events WHERE event_type = 'click'),
+          |xy AS (SELECT user_id,
+          |    ((slon + 1080000) * 256) // 2160000 AS xi,
+          |    ((slat + 540000) * 256) // 1080000 AS yi
+          |  FROM p),
+          |z AS (SELECT user_id,
+          |    (((xi // 1) % 2) * 1 + ((yi // 1) % 2) * 2
+          |   + ((xi // 2) % 2) * 4 + ((yi // 2) % 2) * 8
+          |   + ((xi // 4) % 2) * 16 + ((yi // 4) % 2) * 32
+          |   + ((xi // 8) % 2) * 64 + ((yi // 8) % 2) * 128
+          |   + ((xi // 16) % 2) * 256 + ((yi // 16) % 2) * 512
+          |   + ((xi // 32) % 2) * 1024 + ((yi // 32) % 2) * 2048
+          |   + ((xi // 64) % 2) * 4096 + ((yi // 64) % 2) * 8192
+          |   + ((xi // 128) % 2) * 16384 + ((yi // 128) % 2) * 32768) AS zval
+          |  FROM xy)
+          |SELECT zval // 1024 AS tile, count(*) AS n, count(DISTINCT user_id) AS n_users
+          |FROM z GROUP BY 1 ORDER BY n DESC, tile LIMIT 20""".stripMargin))
   )
 }

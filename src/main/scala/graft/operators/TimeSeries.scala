@@ -557,6 +557,39 @@ object TimeSeries {
           |SELECT h.hr, count(DISTINCT e.user_id) AS n_users
           |FROM h JOIN events e
           |  ON date_trunc('hour', e.ts) BETWEEN h.hr - INTERVAL 23 HOUR AND h.hr
-          |GROUP BY h.hr ORDER BY h.hr""".stripMargin))
+          |GROUP BY h.hr ORDER BY h.hr""".stripMargin)),
+
+    GraftQuery(
+      "q_seq_trigram",
+      "Sequential-pattern mining, the Markov-path form: the 10 most common " +
+        "consecutive event-type trigrams across per-user timelines, via " +
+        "double lead() over the (ts, event_id) tie-broken user window — " +
+        "sequence features extracted in ONE window pass instead of two " +
+        "self-joins on adjacent ranks. One user-keyed exchange; trigram " +
+        "space is |types|³ = 125 so the count aggregation collapses map-" +
+        "side; fully ordered (n desc, then lexicographic) before the " +
+        "limit, so top-10 is deterministic under ties. At 100 TB this is " +
+        "the session-path building block for next-event prediction " +
+        "features — the shuffle carries only (t1,t2,t3) triples, never " +
+        "the timeline.",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("t1"))
+          .select(col("t1"),
+            lead(col("t1"), 1).over(w).as("t2"),
+            lead(col("t1"), 2).over(w).as("t3"))
+          .filter(col("t3").isNotNull)
+          .groupBy("t1", "t2", "t3")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+          .limit(10)
+      },
+      Some(
+        """WITH t AS (SELECT event_type AS t1,
+          |  lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3
+          | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT t1, t2, t3, count(*) AS n FROM t WHERE t3 IS NOT NULL
+          |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin))
   )
 }

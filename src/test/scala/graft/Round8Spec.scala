@@ -438,6 +438,72 @@ class Round8Spec extends SparkSuite {
     }
   }
 
+  test("equi-depth buckets are contiguous, near-equal, and exhaustive") {
+    val rows = run("q_hist_equidepth").collect()
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq == (1 to 8))
+    val sizes = rows.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1, s"depths differ by >1: ${sizes.mkString(",")}")
+    assert(sizes.sum == Tables.table(spark, sf, "lineitem").count())
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"),
+        "bucket value ranges must not interleave")
+    }
+  }
+
+  test("ntile bucket formula matches the window definition when n % B != 0") {
+    // the integer formula the 2-pass rank applies, vs first-buckets-bigger
+    for (n <- Seq(1003L, 17L, 64L, 7L); bCount <- Seq(8, 3)) {
+      val q = n / bCount; val rem = n % bCount
+      val thr = rem * (q + 1); val divQ = if (q == 0) 1L else q
+      val got = (0L until n).map(r =>
+        if (r < thr) r / (q + 1) + 1 else (r - thr) / divQ + rem + 1)
+      val expected = (1 to bCount).flatMap(b =>
+        Seq.fill((q + (if (b <= rem) 1L else 0L)).toInt)(b.toLong)).take(n.toInt)
+      assert(got == expected, s"n=$n B=$bCount")
+    }
+  }
+
+  test("trigram total mass equals sum of per-user max(0, len-2)") {
+    import spark.implicits._
+    val perUser = Tables.table(spark, sf, "events")
+      .groupBy("user_id").count().as[(Long, Long)].collect()
+    val expected = perUser.map { case (_, c) => math.max(0L, c - 2) }.sum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val total = Tables.table(spark, sf, "events")
+      .select(lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull).count()
+    assert(total == expected)
+    // and the reported top-10 is a subset of that mass
+    val top = run("q_seq_trigram").agg(sum("n")).head.getLong(0)
+    assert(top <= expected && top > 0)
+  }
+
+  test("skew profile: the reported hottest key really has max_cnt rows") {
+    val r = run("q_skew_profile").head()
+    val maxCnt = r.getAs[Long]("max_cnt")
+    val hot = Tables.table(spark, sf, "orders")
+      .filter(col("o_custkey") === r.getAs[Long]("top1_key")).count()
+    assert(hot == maxCnt)
+    assert(r.getAs[Long]("n_rows") == Tables.table(spark, sf, "orders").count())
+    assert(maxCnt >= r.getAs[Long]("min_cnt"))
+  }
+
+  test("morton code: div/mod interleave equals the bit-twiddling reference") {
+    def reference(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    def formula(x: Long, y: Long): Long =
+      (0 until 8).map(i => (x / (1L << i)) % 2 * (1L << (2 * i)) + (y / (1L << i)) % 2 * (1L << (2 * i + 1))).sum
+    for (x <- 0L to 255L by 17; y <- 0L to 255L by 13)
+      assert(formula(x, y) == reference(x, y), s"($x, $y)")
+    // locality: the coarse tile is exactly the interleave of the high triples
+    val tiles = run("q_geo_zorder").collect()
+    assert(tiles.nonEmpty && tiles.forall { r =>
+      val t = r.getAs[Long]("tile"); t >= 0 && t < 64 &&
+        r.getAs[Long]("n_users") <= r.getAs[Long]("n")
+    })
+  }
+
   test("bitmap AND: popcount intersection equals the relational distinct") {
     val dim = Tables.table(spark, sf, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
