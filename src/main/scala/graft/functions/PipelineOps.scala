@@ -587,6 +587,51 @@ object PipelineOps {
           |  FROM inst i JOIN b ON i.bg = b.bg
           |  JOIN u ON split_part(i.bg, chr(31), 1) = u.w1 CROSS JOIN v)
           |SELECT doc_id, round(sum(nll) / count(*), 6) AS bigram_nll
-          |FROM s GROUP BY doc_id ORDER BY bigram_nll DESC, doc_id LIMIT 10""".stripMargin))
+          |FROM s GROUP BY doc_id ORDER BY bigram_nll DESC, doc_id LIMIT 10""".stripMargin)),
+
+    GraftQuery(
+      "q_clean_winsorize",
+      "Winsorized aggregation — outlier clipping at exact DISCRETE " +
+        "percentiles (p1/p99 as order statistics, k = ceil(0.01·n), no " +
+        "interpolation arithmetic anywhere): thresholds are the max of the " +
+        "k smallest / min of the k largest order totals, computed via " +
+        "orderBy(...).limit(k) which Spark plans as TakeOrderedAndProject " +
+        "— the distributed top-k heap, never a full sort. Clip = " +
+        "greatest(least(v, hi), lo) — values COPIED from data, so the " +
+        "thresholds and clip are float-exact by construction; the " +
+        "winsorized exact money sum and clip counts face the gate. Ties " +
+        "at the rank boundary are value-deterministic (equal values ⇒ " +
+        "same threshold whichever tie takes rank k). At 100 TB with " +
+        "growing k, swap the top-k legs for the q_hist_equidepth 2-pass " +
+        "rank — same thresholds, one range exchange.",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(col("o_totalprice").as("v"))
+        val n = o.count()
+        val k = ((n + 99) / 100).toInt
+        val loThr = o.orderBy(col("v").asc).limit(k).agg(max(col("v"))).head.getDouble(0)
+        val hiThr = o.orderBy(col("v").desc).limit(k).agg(min(col("v"))).head.getDouble(0)
+        o.agg(
+          lit(loThr).as("lo_thr"),
+          lit(hiThr).as("hi_thr"),
+          count(when(col("v") < loThr, 1)).as("n_clip_lo"),
+          count(when(col("v") > hiThr, 1)).as("n_clip_hi"),
+          graft.Exact.moneySum(greatest(least(col("v"), lit(hiThr)), lit(loThr))).as("wsum"),
+          count(lit(1)).as("n"))
+      },
+      Some(
+        """WITH k AS (SELECT CAST(ceil(count(*) * 0.01) AS BIGINT) AS k FROM orders),
+          |r AS (SELECT o_totalprice AS v,
+          |  row_number() OVER (ORDER BY o_totalprice) AS rn_a,
+          |  row_number() OVER (ORDER BY o_totalprice DESC) AS rn_d
+          | FROM orders),
+          |lo AS (SELECT max(v) AS t FROM r, k WHERE rn_a <= k.k),
+          |hi AS (SELECT min(v) AS t FROM r, k WHERE rn_d <= k.k)
+          |SELECT lo.t AS lo_thr, hi.t AS hi_thr,
+          |  count(*) FILTER (o_totalprice < lo.t) AS n_clip_lo,
+          |  count(*) FILTER (o_totalprice > hi.t) AS n_clip_hi,
+          |  """.stripMargin +
+          graft.Exact.moneySumSql("greatest(least(o_totalprice, hi.t), lo.t)") +
+          """ AS wsum, count(*) AS n
+          |FROM orders, lo, hi GROUP BY lo.t, hi.t""".stripMargin))
   )
 }

@@ -313,6 +313,54 @@ object Graph {
           |deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src)
           |SELECT d // 10 AS bucket, count(*) AS n_nodes,
           |  CAST(sum(d) AS BIGINT) AS deg_mass, min(d) AS min_d, max(d) AS max_d
-          |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_graph_bfs",
+      "Breadth-first shortest-path hops from a deterministic seed (the " +
+        "minimum node id) over the order graph, 4 supersteps: the " +
+        "frontier-expansion fixpoint — per round, join the frontier to the " +
+        "edge artifact, anti-join the visited set, localCheckpoint both " +
+        "(the per-round materialization discipline that keeps iterative " +
+        "lineage linear, not exponential). Distance histogram as the " +
+        "gate. The oracle is DuckDB's native WITH RECURSIVE — a genuinely " +
+        "different execution model (semi-naive recursive CTE) computing " +
+        "the same fixpoint, so the gate proves the superstep rewrite. " +
+        "Scale shape: each round moves the edge relation at most once; " +
+        "the frontier/visited relations are node-sized (broadcast-ranged " +
+        "here; at larger node counts the join flips to a src-keyed " +
+        "shuffle and the anti-join to a co-partitioned merge — same " +
+        "dataflow, Catalyst picks per AQE stats).",
+      (s, dir) => {
+        val (edges, _) = orderGraph(s, dir)
+        val seed = edges.agg(min(col("src"))).head.getLong(0)
+        var visited = s.range(1)
+          .select(lit(seed).as("node"), lit(0).as("d"))
+          .localCheckpoint(true)
+        var frontier = visited
+        for (i <- 1 to 4) {
+          val next = edges
+            .join(broadcast(frontier), col("src") === col("node"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .select(col("node"), lit(i).as("d"))
+            .localCheckpoint(true)
+          visited = visited.unionByName(next).localCheckpoint(true)
+          frontier = next
+        }
+        visited.groupBy("d").agg(count(lit(1)).as("n_nodes")).orderBy("d")
+      },
+      Some(
+        """WITH RECURSIVE base AS (
+          |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+          |bfs(node, d) AS (
+          |  SELECT (SELECT min(src) FROM edges), 0
+          |  UNION
+          |  SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.node WHERE b.d < 4)
+          |SELECT CAST(min_d AS INT) AS d, count(*) AS n_nodes
+          |FROM (SELECT node, min(d) AS min_d FROM bfs GROUP BY node)
+          |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

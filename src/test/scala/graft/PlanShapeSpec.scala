@@ -224,6 +224,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("hashpartitioning(o_custkey"), p)
   }
 
+  test("q_hist_equidepth never plans a single-partition Window") {
+    val p = plan("q_hist_equidepth")
+    assert(!p.contains("Window"), s"equi-depth fell back to a global window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p) // 16-row offset join
+  }
+
+  test("q_seq_trigram: one user-keyed window, distributed top-10") {
+    val p = plan("q_seq_trigram")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("q_geo_zorder is join-free map-side arithmetic + one aggregation") {
+    val p = plan("q_geo_zorder")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_join_bloom prunes the fact scan before the exact broadcast join") {
     val p = plan("q_join_bloom")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -504,6 +504,33 @@ class Round8Spec extends SparkSuite {
     })
   }
 
+  test("bfs: distance classes partition the reachable set, frontier is sound") {
+    val rows = run("q_graph_bfs").collect()
+      .map(r => r.getAs[Int]("d") -> r.getAs[Long]("n_nodes")).toMap
+    assert(rows(0) == 1, "exactly the seed at distance 0")
+    assert(rows.keys.forall(d => d >= 0 && d <= 4))
+    // reached can never exceed the node universe of the symmetric graph
+    val (edges, _) = operators.Graph.orderGraph(spark, sf)
+    val universe = edges.select("src").distinct().count()
+    assert(rows.values.sum <= universe)
+    assert(rows.values.sum > 1, "the seed must reach something")
+  }
+
+  test("winsorize: thresholds bound the clip counts and the clipped sum") {
+    val r = run("q_clean_winsorize").head()
+    val (lo, hi) = (r.getAs[Double]("lo_thr"), r.getAs[Double]("hi_thr"))
+    val n = r.getAs[Long]("n")
+    val k = (n + 99) / 100
+    assert(lo <= hi)
+    // strictly-below-threshold rows are at most k (ties sit AT the threshold)
+    assert(r.getAs[Long]("n_clip_lo") <= k && r.getAs[Long]("n_clip_hi") <= k)
+    val direct = Tables.table(spark, sf, "orders")
+      .filter(col("o_totalprice") < lo).count()
+    assert(direct == r.getAs[Long]("n_clip_lo"))
+    val wsum = r.getAs[Double]("wsum")
+    assert(wsum >= lo * n && wsum <= hi * n, "clipped sum must sit inside the clamp range")
+  }
+
   test("bitmap AND: popcount intersection equals the relational distinct") {
     val dim = Tables.table(spark, sf, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
