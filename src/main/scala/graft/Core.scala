@@ -98,6 +98,25 @@ object Tables {
     df.repartition(spark.sparkContext.defaultParallelism)
 }
 
+/** Timestamp-type portability helpers. The driver-generated fixtures have
+  * switched the `events.ts` physical type between TIMESTAMP (isAdjustedToUTC)
+  * and TIMESTAMP_NTZ across rounds; Spark 4 refuses the direct
+  * `CAST(TIMESTAMP_NTZ AS DOUBLE)` that epoch-seconds arithmetic needs, while
+  * `CAST(TIMESTAMP AS DOUBLE)` is fine. Routing through TimestampType first is
+  * the identity for tz-typed input and the wall-clock-as-UTC reinterpretation
+  * for NTZ input (sessions run with spark.sql.session.timeZone=UTC), which is
+  * exactly DuckDB's `epoch(ts)` on the same naive value — so every epoch
+  * comparison stays bitwise-identical across engines under EITHER fixture
+  * type. Only internal arithmetic goes through here; timestamp OUTPUT columns
+  * keep the fixture's native type so the oracle compare sees matching types. */
+object Ts {
+  /** Exact epoch seconds (micros/1e6) as DOUBLE, NTZ-safe. */
+  def epochSec(c: Column): Column = c.cast(TimestampType).cast(DoubleType)
+
+  /** Epoch microseconds as LONG, NTZ-safe. */
+  def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
+}
+
 /** Scratch-directory factory: prefers the RAM-backed tmpfs (`/dev/shm`) over
   * `java.io.tmpdir` when it exists and is writable. Streaming checkpoints
   * fsync every offset/commit/state-delta file per micro-batch — on an ext4

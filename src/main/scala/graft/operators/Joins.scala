@@ -276,7 +276,7 @@ object Joins {
         val ev = table(s, dir, "events")
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("t"), lit(0).as("kind"),
-            col("event_id"), lit(null).cast(TimestampType).as("pts"))
+            col("event_id"), lit(null).cast(ev.schema("ts").dataType).as("pts"))
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
             lit(null).cast(LongType).as("event_id"), col("ts").as("pts"))
@@ -286,7 +286,7 @@ object Joins {
           .withColumn("next_raw", min(col("pts")).over(w))
           .where(col("kind") === 0)
           .select(col("event_id"),
-            when(col("next_raw").cast("double") - col("t").cast("double") <= 86400.0,
+            when(graft.Ts.epochSec(col("next_raw")) - graft.Ts.epochSec(col("t")) <= 86400.0,
               col("next_raw")).as("next_purchase"))
           .orderBy("event_id")
           .limit(1000)
@@ -318,7 +318,7 @@ object Joins {
         val ev = table(s, dir, "events")
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
-            col("event_id"), lit(null).cast(TimestampType).as("pts"))
+            col("event_id"), lit(null).cast(ev.schema("ts").dataType).as("pts"))
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts").as("t"), lit(0).as("kind"),
             lit(null).cast(LongType).as("event_id"), col("ts").as("pts"))
@@ -332,8 +332,8 @@ object Joins {
           .select(col("event_id"),
             when(col("prev_p").isNull, col("next_p"))
               .when(col("next_p").isNull, col("prev_p"))
-              .when(col("t").cast("double") - col("prev_p").cast("double") <=
-                col("next_p").cast("double") - col("t").cast("double"), col("prev_p"))
+              .when(graft.Ts.epochSec(col("t")) - graft.Ts.epochSec(col("prev_p")) <=
+                graft.Ts.epochSec(col("next_p")) - graft.Ts.epochSec(col("t")), col("prev_p"))
               .otherwise(col("next_p")).as("nearest_purchase"))
           .orderBy("event_id")
           .limit(1000)
@@ -373,10 +373,10 @@ object Joins {
       (s, dir) => {
         val ev = table(s, dir, "events")
         val clicks = ev.filter(col("event_type") === "click")
-          .select(col("ts").cast("double").as("ct"))
+          .select(graft.Ts.epochSec(col("ts")).as("ct"))
           .withColumn("b", floor(col("ct") / 60d).cast(LongType))
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("ts").cast("double").as("pt"))
+          .select(col("event_id"), graft.Ts.epochSec(col("ts")).as("pt"))
           .withColumn("b0", floor(col("pt") / 60d).cast(LongType))
           .select(col("event_id"), col("pt"),
             explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("b"))
@@ -509,7 +509,7 @@ object Joins {
       (s, dir) => {
         val w = 1800L
         val ev = table(s, dir, "events")
-          .select(col("event_type"), col("ts").cast(DoubleType).as("lo"))
+          .select(col("event_type"), graft.Ts.epochSec(col("ts")).as("lo"))
         def side(t: String, p: String) = {
           val lo = col(p + "_lo")
           ev.filter(col("event_type") === t)

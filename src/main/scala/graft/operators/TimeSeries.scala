@@ -40,7 +40,7 @@ object TimeSeries {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         val prevTs = lag(col("ts"), 1).over(w)
         val brk = when(
-          prevTs.isNull || (col("ts").cast(DoubleType) - prevTs.cast(DoubleType)) > 1800, 1
+          prevTs.isNull || (graft.Ts.epochSec(col("ts")) - graft.Ts.epochSec(prevTs)) > 1800, 1
         ).otherwise(0)
         table(s, dir, "events")
           .withColumn("brk", brk)
@@ -126,7 +126,7 @@ object TimeSeries {
         // Spark floor(double) returns LONG; ts.cast(double) ≡ DuckDB epoch(ts)
         // bitwise (sub-second precision), so the slot index matches exactly
         e.select(col("event_type"), col("value"),
-            floor(col("ts").cast("double") / lit(slide.toDouble)).as("slot"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(slide.toDouble)).as("slot"),
             explode(sequence(lit(0), lit(3))).as("k"))
           .select(col("event_type"), col("value"),
             timestamp_seconds((col("slot") - col("k")) * lit(slide)).as("w_start"))
@@ -161,7 +161,7 @@ object TimeSeries {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         val dt = e
           .withColumn("dt",
-            unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+            graft.Ts.epochMicros(lead(col("ts"), 1).over(w)) - graft.Ts.epochMicros(col("ts")))
           .filter(col("dt").isNotNull)
         dt.groupBy("user_id")
           .agg(sum(col("cents") * col("dt")).as("sw"), sum(col("dt")).as("sd"))
@@ -319,7 +319,7 @@ object TimeSeries {
       (s, dir) => {
         val b = table(s, dir, "events")
           .select(
-            floor(col("ts").cast("double") / 600).cast("long").as("bkt"),
+            floor(graft.Ts.epochSec(col("ts")) / 600).cast("long").as("bkt"),
             col("event_type"))
         // the corpus reduces to the (type, bucket) counts relation ONCE and is
         // materialized (column pruning makes the three downstream uses
@@ -365,7 +365,7 @@ object TimeSeries {
       (s, dir) => {
         val h = table(s, dir, "events")
           .groupBy(col("event_type"),
-            floor(col("ts").cast("double") / 3600).cast("long").as("bkt"))
+            floor(graft.Ts.epochSec(col("ts")) / 3600).cast("long").as("bkt"))
           .agg(count(lit(1)).as("y"))
         val mn = h.agg(min(col("bkt")).as("lo"))
         val m = h.crossJoin(broadcast(mn))
@@ -472,11 +472,11 @@ object TimeSeries {
           .filter(col("event_type").isin("purchase", "view"))
           .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
           .agg(
-            round(min(struct(col("ts").cast("double").as("e"),
+            round(min(struct(graft.Ts.epochSec(col("ts")).as("e"),
               col("event_id").as("id"), col("value").as("v"))).getField("v"), 6).as("open"),
             round(max(col("value")), 6).as("high"),
             round(min(col("value")), 6).as("low"),
-            round(max(struct(col("ts").cast("double").as("e"),
+            round(max(struct(graft.Ts.epochSec(col("ts")).as("e"),
               col("event_id").as("id"), col("value").as("v"))).getField("v"), 6).as("close"),
             count(lit(1)).as("n"))
           .orderBy("h", "event_type")
