@@ -107,14 +107,25 @@ object Tables {
   * for NTZ input (sessions run with spark.sql.session.timeZone=UTC), which is
   * exactly DuckDB's `epoch(ts)` on the same naive value — so every epoch
   * comparison stays bitwise-identical across engines under EITHER fixture
-  * type. Only internal arithmetic goes through here; timestamp OUTPUT columns
-  * keep the fixture's native type so the oracle compare sees matching types. */
+  * type. Only internal arithmetic goes through here. Timestamp OUTPUT columns
+  * passed through untouched keep the fixture's native type; columns REBUILT
+  * from epoch arithmetic must go through [[Ts.fromEpochSec]] with the source
+  * column's DataType, because bare timestamp_seconds always yields session-tz
+  * TIMESTAMP and would diverge from the oracle's naive timestamps under an
+  * NTZ fixture if the compare is type-sensitive. */
 object Ts {
   /** Exact epoch seconds (micros/1e6) as DOUBLE, NTZ-safe. */
   def epochSec(c: Column): Column = c.cast(TimestampType).cast(DoubleType)
 
   /** Epoch microseconds as LONG, NTZ-safe. */
   def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** Rebuild a timestamp OUTPUT column from epoch seconds, typed to match
+    * `like` (the fixture column's DataType). TIMESTAMP→TIMESTAMP_NTZ cast
+    * reinterprets through the UTC session clock — the identity on the wall
+    * value — so the result equals the oracle's naive timestamp either way. */
+  def fromEpochSec(sec: Column, like: org.apache.spark.sql.types.DataType): Column =
+    timestamp_seconds(sec).cast(like)
 }
 
 /** Scratch-directory factory: prefers the RAM-backed tmpfs (`/dev/shm`) over

@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   * / session_window() with watermarks) live in graft.streaming and reuse the
   * same grouping expressions.
   *
-  * Epoch arithmetic: ts.cast(double) = microseconds/1e6 in Spark, which is
-  * bitwise-identical to DuckDB's epoch(ts) (verified on the fixtures — ts has
-  * sub-second precision, so integer-second unix_timestamp would be WRONG here).
+  * Epoch arithmetic: graft.Ts.epochSec(ts) = microseconds/1e6 in Spark, which
+  * is bitwise-identical to DuckDB's epoch(ts) (verified on the fixtures — ts
+  * has sub-second precision, so integer-second unix_timestamp would be WRONG
+  * here) and NTZ-safe (the direct double cast is rejected for TIMESTAMP_NTZ
+  * fixtures; Ts routes through TimestampType first).
   */
 object TimeSeries {
   import Tables.table
@@ -123,13 +125,15 @@ object TimeSeries {
       (s, dir) => {
         val slide = 900L // 15 min; window = 4 slides = 1 h
         val e = table(s, dir, "events")
-        // Spark floor(double) returns LONG; ts.cast(double) ≡ DuckDB epoch(ts)
-        // bitwise (sub-second precision), so the slot index matches exactly
+        // Spark floor(double) returns LONG; Ts.epochSec(ts) ≡ DuckDB epoch(ts)
+        // bitwise (sub-second precision, NTZ-safe — the direct double cast is
+        // rejected for TIMESTAMP_NTZ), so the slot index matches exactly
         e.select(col("event_type"), col("value"),
             floor(graft.Ts.epochSec(col("ts")) / lit(slide.toDouble)).as("slot"),
             explode(sequence(lit(0), lit(3))).as("k"))
           .select(col("event_type"), col("value"),
-            timestamp_seconds((col("slot") - col("k")) * lit(slide)).as("w_start"))
+            graft.Ts.fromEpochSec((col("slot") - col("k")) * lit(slide),
+              e.schema("ts").dataType).as("w_start"))
           .groupBy("w_start", "event_type")
           .agg(count(lit(1)).as("n"), graft.Exact.moneySum(col("value")).as("s"))
           .orderBy("w_start", "event_type")
@@ -526,30 +530,51 @@ object TimeSeries {
       "Trailing-24h DISTINCT users per hour — the rolling-distinct problem " +
         "no window frame solves (count(DISTINCT) over a frame is " +
         "unsupported in both engines) and the naive form is a range self-" +
-        "join Spark would execute as a broadcast nested loop. Instead: " +
-        "BOUNDED fan-out — dedup to (hour, user) pairs map-side, explode " +
-        "each pair into the 24 report hours it contributes to (hour " +
-        "ordinals = floor(epoch/3600), pure integer steps), semi-join " +
-        "against the observed-hour set (720 rows, broadcast), then one " +
-        "exact distinct aggregation. Linear in events × window/grain, one " +
-        "distinct shuffle of slim (long, long) pairs, no quadratic pair " +
-        "blowup at any scale. The oracle is the genuinely different range-" +
-        "join formulation, so the gate proves the fan-out rewrite, not " +
-        "just the arithmetic.",
+        "join Spark would execute as a broadcast nested loop. Sweep-line " +
+        "form: dedup to (hour, user) pairs map-side, merge each user's " +
+        "[h, h+23] report intervals (gaps-and-islands in one sorted pass " +
+        "per user — a new island opens when the next active hour is more " +
+        "than 23 past the previous, so a user's islands are disjoint and " +
+        "each hour counts them once), emit ±1 boundary deltas per island, " +
+        "then one running sum over the boundary RELATION (≤ 2× timeline " +
+        "hours after the per-hour collapse — hundreds of rows regardless " +
+        "of corpus size, with observed-hour zero-delta probes carrying " +
+        "plateaus). Cost is O(distinct pairs), with NO window-size fan-" +
+        "out: the earlier explode×24 rewrite shipped 24 rows per pair " +
+        "into a corpus-sized countDistinct exchange; this ships each pair " +
+        "once and the distinct-count never shuffles at all. The oracle is " +
+        "the genuinely different range-join formulation, so the gate " +
+        "proves the decomposition, not just the arithmetic.",
       (s, dir) => {
-        val e = table(s, dir, "events")
+        val ev = table(s, dir, "events")
+        val tsT = ev.schema("ts").dataType
+        val e = ev
           .select(
-            floor(date_trunc("hour", col("ts")).cast(DoubleType) / lit(3600d))
-              .cast(LongType).as("e_hr"),
+            floor(graft.Ts.epochSec(date_trunc("hour", col("ts"))) / lit(3600d))
+              .cast(LongType).as("hr"),
             col("user_id"))
           .distinct()
-        val hrs = e.select(col("e_hr").as("hr_id")).distinct()
-        e.select(explode(sequence(lit(0L), lit(23L))).as("k"), col("e_hr"), col("user_id"))
-          .select((col("e_hr") + col("k")).as("hr_id"), col("user_id"))
+        val ord = Window.partitionBy("user_id").orderBy("hr")
+        val prev = lag(col("hr"), 1).over(ord)
+        val isStart = when(prev.isNull || col("hr") > prev + lit(23L), 1L).otherwise(0L)
+        val isl = e
+          .withColumn("island", sum(isStart).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "island")
+          .agg(min(col("hr")).as("lo"), (max(col("hr")) + lit(24L)).as("hi"))
+        val diffs = isl.select(col("lo").as("hr_id"), lit(1L).as("d"))
+          .unionAll(isl.select(col("hi").as("hr_id"), lit(-1L).as("d")))
+        val hrs = e.select(col("hr").as("hr_id")).distinct()
+        val bounds = diffs
+          .unionAll(hrs.select(col("hr_id"), lit(0L).as("d")))
+          .groupBy("hr_id").agg(sum(col("d")).as("nd"))
+        bounds
+          .withColumn("n_users", sum(col("nd")).over(
+            Window.orderBy("hr_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .join(broadcast(hrs), "hr_id")
-          .groupBy("hr_id")
-          .agg(countDistinct(col("user_id")).as("n_users"))
-          .select(timestamp_seconds(col("hr_id") * lit(3600L)).as("hr"), col("n_users"))
+          .select(graft.Ts.fromEpochSec(col("hr_id") * lit(3600L), tsT).as("hr"),
+            col("n_users"))
           .orderBy("hr")
       },
       Some(
@@ -590,6 +615,168 @@ object TimeSeries {
           |  lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3
           | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
           |SELECT t1, t2, t3, count(*) AS n FROM t WHERE t3 IS NOT NULL
-          |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin))
+          |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_interval_union",
+      "Merged-interval coverage per user (the interval-union / utilization " +
+        "problem): every event opens a 15-minute presence interval; " +
+        "overlapping intervals merge, and the answer is each user's island " +
+        "count and total covered microseconds. Classic gaps-and-islands in " +
+        "ONE sorted window pass per user: an interval starts a new island " +
+        "when its start exceeds the running max end of everything before " +
+        "it (max-over-preceding-rows), islands are numbered by a running " +
+        "sum of those start flags, then min(start)/max(end) per island. " +
+        "All arithmetic is exact epoch-microsecond BIGINT, so coverage is " +
+        "bit-identical on any engine and partitioning. Scale shape: hash-" +
+        "partition on user_id, sort once, both windows share that one " +
+        "sort; no self-join, no fan-out — the naive overlap formulation " +
+        "is a per-user theta join that dies quadratically on hot users.",
+      (s, dir) => {
+        val iv = table(s, dir, "events")
+          .select(col("user_id"), graft.Ts.epochMicros(col("ts")).as("st"))
+          .withColumn("en", col("st") + lit(900000000L))
+        val ord = Window.partitionBy("user_id").orderBy("st", "en")
+        val prevMax = max(col("en")).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+        val isStart = when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L)
+        iv.withColumn("island",
+            sum(isStart).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "island")
+          .agg(min(col("st")).as("ms"), max(col("en")).as("me"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"), sum(col("me") - col("ms")).as("covered_us"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH iv AS (
+          |  SELECT user_id, epoch_us(ts) AS st, epoch_us(ts) + 900000000 AS en
+          |  FROM events),
+          |m AS (SELECT user_id, st, en,
+          |  max(en) OVER (PARTITION BY user_id ORDER BY st, en
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          |  FROM iv),
+          |isl AS (SELECT user_id, st, en,
+          |  sum(CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY user_id ORDER BY st, en ROWS UNBOUNDED PRECEDING) AS island
+          |  FROM m),
+          |g AS (SELECT user_id, island, min(st) AS ms, max(en) AS me
+          |  FROM isl GROUP BY 1, 2)
+          |SELECT user_id, count(*) AS n_islands,
+          |  CAST(sum(me - ms) AS BIGINT) AS covered_us
+          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_concurrency",
+      "Peak concurrent sessions per hour — the sweep-line form: each event " +
+        "opens a 15-minute session; concurrency is the running sum of " +
+        "+1/−1 boundary deltas in time order, and the per-hour answer is " +
+        "the max of that step function inside the hour. NO single-" +
+        "partition global window: deltas pre-aggregate per distinct " +
+        "boundary instant (which also makes the running sum tie-order-" +
+        "invariant), hour subtotals give each hour its carry-in via a " +
+        "window over the tiny hour RELATION (~720 rows), and the running " +
+        "sum inside each hour is a per-hour-partition window — the two-" +
+        "pass prefix-sum discipline of q_win_global_rank_2pass. An hour-" +
+        "start probe row (delta 0) per observed hour carries the plateau " +
+        "across boundaries, so the hourly max is the TRUE max: sessions " +
+        "are shorter than the hour grain, so every active hour contains a " +
+        "boundary, and the step function is constant between boundaries. " +
+        "All-BIGINT; the oracle uses the naive single global window, so " +
+        "the gate proves the distributed decomposition.",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val us = graft.Ts.epochMicros(col("ts"))
+        val deltas = ev.select(us.as("t"), lit(1L).as("d"))
+          .unionAll(ev.select((us + lit(900000000L)).as("t"), lit(-1L).as("d")))
+        // pre-aggregate per boundary instant: running sums become
+        // tie-order-free, and the probe union stays slim
+        val net = deltas.groupBy("t").agg(sum(col("d")).as("nd"))
+          .withColumn("hr", expr("t div 3600000000"))
+        val probes = net.select(col("hr")).distinct()
+          .select((col("hr") * lit(3600000000L)).as("t"), lit(0L).as("nd"), col("hr"))
+        val all = net.unionAll(probes)
+          .groupBy("t", "hr").agg(sum(col("nd")).as("nd"))
+        // pass 1: carry-in per hour from the hour-relation window
+        val hrNet = all.groupBy("hr").agg(sum(col("nd")).as("hnd"))
+        val carry = hrNet.withColumn("carry",
+          coalesce(sum(col("hnd")).over(
+            Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        // pass 2: within-hour running sum, fully parallel across hours
+        val run = all.join(broadcast(carry.select(col("hr"), col("carry"))), "hr")
+          .withColumn("cur",
+            col("carry") + sum(col("nd")).over(
+              Window.partitionBy("hr").orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        run.groupBy("hr").agg(max(col("cur")).as("peak"))
+          .select(col("hr").as("hr_id"), col("peak"))
+          .orderBy("hr_id")
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT epoch_us(ts) AS t, 1 AS nd FROM events
+          |  UNION ALL SELECT epoch_us(ts) + 900000000, -1 FROM events),
+          |g AS (SELECT t, CAST(sum(nd) AS BIGINT) AS nd FROM d GROUP BY t),
+          |p AS (SELECT t, nd FROM g
+          |  UNION ALL
+          |  SELECT DISTINCT (t // 3600000000) * 3600000000, 0 FROM g),
+          |u AS (SELECT t, CAST(sum(nd) AS BIGINT) AS nd FROM p GROUP BY t),
+          |r AS (SELECT t, sum(nd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cur
+          |  FROM u)
+          |SELECT t // 3600000000 AS hr_id, CAST(max(cur) AS BIGINT) AS peak
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_cusum",
+      "CUSUM changepoint scan per (event_type, day): over the day's " +
+        "ordered money values (integer cents), the scaled CUSUM statistic " +
+        "S_k = n·cumsum_k − k·total is exact BIGINT (no mean, no division " +
+        "— the float mean-deviation form is reduction-order-dependent), " +
+        "and the reported changepoint is the position maximizing |S_k|, " +
+        "earliest position on ties via a single min(struct) aggregate — " +
+        "no second window, no self-join. One sorted window pass per " +
+        "(type, day) partition (both row_number and the running sum share " +
+        "the sort), then one hash agg; partitions are day-bounded, so no " +
+        "timeline ever serializes through one task.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("ts"), col("event_id"),
+            floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+        val w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+        val stats = Window.partitionBy("event_type", "day")
+        val scored = e
+          .withColumn("k", row_number().over(w).cast(LongType))
+          .withColumn("cum", sum(col("cents")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", count(lit(1)).over(stats))
+          .withColumn("tot", sum(col("cents")).over(stats))
+          .withColumn("s_abs", abs(col("n") * col("cum") - col("k") * col("tot")))
+          .withColumn("s_top", max(col("s_abs")).over(stats))
+        scored.groupBy("event_type", "day")
+          .agg(
+            max(col("n")).as("n"),
+            max(col("s_abs")).as("cusum_max"),
+            min(when(col("s_abs") === col("s_top"), col("k"))).as("cp_k"))
+          .orderBy("event_type", "day")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events),
+          |s AS (SELECT event_type, day,
+          |  row_number() OVER w AS k,
+          |  sum(cents) OVER (PARTITION BY event_type, day ORDER BY ts, event_id
+          |    ROWS UNBOUNDED PRECEDING) AS cum,
+          |  count(*) OVER (PARTITION BY event_type, day) AS n,
+          |  sum(cents) OVER (PARTITION BY event_type, day) AS tot
+          |  FROM e WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id)),
+          |a AS (SELECT event_type, day, k, n, abs(n * cum - k * tot) AS s_abs,
+          |  max(abs(n * cum - k * tot)) OVER (PARTITION BY event_type, day) AS s_top
+          |  FROM s)
+          |SELECT event_type, day, CAST(max(n) AS BIGINT) AS n,
+          |  CAST(max(s_abs) AS BIGINT) AS cusum_max,
+          |  CAST(min(CASE WHEN s_abs = s_top THEN k END) AS BIGINT) AS cp_k
+          |FROM a GROUP BY event_type, day ORDER BY event_type, day""".stripMargin))
   )
 }

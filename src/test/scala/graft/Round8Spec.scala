@@ -181,9 +181,9 @@ class Round8Spec extends SparkSuite {
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("n_near")))
     val ev = Tables.table(spark, sf, "events")
     val p = ev.filter($"event_type" === "purchase")
-      .select($"event_id", $"ts".cast("double").as("pt"))
+      .select($"event_id", graft.Ts.epochSec($"ts").as("pt"))
     val c = ev.filter($"event_type" === "click")
-      .select($"ts".cast("double").as("ct"))
+      .select(graft.Ts.epochSec($"ts").as("ct"))
     val naive = p.crossJoin(c).where(abs($"ct" - $"pt") <= 60d)
       .groupBy("event_id").agg(count(lit(1)).as("n_near"))
       .orderBy($"n_near".desc, $"event_id").limit(100)
@@ -414,7 +414,7 @@ class Round8Spec extends SparkSuite {
 
   test("interval overlap: bucket rewrite equals the brute-force theta join") {
     val ev = Tables.table(spark, sf, "events")
-      .select(col("event_type"), col("ts").cast("double").as("lo"))
+      .select(col("event_type"), graft.Ts.epochSec(col("ts")).as("lo"))
     def ivals(t: String, p: String) = ev.filter(col("event_type") === t)
       .select(col("lo").as(p + "lo"), (col("lo") + 1800d).as(p + "hi"))
     val brute = ivals("click", "a").crossJoin(ivals("error", "b"))

@@ -31,12 +31,14 @@ class StreamingSpec extends SparkSuite {
       .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("s"))
     // append mode emits a window once its END passes the watermark
     // (maxTs - 2h); compare exactly on a horizon safely clear of the
-    // boundary (window start ≤ maxTs - 4h ⇒ end ≤ maxTs - 3h < watermark)
-    val maxTs = Tables.table(spark, sf, "events")
-      .agg(max(col("ts"))).head().getTimestamp(0).toInstant
-    val horizon = java.sql.Timestamp.from(maxTs.minusSeconds(4 * 3600))
-    val closedBatch = batch.filter(col("w") <= lit(horizon))
-    val closedStream = streamed.filter(col("w") <= lit(horizon))
+    // boundary (window start ≤ maxTs - 4h ⇒ end ≤ maxTs - 3h < watermark).
+    // Epoch-micros arithmetic keeps this fixture-type-agnostic: max(ts) on
+    // an NTZ fixture materializes as LocalDateTime, so getTimestamp throws.
+    val maxUs = Tables.table(spark, sf, "events")
+      .agg(max(graft.Ts.epochMicros(col("ts")))).head().getLong(0)
+    val horizonUs = maxUs - 4L * 3600 * 1000000L
+    val closedBatch = batch.filter(graft.Ts.epochMicros(col("w")) <= horizonUs)
+    val closedStream = streamed.filter(graft.Ts.epochMicros(col("w")) <= horizonUs)
     assert(closedBatch.count() > 0)
     assert(closedStream.except(closedBatch).isEmpty && closedBatch.except(closedStream).isEmpty)
     // and everything the stream emitted must exist in the batch result
