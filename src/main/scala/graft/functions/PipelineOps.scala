@@ -632,6 +632,100 @@ object PipelineOps {
           |  """.stripMargin +
           graft.Exact.moneySumSql("greatest(least(o_totalprice, hi.t), lo.t)") +
           """ AS wsum, count(*) AS n
-          |FROM orders, lo, hi GROUP BY lo.t, hi.t""".stripMargin))
+          |FROM orders, lo, hi GROUP BY lo.t, hi.t""".stripMargin)),
+
+    GraftQuery(
+      "q_sample_mixture",
+      "Temperature-flattened mixture sampling across sources — the data-" +
+        "mixing step that UP-weights small domains: each source's target " +
+        "is ceil(sqrt(n_s)) (α = 0.5 temperature; sqrt is IEEE-correctly-" +
+        "rounded on BOTH engines, unlike pow, so the ceil boundary can " +
+        "never diverge), and the selected docs are the md5-order first " +
+        "target_s of each stratum — the q_sample_topk_hash determinism " +
+        "discipline under a per-stratum DERIVED quota instead of a " +
+        "constant. One window pass computes the stratum size and the hash " +
+        "rank together (count over the partition + row_number share the " +
+        "sort), so there is no separate counts join; output is the per-" +
+        "source funnel (corpus size, target, sampled chars).",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byHash = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        val whole = Window.partitionBy("source")
+        table(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rn", row_number().over(byHash))
+          .withColumn("n_total", count(lit(1)).over(whole))
+          .withColumn("target", ceil(sqrt(col("n_total").cast("double"))).cast("long"))
+          .filter(col("rn") <= col("target"))
+          .groupBy("source")
+          .agg(
+            max(col("n_total")).as("n_total"),
+            max(col("target")).as("target"),
+            count(lit(1)).as("n_sampled"),
+            sum(col("n_chars")).as("sampled_chars"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH r AS (
+          |  SELECT source, doc_id, n_chars,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY source) AS n_total,
+          |    CAST(ceil(sqrt(count(*) OVER (PARTITION BY source))) AS BIGINT) AS target
+          |  FROM documents)
+          |SELECT source, CAST(max(n_total) AS BIGINT) AS n_total,
+          |  max(target) AS target, count(*) AS n_sampled,
+          |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+          |FROM r WHERE rn <= target
+          |GROUP BY source ORDER BY source""".stripMargin)),
+
+    GraftQuery(
+      "q_export_shards",
+      "Token-balanced shard assignment for training-data export: docs " +
+        "ranked by (tokens DESC, doc_id) deal round-robin into 8 shards — " +
+        "longest-first dealing bounds any shard's token mass within one " +
+        "max-doc of the mean, deterministically (no greedy bin state). " +
+        "The global rank does NOT use a global window: token-count BANDS " +
+        "(n_tok div 64) are the chunk relation — per-band offsets come " +
+        "from one window over the tiny band relation (the two-pass " +
+        "q_win_global_rank_2pass / pack_sequences discipline), and the " +
+        "within-band row_number partitions by band. No stage sees the " +
+        "corpus in one task; the oracle computes the same rank with the " +
+        "naive single global window, so the gate proves the decomposition.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = tokCounts(s, dir).withColumn("band", expr("n_tok div 64"))
+        // pass 1: rows in each band; offsets = rows in HIGHER bands
+        val offsets = toks.groupBy("band").agg(count(lit(1)).as("bn"))
+          .withColumn("off",
+            coalesce(sum(col("bn")).over(
+              Window.orderBy(col("band").desc)
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("band"), col("off"))
+        // pass 2: within-band rank, shifted by the band offset
+        val ranked = toks
+          .join(broadcast(offsets), "band")
+          .withColumn("rk",
+            col("off") + row_number().over(
+              Window.partitionBy("band").orderBy(col("n_tok").desc, col("doc_id"))))
+        ranked
+          .withColumn("shard", (col("rk") - 1) % 8)
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tok_sum"),
+            max(col("n_tok")).as("max_tok"))
+          .orderBy("shard")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |r AS (SELECT n_tok,
+          |  row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk FROM t)
+          |SELECT (rk - 1) % 8 AS shard, count(*) AS n_docs,
+          |  CAST(sum(n_tok) AS BIGINT) AS tok_sum, max(n_tok) AS max_tok
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

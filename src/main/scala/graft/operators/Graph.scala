@@ -361,6 +361,70 @@ object Graph {
           |  SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.node WHERE b.d < 4)
           |SELECT CAST(min_d AS INT) AS d, count(*) AS n_nodes
           |FROM (SELECT node, min(d) AS min_d FROM bfs GROUP BY node)
-          |GROUP BY 1 ORDER BY 1""".stripMargin))
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_graph_jaccard",
+      "Neighborhood Jaccard similarity of the affinity graph's edges — the " +
+        "link-scoring primitive (recommendation strength, near-duplicate " +
+        "supplier detection) over the same write-once top-8 co-purchase " +
+        "artifact as q_graph_triangles. For every stored edge (u,v): " +
+        "common = |N(u) ∩ N(v)| via the wedge join on the symmetrized " +
+        "adjacency (degree-bounded by the kNN cap, so Σdeg² stays " +
+        "O(k²·nodes) — no hub blowup), restricted to edge pairs by one " +
+        "join back to the oriented edge list; degrees from the adjacency " +
+        "relation; jaccard = common/(du+dv−common), a single IEEE " +
+        "division of exact BIGINTs. Top-20 by (jaccard, u, v) — fully " +
+        "tie-broken. Adjacency/degree sides broadcast here (O(k·nodes)) " +
+        "and become src-keyed shuffle joins beyond broadcast range.",
+      (s, dir) => {
+        val oe = affinityGraph(s, dir).select(col("src"), col("dst"))
+        val adj = oe.unionAll(oe.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+        val common = oe.as("e")
+          .join(broadcast(adj.as("a")), col("e.src") === col("a.src"))
+          .join(broadcast(adj.as("b")),
+            col("e.dst") === col("b.src") && col("a.dst") === col("b.dst"))
+          .groupBy(col("e.src").as("u"), col("e.dst").as("v"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
+          .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
+          .select(col("u"), col("v"), col("common"), col("du"), col("dv"),
+            round(col("common").cast("double") /
+              (col("du") + col("dv") - col("common")).cast("double"), 6).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("u"), col("v"))
+          .limit(20)
+      },
+      Some(
+        """WITH dpairs AS MATERIALIZED (
+          |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(DISTINCT a.l_orderkey) AS w
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+          |  GROUP BY 1, 2),
+          |knn AS (
+          |  SELECT u, v FROM (
+          |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+          |    FROM dpairs) WHERE rn <= 8),
+          |e AS MATERIALIZED (
+          |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM knn),
+          |deg0 AS (SELECT node, count(*) AS d FROM (
+          |  SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+          |rk AS (SELECT node, d * 1000000 + node AS r FROM deg0),
+          |oe AS MATERIALIZED (
+          |  SELECT CASE WHEN ru.r < rv.r THEN e.u ELSE e.v END AS src,
+          |         CASE WHEN ru.r < rv.r THEN e.v ELSE e.u END AS dst
+          |  FROM e JOIN rk ru ON e.u = ru.node JOIN rk rv ON e.v = rv.node),
+          |adj AS (SELECT src, dst FROM oe UNION ALL SELECT dst, src FROM oe),
+          |deg AS (SELECT src AS node, count(*) AS d FROM adj GROUP BY 1),
+          |cm AS (
+          |  SELECT e.src AS u, e.dst AS v, count(*) AS common
+          |  FROM oe e JOIN adj a ON e.src = a.src
+          |            JOIN adj b ON e.dst = b.src AND a.dst = b.dst
+          |  GROUP BY 1, 2)
+          |SELECT u, v, common, du.d AS du, dv.d AS dv,
+          |  round(common / (du.d + dv.d - common), 6) AS jaccard
+          |FROM cm JOIN deg du ON cm.u = du.node JOIN deg dv ON cm.v = dv.node
+          |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin))
   )
 }

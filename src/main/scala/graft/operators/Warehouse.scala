@@ -100,6 +100,45 @@ object Warehouse {
       Some(
         "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
           Exact.moneySumSql("l_extendedprice") + " AS price_sum " +
-          "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"))
+          "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    GraftQuery(
+      "q_cdc_apply",
+      "CDC changelog application — the third leg of the table-maintenance " +
+        "family (q_merge_upsert folds ONE batch into a target; q_scd2_" +
+        "intervals keeps the full history; this replays an ordered " +
+        "insert/update/delete log to the final state). The event stream " +
+        "is the per-user changelog in (ts, event_id) order; 'error' rows " +
+        "are tombstones, everything else upserts the value. Last-writer-" +
+        "wins is ONE window pass: row_number DESC over the change key " +
+        "picks each key's final op in the same keyed sort every SCD/" +
+        "sessionization query uses — no self-join against max(ts), which " +
+        "double-scans and breaks on ts ties. Survivors (final op not a " +
+        "tombstone) roll up per final event_type with exact integer-cent " +
+        "money mass. At 100 TB the changelog hash-partitions on the key; " +
+        "per-key history is the sort unit, never the table.",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("event_type") =!= "error")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_keys"), sum(col("cents")).as("cents_sum"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH last AS (
+          |  SELECT user_id, event_type,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events)
+          |SELECT event_type, count(*) AS n_keys,
+          |  CAST(sum(cents) AS BIGINT) AS cents_sum
+          |FROM last WHERE rn = 1 AND event_type != 'error'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

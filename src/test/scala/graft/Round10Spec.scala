@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior gates for the round-10 operators: interval union, sweep-line
+  * concurrency, CUSUM changepoints, CDC apply, mixture sampling, balanced
+  * sharding, and edge Jaccard. Each is checked against an independent
+  * brute-force formulation or an algebraic invariant the distributed
+  * decomposition must preserve (the DuckDB oracle already pins value
+  * equality; these pin the SEMANTICS against in-process recomputation).
+  */
+class Round10Spec extends SparkSuite {
+
+  private val W = 900000000L // 15-minute session in micros
+
+  /** (user, startMicros) pairs of the fixture, driver-side. */
+  private lazy val sessions: Seq[(Long, Long)] =
+    Tables.table(spark, sf, "events")
+      .select(col("user_id"), graft.Ts.epochMicros(col("ts")).as("st"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("interval union: equals brute-force per-user interval merging") {
+    val got = run("q_ts_interval_union").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val want = sessions.groupBy(_._1).map { case (u, evs) =>
+      val iv = evs.map(_._2).sorted.map(s => (s, s + W))
+      val merged = iv.foldLeft(List.empty[(Long, Long)]) {
+        case (Nil, i) => List(i)
+        case ((lo, hi) :: rest, (s, e)) =>
+          if (s <= hi) (lo, math.max(hi, e)) :: rest else (s, e) :: (lo, hi) :: rest
+      }
+      u -> (merged.size.toLong, merged.map(i => i._2 - i._1).sum)
+    }
+    assert(got == want)
+  }
+
+  test("concurrency: per-hour peak equals brute-force sweep over boundaries") {
+    val got = run("q_ts_concurrency").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute force: concurrency at instant t = sessions with st <= t < st+W;
+    // probe every boundary and every hour start
+    val starts = sessions.map(_._2)
+    val bounds = (starts ++ starts.map(_ + W)).distinct
+    val probes = (bounds ++ bounds.map(t => (t / 3600000000L) * 3600000000L)).distinct
+    val want = probes
+      .map(t => (t / 3600000000L, starts.count(s => s <= t && t < s + W).toLong))
+      .groupBy(_._1).map { case (hr, xs) => hr -> xs.map(_._2).max }
+    // the query emits hours observed in the boundary relation; every hour
+    // with nonzero concurrency must be present and agree, zero-rows may drop
+    want.foreach { case (hr, peak) =>
+      if (peak > 0) assert(got.get(hr).contains(peak), s"hr=$hr want=$peak got=${got.get(hr)}")
+    }
+    assert(got.values.forall(_ >= 0))
+  }
+
+  test("cusum: S_n telescopes to zero so cp_k < n when n > 1, and bounds hold") {
+    val rows = run("q_ts_cusum").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(2); val cusumMax = r.getLong(3); val cpK = r.getLong(4)
+      assert(cusumMax >= 0L)
+      assert(cpK >= 1L && cpK <= n)
+      // S_n = n*tot - n*tot = 0, so a strictly positive max lands before n
+      if (cusumMax > 0L) assert(cpK < n)
+    }
+  }
+
+  test("cdc apply: matches driver-side last-writer-wins replay") {
+    val evs = Tables.table(spark, sf, "events")
+      .select(col("user_id"), graft.Ts.epochMicros(col("ts")), col("event_id"),
+        col("event_type"), floor(col("value") * 100 + 0.5).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+    val finals = evs.groupBy(_._1).map { case (_, xs) =>
+      xs.map(_._2).maxBy(t => (t._1, t._2))
+    }.filter(_._3 != "error")
+    val want = finals.groupBy(_._3)
+      .map { case (t, xs) => t -> (xs.size.toLong, xs.map(_._4).sum) }
+    val got = run("q_cdc_apply").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
+  test("mixture sampling: quota is ceil(sqrt(stratum)) and fully filled") {
+    val rows = run("q_sample_mixture").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTotal = r.getLong(1); val target = r.getLong(2); val nSampled = r.getLong(3)
+      assert(target == math.ceil(math.sqrt(nTotal.toDouble)).toLong)
+      assert(nSampled == math.min(target, nTotal))
+    }
+  }
+
+  test("export shards: counts within one, longest-first dealing bounds the spread") {
+    val rows = run("q_export_shards").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toList == (0L until 8L).toList)
+    val counts = rows.map(_._2)
+    assert(counts.max - counts.min <= 1)
+    val sums = rows.map(_._3)
+    val maxDoc = rows.map(_._4).max
+    assert(sums.max - sums.min <= maxDoc, s"spread ${sums.max - sums.min} > maxDoc $maxDoc")
+    // total mass conserved
+    val totalTok = Tables.table(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long")).collect().map(_.getLong(0)).sum
+    assert(sums.sum == totalTok)
+  }
+
+  test("graph jaccard: bounded, consistent with common/degree, and symmetric-safe") {
+    val rows = run("q_graph_jaccard").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val common = r.getLong(2); val du = r.getLong(3); val dv = r.getLong(4)
+      val j = r.getDouble(5)
+      assert(common >= 0 && common <= math.min(du, dv))
+      assert(j > 0.0 && j <= 1.0)
+      val expect = common.toDouble / (du + dv - common).toDouble
+      assert(math.abs(j - expect) < 1e-6)
+    }
+    // descending by jaccard with full tie-break
+    val js = rows.map(_.getDouble(5)).toSeq
+    assert(js == js.sorted.reverse)
+  }
+
+  test("rolling distinct sweep-line: equals brute-force trailing-24h distinct") {
+    val pairs = sessions.map { case (u, st) => (st / 3600000000L, u) }.distinct
+    val hours = pairs.map(_._1).distinct
+    val want = hours.map { h =>
+      h -> pairs.collect { case (ph, u) if ph >= h - 23 && ph <= h => u }.distinct.size.toLong
+    }.toMap
+    // compare via epoch hours to stay fixture-type-agnostic
+    val gotHrs = run("q_ts_rolling_distinct")
+      .select((graft.Ts.epochMicros(col("hr")) / lit(3600000000L)).cast("long"), col("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotHrs == want)
+  }
+}
