@@ -124,6 +124,31 @@ object DevProbe {
               round(abs(element_at(col("qs"), 2) - col("e95")) / col("e95"), 5)).as("rel_err"))
         hll.unionAll(gk).orderBy(col("sketch"), col("grp"))
       }
+      case "@rd_pairs" => (s, dir) =>
+        graft.Tables.table(s, dir, "events")
+          .select(
+            floor(graft.Ts.epochSec(date_trunc("hour", col("ts"))) / lit(3600d))
+              .cast("long").as("hr"),
+            col("user_id"))
+          .distinct()
+      case "@rd_islands" => (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = micro("@rd_pairs")(s, dir)
+        val ord = Window.partitionBy("user_id").orderBy("hr")
+        val prev = lag(col("hr"), 1).over(ord)
+        val isStart = when(prev.isNull || col("hr") > prev + lit(23L), 1L).otherwise(0L)
+        e.withColumn("island", sum(isStart).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "island")
+          .agg(min(col("hr")).as("lo"), (max(col("hr")) + lit(24L)).as("hi"))
+      }
+      case "@conc_net" => (s, dir) => {
+        val ev = graft.Tables.table(s, dir, "events")
+        val us = graft.Ts.epochMicros(col("ts"))
+        ev.select(us.as("t"), lit(1L).as("d"))
+          .unionAll(ev.select((us + lit(900000000L)).as("t"), lit(-1L).as("d")))
+          .groupBy("t").agg(sum(col("d")).as("nd"))
+      }
       case other => SparkEntry.queries(other)
     }
     for (pass <- 1 to n; q <- names) {

@@ -554,25 +554,32 @@ object TimeSeries {
               .cast(LongType).as("hr"),
             col("user_id"))
           .distinct()
+        // ONE window pass emits everything: lag marks island starts, lead
+        // marks island ends (interval [start, end+24)), and every row also
+        // emits a zero-delta "observed hour" marker — so the pair relation
+        // is scanned exactly once and never re-derived for the hour domain
         val ord = Window.partitionBy("user_id").orderBy("hr")
         val prev = lag(col("hr"), 1).over(ord)
-        val isStart = when(prev.isNull || col("hr") > prev + lit(23L), 1L).otherwise(0L)
-        val isl = e
-          .withColumn("island", sum(isStart).over(
-            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "island")
-          .agg(min(col("hr")).as("lo"), (max(col("hr")) + lit(24L)).as("hi"))
-        val diffs = isl.select(col("lo").as("hr_id"), lit(1L).as("d"))
-          .unionAll(isl.select(col("hi").as("hr_id"), lit(-1L).as("d")))
-        val hrs = e.select(col("hr").as("hr_id")).distinct()
-        val bounds = diffs
-          .unionAll(hrs.select(col("hr_id"), lit(0L).as("d")))
-          .groupBy("hr_id").agg(sum(col("d")).as("nd"))
+        val nxt = lead(col("hr"), 1).over(ord)
+        val marked = e.select(col("hr"),
+          (prev.isNull || col("hr") > prev + lit(23L)).as("is_start"),
+          (nxt.isNull || nxt > col("hr") + lit(23L)).as("is_end"))
+        val deltas = marked
+          .select(explode(array(
+            struct(col("hr").as("hr_id"), lit(0L).as("d"), lit(1L).as("obs")),
+            struct(when(col("is_start"), col("hr")).as("hr_id"), lit(1L).as("d"),
+              lit(0L).as("obs")),
+            struct(when(col("is_end"), col("hr") + lit(24L)).as("hr_id"),
+              lit(-1L).as("d"), lit(0L).as("obs")))).as("x"))
+          .select(col("x.hr_id"), col("x.d"), col("x.obs"))
+          .filter(col("hr_id").isNotNull)
+        val bounds = deltas.groupBy("hr_id")
+          .agg(sum(col("d")).as("nd"), max(col("obs")).as("obs"))
         bounds
           .withColumn("n_users", sum(col("nd")).over(
             Window.orderBy("hr_id")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .join(broadcast(hrs), "hr_id")
+          .filter(col("obs") === 1L)
           .select(graft.Ts.fromEpochSec(col("hr_id") * lit(3600L), tsT).as("hr"),
             col("n_users"))
           .orderBy("hr")
@@ -686,23 +693,31 @@ object TimeSeries {
       (s, dir) => {
         val ev = table(s, dir, "events")
         val us = graft.Ts.epochMicros(col("ts"))
-        val deltas = ev.select(us.as("t"), lit(1L).as("d"))
-          .unionAll(ev.select((us + lit(900000000L)).as("t"), lit(-1L).as("d")))
-        // pre-aggregate per boundary instant: running sums become
-        // tie-order-free, and the probe union stays slim
-        val net = deltas.groupBy("t").agg(sum(col("d")).as("nd"))
+        val en = us + lit(900000000L)
+        def hourStart(t: org.apache.spark.sql.Column) = t - pmod(t, lit(3600000000L))
+        // 4 slim rows per event, all map-side: the ±1 boundary deltas plus a
+        // zero-delta hour-start probe for each boundary's hour — so the
+        // probe domain needs no second pass over the boundary relation
+        val rows = ev.select(explode(array(
+            struct(us.as("t"), lit(1L).as("d")),
+            struct(en.as("t"), lit(-1L).as("d")),
+            struct(hourStart(us).as("t"), lit(0L).as("d")),
+            struct(hourStart(en).as("t"), lit(0L).as("d")))).as("x"))
+          .select(col("x.t").as("t"), col("x.d").as("d"))
+        // pre-aggregate per boundary instant: the running sum must apply an
+        // instant's deltas SIMULTANEOUSLY — row-at-a-time application would
+        // let intra-instant intermediates (e.g. the first of two −1s) leak
+        // into the hourly max, which is both tie-order-dependent and wrong
+        val net = rows.groupBy("t").agg(sum(col("d")).as("nd"))
           .withColumn("hr", expr("t div 3600000000"))
-        val probes = net.select(col("hr")).distinct()
-          .select((col("hr") * lit(3600000000L)).as("t"), lit(0L).as("nd"), col("hr"))
-        val all = net.unionAll(probes)
-          .groupBy("t", "hr").agg(sum(col("nd")).as("nd"))
-        // pass 1: carry-in per hour from the hour-relation window
-        val hrNet = all.groupBy("hr").agg(sum(col("nd")).as("hnd"))
+        // pass 1: carry-in per hour from the tiny hour-relation window; the
+        // exchange under `net` is shared with pass 2 (ReuseExchange)
+        val hrNet = net.groupBy("hr").agg(sum(col("nd")).as("hnd"))
         val carry = hrNet.withColumn("carry",
           coalesce(sum(col("hnd")).over(
             Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         // pass 2: within-hour running sum, fully parallel across hours
-        val run = all.join(broadcast(carry.select(col("hr"), col("carry"))), "hr")
+        val run = net.join(broadcast(carry.select(col("hr"), col("carry"))), "hr")
           .withColumn("cur",
             col("carry") + sum(col("nd")).over(
               Window.partitionBy("hr").orderBy("t")
