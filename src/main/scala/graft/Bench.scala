@@ -101,6 +101,7 @@ object Bench {
       ("graph_edges", () => { graft.operators.Graph.orderGraph(spark, sfDir); () }),
       ("affinity_graph", () => { graft.operators.Graph.affinityGraph(spark, sfDir); () }),
       ("lsh_bands", () => graft.functions.DedupOps.ensureBands(spark, sfDir)),
+      ("dedup_ledger", () => { graft.functions.DedupOps.componentLedger(spark, sfDir); () }),
       ("bucketed_layout", () => { graft.sources.BucketedLayout.ensureTables(spark, sfDir); () }),
       ("format_exports", () => graft.sources.FormatSources.ensureExports(spark, sfDir))
     ).map { case (n, f) =>

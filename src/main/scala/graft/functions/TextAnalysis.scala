@@ -237,6 +237,48 @@ object TextAnalysis {
           |SELECT doc_id, n_sh, n_boiler,
           |  round(CAST(n_boiler AS DOUBLE) / CAST(n_sh AS DOUBLE), 6) AS boiler_ratio
           |FROM p WHERE n_boiler > 0
-          |ORDER BY boiler_ratio DESC, doc_id LIMIT 20""".stripMargin))
+          |ORDER BY boiler_ratio DESC, doc_id LIMIT 20""".stripMargin)),
+
+    GraftQuery(
+      "q_text_novelty",
+      "Corpus-order novelty curve — the curriculum/dedup monitor: a doc's " +
+        "novelty is the fraction of its distinct 5-gram shingles whose " +
+        "FIRST corpus occurrence (min doc_id over the shingle) is the doc " +
+        "itself; the 20 most derivative docs (lowest novelty) surface " +
+        "near-copies that exact dedup missed, ordered before limit so ties " +
+        "are stable. Same one-scan-one-exchange shape as q_text_" +
+        "boilerplate: 8-byte shingle HASHES built map-side (never text " +
+        "through the exchange), first-occurrence as min-over-window keyed " +
+        "on the hash, then one doc rollup. A 2^-64 collision could only " +
+        "mark a novel shingle as seen; the string-keyed oracle pins the " +
+        "counts as identical.",
+      (s, dir) => {
+        val sh = Tables.spread(s, table(s, dir, "documents"))
+          .select(col("doc_id"),
+            explode(VectorExpr.shingleHashes(split(col("text"), " "), 5)).as("g"))
+        import org.apache.spark.sql.expressions.Window
+        sh.withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy("g")))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_sh"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_sh"), col("n_novel"),
+            round(col("n_novel").cast("double") / col("n_sh").cast("double"), 6)
+              .as("novelty"))
+          .orderBy(col("novelty"), col("doc_id"))
+          .limit(20)
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+          |sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-3),
+          |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))) AS g
+          |  FROM d WHERE len(toks) >= 5),
+          |f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+          |p AS (SELECT sh.doc_id, count(*) AS n_sh,
+          |    CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          |  FROM sh JOIN f ON sh.g = f.g GROUP BY sh.doc_id)
+          |SELECT doc_id, n_sh, n_novel,
+          |  round(CAST(n_novel AS DOUBLE) / CAST(n_sh AS DOUBLE), 6) AS novelty
+          |FROM p ORDER BY novelty, doc_id LIMIT 20""".stripMargin))
   )
 }

@@ -425,6 +425,74 @@ object Graph {
           |SELECT u, v, common, du.d AS du, dv.d AS dv,
           |  round(common / (du.d + dv.d - common), 6) AS jaccard
           |FROM cm JOIN deg du ON cm.u = du.node JOIN deg dv ON cm.v = dv.node
-          |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin))
+          |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin)),
+
+    GraftQuery(
+      "q_graph_modularity",
+      "Newman modularity of the 3-round min-label communities — the " +
+        "quality score that closes the community-detection loop (label_prop " +
+        "produces the partition, this grades it): Q = Σ_c [e_c/m − " +
+        "(d_c/2m)²] computed as the EXACT BIGINT numerator Σ_c (2m·w_c − " +
+        "d_c²) over denominator 4m² (w_c = directed within-community edge " +
+        "count = 2e_c, d_c = community degree mass) — one IEEE division at " +
+        "the end, so the score is bit-identical under any partitioning and " +
+        "accumulation order (the floating Q-sum form is not). Scale shape: " +
+        "labels are the node-sized relation; w_c needs the edge artifact " +
+        "joined to labels on BOTH endpoints — src-side via the per-" +
+        "iteration broadcast discipline, dst-side likewise — then two tiny " +
+        "label-keyed aggs. BIGINT bounds: d_c² and 2m·w_c stay under 2^63 " +
+        "to ~3e9 edges; shard the numerator sum into HUGEINT/decimal " +
+        "beyond that.",
+      (s, dir) => {
+        val (edges, deg) = orderGraph(s, dir)
+        val l0 = deg.select(col("node"), col("node").as("lbl"))
+        val l3 = lpRound(edges, lpRound(edges, lpRound(edges, l0)))
+          .localCheckpoint(true)
+        val m2 = edges.count() // = 2m (both orientations stored)
+        val dC = deg.join(broadcast(l3), "node")
+          .groupBy("lbl").agg(sum(col("d")).as("dc"))
+        val wC = edges
+          .join(broadcast(l3.select(col("node").as("src"), col("lbl").as("lsrc"))), "src")
+          .join(broadcast(l3.select(col("node").as("dst"), col("lbl").as("ldst"))), "dst")
+          .filter(col("lsrc") === col("ldst"))
+          .groupBy(col("lsrc").as("lbl")).agg(count(lit(1)).as("wc"))
+        dC.join(wC, Seq("lbl"), "left")
+          .select(col("lbl"), col("dc"), coalesce(col("wc"), lit(0L)).as("wc"))
+          .agg(
+            count(lit(1)).as("n_comm"),
+            sum(lit(m2) * col("wc") - col("dc") * col("dc")).as("q_num"))
+          .select(col("n_comm"), lit(m2 / 2).as("m"), col("q_num"),
+            round(col("q_num").cast("double") / lit(m2.toDouble * m2.toDouble), 6)
+              .as("q"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+          |deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+          |l0 AS (SELECT node, node AS lbl FROM deg),
+          |r1 AS (SELECT x.node, min(x.lbl) AS lbl FROM (
+          |    SELECT e.dst AS node, p.lbl FROM edges e JOIN l0 p ON e.src = p.node
+          |    UNION ALL SELECT node, lbl FROM l0) x GROUP BY x.node),
+          |r2 AS (SELECT x.node, min(x.lbl) AS lbl FROM (
+          |    SELECT e.dst AS node, p.lbl FROM edges e JOIN r1 p ON e.src = p.node
+          |    UNION ALL SELECT node, lbl FROM r1) x GROUP BY x.node),
+          |r3 AS MATERIALIZED (SELECT x.node, min(x.lbl) AS lbl FROM (
+          |    SELECT e.dst AS node, p.lbl FROM edges e JOIN r2 p ON e.src = p.node
+          |    UNION ALL SELECT node, lbl FROM r2) x GROUP BY x.node),
+          |m2 AS (SELECT count(*) AS m2 FROM edges),
+          |dc AS (SELECT r3.lbl, CAST(sum(deg.d) AS BIGINT) AS dc
+          |  FROM deg JOIN r3 ON deg.node = r3.node GROUP BY r3.lbl),
+          |wc AS (SELECT a.lbl, count(*) AS wc
+          |  FROM edges e JOIN r3 a ON e.src = a.node JOIN r3 b ON e.dst = b.node
+          |  WHERE a.lbl = b.lbl GROUP BY a.lbl),
+          |j AS (SELECT dc.lbl, dc.dc, coalesce(wc.wc, 0) AS wc
+          |  FROM dc LEFT JOIN wc ON dc.lbl = wc.lbl)
+          |SELECT count(*) AS n_comm, CAST(max(m2.m2) / 2 AS BIGINT) AS m,
+          |  CAST(sum(m2.m2 * j.wc - j.dc * j.dc) AS BIGINT) AS q_num,
+          |  round(CAST(sum(m2.m2 * j.wc - j.dc * j.dc) AS DOUBLE)
+          |    / (CAST(max(m2.m2) AS DOUBLE) * max(m2.m2)), 6) AS q
+          |FROM j, m2""".stripMargin))
   )
 }

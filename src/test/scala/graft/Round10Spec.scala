@@ -122,6 +122,42 @@ class Round10Spec extends SparkSuite {
     assert(js == js.sorted.reverse)
   }
 
+  test("cluster sizes: histogram mass equals the components rollup") {
+    val hist = run("q_dedup_cluster_sizes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val comp = run("q_dedup_components").collect().head
+    val (nDocs, nComp, maxComp) = (comp.getLong(0), comp.getLong(1), comp.getLong(2))
+    assert(hist.map(_._3).sum == nDocs)          // Σ sz·n_comp = corpus size
+    assert(hist.map(_._2).sum == nComp)          // Σ n_comp = component count
+    assert(hist.map(_._1).max == maxComp)        // largest bucket = max component
+    hist.foreach { case (sz, n, mass) => assert(mass == sz * n) }
+  }
+
+  test("novelty: fractions bounded, doc_id 0's shingles are all novel if present") {
+    val rows = run("q_text_novelty").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nSh = r.getLong(1); val nNovel = r.getLong(2); val nov = r.getDouble(3)
+      assert(nSh > 0 && nNovel >= 0 && nNovel <= nSh)
+      assert(nov >= 0.0 && nov <= 1.0)
+      assert(math.abs(nov - nNovel.toDouble / nSh.toDouble) < 1e-6)
+    }
+    // ascending by novelty (most derivative first)
+    val ns = rows.map(_.getDouble(3)).toSeq
+    assert(ns == ns.sorted)
+  }
+
+  test("modularity: score bounded and communities consistent with label_prop") {
+    val r = run("q_graph_modularity").collect().head
+    val (nComm, m, qNum, q) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(m > 0)
+    assert(q >= -0.5 && q <= 1.0)
+    assert(math.abs(q - qNum.toDouble / (4.0 * m * m)) < 1e-6)
+    // the partition is label_prop's round-3 state: label counts must agree
+    val lp3 = run("q_graph_label_prop").collect().find(_.getInt(0) == 3).get
+    assert(nComm == lp3.getLong(1))
+  }
+
   test("rolling distinct sweep-line: equals brute-force trailing-24h distinct") {
     val pairs = sessions.map { case (u, st) => (st / 3600000000L, u) }.distinct
     val hours = pairs.map(_._1).distinct
