@@ -230,6 +230,55 @@ object Similarity {
            |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
 
     GraftQuery(
+      "q_ann_filtered",
+      "FILTERED vector search (the hybrid-search surface every production " +
+        "ANN system needs — 'nearest neighbors among docs matching a " +
+        "predicate'): the q_ann_ivf routing with an even-vec_id metadata " +
+        "filter applied INSIDE the probed cell, pre-scoring — the " +
+        "pre-filter strategy. Post-filtering (search first, filter the " +
+        "top-k after) under-fills the result set whenever the filter is " +
+        "selective; pre-filtering keeps exactly k survivors at the cost " +
+        "of scoring only the filtered cell members. The filter composes " +
+        "with the scan (predicate pushdown applies before the broadcast " +
+        "cell join), so the plan shape is identical to unfiltered IVF.",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val cent = labelCentroids(s, dir)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
+        val cell = cent.crossJoin(broadcast(q))
+          .select(col("clabel"),
+            (Exact.dot(col("centroid"), col("qv")) /
+              (Exact.norm(col("centroid")) * col("qn"))).as("csim"))
+          .orderBy(col("csim").desc, col("clabel"))
+          .limit(1)
+          .select(col("clabel").as("cell"))
+        e.filter(col("vec_id") =!= 0 && pmod(col("vec_id"), lit(2L)) === 0)
+          .join(broadcast(cell), col("label") === col("cell"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(Exact.dot(col("embedding"), col("qv")) /
+              (Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+           |exp AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM e),
+           |avgs AS (SELECT label, pos, avg(v) AS c FROM exp GROUP BY label, pos),
+           |cent AS (SELECT label, list_transform(list(c ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
+           |         FROM avgs GROUP BY label),
+           |q AS (SELECT embedding AS qv, sqrt(${Exact.squaredNormSql("embedding")}) AS qn
+           |      FROM e WHERE vec_id = 0),
+           |cell AS (SELECT label FROM cent, q
+           |  ORDER BY ${Exact.dotSql("centroid", "qv")} / (sqrt(${Exact.squaredNormSql("centroid")}) * qn) DESC, label
+           |  LIMIT 1)
+           |SELECT e.vec_id, round(${Exact.dotSql("e.embedding", "q.qv")} /
+           |    (sqrt(${Exact.squaredNormSql("e.embedding")}) * q.qn), 6) AS sim
+           |FROM e, q, cell WHERE e.label = cell.label AND e.vec_id <> 0 AND e.vec_id % 2 = 0
+           |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
+
+    GraftQuery(
       "q_ann_ivf_multiprobe",
       "IVF ANN with multi-probe (nprobe=2): route the query to its TWO nearest " +
         "centroids and search the union of those cells — the standard recall " +

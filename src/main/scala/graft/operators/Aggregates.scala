@@ -442,6 +442,64 @@ object Aggregates {
           |  CAST(max(cnt) AS BIGINT) AS max_cnt, CAST(min(cnt) AS BIGINT) AS min_cnt,
           |  (min({'c': -cnt, 'k': k})).k AS top1_key,
           |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 9) AS top1_share
-          |FROM c""".stripMargin))
+          |FROM c""".stripMargin)),
+
+    GraftQuery(
+      "q_agg_regression",
+      "Per-group OLS regression (the regr_slope/regr_intercept surface): " +
+        "order value in integer cents regressed on order date in epoch " +
+        "days, per priority class. The five sufficient statistics (n, Σx, " +
+        "Σy, Σxy, Σx²) accumulate as EXACT BIGINTs — associative, " +
+        "partition-order-free — and only the closed-form slope/intercept " +
+        "arithmetic runs in double, with the SAME expression tree on both " +
+        "engines (identical integer inputs → identical IEEE roundings, " +
+        "even where Σxy exceeds 2^53 and the cast itself rounds). The " +
+        "engine-native regr_* aggregates fold floats in partition order " +
+        "and cannot promise that. One hash agg; sums stay in range to " +
+        "~1e18 cent·day mass — shard to DECIMAL beyond.",
+      (s, dir) => {
+        val x = datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast(LongType)
+        val y = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+        // products in DOUBLE from the individually-cast exact sums: n·Σxy
+        // overflows BIGINT past ~sf0.05, and both engines casting the SAME
+        // integers then applying the SAME ops keeps the result bitwise equal
+        def D(c: String) = col(c).cast(DoubleType)
+        val d = D("n") * D("sxx") - D("sx") * D("sx")
+        val slopeNum = D("n") * D("sxy") - D("sx") * D("sy")
+        table(s, dir, "orders")
+          .select(col("o_orderpriority"), x.as("x"), y.as("y"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("o_orderpriority"), col("n"),
+            round(slopeNum / d, 6).as("slope"),
+            round((D("sy") - (slopeNum / d) * D("sx")) / D("n"), 4).as("intercept"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT o_orderpriority,
+          |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+          |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+          |  FROM orders),
+          |a AS (SELECT o_orderpriority, count(*) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+          |  FROM s GROUP BY o_orderpriority),
+          |d AS (SELECT o_orderpriority, n,
+          |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+          |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+          |    CAST(sxx AS DOUBLE) AS sxxd
+          |  FROM a)
+          |SELECT o_orderpriority, n,
+          |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+          |  round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)
+          |    / nd, 4) AS intercept
+          |FROM d ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -625,6 +625,36 @@ object TimeSeries {
           |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin)),
 
     GraftQuery(
+      "q_ts_calendar",
+      "Calendar heatmap — traffic and exact money mass per (day-of-week, " +
+        "hour-of-day) cell, the capacity-planning staple. Day-of-week is " +
+        "derived ARITHMETICALLY from epoch days ((days + 3) mod 7, " +
+        "0 = Monday, anchored on 1970-01-01 being a Thursday) instead of " +
+        "each engine's dayofweek() — whose numbering conventions differ " +
+        "(Spark 1=Sunday, DuckDB 0=Sunday, ISO 1=Monday) and whose " +
+        "session/locale sensitivity is exactly the portability trap the " +
+        "epoch form avoids. All grouping keys are pure BIGINT steps from " +
+        "the same micros, cents are exact; one map-side-combined hash agg " +
+        "over a 168-cell key space.",
+      (s, dir) => {
+        val sec = graft.Ts.epochSec(col("ts"))
+        table(s, dir, "events")
+          .select(
+            pmod(floor(sec / lit(86400d)).cast(LongType) + lit(3L), lit(7L)).as("dow"),
+            pmod(floor(sec / lit(3600d)).cast(LongType), lit(24L)).as("hod"),
+            floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+          .groupBy("dow", "hod")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+          .orderBy("dow", "hod")
+      },
+      Some(
+        """SELECT (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7 AS dow,
+          |  CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    GraftQuery(
       "q_ts_interval_union",
       "Merged-interval coverage per user (the interval-union / utilization " +
         "problem): every event opens a 15-minute presence interval; " +
