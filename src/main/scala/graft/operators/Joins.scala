@@ -533,6 +533,69 @@ object Joins {
           |b AS (SELECT epoch(ts) AS lo, epoch(ts)+1800 AS hi FROM events WHERE event_type='error')
           |SELECT CAST(to_timestamp(greatest(a.lo, b.lo)) AS DATE) AS day, count(*) AS n_pairs
           |FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
-          |GROUP BY 1 ORDER BY 1""".stripMargin))
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_feature_join",
+      "Point-in-time feature join — the feature-store primitive (attach " +
+        "each label event's feature values AS OF its own timestamp, never " +
+        "after — the leakage-safe join every ML training pipeline needs): " +
+        "for every purchase, the same user's most recent click value and " +
+        "most recent view value at-or-before the purchase. BOTH features " +
+        "resolve in ONE union-window pass: label and feature streams " +
+        "union on (user, t, kind, event_id), one shuffle+sort per user, " +
+        "and one ignore-nulls running last() per feature column — N " +
+        "feature streams cost N window columns over the SAME sort, not N " +
+        "sequential as-of joins (each with its own exchange) and not the " +
+        "join-then-argmax form that inflates to event × prior-history " +
+        "before collapsing. Ties break (t, kind, event_id) with features " +
+        "sorting before labels, so an exactly-coincident feature is " +
+        "visible (≤, not <) and equal-timestamp features resolve to the " +
+        "highest event_id — the same total order the oracle's struct-" +
+        "argmax encodes. Values in exact integer cents.",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val cents = floor(col("value") * 100 + 0.5).cast(LongType)
+        val nullL = lit(null).cast(LongType)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("t"), lit(0).as("kind"),
+            col("event_id"), cents.as("cv"), nullL.as("vv"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+            col("event_id"), nullL.as("cv"), cents.as("vv"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("t"), lit(2).as("kind"),
+            col("event_id"), nullL.as("cv"), nullL.as("vv"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("t"), col("kind"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(views).unionByName(purchases)
+          .withColumn("lc", last(col("cv"), ignoreNulls = true).over(w))
+          .withColumn("lv", last(col("vv"), ignoreNulls = true).over(w))
+          .where(col("kind") === 2)
+          .select(col("event_id"), col("lc").as("last_click_cents"),
+            col("lv").as("last_view_cents"))
+          .orderBy("event_id")
+          .limit(1000)
+      },
+      Some(
+        """WITH p AS (SELECT event_id, user_id, ts FROM events
+          |  WHERE event_type = 'purchase' ORDER BY event_id LIMIT 1000),
+          |c AS (SELECT user_id, ts, event_id,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events WHERE event_type = 'click'),
+          |v AS (SELECT user_id, ts, event_id,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events WHERE event_type = 'view'),
+          |lc AS (SELECT p.event_id, (max({'t': c.ts, 'i': c.event_id, 'x': c.cents})).x AS f
+          |  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+          |  GROUP BY p.event_id),
+          |lv AS (SELECT p.event_id, (max({'t': v.ts, 'i': v.event_id, 'x': v.cents})).x AS f
+          |  FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+          |  GROUP BY p.event_id)
+          |SELECT p.event_id, lc.f AS last_click_cents, lv.f AS last_view_cents
+          |FROM p LEFT JOIN lc ON p.event_id = lc.event_id
+          |       LEFT JOIN lv ON p.event_id = lv.event_id
+          |ORDER BY p.event_id""".stripMargin))
   )
 }

@@ -55,6 +55,11 @@ object FormatSources {
         // the service-loader shortname registration, so format("avro")
         // resolves only through the class name.
         case "avro" => docs.write.mode("overwrite").format(AvroProvider).save(out)
+        // document-markup interchange (feeds/exports); built into Spark 4
+        // core — rowTag is mandatory on write, and values round-trip
+        // through XML entity escaping
+        case "xml" => docs.write.mode("overwrite")
+          .option("rootTag", "docs").option("rowTag", "doc").format("xml").save(out)
       }
       out
     })
@@ -63,7 +68,7 @@ object FormatSources {
     * hook Bench uses to time the one-time exports as a separately reported
     * artifact step. */
   private[graft] def ensureExports(s: SparkSession, dir: String): Unit = {
-    Seq("csv", "json", "orc", "avro").foreach(exportDir(s, dir, _))
+    Seq("csv", "json", "orc", "avro", "xml").foreach(exportDir(s, dir, _))
     partitionedDir(s, dir)
     evolutionDir(s, dir)
     malformedDir(s, dir); ()
@@ -169,6 +174,19 @@ object FormatSources {
         "write→read round-trip value-exactly. Same write-once export " +
         "discipline as CSV/JSON/ORC.",
       (s, dir) => langStats(s.read.format(AvroProvider).load(exportDir(s, dir, "avro"))),
+      Some(langStatsSql)),
+
+    GraftQuery(
+      "q_source_xml",
+      "Aggregate over an XML export of documents (rowTag records) — the " +
+        "document-markup interchange format, built into Spark 4 core; " +
+        "values round-trip through entity escaping, and the read supplies " +
+        "the explicit schema (no inference scan). Oracle compares against " +
+        "the original parquet, verifying the XML write→read round-trip " +
+        "value-exactly — same write-once export discipline as CSV/JSON/" +
+        "ORC/Avro.",
+      (s, dir) => langStats(s.read.schema(docSchema)
+        .option("rowTag", "doc").format("xml").load(exportDir(s, dir, "xml"))),
       Some(langStatsSql)),
 
     GraftQuery(

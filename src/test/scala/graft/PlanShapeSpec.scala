@@ -184,12 +184,16 @@ class PlanShapeSpec extends SparkSuite {
       s"boilerplate broadcasts a corpus-sized relation:\n$p")
   }
 
-  test("q_ts_rolling_distinct hash-joins the hour set, never a nested loop") {
+  test("q_ts_rolling_distinct is join-free: sweep-line deltas, no range join") {
     val p = plan("q_ts_rolling_distinct")
     assert(!p.contains("NestedLoop"),
       s"rolling distinct fell through to the quadratic range-join plan:\n$p")
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the island/probe emission replaced every join (the old shape
+    // re-derived the hour domain and hash-joined it back): one generate,
+    // one keyed aggregation, one tiny boundary-relation window
+    assert(!p.contains("Join"), s"sweep-line shape regressed to a join:\n$p")
     assert(p.contains("Generate explode"), p)
+    assert("Exchange hashpartitioning\\(hr_id".r.findAllIn(p).size == 1, p)
   }
 
   test("q_join_interval_overlap equi-joins on the bucket key, never a nested loop") {

@@ -207,6 +207,38 @@ class Round10Spec extends SparkSuite {
     assert(rows.map(_._2._1).sum == total)
   }
 
+  test("feature join: leakage-free — matches driver-side as-of replay") {
+    val evs = Tables.table(spark, sf, "events")
+      .select(col("user_id"), graft.Ts.epochMicros(col("ts")), col("event_id"),
+        col("event_type"), floor(col("value") * 100 + 0.5).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    def lastOf(tpe: String, u: Long, t: Long, eid: Long): Option[Long] =
+      evs.filter(e => e._1 == u && e._4 == tpe &&
+          (e._2 < t || (e._2 == t)))   // kind sorts features before labels
+        .sortBy(e => (e._2, e._3)).lastOption.map(_._5)
+    val purchases = evs.filter(_._4 == "purchase").sortBy(_._3).take(1000)
+    val want = purchases.map(p =>
+      (p._3, lastOf("click", p._1, p._2, p._3), lastOf("view", p._1, p._2, p._3))).toSeq
+    val got = run("q_ts_feature_join").collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }.toSeq
+    assert(got == want)
+  }
+
+  test("xml source: round-trips the same language stats as the parquet original") {
+    val xml = run("q_source_xml").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = Tables.table(spark, sf, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(xml == direct)
+  }
+
   test("rolling distinct sweep-line: equals brute-force trailing-24h distinct") {
     val pairs = sessions.map { case (u, st) => (st / 3600000000L, u) }.distinct
     val hours = pairs.map(_._1).distinct
