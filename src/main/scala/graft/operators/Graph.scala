@@ -428,6 +428,67 @@ object Graph {
           |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin)),
 
     GraftQuery(
+      "q_graph_kcore",
+      "3-core peeling, 3 unrolled rounds — the iterative NODE-REMOVAL " +
+        "pattern (propagation keeps all nodes and updates state; peeling " +
+        "shrinks the graph each round): every round drops nodes with " +
+        "residual degree < 3, restricts the edge artifact to surviving " +
+        "endpoints, and recomputes degrees — each round's (alive count, " +
+        "exact degree mass, max residual degree) fingerprint is pinned, " +
+        "so one wrongly-peeled node anywhere breaks the gate. The k-core " +
+        "is the standard dense-substructure filter (spam/bot rings, " +
+        "community cores) and converges in O(peel depth) rounds. Scale " +
+        "shape: the alive set is the node-sized broadcast side of two " +
+        "semi joins per round; the edge artifact is filtered, never " +
+        "shuffled — degrees come back from one src-keyed agg of slim " +
+        "surviving edges. All-BIGINT.",
+      (s, dir) => {
+        val (edges, _) = orderGraph(s, dir)
+        val e0 = edges.select(col("src"), col("dst"))
+        def peel(d: DataFrame, e: DataFrame): (DataFrame, DataFrame) = {
+          val alive = d.filter(col("d") >= 3).select(col("node"))
+          val e2 = e
+            .join(broadcast(alive.withColumnRenamed("node", "src")), Seq("src"), "left_semi")
+            .join(broadcast(alive.withColumnRenamed("node", "dst")), Seq("dst"), "left_semi")
+          val d2 = e2.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+            .localCheckpoint(true)
+          (d2, e2)
+        }
+        val d0 = e0.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+        val (d1, e1) = peel(d0, e0)
+        val (d2, e2) = peel(d1, e1)
+        val (d3, _) = peel(d2, e2)
+        def stats(i: Int, d: DataFrame): DataFrame =
+          d.agg(count(lit(1)).as("n_alive"), sum(col("d")).as("deg_mass"),
+            max(col("d")).as("max_d"))
+            .select(lit(i).as("rnd"), col("n_alive"), col("deg_mass"), col("max_d"))
+        stats(1, d1).unionAll(stats(2, d2)).unionAll(stats(3, d3)).orderBy("rnd")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+          |d0 AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+          |a1 AS (SELECT node FROM d0 WHERE d >= 3),
+          |e1 AS (SELECT src, dst FROM edges
+          |  WHERE src IN (SELECT node FROM a1) AND dst IN (SELECT node FROM a1)),
+          |d1 AS (SELECT src AS node, count(*) AS d FROM e1 GROUP BY src),
+          |a2 AS (SELECT node FROM d1 WHERE d >= 3),
+          |e2 AS (SELECT src, dst FROM e1
+          |  WHERE src IN (SELECT node FROM a2) AND dst IN (SELECT node FROM a2)),
+          |d2 AS (SELECT src AS node, count(*) AS d FROM e2 GROUP BY src),
+          |a3 AS (SELECT node FROM d2 WHERE d >= 3),
+          |e3 AS (SELECT src, dst FROM e2
+          |  WHERE src IN (SELECT node FROM a3) AND dst IN (SELECT node FROM a3)),
+          |d3 AS (SELECT src AS node, count(*) AS d FROM e3 GROUP BY src)
+          |SELECT 1 AS rnd, count(*) AS n_alive, CAST(sum(d) AS BIGINT) AS deg_mass,
+          |  max(d) AS max_d FROM d1
+          |UNION ALL SELECT 2, count(*), CAST(sum(d) AS BIGINT), max(d) FROM d2
+          |UNION ALL SELECT 3, count(*), CAST(sum(d) AS BIGINT), max(d) FROM d3
+          |ORDER BY rnd""".stripMargin)),
+
+    GraftQuery(
       "q_graph_modularity",
       "Newman modularity of the 3-round min-label communities — the " +
         "quality score that closes the community-detection loop (label_prop " +

@@ -253,4 +253,37 @@ class PlanShapeSpec extends SparkSuite {
     // upstream of the join — no fact row shuffles before pruning
     assert(!p.contains("Exchange hashpartitioning(o_custkey"), p)
   }
+
+  test("q_ts_interval_union: one user-keyed exchange, both windows share it, no join") {
+    val p = plan("q_ts_interval_union")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_cdc_apply: last-writer-wins is one keyed window pass, no self-join") {
+    val p = plan("q_cdc_apply")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_ts_feature_join: both features ride one union-window sort, no join") {
+    val p = plan("q_ts_feature_join")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_ann_filtered keeps the broadcast cell-probe shape under the predicate") {
+    val p = plan("q_ann_filtered")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_export_shards: global rank decomposes — one tiny offsets window only") {
+    val p = plan("q_export_shards")
+    // the single SinglePartition exchange feeds the band-relation offsets
+    // window; the per-doc rank partitions by band and the corpus never
+    // serializes through one task
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(p.contains("windowspecdefinition(band"), p)
+  }
 }

@@ -239,6 +239,24 @@ class Round10Spec extends SparkSuite {
     assert(xml == direct)
   }
 
+  test("kcore: equals driver-side 3-round peel of the order graph") {
+    val base = Tables.table(spark, sf, "orders")
+      .join(Tables.table(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges: Seq[(Long, Long)] = base.flatMap(e => Seq(e, e.swap)).toSeq
+    val want = (1 to 3).map { _ =>
+      val deg = edges.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+      val alive = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => alive(e._1) && alive(e._2))
+      val d2 = edges.groupBy(_._1).map { case (_, xs) => xs.size.toLong }
+      (d2.size.toLong, d2.sum, if (d2.isEmpty) null else d2.max)
+    }
+    val got = run("q_graph_kcore").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want.map(w => (w._1, w._2, w._3.asInstanceOf[Long])))
+  }
+
   test("rolling distinct sweep-line: equals brute-force trailing-24h distinct") {
     val pairs = sessions.map { case (u, st) => (st / 3600000000L, u) }.distinct
     val hours = pairs.map(_._1).distinct
