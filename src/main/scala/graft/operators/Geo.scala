@@ -504,6 +504,68 @@ object Geo {
           |   + ((xi // 128) % 2) * 16384 + ((yi // 128) % 2) * 32768) AS zval
           |  FROM xy)
           |SELECT zval // 1024 AS tile, count(*) AS n, count(DISTINCT user_id) AS n_users
-          |FROM z GROUP BY 1 ORDER BY n DESC, tile LIMIT 20""".stripMargin))
+          |FROM z GROUP BY 1 ORDER BY n DESC, tile LIMIT 20""".stripMargin)),
+
+    GraftQuery(
+      "q_geo_join_grid",
+      "Spatial self-join via 2-D grid bucketing — the proximity-pair " +
+        "operator (stations within 0.5° of each other) over PARSED " +
+        "positions: each left point fans out to its 3×3 neighbor cells " +
+        "(cell = 0.5° grid, matching the radius so any qualifying pair " +
+        "shares a probed cell), the right side keys by home cell, one " +
+        "equi-join on the cell key, then the exact squared-degree " +
+        "predicate. Every qualifying ordered pair is found EXACTLY once " +
+        "(the right point's home cell is unique and always probed), so no " +
+        "distinct pass. This is the 2-D twin of q_join_band's 1-D bucket " +
+        "expansion: O(9·n) fan-out + hash join instead of the quadratic " +
+        "cross filter; at 100 TB the cell key is the shuffle key and skewed " +
+        "megacells fall back to the salting discipline. The oracle keeps " +
+        "the naive pair form (with a lat band so its optimizer gets a fair " +
+        "range-join plan) — the gate proves the bucket rewrite.",
+      (s, dir) => {
+        val p = parsedClicks(s, dir)
+          .filter(col("packet_type") === "position")
+          .select(col("event_id"), col("lat"), col("lon"))
+        val cs = 0.5d
+        val a = p.select(col("event_id").as("ida"), col("lat").as("lata"), col("lon").as("lona"),
+            explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+              struct(
+                (floor(col("lat") / cs).cast("long") + lit(dx.toLong)).as("cx"),
+                (floor(col("lon") / cs).cast("long") + lit(dy.toLong)).as("cy")))): _*))
+              .as("c"))
+          .select(col("ida"), col("lata"), col("lona"), col("c.cx"), col("c.cy"))
+        val b = p.select(col("event_id").as("idb"), col("lat").as("latb"), col("lon").as("lonb"),
+          floor(col("lat") / cs).cast("long").as("cx"),
+          floor(col("lon") / cs).cast("long").as("cy"))
+        val d2 = (col("lata") - col("latb")) * (col("lata") - col("latb")) +
+          (col("lona") - col("lonb")) * (col("lona") - col("lonb"))
+        a.join(b, Seq("cx", "cy"))
+          .filter(col("ida") < col("idb") && d2 <= lit(0.25d))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            countDistinct(col("ida")).as("n_left"),
+            round(min(d2), 9).as("min_d2"))
+      },
+      Some(
+        """WITH e AS (SELECT event_id,
+          |    event_id % 90 AS lat_deg, (event_id * 7) % 6000 AS lat_minc,
+          |    (event_id * 3) % 180 AS lon_deg, (event_id * 13) % 6000 AS lon_minc
+          |  FROM events WHERE event_type = 'click'),
+          |p AS (SELECT event_id,
+          |    (CAST(lat_deg AS DOUBLE) + CAST(lat_minc AS DOUBLE) / 100.0 / 60.0)
+          |      * (CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE -1.0 END) AS lat,
+          |    (CAST(lon_deg AS DOUBLE) + CAST(lon_minc AS DOUBLE) / 100.0 / 60.0)
+          |      * (CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE -1.0 END) AS lon
+          |  FROM e),
+          |pairs AS (
+          |  SELECT a.event_id AS ida,
+          |    (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+          |  FROM p a JOIN p b
+          |    ON b.lat BETWEEN a.lat - 0.5 AND a.lat + 0.5
+          |   AND b.lon BETWEEN a.lon - 0.5 AND a.lon + 0.5
+          |   AND a.event_id < b.event_id)
+          |SELECT count(*) AS n_pairs, count(DISTINCT ida) AS n_left,
+          |  round(min(d2), 9) AS min_d2
+          |FROM pairs WHERE d2 <= 0.25""".stripMargin))
   )
 }

@@ -257,6 +257,28 @@ class Round10Spec extends SparkSuite {
     assert(got == want.map(w => (w._1, w._2, w._3.asInstanceOf[Long])))
   }
 
+  test("geo grid join: bucket expansion equals the brute-force proximity count") {
+    val pts = Tables.table(spark, sf, "events")
+      .filter(col("event_type") === "click").select(col("event_id"))
+      .collect().map(_.getLong(0)).map { id =>
+        val lat = (id % 90 + (id * 7 % 6000) / 100.0 / 60.0) * (if (id % 2 == 0) 1 else -1)
+        val lon = (id * 3 % 180 + (id * 13 % 6000) / 100.0 / 60.0) * (if (id % 3 == 0) 1 else -1)
+        (id, lat, lon)
+      }
+    var nPairs = 0L
+    var minD2 = Double.MaxValue
+    for (a <- pts; b <- pts if a._1 < b._1) {
+      val d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if (d2 <= 0.25) { nPairs += 1; minD2 = math.min(minD2, d2) }
+    }
+    val r = run("q_geo_join_grid").collect().head
+    assert(r.getLong(0) == nPairs, s"pairs ${r.getLong(0)} vs brute $nPairs")
+    if (nPairs > 0) assert(math.abs(r.getDouble(2) - minD2) < 1e-8)
+    // and the plan must be the bucket equi-join, not a nested loop
+    val p = run("q_geo_join_grid").queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("rolling distinct sweep-line: equals brute-force trailing-24h distinct") {
     val pairs = sessions.map { case (u, st) => (st / 3600000000L, u) }.distinct
     val hours = pairs.map(_._1).distinct
