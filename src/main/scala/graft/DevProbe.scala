@@ -149,6 +149,39 @@ object DevProbe {
           .unionAll(ev.select((us + lit(900000000L)).as("t"), lit(-1L).as("d")))
           .groupBy("t").agg(sum(col("d")).as("nd"))
       }
+      case "@grid_pts" => (s, dir) => {
+        val e = graft.Tables.table(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"),
+            (pmod(col("event_id"), lit(90L)).cast("double")
+              + pmod(col("event_id") * 7, lit(6000L)).cast("double") / 100.0 / 60.0)
+              * when(pmod(col("event_id"), lit(2L)) === 0, 1.0).otherwise(-1.0),
+            (pmod(col("event_id") * 3, lit(180L)).cast("double")
+              + pmod(col("event_id") * 13, lit(6000L)).cast("double") / 100.0 / 60.0)
+              * when(pmod(col("event_id"), lit(3L)) === 0, 1.0).otherwise(-1.0))
+          .toDF("event_id", "lat", "lon")
+        e
+      }
+      case "@grid_join_noparse" => (s, dir) => {
+        val p = micro("@grid_pts")(s, dir)
+        val cs = 0.5d
+        val a = p.select(col("event_id").as("ida"), col("lat").as("lata"), col("lon").as("lona"),
+            explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+              struct(
+                (floor(col("lat") / cs).cast("long") + lit(dx.toLong)).as("cx"),
+                (floor(col("lon") / cs).cast("long") + lit(dy.toLong)).as("cy")))): _*))
+              .as("c"))
+          .select(col("ida"), col("lata"), col("lona"), col("c.cx"), col("c.cy"))
+        val b = p.select(col("event_id").as("idb"), col("lat").as("latb"), col("lon").as("lonb"),
+          floor(col("lat") / cs).cast("long").as("cx"),
+          floor(col("lon") / cs).cast("long").as("cy"))
+        val d2 = (col("lata") - col("latb")) * (col("lata") - col("latb")) +
+          (col("lona") - col("lonb")) * (col("lona") - col("lonb"))
+        a.join(b, Seq("cx", "cy"))
+          .filter(col("ida") < col("idb") && d2 <= lit(0.25d))
+          .agg(count(lit(1)).as("n_pairs"), countDistinct(col("ida")).as("n_left"),
+            round(min(d2), 9).as("min_d2"))
+      }
       case other => SparkEntry.queries(other)
     }
     for (pass <- 1 to n; q <- names) {
