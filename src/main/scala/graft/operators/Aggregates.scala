@@ -445,6 +445,80 @@ object Aggregates {
           |FROM c""".stripMargin)),
 
     GraftQuery(
+      "q_agg_multi_distinct",
+      "Several COUNT(DISTINCT …) over DIFFERENT columns in one aggregation " +
+        "— the profiling query that forces Spark's Expand rewrite (each " +
+        "input row replicates once per distinct-aggregate with a gid, then " +
+        "one two-phase agg dedups all three key spaces in a single " +
+        "shuffle): distinct users, distinct active days, distinct " +
+        "(user, day) pairs, plus a plain count, per event_type. The naive " +
+        "alternative is one self-join per distinct column. Day derived by " +
+        "epoch-day arithmetic (engine-portable; see q_ts_calendar).",
+      (s, dir) => {
+        val day = floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+        table(s, dir, "events")
+          .select(col("event_type"), col("user_id"), day.as("day"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(col("day")).as("n_days"),
+            countDistinct(col("user_id"), col("day")).as("n_user_days"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, count(*) AS n,
+          |  count(DISTINCT user_id) AS n_users,
+          |  count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS n_days,
+          |  count(DISTINCT (user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT))) AS n_user_days
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_sql_analytic",
+      "The SQL front door end-to-end: a CTE + broadcast-joined dim + " +
+        "window-ranked analytic expressed as SQL TEXT through spark.sql " +
+        "over temp views — gating that a reference user who writes SQL, " +
+        "not DataFrames, gets the same engine (parser → analyzer → same " +
+        "Catalyst plans; the view is dropped after analysis, no catalog " +
+        "state leaks). Top-3 customers by exact money mass per region via " +
+        "dense_rank.",
+      (s, dir) => {
+        val v1 = "graft_sqla_o_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val v2 = "graft_sqla_c_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val v3 = "graft_sqla_n_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        table(s, dir, "orders").createOrReplaceTempView(v1)
+        table(s, dir, "customer").createOrReplaceTempView(v2)
+        table(s, dir, "nation").createOrReplaceTempView(v3)
+        try s.sql(
+          s"""WITH mass AS (
+             |  SELECT n.n_name, c.c_custkey,
+             |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM $v1 o JOIN $v2 c ON o.o_custkey = c.c_custkey
+             |  JOIN $v3 n ON c.c_nationkey = n.n_nationkey
+             |  GROUP BY n.n_name, c.c_custkey),
+             |r AS (SELECT n_name, c_custkey, cents,
+             |    dense_rank() OVER (PARTITION BY n_name ORDER BY cents DESC, c_custkey) AS rk
+             |  FROM mass)
+             |SELECT n_name, rk, c_custkey, cents FROM r WHERE rk <= 3
+             |ORDER BY n_name, rk, c_custkey""".stripMargin)
+        finally {
+          s.catalog.dropTempView(v1); s.catalog.dropTempView(v2); s.catalog.dropTempView(v3)
+        }
+      },
+      Some(
+        """WITH mass AS (
+          |  SELECT n.n_name, c.c_custkey,
+          |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |  GROUP BY n.n_name, c.c_custkey),
+          |r AS (SELECT n_name, c_custkey, cents,
+          |    dense_rank() OVER (PARTITION BY n_name ORDER BY cents DESC, c_custkey) AS rk
+          |  FROM mass)
+          |SELECT n_name, rk, c_custkey, cents FROM r WHERE rk <= 3
+          |ORDER BY n_name, rk, c_custkey""".stripMargin)),
+
+    GraftQuery(
       "q_agg_regression",
       "Per-group OLS regression (the regr_slope/regr_intercept surface): " +
         "order value in integer cents regressed on order date in epoch " +

@@ -278,6 +278,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_agg_multi_distinct: three distinct key spaces dedup via one Expand") {
+    val p = plan("q_agg_multi_distinct")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), s"multi-distinct fell back to self-joins:\n$p")
+  }
+
   test("q_export_shards: global rank decomposes — one tiny offsets window only") {
     val p = plan("q_export_shards")
     // the single SinglePartition exchange feeds the band-relation offsets
