@@ -577,6 +577,60 @@ object DedupOps {
            |SELECT count(*) AS n_pairs, round(max(sim), 6) AS max_sim FROM p WHERE sim >= 0.4""".stripMargin)),
 
     GraftQuery(
+      "q_dedup_embed_cluster",
+      "Semantic-dedup clustering — the embedding-side twin of q_dedup_" +
+        "canonical: cosine-threshold pairs (label-blocked, the q_dedup_" +
+        "embed candidate stage) become an undirected graph, every vector " +
+        "adopts the min vec_id over self ∪ neighbors in ONE synchronous " +
+        "propagation round, and the gate fingerprints the resulting " +
+        "partial clustering (vectors moved, distinct canonical labels, " +
+        "exact label mass). One round — not the fixpoint — keeps the " +
+        "oracle a flat CTE while still pinning the pair graph AND the " +
+        "propagation arithmetic; chains deeper than one hop converge via " +
+        "exactly the q_dedup_components loop, which this family already " +
+        "gates on the MinHash graph. Scale shape: pairs are label-blocked " +
+        "(never all-pairs), both orientations union map-side, one " +
+        "(node)-keyed min agg.",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            Exact.norm(col("embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("ida"), col("label").as("la"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("idb"), col("label").as("lb"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val pairs = a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
+          .filter(Exact.dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.4)
+          .select(col("ida"), col("idb"))
+        val edges = pairs.select(col("ida").as("node"), col("idb").as("nbr"))
+          .unionAll(pairs.select(col("idb").as("node"), col("ida").as("nbr")))
+        val lbl = e.select(col("vec_id").as("node"))
+          .join(edges, Seq("node"), "left")
+          .groupBy("node")
+          .agg(min(col("nbr")).as("mn"))
+          .select(col("node"),
+            least(coalesce(col("mn"), col("node")), col("node")).as("lbl"))
+        lbl.agg(
+          sum(when(col("lbl") =!= col("node"), 1L).otherwise(0L)).as("n_moved"),
+          countDistinct(col("lbl")).as("n_labels"),
+          sum(col("lbl")).as("label_mass"))
+      },
+      Some(
+        s"""WITH n AS (SELECT vec_id, label, embedding,
+           |  sqrt(${Exact.squaredNormSql("embedding")}) AS nrm FROM embeddings),
+           |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+           |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+           |  WHERE ${Exact.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4),
+           |e AS (SELECT ida AS node, idb AS nbr FROM p
+           |  UNION ALL SELECT idb, ida FROM p),
+           |l AS (SELECT n.vec_id AS node,
+           |    least(coalesce(min(e.nbr), n.vec_id), n.vec_id) AS lbl
+           |  FROM n LEFT JOIN e ON n.vec_id = e.node GROUP BY n.vec_id)
+           |SELECT CAST(sum(CASE WHEN lbl <> node THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           |  count(DISTINCT lbl) AS n_labels, CAST(sum(lbl) AS BIGINT) AS label_mass
+           |FROM l""".stripMargin)),
+
+    GraftQuery(
       "q_dedup_minhash_quality",
       "MinHash estimator-quality audit — the dedup twin of q_ann_recall's " +
         "honesty gate: for every LSH candidate pair, the signature-agreement " +
