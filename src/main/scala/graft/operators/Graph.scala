@@ -509,22 +509,27 @@ object Graph {
         val l0 = deg.select(col("node"), col("node").as("lbl"))
         val l3 = lpRound(edges, lpRound(edges, lpRound(edges, l0)))
           .localCheckpoint(true)
-        val m2 = edges.count() // = 2m (both orientations stored)
-        val dC = deg.join(broadcast(l3), "node")
-          .groupBy("lbl").agg(sum(col("d")).as("dc"))
-        val wC = edges
+        // d_c (community degree mass) IS the src-labeled directed edge
+        // count, so one double-labeled join yields dc and wc together —
+        // no separate degree join — and 2m = Σ dc, so no driver-side
+        // edge count either; the 1-row total broadcasts back over the
+        // tiny community relation for the scaled numerator
+        val comm = edges
           .join(broadcast(l3.select(col("node").as("src"), col("lbl").as("lsrc"))), "src")
           .join(broadcast(l3.select(col("node").as("dst"), col("lbl").as("ldst"))), "dst")
-          .filter(col("lsrc") === col("ldst"))
-          .groupBy(col("lsrc").as("lbl")).agg(count(lit(1)).as("wc"))
-        dC.join(wC, Seq("lbl"), "left")
-          .select(col("lbl"), col("dc"), coalesce(col("wc"), lit(0L)).as("wc"))
+          .groupBy(col("lsrc").as("lbl"))
+          .agg(count(lit(1)).as("dc"),
+            sum(when(col("lsrc") === col("ldst"), 1L).otherwise(0L)).as("wc"))
+          .localCheckpoint(true) // community-sized; both consumers read it once
+        val tot = comm.agg(sum(col("dc")).as("m2"))
+        comm.crossJoin(broadcast(tot))
           .agg(
             count(lit(1)).as("n_comm"),
-            sum(lit(m2) * col("wc") - col("dc") * col("dc")).as("q_num"))
-          .select(col("n_comm"), lit(m2 / 2).as("m"), col("q_num"),
-            round(col("q_num").cast("double") / lit(m2.toDouble * m2.toDouble), 6)
-              .as("q"))
+            max(col("m2")).as("m2x"),
+            sum(col("m2") * col("wc") - col("dc") * col("dc")).as("q_num"))
+          .select(col("n_comm"), (col("m2x") / lit(2L)).cast("long").as("m"), col("q_num"),
+            round(col("q_num").cast("double") /
+              (col("m2x").cast("double") * col("m2x").cast("double")), 6).as("q"))
       },
       Some(
         """WITH base AS (
