@@ -635,6 +635,66 @@ object PipelineOps {
           |FROM orders, lo, hi GROUP BY lo.t, hi.t""".stripMargin)),
 
     GraftQuery(
+      "q_stats_ks",
+      "Two-sample Kolmogorov–Smirnov drift statistic between the English " +
+        "and non-English document-length distributions — the distribution-" +
+        "shift monitor a training-data pipeline runs between corpus " +
+        "snapshots: D = max |F1(v) − F2(v)| over observed lengths, plus " +
+        "the length where the gap peaks (earliest on ties). The ECDFs " +
+        "never materialize per-document: one hash agg collapses to the " +
+        "distinct-VALUE relation (bounded by the length domain, not the " +
+        "corpus), running counts come from two windows sharing one sort " +
+        "of that tiny relation, and the per-row |F1−F2| is a single IEEE " +
+        "division pair of exact BIGINT counts — cross-engine identical. " +
+        "The 1-row totals broadcast back; argmax via min(struct) on " +
+        "(−gap, value) — no second window, no subquery.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = table(s, dir, "documents")
+          .select((col("lang") === "en").as("g1"), col("n_chars"))
+        val byVal = d.groupBy("n_chars").agg(
+          sum(when(col("g1"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("g1"), 1L).otherwise(0L)).as("c2"))
+        val w = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = byVal
+          .withColumn("f1", sum(col("c1")).over(w))
+          .withColumn("f2", sum(col("c2")).over(w))
+        val tot = cum.agg(max(col("f1")).as("n1"), max(col("f2")).as("n2"))
+        cum.crossJoin(broadcast(tot))
+          .select(col("n_chars"),
+            abs(col("f1").cast("double") / col("n1").cast("double")
+              - col("f2").cast("double") / col("n2").cast("double")).as("gap"),
+            col("n1"), col("n2"))
+          .agg(
+            max(col("n1")).as("n1"),
+            max(col("n2")).as("n2"),
+            round(max(col("gap")), 6).as("ks_d"),
+            min(struct((-col("gap")).as("ng"), col("n_chars").as("v")))
+              .getField("v").as("at_len"))
+      },
+      Some(
+        """WITH d AS (SELECT lang = 'en' AS g1, n_chars FROM documents),
+          |v AS (SELECT n_chars,
+          |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          |    CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          |  FROM d GROUP BY n_chars),
+          |c AS (SELECT n_chars,
+          |    sum(c1) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS f1,
+          |    sum(c2) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS f2
+          |  FROM v),
+          |t AS (SELECT max(f1) AS n1, max(f2) AS n2 FROM c),
+          |g AS (SELECT n_chars,
+          |    abs(CAST(f1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+          |      - CAST(f2 AS DOUBLE) / CAST(t.n2 AS DOUBLE)) AS gap,
+          |    t.n1 AS n1, t.n2 AS n2
+          |  FROM c, t)
+          |SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+          |  round(max(gap), 6) AS ks_d,
+          |  CAST((min({'ng': -gap, 'v': n_chars})).v AS BIGINT) AS at_len
+          |FROM g""".stripMargin)),
+
+    GraftQuery(
       "q_sample_mixture",
       "Temperature-flattened mixture sampling across sources — the data-" +
         "mixing step that UP-weights small domains: each source's target " +

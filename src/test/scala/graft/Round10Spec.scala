@@ -279,6 +279,25 @@ class Round10Spec extends SparkSuite {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("ks drift: equals driver-side two-sample ECDF max gap") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select((col("lang") === "en"), col("n_chars"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val s1 = docs.filter(_._1).map(_._2).sorted
+    val s2 = docs.filterNot(_._1).map(_._2).sorted
+    val values = (s1 ++ s2).distinct.sorted
+    var best = (0.0, Long.MaxValue)
+    values.foreach { v =>
+      val gap = math.abs(
+        s1.count(_ <= v).toDouble / s1.length - s2.count(_ <= v).toDouble / s2.length)
+      if (gap > best._1 + 1e-12) best = (gap, v)
+    }
+    val r = run("q_stats_ks").collect().head
+    assert(r.getLong(0) == s1.length && r.getLong(1) == s2.length)
+    assert(math.abs(r.getDouble(2) - best._1) < 1e-6)
+    assert(r.getLong(3) == best._2)
+  }
+
   test("rolling distinct sweep-line: equals brute-force trailing-24h distinct") {
     val pairs = sessions.map { case (u, st) => (st / 3600000000L, u) }.distinct
     val hours = pairs.map(_._1).distinct
