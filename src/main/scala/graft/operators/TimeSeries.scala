@@ -740,9 +740,13 @@ object TimeSeries {
         // into the hourly max, which is both tie-order-dependent and wrong
         val net = rows.groupBy("t").agg(sum(col("d")).as("nd"))
           .withColumn("hr", expr("t div 3600000000"))
-        // pass 1: carry-in per hour from the tiny hour-relation window; the
-        // exchange under `net` is shared with pass 2 (ReuseExchange)
-        val hrNet = net.groupBy("hr").agg(sum(col("nd")).as("hnd"))
+        // pass 1: carry-in per hour — derived from the PRE-shuffle delta
+        // rows, not from `net`: hour sums don't need the per-instant
+        // grouping, partial aggregation collapses the slim rows map-side,
+        // and the expensive instant-keyed exchange then has exactly one
+        // consumer (no duplicated subtree for ReuseExchange to miss)
+        val hrNet = rows.select(expr("t div 3600000000").as("hr"), col("d"))
+          .groupBy("hr").agg(sum(col("d")).as("hnd"))
         val carry = hrNet.withColumn("carry",
           coalesce(sum(col("hnd")).over(
             Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
