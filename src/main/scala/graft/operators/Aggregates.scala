@@ -519,6 +519,40 @@ object Aggregates {
           |ORDER BY n_name, rk, c_custkey""".stripMargin)),
 
     GraftQuery(
+      "q_agg_mad",
+      "Median absolute deviation per order priority — the robust scale " +
+        "estimate (outlier-immune, unlike stddev): MAD = median(|x − " +
+        "median(x)|) in two exact-percentile passes. The group medians " +
+        "(Spark's exact percentile ≡ DuckDB's median on the same sorted " +
+        "doubles — parity established by q_agg_percentile) broadcast back " +
+        "over the fact rows for the deviation pass; two group-keyed " +
+        "exchanges total, deviations never leave their partitions before " +
+        "the second percentile's own exchange. Money stays 2-dp so every " +
+        "median is either a data value or the exact midpoint of two.",
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(col("o_orderpriority"), col("o_totalprice"))
+        val med = o.groupBy("o_orderpriority")
+          .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+        o.join(broadcast(med), "o_orderpriority")
+          .select(col("o_orderpriority"), abs(col("o_totalprice") - col("med")).as("dev"),
+            col("med"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            round(max(col("med")), 2).as("med"),
+            round(expr("percentile(dev, 0.5)"), 2).as("mad"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """WITH m AS (SELECT o_orderpriority, median(o_totalprice) AS med
+          |  FROM orders GROUP BY o_orderpriority)
+          |SELECT o.o_orderpriority, count(*) AS n,
+          |  round(max(m.med), 2) AS med,
+          |  round(median(abs(o.o_totalprice - m.med)), 2) AS mad
+          |FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+          |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)),
+
+    GraftQuery(
       "q_agg_regression",
       "Per-group OLS regression (the regr_slope/regr_intercept surface): " +
         "order value in integer cents regressed on order date in epoch " +

@@ -655,6 +655,64 @@ object TimeSeries {
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     GraftQuery(
+      "q_ts_autocorr",
+      "Lag-1 autocorrelation of the daily event-count series per type — " +
+        "the burstiness/trend diagnostic run before any forecasting: " +
+        "consecutive (x_t, x_{t+1}) pairs from one lead() over the tiny " +
+        "per-(type, day) count relation, then Pearson r from five exact " +
+        "BIGINT sufficient statistics with the closed form in doubles on " +
+        "the SAME expression tree both engines (the q_agg_regression " +
+        "discipline — native corr() folds floats in partition order). " +
+        "Two aggregations and one window, all over day-grain relations " +
+        "(≤ types × days rows regardless of corpus size); the corpus " +
+        "touches only the first count.",
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val pairs = daily
+          .withColumn("y", lead(col("x"), 1).over(w))
+          .filter(col("y").isNotNull)
+        def D(c: String) = col(c).cast(DoubleType)
+        val num = D("n") * D("sxy") - D("sx") * D("sy")
+        val den = sqrt(D("n") * D("sxx") - D("sx") * D("sx")) *
+          sqrt(D("n") * D("syy") - D("sy") * D("sy"))
+        pairs.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("event_type"), col("n"), round(num / den, 6).as("r1"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+          |    count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |p AS (SELECT event_type, x,
+          |    lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+          |  FROM daily),
+          |a AS (SELECT event_type, count(*) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x * y) AS BIGINT) AS sxy,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM p WHERE y IS NOT NULL GROUP BY event_type),
+          |d AS (SELECT event_type, n,
+          |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+          |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+          |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+          |  FROM a)
+          |SELECT event_type, n,
+          |  round((nd * sxyd - sxd * syd)
+          |    / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 6) AS r1
+          |FROM d ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
       "q_ts_interval_union",
       "Merged-interval coverage per user (the interval-union / utilization " +
         "problem): every event opens a 15-minute presence interval; " +

@@ -298,6 +298,41 @@ class Round10Spec extends SparkSuite {
     assert(r.getLong(3) == best._2)
   }
 
+  test("autocorr: r1 bounded in [-1, 1] and matches driver-side Pearson") {
+    val rows = run("q_ts_autocorr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val daily = Tables.table(spark, sf, "events")
+      .groupBy(col("event_type"),
+        floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (tpe, n, r1) =>
+      assert(r1 >= -1.0 - 1e-9 && r1 <= 1.0 + 1e-9)
+      val series = daily.filter(_._1 == tpe).sortBy(_._2).map(_._3.toDouble)
+      val pairs = series.zip(series.tail)
+      assert(pairs.length.toLong == n)
+      val (xs, ys) = pairs.unzip
+      val nn = pairs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = xs.map(v => v * v).sum; val syy = ys.map(v => v * v).sum
+      val want = (nn * sxy - sx * sy) /
+        (math.sqrt(nn * sxx - sx * sx) * math.sqrt(nn * syy - sy * sy))
+      assert(math.abs(r1 - want) < 1e-5, s"$tpe $r1 vs $want")
+    }
+  }
+
+  test("mad: robust scale is nonnegative and at most the max deviation") {
+    val rows = run("q_agg_mad").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, med, mad) =>
+      assert(n > 0 && med > 0 && mad >= 0)
+      assert(mad <= med) // deviations from the median can't out-median the median here
+    }
+  }
+
   test("rolling distinct sweep-line: equals brute-force trailing-24h distinct") {
     val pairs = sessions.map { case (u, st) => (st / 3600000000L, u) }.distinct
     val hours = pairs.map(_._1).distinct
