@@ -278,6 +278,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_source_time_partitioned prunes day directories statically") {
+    val p = plan("q_source_time_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(day"), p)
+    assert(p.contains(">= 2024-01-05"), p)
+  }
+
+  test("q_source_dpp injects a runtime dynamicpruning filter into the fact scan") {
+    val p = plan("q_source_dpp")
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_agg_multi_distinct: three distinct key spaces dedup via one Expand") {
     val p = plan("q_agg_multi_distinct")
     assert(p.contains("Expand"), p)
