@@ -45,6 +45,51 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.except(batch).isEmpty)
   }
 
+  test("checkpoint restart: two-phase ingest equals one-shot, exactly once") {
+    // THE operational claim of the ingest pipeline: kill a stream, add more
+    // data, restart with the SAME checkpoint — offsets and window state
+    // recover, nothing is reprocessed, nothing is lost. Input is split on
+    // time (first half / second half) so phase-2 data stays ahead of the
+    // recovered watermark, matching a live feed's monotonic arrival.
+    val in = Files.createTempDirectory("graft_restart_in").toString
+    val out = Files.createTempDirectory("graft_restart_out").toString
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    val ev = Tables.table(spark, sf, "events")
+    val midUs = ev.agg(
+      ((min(graft.Ts.epochMicros(col("ts"))) + max(graft.Ts.epochMicros(col("ts")))) / 2)
+        .cast("long")).head().getLong(0)
+    ev.filter(graft.Ts.epochMicros(col("ts")) <= midUs)
+      .write.mode("overwrite").parquet(in)
+    // phase 1: drain the first half, then the query terminates
+    EventStream.writeParquet(
+      EventStream.tumblingCounts(EventStream.readEvents(spark, in)), out, ckpt)
+      .awaitTermination()
+    val phase1Rows = spark.read.parquet(out).count()
+    // phase 2: append the rest, RESTART from the same checkpoint
+    ev.filter(graft.Ts.epochMicros(col("ts")) > midUs)
+      .write.mode("append").parquet(in)
+    EventStream.writeParquet(
+      EventStream.tumblingCounts(EventStream.readEvents(spark, in)), out, ckpt)
+      .awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select(col("window.start").as("w"), col("event_type"), col("n"), col("s"))
+    // exactly-once across the restart: no (window, type) appears twice
+    assert(streamed.groupBy("w", "event_type").count().filter(col("count") > 1).isEmpty)
+    assert(streamed.count() > phase1Rows, "restart emitted nothing new")
+    // and the union of both phases equals the one-shot batch aggregate on
+    // every window closed under the final watermark
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("s"))
+    val maxUs = ev.agg(max(graft.Ts.epochMicros(col("ts")))).head().getLong(0)
+    val horizonUs = maxUs - 4L * 3600 * 1000000L
+    val closedBatch = batch.filter(graft.Ts.epochMicros(col("w")) <= horizonUs)
+    val closedStream = streamed.filter(graft.Ts.epochMicros(col("w")) <= horizonUs)
+    assert(closedBatch.count() > 0)
+    assert(closedStream.except(closedBatch).isEmpty && closedBatch.except(closedStream).isEmpty)
+    assert(streamed.except(batch).isEmpty)
+  }
+
   test("streaming dedup drops re-delivered events") {
     val dupDir = Files.createTempDirectory("graft_stream_dup").toString
     val ev = Tables.table(spark, sf, "events").limit(100)
