@@ -71,6 +71,7 @@ object FormatSources {
     Seq("csv", "json", "orc", "avro", "xml").foreach(exportDir(s, dir, _))
     partitionedDir(s, dir)
     timePartitionedDir(s, dir)
+    compactedDir(s, dir)
     evolutionDir(s, dir)
     malformedDir(s, dir); ()
   }
@@ -134,6 +135,23 @@ object FormatSources {
         graft.Scratch.dir("graft_src_tpart"))
       Tables.table(s, dir, "events")
         .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      out
+    })
+
+  /** Retention + compaction pass over the day-partitioned archive: keep the
+    * last 15 days, rewrite each surviving day into ONE file (repartition on
+    * the partition column before the partitioned write). Write-once like
+    * every export — in production this is the nightly maintenance job
+    * (expire old partitions, defragment small ingest files); the gated
+    * query proves the rewrite lost and duplicated nothing. */
+  private[graft] def compactedDir(s: SparkSession, dir: String): String =
+    exports.computeIfAbsent((Tables.sessionId(s), dir, "compact"), _ => {
+      val out = graft.TempReaper.add(
+        graft.Scratch.dir("graft_src_compact"))
+      s.read.parquet(timePartitionedDir(s, dir))
+        .filter(col("day") >= lit("2024-01-16"))
+        .repartition(col("day"))
         .write.mode("overwrite").partitionBy("day").parquet(out)
       out
     })
@@ -228,6 +246,34 @@ object FormatSources {
           |FROM events
           |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
           |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_maintain_compact",
+      "Retention + compaction maintenance gated end-to-end: the archive's " +
+        "last 15 days survive a rewrite that defragments every day " +
+        "partition into one file (repartition on the partition column " +
+        "before the partitioned write — at 100 TB this is the nightly job " +
+        "that keeps file counts sane and scan setup O(days), and the " +
+        "retention filter is a directory-level delete, no data scan). The " +
+        "gate aggregates the COMPACTED archive and the oracle recomputes " +
+        "from raw events — any row lost, duplicated, or mis-partitioned " +
+        "by the rewrite breaks the hash. Per-day exact fingerprints plus " +
+        "the retained-day count.",
+      (s, dir) => {
+        val c = s.read.parquet(compactedDir(s, dir))
+        c.groupBy("day")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .orderBy("day")
+      },
+      Some(
+        """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+          |  count(DISTINCT user_id) AS n_users,
+          |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
+          |FROM events
+          |WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GraftQuery(
       "q_source_dpp",

@@ -333,6 +333,17 @@ class Round10Spec extends SparkSuite {
     }
   }
 
+  test("compaction: every surviving day partition holds exactly one data file") {
+    run("q_maintain_compact").collect() // force the write-once compaction
+    val root = new java.io.File(sources.FormatSources.compactedDir(spark, sf))
+    val dayDirs = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("day="))
+    assert(dayDirs.length == 15, s"expected 15 retained days, got ${dayDirs.length}")
+    dayDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName} has ${files.length} files")
+    }
+  }
+
   test("rolling distinct sweep-line: equals brute-force trailing-24h distinct") {
     val pairs = sessions.map { case (u, st) => (st / 3600000000L, u) }.distinct
     val hours = pairs.map(_._1).distinct
