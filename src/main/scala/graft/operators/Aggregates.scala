@@ -528,7 +528,10 @@ object Aggregates {
         "over the fact rows for the deviation pass; two group-keyed " +
         "exchanges total, deviations never leave their partitions before " +
         "the second percentile's own exchange. Money stays 2-dp so every " +
-        "median is either a data value or the exact midpoint of two.",
+        "median is either a data value or the exact midpoint of two. " +
+        "Exact percentile buffers a group's values (the q_agg_percentile " +
+        "caveat); at 100 TB swap both passes to approx_percentile under " +
+        "the established quality-bound gate.",
       (s, dir) => {
         val o = table(s, dir, "orders").select(col("o_orderpriority"), col("o_totalprice"))
         val med = o.groupBy("o_orderpriority")

@@ -29,6 +29,26 @@ object SortsSets {
           "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100")),
 
     GraftQuery(
+      "q_sort_offset",
+      "Keyset-free pagination: ORDER BY + LIMIT 25 OFFSET 50 over a fully " +
+        "tie-broken sort — page 3 of the price-ranked orders. Spark's " +
+        "offset() composes with limit into a single global-limit plan " +
+        "(collect 75, skip 50), so the page costs O(offset+limit), which " +
+        "is why deep pagination at 100 TB should switch to keyset " +
+        "(WHERE sort_key > last_seen) — this gates the surface AND " +
+        "documents its scale cliff. Deterministic only because the sort " +
+        "key is total: price ties broken by the unique key.",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .offset(50)
+          .limit(25)
+          .select("o_orderkey", "o_totalprice"),
+      Some(
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25 OFFSET 50")),
+
+    GraftQuery(
       "q_topk_global",
       "Global top-10 by price.",
       (s, dir) =>
