@@ -240,6 +240,60 @@ object TextAnalysis {
           |ORDER BY boiler_ratio DESC, doc_id LIMIT 20""".stripMargin)),
 
     GraftQuery(
+      "q_text_zipf",
+      "Zipf slope of the corpus vocabulary — the healthy-corpus " +
+        "diagnostic (natural text slopes ≈ −1; synthetic or boilerplate-" +
+        "heavy corpora flatten): OLS slope of ln(freq) on ln(rank) over " +
+        "the top-20 terms (frequency desc, term tie-break; the fixture " +
+        "vocabulary is ~31 terms). The float " +
+        "sufficient statistics are made DETERMINISTIC by construction: " +
+        "all four running sums accumulate in ONE ordered window over the " +
+        "20-row rank relation — a fixed summation order on both engines, " +
+        "unlike a hash aggregate's partition-order float folds — and the " +
+        "slope is read off the last rank's row. Corpus term counts come " +
+        "from the codegen'd TokenCounts pre-reduction (single tokenize, " +
+        "one (w)-keyed exchange); everything after the top-k cut is " +
+        "constant-size work.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cf = Tables.spread(s, table(s, dir, "documents"))
+          .select(explode(VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
+          .groupBy(col("kv.w").as("w")).agg(sum(col("kv.c")).as("cf"))
+        val ranked = cf.orderBy(col("cf").desc, col("w")).limit(20)
+          .withColumn("rk",
+            row_number().over(Window.orderBy(col("cf").desc, col("w"))).cast("long"))
+          .select(col("rk"), log(col("rk").cast("double")).as("x"),
+            log(col("cf").cast("double")).as("y"))
+        val w100 = Window.orderBy("rk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranked
+          .withColumn("sx", sum(col("x")).over(w100))
+          .withColumn("sy", sum(col("y")).over(w100))
+          .withColumn("sxy", sum(col("x") * col("y")).over(w100))
+          .withColumn("sxx", sum(col("x") * col("x")).over(w100))
+          .filter(col("rk") === 20L)
+          .select(col("rk").as("n_terms"),
+            round((lit(20d) * col("sxy") - col("sx") * col("sy"))
+              / (lit(20d) * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+      },
+      Some(
+        """WITH tf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM (
+          |    SELECT unnest(string_split(text,' ')) AS w FROM documents)
+          |  GROUP BY w),
+          |top AS (SELECT w, cf FROM tf ORDER BY cf DESC, w LIMIT 20),
+          |r AS (SELECT CAST(row_number() OVER (ORDER BY cf DESC, w) AS BIGINT) AS rk,
+          |    ln(CAST(row_number() OVER (ORDER BY cf DESC, w) AS DOUBLE)) AS x,
+          |    ln(CAST(cf AS DOUBLE)) AS y
+          |  FROM top),
+          |c AS (SELECT rk,
+          |    sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+          |    sum(x * y) OVER win AS sxy, sum(x * x) OVER win AS sxx
+          |  FROM r WINDOW win AS (ORDER BY rk ROWS UNBOUNDED PRECEDING))
+          |SELECT rk AS n_terms,
+          |  round((20.0 * sxy - sx * sy) / (20.0 * sxx - sx * sx), 6) AS zipf_slope
+          |FROM c WHERE rk = 20""".stripMargin)),
+
+    GraftQuery(
       "q_text_novelty",
       "Corpus-order novelty curve — the curriculum/dedup monitor: a doc's " +
         "novelty is the fraction of its distinct 5-gram shingles whose " +

@@ -556,6 +556,51 @@ object Aggregates {
           |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)),
 
     GraftQuery(
+      "q_agg_gini",
+      "Gini coefficient of order value per priority — the inequality " +
+        "metric data-curation uses on token/doc mass distributions: " +
+        "G = (2·Σ i·x_(i)) / (n·Σx) − (n+1)/n over the ascending-sorted " +
+        "values. Rank-weighted sums stay EXACT BIGINT (integer cents × " +
+        "dense in-group row_number; ≈ n²·x̄ per group — shard to DECIMAL " +
+        "past ~3e18 cent-rank mass), so the only floats are the final " +
+        "two divisions on identical operands. One keyed window for the " +
+        "ranks (the standard per-group sort) + one hash agg.",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("cents"), col("o_orderkey"))
+        table(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"))
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+            sum(col("rk") * col("cents")).as("sixi"))
+          .select(col("o_orderpriority"), col("n"),
+            round(
+              (lit(2d) * col("sixi").cast(DoubleType))
+                / (col("n").cast(DoubleType) * col("sx").cast(DoubleType))
+                - (col("n") + lit(1L)).cast(DoubleType) / col("n").cast(DoubleType),
+              6).as("gini"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """WITH c AS (SELECT o_orderpriority, o_orderkey,
+          |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM orders),
+          |r AS (SELECT o_orderpriority, cents,
+          |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+          |      ORDER BY cents, o_orderkey) AS BIGINT) AS rk
+          |  FROM c),
+          |a AS (SELECT o_orderpriority, count(*) AS n,
+          |    CAST(sum(cents) AS BIGINT) AS sx,
+          |    CAST(sum(rk * cents) AS BIGINT) AS sixi
+          |  FROM r GROUP BY o_orderpriority)
+          |SELECT o_orderpriority, n,
+          |  round(2.0 * CAST(sixi AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+          |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+          |FROM a ORDER BY o_orderpriority""".stripMargin)),
+
+    GraftQuery(
       "q_agg_regression",
       "Per-group OLS regression (the regr_slope/regr_intercept surface): " +
         "order value in integer cents regressed on order date in epoch " +

@@ -344,6 +344,42 @@ class Round10Spec extends SparkSuite {
     }
   }
 
+  test("gini: bounded in [0,1), zero only under perfect equality, matches replay") {
+    val rows = run("q_agg_gini").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val data = Tables.table(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (grp, n, gini) =>
+      assert(gini >= 0.0 && gini < 1.0)
+      val xs = data.filter(_._1 == grp).sortBy(t => (t._3, t._2)).map(_._3)
+      assert(xs.length.toLong == n)
+      val sixi = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+      val want = 2.0 * sixi / (n.toDouble * xs.sum.toDouble) - (n + 1).toDouble / n
+      assert(math.abs(gini - want) < 1e-6, s"$grp $gini vs $want")
+    }
+  }
+
+  test("zipf: slope is negative (frequencies decay) and finite") {
+    val r = run("q_text_zipf").collect().head
+    assert(r.getLong(0) == 20L)
+    val slope = r.getDouble(1)
+    assert(!slope.isNaN && !slope.isInfinite)
+    assert(slope < 0.0, s"rank-frequency slope should decay, got $slope")
+  }
+
+  test("offset pagination: page 3 equals rows 51-75 of the full sort") {
+    val page = run("q_sort_offset").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Tables.table(spark, sf, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(75).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Double]("o_totalprice")))
+      .drop(50).toSeq
+    assert(page == full)
+  }
+
   test("rolling distinct sweep-line: equals brute-force trailing-24h distinct") {
     val pairs = sessions.map { case (u, st) => (st / 3600000000L, u) }.distinct
     val hours = pairs.map(_._1).distinct
