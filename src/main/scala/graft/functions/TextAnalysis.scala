@@ -294,6 +294,54 @@ object TextAnalysis {
           |FROM c WHERE rk = 20""".stripMargin)),
 
     GraftQuery(
+      "q_text_entropy",
+      "Shannon entropy of the corpus token distribution, per language — " +
+        "the diversity score next to q_text_zipf's decay slope (a corpus " +
+        "collapsing onto few tokens scores low; uniform scores ln V): " +
+        "H = −Σ p ln p over each language's term distribution, plus the " +
+        "ln(V)-normalized efficiency. Same determinism device as zipf: " +
+        "the per-term float contributions accumulate in ONE ordered " +
+        "window over the (lang, term) relation (vocabulary-bounded — ~31 " +
+        "terms/lang here), so the summation order is identical on both " +
+        "engines; term counts are exact BIGINTs from the TokenCounts " +
+        "pre-reduction.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cf = Tables.spread(s, table(s, dir, "documents"))
+          .select(col("lang"), explode(VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
+          .groupBy(col("lang"), col("kv.w").as("w")).agg(sum(col("kv.c")).as("c"))
+        val tot = Window.partitionBy("lang")
+        val ord = Window.partitionBy("lang").orderBy("w")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val p = col("c").cast("double") / col("n").cast("double")
+        cf.withColumn("n", sum(col("c")).over(tot))
+          .withColumn("v", count(lit(1)).over(tot))
+          .withColumn("h_cum", sum(-p * log(p)).over(ord))
+          .withColumn("rk", row_number().over(Window.partitionBy("lang").orderBy("w")))
+          .filter(col("rk") === col("v"))
+          .select(col("lang"), col("v").as("vocab"),
+            round(col("h_cum"), 6).as("entropy"),
+            round(col("h_cum") / log(col("v").cast("double")), 6).as("efficiency"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH tf AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM (
+          |    SELECT lang, unnest(string_split(text,' ')) AS w FROM documents)
+          |  GROUP BY lang, w),
+          |m AS (SELECT lang, w, c,
+          |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n,
+          |    count(*) OVER (PARTITION BY lang) AS v,
+          |    row_number() OVER (PARTITION BY lang ORDER BY w) AS rk
+          |  FROM tf),
+          |h AS (SELECT lang, v, rk,
+          |    sum(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+          |      OVER (PARTITION BY lang ORDER BY w ROWS UNBOUNDED PRECEDING) AS h_cum
+          |  FROM m)
+          |SELECT lang, CAST(v AS BIGINT) AS vocab, round(h_cum, 6) AS entropy,
+          |  round(h_cum / ln(CAST(v AS DOUBLE)), 6) AS efficiency
+          |FROM h WHERE rk = v ORDER BY lang""".stripMargin)),
+
+    GraftQuery(
       "q_text_novelty",
       "Corpus-order novelty curve — the curriculum/dedup monitor: a doc's " +
         "novelty is the fraction of its distinct 5-gram shingles whose " +

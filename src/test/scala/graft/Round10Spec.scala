@@ -380,6 +380,18 @@ class Round10Spec extends SparkSuite {
     assert(page == full)
   }
 
+  test("entropy: bounded by ln(vocab), efficiency in (0,1]") {
+    val rows = run("q_text_entropy").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, v, h, eff) =>
+      assert(v > 0 && h >= 0.0)
+      assert(h <= math.log(v.toDouble) + 1e-9)
+      assert(eff > 0.0 && eff <= 1.0 + 1e-9)
+      assert(math.abs(eff - h / math.log(v.toDouble)) < 1e-5)
+    }
+  }
+
   test("rolling distinct sweep-line: equals brute-force trailing-24h distinct") {
     val pairs = sessions.map { case (u, st) => (st / 3600000000L, u) }.distinct
     val hours = pairs.map(_._1).distinct
