@@ -342,6 +342,71 @@ object TextAnalysis {
           |FROM h WHERE rk = v ORDER BY lang""".stripMargin)),
 
     GraftQuery(
+      "q_text_js_divergence",
+      "Jensen–Shannon divergence between the English and non-English " +
+        "token distributions — the CONTENT-drift monitor next to " +
+        "q_stats_ks's length-drift (JS is symmetric, bounded by ln 2, and " +
+        "defined even where one side has zero mass — the KL failure " +
+        "mode): JSD = ½Σ p ln(p/m) + ½Σ q ln(q/m), m = (p+q)/2. One " +
+        "conditional-sum aggregation collapses the corpus to the " +
+        "vocabulary relation (term, c1, c2); the 1-row totals broadcast " +
+        "back; the float contributions accumulate in ONE ordered window " +
+        "over the vocabulary (the zipf/entropy determinism device) and " +
+        "the answer reads off the last term's row, normalized to [0,1] " +
+        "by ln 2.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.spread(s, table(s, dir, "documents"))
+          .select((col("lang") === "en").as("g"),
+            explode(VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
+          .groupBy(col("kv.w").as("w"))
+          .agg(sum(when(col("g"), col("kv.c")).otherwise(0L)).as("c1"),
+            sum(when(!col("g"), col("kv.c")).otherwise(0L)).as("c2"))
+        val tot = t.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+          count(lit(1)).as("v"))
+        val p = col("c1").cast("double") / col("n1").cast("double")
+        val q = col("c2").cast("double") / col("n2").cast("double")
+        val m = (p + q) / lit(2d)
+        val contrib =
+          (when(col("c1") > 0L, p * log(p / m)).otherwise(lit(0d)) +
+            when(col("c2") > 0L, q * log(q / m)).otherwise(lit(0d))) / lit(2d)
+        val ord = Window.orderBy("w")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.crossJoin(broadcast(tot))
+          .withColumn("jsd_cum", sum(contrib).over(ord))
+          .withColumn("rk", row_number().over(Window.orderBy("w")))
+          .filter(col("rk") === col("v"))
+          .select(col("v").as("vocab"), round(col("jsd_cum"), 6).as("jsd"),
+            round(col("jsd_cum") / lit(math.log(2d)), 6).as("jsd_norm"))
+      },
+      Some(
+        """WITH t AS (SELECT w,
+          |    CAST(sum(CASE WHEN g THEN c ELSE 0 END) AS BIGINT) AS c1,
+          |    CAST(sum(CASE WHEN NOT g THEN c ELSE 0 END) AS BIGINT) AS c2
+          |  FROM (SELECT lang = 'en' AS g, w, count(*) AS c FROM (
+          |      SELECT lang, unnest(string_split(text,' ')) AS w FROM documents)
+          |    GROUP BY 1, 2)
+          |  GROUP BY w),
+          |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+          |    CAST(sum(c2) AS BIGINT) AS n2, count(*) AS v FROM t),
+          |c AS (SELECT w, v,
+          |    row_number() OVER (ORDER BY w) AS rk,
+          |    sum(
+          |      (CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE)/n1)
+          |         * ln((CAST(c1 AS DOUBLE)/n1)
+          |               / ((CAST(c1 AS DOUBLE)/n1 + CAST(c2 AS DOUBLE)/n2) / 2))
+          |        ELSE 0 END
+          |       + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE)/n2)
+          |         * ln((CAST(c2 AS DOUBLE)/n2)
+          |               / ((CAST(c1 AS DOUBLE)/n1 + CAST(c2 AS DOUBLE)/n2) / 2))
+          |        ELSE 0 END) / 2)
+          |      OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) AS jsd_cum
+          |  FROM t, tot)
+          |SELECT CAST(v AS BIGINT) AS vocab, round(jsd_cum, 6) AS jsd,
+          |  round(jsd_cum / ln(2.0), 6) AS jsd_norm
+          |FROM c WHERE rk = v""".stripMargin)),
+
+    GraftQuery(
       "q_text_novelty",
       "Corpus-order novelty curve — the curriculum/dedup monitor: a doc's " +
         "novelty is the fraction of its distinct 5-gram shingles whose " +

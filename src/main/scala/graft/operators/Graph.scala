@@ -489,6 +489,56 @@ object Graph {
           |ORDER BY rnd""".stripMargin)),
 
     GraftQuery(
+      "q_graph_assortativity",
+      "Degree assortativity of the order graph — does high-degree connect " +
+        "to high-degree? (Positive: social-style core; negative: hub-and-" +
+        "spoke, which is what a customer–supplier bipartite graph should " +
+        "show.) Pearson correlation of (src degree, dst degree) over every " +
+        "directed edge, from five exact BIGINT sufficient statistics with " +
+        "the closed form in doubles on the same expression tree both " +
+        "engines (the q_agg_regression discipline). Degrees join in from " +
+        "the write-once degree relation as node-sized broadcasts; one " +
+        "aggregation over slim (d_src, d_dst) pairs. BIGINT bound: " +
+        "Σ d_src·d_dst ≤ edges·maxdeg² — shard to DECIMAL past ~1e18.",
+      (s, dir) => {
+        val (edges, deg) = orderGraph(s, dir)
+        val e2 = edges.select(col("src"), col("dst"), col("sd").as("dx"))
+          .join(broadcast(deg.select(col("node").as("dst"), col("d").as("dy"))), "dst")
+        def D(c: String) = col(c).cast("double")
+        val num = D("n") * D("sxy") - D("sx") * D("sy")
+        val den = sqrt(D("n") * D("sxx") - D("sx") * D("sx")) *
+          sqrt(D("n") * D("syy") - D("sy") * D("sy"))
+        e2.agg(
+            count(lit(1)).as("n"),
+            sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+            sum(col("dx") * col("dy")).as("sxy"),
+            sum(col("dx") * col("dx")).as("sxx"),
+            sum(col("dy") * col("dy")).as("syy"))
+          .select(col("n"), round(num / den, 6).as("assortativity"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+          |deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+          |p AS (SELECT dx.d AS x, dy.d AS y FROM edges e
+          |  JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node),
+          |a AS (SELECT count(*) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x * y) AS BIGINT) AS sxy,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM p),
+          |d AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+          |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+          |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+          |  FROM a)
+          |SELECT n, round((nd * sxyd - sxd * syd)
+          |  / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 6)
+          |  AS assortativity
+          |FROM d""".stripMargin)),
+
+    GraftQuery(
       "q_graph_modularity",
       "Newman modularity of the 3-round min-label communities — the " +
         "quality score that closes the community-detection loop (label_prop " +

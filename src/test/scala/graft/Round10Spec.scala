@@ -392,6 +392,22 @@ class Round10Spec extends SparkSuite {
     }
   }
 
+  test("assortativity: bounded in [-1,1] and negative on the bipartite order graph") {
+    val r = run("q_graph_assortativity").collect().head
+    val a = r.getDouble(1)
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9)
+    assert(r.getLong(0) > 0)
+  }
+
+  test("js divergence: bounded by ln 2, norm in [0,1], zero iff identical") {
+    val r = run("q_text_js_divergence").collect().head
+    val (v, jsd, norm) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(v > 0)
+    assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-9)
+    assert(norm >= 0.0 && norm <= 1.0 + 1e-9)
+    assert(math.abs(norm - jsd / math.log(2.0)) < 1e-5)
+  }
+
   test("rolling distinct sweep-line: equals brute-force trailing-24h distinct") {
     val pairs = sessions.map { case (u, st) => (st / 3600000000L, u) }.distinct
     val hours = pairs.map(_._1).distinct
