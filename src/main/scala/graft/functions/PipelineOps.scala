@@ -786,6 +786,129 @@ object PipelineOps {
           |  row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk FROM t)
           |SELECT (rk - 1) % 8 AS shard, count(*) AS n_docs,
           |  CAST(sum(n_tok) AS BIGINT) AS tok_sum, max(n_tok) AS max_tok
-          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_chi2",
+      "Chi-square independence test of event type × day-of-week, with " +
+        "Cramér's V — the CATEGORICAL-drift monitor completing the panel " +
+        "(q_stats_ks: numeric lengths, q_text_js_divergence: content): " +
+        "does traffic composition depend on weekday? The corpus " +
+        "collapses to the R×C observed-cell relation in one hash agg; " +
+        "margins come from two keyed aggs of that 35-row relation (never " +
+        "the corpus), and the ZERO cells the contingency algebra needs " +
+        "are restored by the margins' cross join — a missing cell still " +
+        "contributes o=0 against e=rt·ct/N. Day-of-week is arithmetic on " +
+        "epoch days ((d+3) mod 7 — the q_ts_calendar device, immune to " +
+        "engine dayofweek numbering/locale); expected counts and " +
+        "(o−e)²/e run the SAME double tree on both engines over exact " +
+        "BIGINT margins; the cell contributions accumulate in ONE " +
+        "ordered window over the grid (the zipf float-determinism " +
+        "device). dof and V read off the same margin counts.",
+      (s, dir) => {
+        import org.apache.spark.sql.{Column}
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        val cells = table(s, dir, "events")
+          .select(col("event_type"),
+            pmod(floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              + lit(3L), lit(7L)).as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+        val rm = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+        val cm = cells.groupBy("dow").agg(sum(col("o")).as("ct"))
+        val tot = rm.agg(sum(col("rt")).as("n"), count(lit(1)).as("nr"))
+          .crossJoin(cm.agg(count(lit(1)).as("nc")))
+        def D(c: Column) = c.cast(DoubleType)
+        val e = D(col("rt")) * D(col("ct")) / D(col("n"))
+        val contrib = (D(col("o")) - e) * (D(col("o")) - e) / e
+        val ord = Window.orderBy("event_type", "dow")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rm.crossJoin(broadcast(cm))
+          .join(cells, Seq("event_type", "dow"), "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("chi_cum", sum(contrib).over(ord))
+          .withColumn("rk",
+            row_number().over(Window.orderBy("event_type", "dow")).cast(LongType))
+          .filter(col("rk") === col("nr") * col("nc"))
+          .select(col("n"),
+            ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+            round(col("chi_cum"), 6).as("chi2"),
+            round(sqrt(col("chi_cum") /
+              (D(col("n")) * D(least(col("nr"), col("nc")) - lit(1L)))), 6)
+              .as("cramers_v"))
+      },
+      Some(
+        """WITH ev AS (SELECT event_type,
+          |    (CAST(floor(epoch(ts) / 86400.0) AS BIGINT) + 3) % 7 AS dow
+          |  FROM events),
+          |cells AS (SELECT event_type, dow, count(*) AS o FROM ev GROUP BY 1, 2),
+          |rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+          |  FROM cells GROUP BY 1),
+          |cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+          |t AS (SELECT (SELECT CAST(sum(rt) AS BIGINT) FROM rm) AS n,
+          |    (SELECT count(*) FROM rm) AS nr, (SELECT count(*) FROM cm) AS nc),
+          |g AS (SELECT rm.event_type, cm.dow, rm.rt, cm.ct,
+          |    COALESCE(cells.o, 0) AS o
+          |  FROM rm CROSS JOIN cm LEFT JOIN cells
+          |    ON cells.event_type = rm.event_type AND cells.dow = cm.dow),
+          |k AS (SELECT t.n, t.nr, t.nc,
+          |    sum((CAST(o AS DOUBLE)
+          |          - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+          |        * (CAST(o AS DOUBLE)
+          |          - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+          |        / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(t.n AS DOUBLE)))
+          |      OVER (ORDER BY event_type, dow ROWS UNBOUNDED PRECEDING) AS chi_cum,
+          |    row_number() OVER (ORDER BY event_type, dow) AS rk
+          |  FROM g, t)
+          |SELECT n, (nr - 1) * (nc - 1) AS dof, round(chi_cum, 6) AS chi2,
+          |  round(sqrt(chi_cum
+          |    / (CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE))), 6)
+          |    AS cramers_v
+          |FROM k WHERE rk = nr * nc""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_benford",
+      "Benford first-digit audit of order values — the fraud/synthetic-" +
+        "data smell test a pipeline runs on money and count columns: " +
+        "observed share of each leading cent digit vs the Benford " +
+        "expectation log10(1+1/d), with the signed deviation. The first " +
+        "digit comes from the decimal STRING of exact integer cents " +
+        "(both engines print a BIGINT identically — no float log10/" +
+        "power-of-ten arithmetic anywhere near the bucketing); counts " +
+        "are one 9-bucket hash agg, the 1-row total broadcasts back, " +
+        "and share/expectation are single IEEE divisions and one ln " +
+        "pair per digit on identical operands — no float accumulation " +
+        "at all, so no ordering device is even needed.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+        val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+        val dd = col("digit").cast(DoubleType)
+        val d = table(s, dir, "orders")
+          .select(substring(cents.cast(StringType), 1, 1).cast(LongType).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val t = d.agg(sum(col("n")).as("tot"))
+        d.crossJoin(broadcast(t))
+          .select(col("digit"), col("n"),
+            round(col("n").cast(DoubleType) / col("tot").cast(DoubleType), 6)
+              .as("share"),
+            round(log((dd + lit(1d)) / dd) / log(lit(10d)), 6).as("benford"),
+            round(col("n").cast(DoubleType) / col("tot").cast(DoubleType)
+              - log((dd + lit(1d)) / dd) / log(lit(10d)), 6).as("dev"))
+          .orderBy("digit")
+      },
+      Some(
+        """WITH s AS (SELECT CAST(substr(CAST(
+          |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+          |      1, 1) AS BIGINT) AS digit FROM orders),
+          |d AS (SELECT digit, count(*) AS n FROM s GROUP BY 1),
+          |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d)
+          |SELECT digit, n,
+          |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+          |  round(ln((CAST(digit AS DOUBLE) + 1.0) / CAST(digit AS DOUBLE))
+          |    / ln(10.0), 6) AS benford,
+          |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+          |    - ln((CAST(digit AS DOUBLE) + 1.0) / CAST(digit AS DOUBLE))
+          |    / ln(10.0), 6) AS dev
+          |FROM d, t ORDER BY digit""".stripMargin))
   )
 }

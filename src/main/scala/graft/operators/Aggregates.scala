@@ -656,6 +656,77 @@ object Aggregates {
           |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
           |  round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)
           |    / nd, 4) AS intercept
-          |FROM d ORDER BY o_orderpriority""".stripMargin))
+          |FROM d ORDER BY o_orderpriority""".stripMargin)),
+
+    GraftQuery(
+      "q_agg_moments",
+      "Skewness and excess kurtosis of order value per priority — the " +
+        "higher-moment surface next to stddev/MAD/Gini, the shape " +
+        "diagnostic curation runs on token/doc-mass distributions. The " +
+        "four power sums (Σy…Σy⁴ in integer cents) accumulate EXACTLY — " +
+        "LONG for the linear sum, DECIMAL(38,0) for the higher powers " +
+        "(Σy⁴ reaches ~1e35 at sf0.1, far past BIGINT; DuckDB mirrors in " +
+        "HUGEINT) — so the statistics are associative and partition-" +
+        "order-free where engine-native skewness()/kurtosis() fold " +
+        "floats in stream order. The closed-form raw-moment arithmetic " +
+        "runs in double with the SAME expression tree on both engines " +
+        "(correctly-rounded big-integer→double casts of identical exact " +
+        "sums; m2^1.5 spelled m2·sqrt(m2) because sqrt IS correctly " +
+        "rounded where pow is not — the q_sample_mixture discipline). " +
+        "One map-side-combined hash agg; the cent⁴ mass nears the " +
+        "38-digit cap around 1e9 rows/group — past that, pre-aggregate " +
+        "per salted sub-shard and merge the sums as two 19-digit limbs.",
+      (s, dir) => {
+        val dec = DecimalType(38, 0)
+        val y = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+        val yD = col("y").cast(dec)
+        def D(c: String) = col(c).cast(DoubleType)
+        val mean = D("sy") / D("n")
+        val m2 = D("sy2") / D("n") - mean * mean
+        val m3 = D("sy3") / D("n") - lit(3d) * mean * (D("sy2") / D("n")) +
+          lit(2d) * mean * mean * mean
+        val m4 = D("sy4") / D("n") - lit(4d) * mean * (D("sy3") / D("n")) +
+          lit(6d) * mean * mean * (D("sy2") / D("n")) -
+          lit(3d) * mean * mean * mean * mean
+        table(s, dir, "orders")
+          .select(col("o_orderpriority"), y.as("y"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("y")).as("sy"),
+            sum(yD * yD).as("sy2"),
+            sum(yD * yD * yD).as("sy3"),
+            sum(yD * yD * yD * yD).as("sy4"))
+          .select(col("o_orderpriority"), col("n"),
+            round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+            round(m4 / (m2 * m2) - lit(3d), 6).as("kurtosis"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """WITH s AS (SELECT o_orderpriority,
+          |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y FROM orders),
+          |a AS (SELECT o_orderpriority, count(*) AS n,
+          |    CAST(sum(y) AS BIGINT) AS sy,
+          |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sy2,
+          |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sy3,
+          |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT) * CAST(y AS HUGEINT)
+          |      * CAST(y AS HUGEINT)) AS sy4
+          |  FROM s GROUP BY o_orderpriority),
+          |d AS (SELECT o_orderpriority, n,
+          |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+          |    CAST(sy2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+          |    CAST(sy3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+          |    CAST(sy4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+          |  FROM a),
+          |m AS (SELECT o_orderpriority, n,
+          |    r2 - mean * mean AS m2,
+          |    r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+          |    r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+          |      - 3.0 * mean * mean * mean * mean AS m4
+          |  FROM d)
+          |SELECT o_orderpriority, n,
+          |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+          |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+          |FROM m ORDER BY o_orderpriority""".stripMargin))
   )
 }
