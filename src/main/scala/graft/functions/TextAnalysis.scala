@@ -446,6 +446,85 @@ object TextAnalysis {
           |  FROM sh JOIN f ON sh.g = f.g GROUP BY sh.doc_id)
           |SELECT doc_id, n_sh, n_novel,
           |  round(CAST(n_novel AS DOUBLE) / CAST(n_sh AS DOUBLE), 6) AS novelty
-          |FROM p ORDER BY novelty, doc_id LIMIT 20""".stripMargin))
+          |FROM p ORDER BY novelty, doc_id LIMIT 20""".stripMargin)),
+
+    GraftQuery(
+      "q_text_heaps",
+      "Heaps'-law vocabulary growth: OLS slope of ln(cumulative vocab) " +
+        "on ln(cumulative tokens) in corpus (doc_id) order — the " +
+        "saturation diagnostic next to q_text_zipf's decay slope " +
+        "(natural corpora grow V ≈ K·nᵝ with β ≈ 0.4–0.6; a saturated " +
+        "or templated corpus flattens toward 0, as this ~31-term " +
+        "fixture does). Per-token first occurrence is ONE min(doc_id) " +
+        "keyed agg (vocabulary-bounded, the q_text_novelty device), " +
+        "new-vocab counts land back on the doc-grain relation, and " +
+        "BOTH cumulative layers — the count prefix sums and the four " +
+        "float OLS sufficient sums over their logs — run in ordered " +
+        "windows sharing ONE doc_id sort (the zipf determinism device: " +
+        "fixed float summation order on both engines). Everything " +
+        "after the token agg is doc-grain; the corpus is touched once.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        val docs = Tables.spread(s, table(s, dir, "documents"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val perDoc = docs.select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("ntok"))
+        val firstNew = docs
+          .select(col("doc_id"), explode(col("toks")).as("w"))
+          .groupBy("w").agg(min(col("doc_id")).as("fd"))
+          .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("vnew"))
+        val ord = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def D(c: String) = col(c).cast(DoubleType)
+        val slope = (D("nd") * col("sxy") - col("sx") * col("sy")) /
+          (D("nd") * col("sxx") - col("sx") * col("sx"))
+        val base = perDoc.join(firstNew, Seq("doc_id"), "left")
+          .withColumn("vnew", coalesce(col("vnew"), lit(0L)))
+        base
+          .withColumn("ct", sum(col("ntok")).over(ord))
+          .withColumn("cv", sum(col("vnew")).over(ord))
+          .withColumn("x", log(col("ct").cast(DoubleType)))
+          .withColumn("y", log(col("cv").cast(DoubleType)))
+          .withColumn("rk",
+            row_number().over(Window.orderBy("doc_id")).cast(LongType))
+          .withColumn("sx", sum(col("x")).over(ord))
+          .withColumn("sy", sum(col("y")).over(ord))
+          .withColumn("sxy", sum(col("x") * col("y")).over(ord))
+          .withColumn("sxx", sum(col("x") * col("x")).over(ord))
+          .crossJoin(broadcast(base.agg(count(lit(1)).as("nd"))))
+          .filter(col("rk") === col("nd"))
+          .select(col("rk").as("n_docs"), col("cv").as("vocab"),
+            col("ct").as("tokens"),
+            round(slope, 6).as("heaps_beta"),
+            round((col("sy") - slope * col("sx")) / D("nd"), 6).as("heaps_b0"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+          |pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok FROM d),
+          |fw AS (SELECT w, min(doc_id) AS fd FROM (
+          |    SELECT doc_id, unnest(toks) AS w FROM d) GROUP BY w),
+          |nv AS (SELECT fd AS doc_id, count(*) AS vnew FROM fw GROUP BY fd),
+          |b AS (SELECT pd.doc_id, ntok, COALESCE(vnew, 0) AS vnew
+          |  FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id),
+          |c AS (SELECT doc_id,
+          |    sum(ntok) OVER win AS ct, sum(vnew) OVER win AS cv,
+          |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rk
+          |  FROM b WINDOW win AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)),
+          |xy AS (SELECT rk, ct, cv,
+          |    ln(CAST(ct AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y FROM c),
+          |r AS (SELECT rk, ct, cv,
+          |    sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+          |    sum(x * y) OVER win AS sxy, sum(x * x) OVER win AS sxx
+          |  FROM xy WINDOW win AS (ORDER BY rk ROWS UNBOUNDED PRECEDING)),
+          |t AS (SELECT count(*) AS nd FROM b)
+          |SELECT rk AS n_docs, CAST(cv AS BIGINT) AS vocab,
+          |  CAST(ct AS BIGINT) AS tokens,
+          |  round((CAST(nd AS DOUBLE) * sxy - sx * sy)
+          |    / (CAST(nd AS DOUBLE) * sxx - sx * sx), 6) AS heaps_beta,
+          |  round((sy - ((CAST(nd AS DOUBLE) * sxy - sx * sy)
+          |    / (CAST(nd AS DOUBLE) * sxx - sx * sx)) * sx)
+          |    / CAST(nd AS DOUBLE), 6) AS heaps_b0
+          |FROM r, t WHERE rk = nd""".stripMargin))
   )
 }

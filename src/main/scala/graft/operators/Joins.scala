@@ -596,6 +596,60 @@ object Joins {
           |SELECT p.event_id, lc.f AS last_click_cents, lv.f AS last_view_cents
           |FROM p LEFT JOIN lc ON p.event_id = lc.event_id
           |       LEFT JOIN lv ON p.event_id = lv.event_id
-          |ORDER BY p.event_id""".stripMargin))
+          |ORDER BY p.event_id""".stripMargin)),
+
+    GraftQuery(
+      "q_assoc_lift",
+      "Market-basket association mining: brand pairs that co-occur in " +
+        "order baskets, scored by lift = N·n12/(n1·n2) and support-" +
+        "pruned — the co-occurrence analysis recommendation and " +
+        "curation pipelines run on (domain, topic) baskets. The scale " +
+        "discipline is all about bounding the pair fan-out: baskets " +
+        "dedup to DISTINCT (order, brand) map-side BEFORE the self-join " +
+        "(so a 100-line order contributes each brand once), the pair " +
+        "space is vocabulary²-bounded (25 brands → ≤300 pairs however " +
+        "large the fact table), the dimension lookup broadcasts, and " +
+        "the margin counts broadcast back onto the support-filtered " +
+        "pairs. Counts are exact BIGINTs; lift is one (a·b)/(c·d) " +
+        "double tree on identical operands; top-20 by ROUNDED lift " +
+        "with full (b1, b2) tie-breaks keeps the cut deterministic.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        val ob = table(s, dir, "lineitem")
+          .join(broadcast(table(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+        val margin = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+        val tot = ob.agg(countDistinct(col("ok")).as("nn"))
+        ob.as("a").join(ob.as("x"),
+            col("a.ok") === col("x.ok") && col("a.b") < col("x.b"))
+          .groupBy(col("a.b").as("b1"), col("x.b").as("b2"))
+          .agg(count(lit(1)).as("n12"))
+          .filter(col("n12") >= 20)
+          .join(broadcast(margin.select(col("b").as("b1"), col("nb").as("n1"))), "b1")
+          .join(broadcast(margin.select(col("b").as("b2"), col("nb").as("n2"))), "b2")
+          .crossJoin(broadcast(tot))
+          .select(col("b1"), col("b2"), col("n12"), col("n1"), col("n2"),
+            round((col("n12").cast(DoubleType) * col("nn").cast(DoubleType))
+              / (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)), 6)
+              .as("lift"))
+          .orderBy(col("lift").desc, col("b1"), col("b2"))
+          .limit(20)
+      },
+      Some(
+        """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+          |    FROM lineitem JOIN part ON l_partkey = p_partkey),
+          |m AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
+          |t AS (SELECT count(DISTINCT ok) AS nn FROM ob),
+          |p AS (SELECT a.b AS b1, x.b AS b2, count(*) AS n12
+          |  FROM ob a JOIN ob x ON a.ok = x.ok AND a.b < x.b
+          |  GROUP BY 1, 2 HAVING count(*) >= 20)
+          |SELECT p.b1, p.b2, p.n12, r1.nb AS n1, r2.nb AS n2,
+          |  round((CAST(p.n12 AS DOUBLE) * CAST(t.nn AS DOUBLE))
+          |    / (CAST(r1.nb AS DOUBLE) * CAST(r2.nb AS DOUBLE)), 6) AS lift
+          |FROM p JOIN m r1 ON p.b1 = r1.b JOIN m r2 ON p.b2 = r2.b, t
+          |ORDER BY lift DESC, b1, b2 LIMIT 20""".stripMargin))
   )
 }

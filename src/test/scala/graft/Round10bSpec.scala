@@ -62,6 +62,58 @@ class Round10bSpec extends SparkSuite {
     assert(math.abs(r0.getDouble(3) - v) <= 1e-6)
   }
 
+  test("assoc lift: equals brute-force basket pair mining") {
+    val ob = Tables.table(spark, sf, "lineitem")
+      .join(Tables.table(spark, sf, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nByBrand = ob.groupBy(_._2).map { case (b, v) => b -> v.size.toLong }
+    val nOrders = ob.map(_._1).distinct.length.toDouble
+    val pairCounts = ob.groupBy(_._1).values.flatMap { basket =>
+      val bs = basket.map(_._2).sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val want = pairCounts.toSeq.filter(_._2 >= 20).map { case ((b1, b2), n12) =>
+      val lift = math.rint(n12 * nOrders / (nByBrand(b1) * nByBrand(b2).toDouble)
+        * 1e6) / 1e6
+      (b1, b2, n12, nByBrand(b1), nByBrand(b2), lift)
+    }.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    val got = run("q_assoc_lift").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSeq
+    // same pair set and counts; lift within a rounding ulp of the recompute
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+      want.map(t => (t._1, t._2, t._3, t._4, t._5)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._6 - w._6) <= 1e-6, s"${g._1}/${g._2}")
+    }
+  }
+
+  test("heaps: totals are exact and the slope matches a driver-side OLS") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .sortBy(_._1)
+    val seen = collection.mutable.Set.empty[String]
+    var ct = 0L; var cv = 0L
+    val pts = docs.map { case (_, toks) =>
+      ct += toks.length
+      toks.foreach(w => if (seen.add(w)) cv += 1)
+      (math.log(ct.toDouble), math.log(cv.toDouble))
+    }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r0 = run("q_text_heaps").collect().head
+    assert(r0.getLong(0) == docs.length.toLong)
+    assert(r0.getLong(1) == seen.size.toLong)
+    assert(r0.getLong(2) == ct)
+    assert(math.abs(r0.getDouble(3) - beta) <= 1e-6)
+  }
+
   test("benford: shares sum to 1, counts cover every order, digits in 1..9") {
     val rows = run("q_stats_benford").collect()
     val total = Tables.table(spark, sf, "orders").count()
