@@ -63,6 +63,67 @@ object TypedOps {
           |i AS (SELECT user_id, day - CAST(rn AS INTEGER) AS grp, count(*) AS len
           |  FROM r GROUP BY 1, 2)
           |SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
-          |FROM i GROUP BY user_id ORDER BY max_streak DESC, user_id LIMIT 200""".stripMargin))
+          |FROM i GROUP BY user_id ORDER BY max_streak DESC, user_id LIMIT 200""".stripMargin)),
+
+    GraftQuery(
+      "q_typed_throttle",
+      "Per-user cooldown throttle through the TYPED API: scan each " +
+        "user's events in (ts, event_id) order keeping an event iff it " +
+        "lands ≥ 60 s after the last KEPT one — the notification rate-" +
+        "limit / snapshot-thinning primitive whose state is genuinely " +
+        "SEQUENTIAL: keep/drop depends on which earlier events were " +
+        "kept, so no window frame or gaps-and-islands rewrite expresses " +
+        "it (a fixed 60 s grid keeps different events). groupByKey + " +
+        "mapGroups makes the KEY the parallel unit — per-user state is " +
+        "one timestamp and the in-group sort is bounded by events/user " +
+        "(≤ ~100 in the fixture, calendar-bounded on a real archive), " +
+        "so 1000 executors each stream their users independently; only " +
+        "slim (user, micros, id) triples shuffle. The oracle is a " +
+        "DuckDB RECURSIVE CTE stepping (user, rank) — the genuinely " +
+        "different linear-recursion formulation, so the gate proves the " +
+        "typed path against the relational fixpoint, and its exact " +
+        "integer-micros comparisons can never drift.",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "events")
+          .select(col("user_id"), graft.Ts.epochMicros(col("ts")).as("us"),
+            col("event_id"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (uid, it) =>
+            val evs = it.map(t => (t._2, t._3)).toArray.sortBy(identity)
+            var kept = 0L
+            var last = Long.MinValue
+            evs.foreach { case (us, _) =>
+              if (last == Long.MinValue || us - last >= 60000000L) {
+                kept += 1; last = us
+              }
+            }
+            (uid, evs.length.toLong, kept)
+          }
+          .toDF("user_id", "n_events", "n_kept")
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH RECURSIVE base AS (
+          |  SELECT user_id, epoch_us(ts) AS us, event_id,
+          |    CAST(row_number() OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rk
+          |  FROM events),
+          |step AS (
+          |  SELECT user_id, rk, us AS last_us, CAST(1 AS BIGINT) AS kept
+          |  FROM base WHERE rk = 1
+          |  UNION ALL
+          |  SELECT b.user_id, b.rk,
+          |    CASE WHEN b.us - s.last_us >= 60000000 THEN b.us
+          |         ELSE s.last_us END,
+          |    s.kept + CASE WHEN b.us - s.last_us >= 60000000 THEN 1
+          |             ELSE 0 END
+          |  FROM step s JOIN base b
+          |    ON b.user_id = s.user_id AND b.rk = s.rk + 1),
+          |tot AS (SELECT user_id, count(*) AS n FROM base GROUP BY user_id)
+          |SELECT s.user_id, t.n AS n_events, s.kept AS n_kept
+          |FROM step s JOIN tot t ON s.user_id = t.user_id AND s.rk = t.n
+          |ORDER BY s.user_id""".stripMargin))
   )
 }

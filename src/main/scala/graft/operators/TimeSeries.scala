@@ -884,6 +884,89 @@ object TimeSeries {
           |SELECT event_type, day, CAST(max(n) AS BIGINT) AS n,
           |  CAST(max(s_abs) AS BIGINT) AS cusum_max,
           |  CAST(min(CASE WHEN s_abs = s_top THEN k END) AS BIGINT) AS cp_k
-          |FROM a GROUP BY event_type, day ORDER BY event_type, day""".stripMargin))
+          |FROM a GROUP BY event_type, day ORDER BY event_type, day""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_attribution",
+      "Linear multi-touch attribution: each purchase's value splits " +
+        "across the user's click/view touches in the trailing 7 days " +
+        "(no touch → 'direct') — the marketing/consent-tracing ledger " +
+        "where the money column must CONSERVE exactly. The split is " +
+        "EXACT INTEGER cents: each touch gets cents div k and the " +
+        "remainder r = cents mod k goes one cent each to the r earliest " +
+        "touches by (ts, event_id) — no per-touch float division whose " +
+        "re-sum drifts (cents = base·k + r by construction, so the " +
+        "channel ledger sums to the purchase ledger bitwise). The range " +
+        "join runs as the band-join decomposition: touches key by epoch " +
+        "day, purchases fan out to their 8 candidate days (O(8n), " +
+        "co-partitioned by (user, day)) and the exact micros predicate " +
+        "prunes inside the partition — never a per-user cross join, " +
+        "which quadratically dies on hot users at 100 TB. One keyed " +
+        "window pass computes k and the rank together; the oracle keeps " +
+        "the naive user-keyed theta join, so the gate proves the " +
+        "decomposition, not just the arithmetic.",
+      (s, dir) => {
+        val D = 86400000000L // one day in micros
+        val ev = table(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            graft.Ts.epochMicros(col("ts")).as("us"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id").as("u"),
+            col("us").as("pts"), col("cents"))
+        val t = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id").as("u"), col("us").as("tts"),
+            col("event_id").as("tid"), col("event_type").as("channel"))
+        val joined = p
+          .withColumn("day",
+            explode(sequence(call_function("div", col("pts"), lit(D)) - lit(7L),
+              call_function("div", col("pts"), lit(D)))))
+          .join(t.withColumn("day", call_function("div", col("tts"), lit(D))),
+            Seq("u", "day"))
+          .filter(col("tts") >= col("pts") - lit(7L * D) && col("tts") < col("pts"))
+        val w = Window.partitionBy("pid")
+        val ranked = joined
+          .withColumn("k", count(lit(1)).over(w))
+          .withColumn("rk",
+            row_number().over(w.orderBy("tts", "tid")).cast(LongType))
+        val touchAttr = ranked.select(col("channel"), col("pid"),
+          (call_function("div", col("cents"), col("k")) +
+            when(col("rk") <= pmod(col("cents"), col("k")), 1L).otherwise(0L))
+            .as("ac"))
+        val direct = p
+          .join(joined.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+          .select(lit("direct").as("channel"), col("pid"), col("cents").as("ac"))
+        touchAttr.unionByName(direct)
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("pid")).as("purchases"),
+            sum(col("ac")).as("attributed_cents"))
+          .orderBy("channel")
+      },
+      Some(
+        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+          |p AS (SELECT event_id AS pid, user_id AS u, us AS pts, cents
+          |  FROM ev WHERE event_type = 'purchase'),
+          |t AS (SELECT user_id AS u, us AS tts, event_id AS tid,
+          |    event_type AS channel
+          |  FROM ev WHERE event_type IN ('click', 'view')),
+          |j AS (SELECT p.pid, p.cents, t.channel, t.tts, t.tid
+          |  FROM p JOIN t ON t.u = p.u
+          |    AND t.tts >= p.pts - 604800000000 AND t.tts < p.pts),
+          |r AS (SELECT pid, cents, channel,
+          |    count(*) OVER (PARTITION BY pid) AS k,
+          |    CAST(row_number() OVER (PARTITION BY pid ORDER BY tts, tid)
+          |      AS BIGINT) AS rk
+          |  FROM j),
+          |a AS (SELECT channel, pid,
+          |    cents // k + CASE WHEN rk <= cents % k THEN 1 ELSE 0 END AS ac
+          |  FROM r
+          |  UNION ALL
+          |  SELECT 'direct', pid, cents FROM p
+          |  WHERE pid NOT IN (SELECT pid FROM j))
+          |SELECT channel, count(*) AS n_rows, count(DISTINCT pid) AS purchases,
+          |  CAST(sum(ac) AS BIGINT) AS attributed_cents
+          |FROM a GROUP BY channel ORDER BY channel""".stripMargin))
   )
 }

@@ -114,6 +114,62 @@ class Round10bSpec extends SparkSuite {
     assert(math.abs(r0.getDouble(3) - beta) <= 1e-6)
   }
 
+  test("attribution: equals brute-force replay and conserves cents exactly") {
+    val evs = Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), graft.Ts.epochMicros(col("ts")),
+        col("event_type"), floor(col("value") * 100 + 0.5).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    val purchases = evs.filter(_._4 == "purchase")
+    val touches = evs.filter(e => e._4 == "click" || e._4 == "view")
+      .groupBy(_._2)
+    val ledger = collection.mutable.Map.empty[String, (Long, Set[Long], Long)]
+      .withDefaultValue((0L, Set.empty, 0L))
+    purchases.foreach { case (pid, u, pts, _, cents) =>
+      val inWin = touches.getOrElse(u, Array.empty[(Long, Long, Long, String, Long)])
+        .filter(t => t._3 >= pts - 604800000000L && t._3 < pts)
+        .sortBy(t => (t._3, t._1))
+      if (inWin.isEmpty) {
+        val (n, ps, c) = ledger("direct")
+        ledger("direct") = (n + 1, ps + pid, c + cents)
+      } else {
+        val k = inWin.length
+        inWin.zipWithIndex.foreach { case (t, i) =>
+          val ac = cents / k + (if (i + 1 <= cents % k) 1L else 0L)
+          val (n, ps, c) = ledger(t._4)
+          ledger(t._4) = (n + 1, ps + pid, c + ac)
+        }
+      }
+    }
+    val got = run("q_ts_attribution").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val want = ledger.map { case (ch, (n, ps, c)) => ch -> (n, ps.size.toLong, c) }
+    assert(got == want.toMap)
+    // conservation: channel ledger sums to the purchase ledger bitwise
+    assert(got.values.map(_._3).sum == purchases.map(_._5).sum)
+  }
+
+  test("throttle: equals brute-force sequential replay per user") {
+    val byUser = Tables.table(spark, sf, "events")
+      .select(col("user_id"), graft.Ts.epochMicros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val want = byUser.map { case (u, xs) =>
+      val sorted = xs.map(t => (t._2, t._3)).sortBy(identity)
+      var kept = 0L; var last = Long.MinValue
+      sorted.foreach { case (us, _) =>
+        if (last == Long.MinValue || us - last >= 60000000L) { kept += 1; last = us }
+      }
+      u -> (xs.length.toLong, kept)
+    }
+    val got = run("q_typed_throttle").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want.toMap)
+    got.values.foreach { case (n, k) => assert(k >= 1L && k <= n) }
+  }
+
   test("benford: shares sum to 1, counts cover every order, digits in 1..9") {
     val rows = run("q_stats_benford").collect()
     val total = Tables.table(spark, sf, "orders").count()
