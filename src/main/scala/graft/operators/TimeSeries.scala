@@ -967,6 +967,59 @@ object TimeSeries {
           |  WHERE pid NOT IN (SELECT pid FROM j))
           |SELECT channel, count(*) AS n_rows, count(DISTINCT pid) AS purchases,
           |  CAST(sum(ac) AS BIGINT) AS attributed_cents
-          |FROM a GROUP BY channel ORDER BY channel""".stripMargin))
+          |FROM a GROUP BY channel ORDER BY channel""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_burstiness",
+      "Index of dispersion (Fano factor) and the normalized burstiness " +
+        "coefficient B = (σ−μ)/(σ+μ) of each event type's hourly " +
+        "arrival series — the Poisson-ness diagnostic next to " +
+        "q_ts_autocorr (Fano ≈ 1 ⇒ Poisson arrivals; ≫ 1 ⇒ bursty, the " +
+        "signal that capacity planning and anomaly thresholds can't " +
+        "assume exponential gaps). EMPTY hours count: the timeline span " +
+        "H comes from the global (min, max) hour so zero-count hours " +
+        "enter the mean and variance without ever materializing — the " +
+        "sufficient statistics (Σn, Σn² per type over observed hours " +
+        "only) are exact BIGINTs from one hash agg over the hour-grain " +
+        "relation, and σ²·μ arithmetic runs the same double tree both " +
+        "engines with σ = sqrt(var) (correctly rounded, unlike pow). " +
+        "Corpus is touched once; everything downstream is type-grain.",
+      (s, dir) => {
+        val cells = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(3600d)).cast(LongType)
+              .as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val span = cells.agg((max(col("hr")) - min(col("hr")) + lit(1L)).as("h"))
+        def D(c: String) = col(c).cast(DoubleType)
+        val mean = D("nn") / D("h")
+        val varp = D("s2") / D("h") - mean * mean
+        val sigma = sqrt(varp)
+        cells.groupBy("event_type")
+          .agg(sum(col("n")).as("nn"), sum(col("n") * col("n")).as("s2"))
+          .crossJoin(broadcast(span))
+          .select(col("event_type"), col("h"), col("nn").as("events"),
+            round(varp / mean, 6).as("fano"),
+            round((sigma - mean) / (sigma + mean), 6).as("burstiness"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH c AS (SELECT event_type,
+          |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |t AS (SELECT max(hr) - min(hr) + 1 AS h FROM c),
+          |a AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nn,
+          |    CAST(sum(n * n) AS BIGINT) AS s2
+          |  FROM c GROUP BY event_type),
+          |d AS (SELECT event_type, h, nn,
+          |    CAST(nn AS DOUBLE) / CAST(h AS DOUBLE) AS mean,
+          |    CAST(s2 AS DOUBLE) / CAST(h AS DOUBLE)
+          |      - (CAST(nn AS DOUBLE) / CAST(h AS DOUBLE))
+          |        * (CAST(nn AS DOUBLE) / CAST(h AS DOUBLE)) AS varp
+          |  FROM a, t)
+          |SELECT event_type, h, nn AS events,
+          |  round(varp / mean, 6) AS fano,
+          |  round((sqrt(varp) - mean) / (sqrt(varp) + mean), 6) AS burstiness
+          |FROM d ORDER BY event_type""".stripMargin))
   )
 }

@@ -139,6 +139,58 @@ object Warehouse {
           |SELECT event_type, count(*) AS n_keys,
           |  CAST(sum(cents) AS BIGINT) AS cents_sum
           |FROM last WHERE rn = 1 AND event_type != 'error'
-          |GROUP BY event_type ORDER BY event_type""".stripMargin))
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_agg_rfm",
+      "RFM customer segmentation — the classic value-tiering mart: per " +
+        "customer recency (days since last order, exact epoch-day " +
+        "BIGINTs), frequency (order count) and monetary (exact cents), " +
+        "each scored into quintiles by ntile(5) over a FULLY tie-broken " +
+        "order (metric, custkey — ntile of integer ranks is exact on " +
+        "both engines once ties can't reorder), then the 5×5×5 segment " +
+        "grid with customer counts and exact money mass. The fact table " +
+        "collapses to customer grain in ONE hash agg before any window; " +
+        "the three ntile windows run over that ~15k-row relation. At " +
+        "1e8+ customers the global ntile windows would single-partition " +
+        "— swap in the q_hist_equidepth 2-pass chunked global rank " +
+        "(same integer bucket formula) without touching the contract.",
+      (s, dir) => {
+        val od = datediff(to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01"))).cast(LongType)
+        val per = table(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(od).as("lastd"), count(lit(1)).as("f"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType)).as("m"))
+        per.crossJoin(broadcast(per.agg(max(col("lastd")).as("maxd"))))
+          .withColumn("r_days", col("maxd") - col("lastd"))
+          .withColumn("r_score", ntile(5)
+            .over(Window.orderBy(col("r_days"), col("o_custkey"))).cast(LongType))
+          .withColumn("f_score", ntile(5)
+            .over(Window.orderBy(col("f").desc, col("o_custkey"))).cast(LongType))
+          .withColumn("m_score", ntile(5)
+            .over(Window.orderBy(col("m").desc, col("o_custkey"))).cast(LongType))
+          .groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("monetary_cents"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      Some(
+        """WITH per AS (SELECT o_custkey,
+          |    max(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT))
+          |      AS lastd,
+          |    count(*) AS f,
+          |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+          |      AS BIGINT) AS m
+          |  FROM orders GROUP BY o_custkey),
+          |t AS (SELECT max(lastd) AS maxd FROM per),
+          |sc AS (SELECT
+          |    ntile(5) OVER (ORDER BY t.maxd - lastd, o_custkey) AS r_score,
+          |    ntile(5) OVER (ORDER BY f DESC, o_custkey) AS f_score,
+          |    ntile(5) OVER (ORDER BY m DESC, o_custkey) AS m_score,
+          |    m
+          |  FROM per, t)
+          |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+          |  CAST(sum(m) AS BIGINT) AS monetary_cents
+          |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 }

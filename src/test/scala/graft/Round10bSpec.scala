@@ -170,6 +170,48 @@ class Round10bSpec extends SparkSuite {
     got.values.foreach { case (n, k) => assert(k >= 1L && k <= n) }
   }
 
+  test("rfm: grid covers every customer once, conserves cents, quintiles balance") {
+    val rows = run("q_agg_rfm").collect()
+    val per = Tables.table(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("m"))
+      .collect()
+    assert(rows.map(_.getLong(3)).sum == per.length.toLong)
+    assert(rows.map(_.getLong(4)).sum == per.map(_.getLong(1)).sum)
+    Seq(0, 1, 2).foreach { dim =>
+      val marginal = rows.groupBy(_.getLong(dim))
+        .map { case (s, rs) => s -> rs.map(_.getLong(3)).sum }
+      assert(marginal.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+      // ntile balance: quintile sizes differ by at most one
+      assert(marginal.values.max - marginal.values.min <= 1)
+    }
+  }
+
+  test("burstiness: matches a driver-side recompute over the full hour span") {
+    val hrs = Tables.table(spark, sf, "events")
+      .select(col("event_type"), graft.Ts.epochMicros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 3600000000L))
+    val h = (hrs.map(_._2).max - hrs.map(_._2).min + 1).toDouble
+    val got = run("q_ts_burstiness").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val want = hrs.groupBy(_._1).map { case (t, xs) =>
+      val counts = xs.groupBy(_._2).map(_._2.size.toDouble)
+      val nn = counts.sum
+      val mean = nn / h
+      val varp = counts.map(c => c * c).sum / h - mean * mean
+      val sigma = math.sqrt(varp)
+      t -> (xs.length.toLong, varp / mean, (sigma - mean) / (sigma + mean))
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (t, (n, fano, b)) =>
+      val (gh, gn, gf, gb) = got(t)
+      assert(gh == h.toLong && gn == n)
+      assert(math.abs(gf - fano) <= 1e-5, s"$t fano")
+      assert(math.abs(gb - b) <= 1e-6, s"$t burstiness")
+    }
+  }
+
   test("benford: shares sum to 1, counts cover every order, digits in 1..9") {
     val rows = run("q_stats_benford").collect()
     val total = Tables.table(spark, sf, "orders").count()
