@@ -925,20 +925,25 @@ object TimeSeries {
             Seq("u", "day"))
           .filter(col("tts") >= col("pts") - lit(7L * D) && col("tts") < col("pts"))
         val w = Window.partitionBy("pid")
-        val ranked = joined
+        // ONE pass over the band join feeds both outcomes: the per-(purchase,
+        // channel) rollup left-joins back onto purchases, so the no-touch
+        // 'direct' case falls out of the same join as the attributed case —
+        // no second computation of the join subtree for an anti-join pid set
+        val perPidCh = joined
           .withColumn("k", count(lit(1)).over(w))
           .withColumn("rk",
             row_number().over(w.orderBy("tts", "tid")).cast(LongType))
-        val touchAttr = ranked.select(col("channel"), col("pid"),
-          (call_function("div", col("cents"), col("k")) +
-            when(col("rk") <= pmod(col("cents"), col("k")), 1L).otherwise(0L))
-            .as("ac"))
-        val direct = p
-          .join(joined.select(col("pid")).distinct(), Seq("pid"), "left_anti")
-          .select(lit("direct").as("channel"), col("pid"), col("cents").as("ac"))
-        touchAttr.unionByName(direct)
+          .groupBy("pid", "channel")
+          .agg(count(lit(1)).as("cnt"),
+            sum(call_function("div", col("cents"), col("k")) +
+              when(col("rk") <= pmod(col("cents"), col("k")), 1L).otherwise(0L))
+              .as("ac"))
+        p.join(perPidCh, Seq("pid"), "left")
+          .select(coalesce(col("channel"), lit("direct")).as("channel"),
+            col("pid"), coalesce(col("cnt"), lit(1L)).as("cnt"),
+            coalesce(col("ac"), col("cents")).as("ac"))
           .groupBy("channel")
-          .agg(count(lit(1)).as("n_rows"),
+          .agg(sum(col("cnt")).as("n_rows"),
             countDistinct(col("pid")).as("purchases"),
             sum(col("ac")).as("attributed_cents"))
           .orderBy("channel")
