@@ -867,6 +867,75 @@ object PipelineOps {
           |FROM k WHERE rk = nr * nc""".stripMargin)),
 
     GraftQuery(
+      "q_stats_ttest",
+      "Welch's two-sample t-test between English and non-English " +
+        "document lengths (unequal variances — the honest default), " +
+        "with the Welch–Satterthwaite degrees of freedom: the " +
+        "significance companion to q_stats_ks's distribution distance. " +
+        "ONE conditional-sum hash agg collapses the corpus to six exact " +
+        "BIGINT sufficient statistics (n, Σx, Σx² per group — " +
+        "associative, partition-order-free, bounded by 2^63 to ~1e9 " +
+        "docs at 1e5 chars); every downstream value (means, sample " +
+        "variances, t, df) is closed-form double arithmetic on the " +
+        "SAME expression tree both engines, sqrt-only (correctly " +
+        "rounded). No window, no join, nothing after the 1-row agg.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        val en = col("lang") === "en"
+        def D(c: String) = col(c).cast(DoubleType)
+        val m1 = D("sx1") / D("n1"); val m2 = D("sx2") / D("n2")
+        val v1 = (D("sxx1") - D("sx1") * m1) / (D("n1") - lit(1d))
+        val v2 = (D("sxx2") - D("sx2") * m2) / (D("n2") - lit(1d))
+        val q1 = v1 / D("n1"); val q2 = v2 / D("n2")
+        table(s, dir, "documents")
+          .agg(
+            sum(when(en, 1L).otherwise(0L)).as("n1"),
+            sum(when(en, col("n_chars")).otherwise(0L)).as("sx1"),
+            sum(when(en, col("n_chars") * col("n_chars")).otherwise(0L)).as("sxx1"),
+            sum(when(!en, 1L).otherwise(0L)).as("n2"),
+            sum(when(!en, col("n_chars")).otherwise(0L)).as("sx2"),
+            sum(when(!en, col("n_chars") * col("n_chars")).otherwise(0L)).as("sxx2"))
+          .select(col("n1"), col("n2"),
+            round(m1 - m2, 6).as("mean_diff"),
+            round((m1 - m2) / sqrt(q1 + q2), 6).as("t_stat"),
+            round((q1 + q2) * (q1 + q2) /
+              (q1 * q1 / (D("n1") - lit(1d)) + q2 * q2 / (D("n2") - lit(1d))), 4)
+              .as("welch_df"))
+      },
+      Some(
+        """WITH a AS (SELECT
+          |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END)
+          |      AS BIGINT) AS sx1,
+          |    CAST(sum(CASE WHEN lang = 'en' THEN n_chars * n_chars ELSE 0 END)
+          |      AS BIGINT) AS sxx1,
+          |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          |    CAST(sum(CASE WHEN lang <> 'en' THEN n_chars ELSE 0 END)
+          |      AS BIGINT) AS sx2,
+          |    CAST(sum(CASE WHEN lang <> 'en' THEN n_chars * n_chars ELSE 0 END)
+          |      AS BIGINT) AS sxx2
+          |  FROM documents),
+          |m AS (SELECT n1, n2, sx1, sxx1, sx2, sxx2,
+          |    CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+          |    CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+          |  FROM a),
+          |v AS (SELECT n1, n2, m1, m2,
+          |    (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * m1)
+          |      / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+          |    (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * m2)
+          |      / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+          |  FROM m),
+          |q AS (SELECT n1, n2, m1, m2,
+          |    v1 / CAST(n1 AS DOUBLE) AS q1, v2 / CAST(n2 AS DOUBLE) AS q2
+          |  FROM v)
+          |SELECT n1, n2, round(m1 - m2, 6) AS mean_diff,
+          |  round((m1 - m2) / sqrt(q1 + q2), 6) AS t_stat,
+          |  round((q1 + q2) * (q1 + q2)
+          |    / (q1 * q1 / (CAST(n1 AS DOUBLE) - 1.0)
+          |      + q2 * q2 / (CAST(n2 AS DOUBLE) - 1.0)), 4) AS welch_df
+          |FROM q""".stripMargin)),
+
+    GraftQuery(
       "q_stats_benford",
       "Benford first-digit audit of order values — the fraud/synthetic-" +
         "data smell test a pipeline runs on money and count columns: " +

@@ -212,6 +212,28 @@ class Round10bSpec extends SparkSuite {
     }
   }
 
+  test("ttest: matches a driver-side Welch recompute") {
+    val xs = Tables.table(spark, sf, "documents")
+      .select((col("lang") === "en").as("g"), col("n_chars"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1).toDouble))
+    def stats(g: Boolean) = {
+      val v = xs.filter(_._1 == g).map(_._2)
+      val n = v.length.toDouble
+      val m = v.sum / n
+      (n, m, v.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (n1, m1, v1) = stats(true); val (n2, m2, v2) = stats(false)
+    val q1 = v1 / n1; val q2 = v2 / n2
+    val t = (m1 - m2) / math.sqrt(q1 + q2)
+    val df = (q1 + q2) * (q1 + q2) /
+      (q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1))
+    val r0 = run("q_stats_ttest").collect().head
+    assert(r0.getLong(0) == n1.toLong && r0.getLong(1) == n2.toLong)
+    assert(math.abs(r0.getDouble(2) - (m1 - m2)) <= 1e-4)
+    assert(math.abs(r0.getDouble(3) - t) <= 1e-5)
+    assert(math.abs(r0.getDouble(4) - df) <= 1e-2 * df)
+  }
+
   test("benford: shares sum to 1, counts cover every order, digits in 1..9") {
     val rows = run("q_stats_benford").collect()
     val total = Tables.table(spark, sf, "orders").count()
