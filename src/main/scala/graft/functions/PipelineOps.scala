@@ -936,6 +936,71 @@ object PipelineOps {
           |FROM q""".stripMargin)),
 
     GraftQuery(
+      "q_stats_abtest",
+      "Two-proportion z-test on a deterministic hash experiment: users " +
+        "split into arms by the q_split_assign id-hash device (md5 " +
+        "prefix mod 2 — same user, same arm, on any engine at any " +
+        "partitioning), conversion = the user ever purchased, and the " +
+        "pooled z-statistic scores the (null-true, so z ≈ 0) rate gap — " +
+        "conversion = any purchase ≥ 150 (≈ the median-converting user, " +
+        "so both arms sit far from the 0/1 rate poles where se " +
+        "degenerates) — " +
+        "the experimentation readout primitive. One keyed agg collapses " +
+        "events to user grain (conversion is max-of-flag, associative), " +
+        "one 1-row agg produces four exact BIGINT counts, and the " +
+        "pooled-variance closed form is the SAME double tree on both " +
+        "engines, sqrt-only. Nothing after user grain scales with the " +
+        "corpus.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        def D(c: String) = col(c).cast(DoubleType)
+        val p1 = D("c1") / D("n1"); val p2 = D("c2") / D("n2")
+        val pp = (D("c1") + D("c2")) / (D("n1") + D("n2"))
+        val se = sqrt(pp * (lit(1d) - pp) * (lit(1d) / D("n1") + lit(1d) / D("n2")))
+        table(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase"
+              && col("value") >= 150d, 1L).otherwise(0L)).as("conv"))
+          .withColumn("arm",
+            pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+              .cast("int"), lit(2)))
+          .agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c2"))
+          .select(col("n1"), col("c1"), col("n2"), col("c2"),
+            round(p1 - p2, 6).as("rate_diff"),
+            round((p1 - p2) / se, 6).as("z_stat"))
+      },
+      Some(
+        """WITH u AS (SELECT user_id,
+          |    max(CASE WHEN event_type = 'purchase' AND value >= 150
+          |      THEN 1 ELSE 0 END) AS conv
+          |  FROM events GROUP BY user_id),
+          |a AS (SELECT
+          |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+          |      AS INTEGER) % 2 AS arm, conv
+          |  FROM u),
+          |c AS (SELECT
+          |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+          |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c2
+          |  FROM a),
+          |d AS (SELECT n1, c1, n2, c2,
+          |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+          |    CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+          |    (CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE))
+          |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS pp
+          |  FROM c)
+          |SELECT n1, c1, n2, c2, round(p1 - p2, 6) AS rate_diff,
+          |  round((p1 - p2) / sqrt(pp * (1.0 - pp)
+          |    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)
+          |    AS z_stat
+          |FROM d""".stripMargin)),
+
+    GraftQuery(
       "q_stats_benford",
       "Benford first-digit audit of order values — the fraud/synthetic-" +
         "data smell test a pipeline runs on money and count columns: " +

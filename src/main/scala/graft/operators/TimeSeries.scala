@@ -1025,6 +1025,57 @@ object TimeSeries {
           |SELECT event_type, h, nn AS events,
           |  round(varp / mean, 6) AS fano,
           |  round((sqrt(varp) - mean) / (sqrt(varp) + mean), 6) AS burstiness
-          |FROM d ORDER BY event_type""".stripMargin))
+          |FROM d ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_snaive_backtest",
+      "Seasonal-naive forecast backtest: predict each day's event count " +
+        "per type from the same weekday one week earlier, and score MAE " +
+        "and WAPE over every scorable day — the baseline every real " +
+        "forecasting deployment must beat, and the backtest-evaluation " +
+        "primitive itself. The lag is a RANGE frame (7 PRECEDING TO 7 " +
+        "PRECEDING over integer epoch days), not a rows-lag — rows slip " +
+        "on calendar gaps, the range frame is gap-safe by construction " +
+        "and keeps the whole computation in ONE keyed window pass over " +
+        "the day-grain relation (≤ types × days rows regardless of " +
+        "corpus size; the corpus is touched only by the first count). " +
+        "Errors are exact BIGINT |n − f| sums; MAE and WAPE are single " +
+        "IEEE divisions of exact integers.",
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rangeBetween(-7, -7)
+        def D(c: String) = col(c).cast(DoubleType)
+        daily.withColumn("f", max(col("n")).over(w))
+          .filter(col("f").isNotNull)
+          .select(col("event_type"), abs(col("n") - col("f")).as("ae"), col("n"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("days_scored"), sum(col("ae")).as("sae"),
+            sum(col("n")).as("sn"))
+          .select(col("event_type"), col("days_scored"),
+            round(D("sae") / D("days_scored"), 6).as("mae"),
+            round(D("sae") / D("sn"), 6).as("wape"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH d AS (SELECT event_type,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |f AS (SELECT event_type, day, n,
+          |    max(n) OVER (PARTITION BY event_type ORDER BY day
+          |      RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS fc
+          |  FROM d),
+          |a AS (SELECT event_type, count(*) AS days_scored,
+          |    CAST(sum(abs(n - fc)) AS BIGINT) AS sae,
+          |    CAST(sum(n) AS BIGINT) AS sn
+          |  FROM f WHERE fc IS NOT NULL GROUP BY 1)
+          |SELECT event_type, days_scored,
+          |  round(CAST(sae AS DOUBLE) / CAST(days_scored AS DOUBLE), 6) AS mae,
+          |  round(CAST(sae AS DOUBLE) / CAST(sn AS DOUBLE), 6) AS wape
+          |FROM a ORDER BY event_type""".stripMargin))
   )
 }

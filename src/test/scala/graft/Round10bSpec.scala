@@ -234,6 +234,62 @@ class Round10bSpec extends SparkSuite {
     assert(math.abs(r0.getDouble(4) - df) <= 1e-2 * df)
   }
 
+  test("snaive backtest: matches a gap-safe driver-side replay") {
+    val daily = Tables.table(spark, sf, "events")
+      .select(col("event_type"), graft.Ts.epochMicros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400000000L))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val want = daily.keys.map(_._1).toSeq.distinct.sorted.flatMap { t =>
+      val byDay = daily.collect { case ((tt, d), n) if tt == t => d -> n }.toMap
+      val scored = byDay.toSeq.flatMap { case (d, n) =>
+        byDay.get(d - 7).map(f => (math.abs(n - f), n))
+      }
+      if (scored.isEmpty) None
+      else {
+        val sae = scored.map(_._1).sum.toDouble
+        Some(t -> (scored.length.toLong, sae / scored.length,
+          sae / scored.map(_._2).sum))
+      }
+    }.toMap
+    val got = run("q_ts_snaive_backtest").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (t, (k, mae, wape)) =>
+      val (gk, gm, gw) = got(t)
+      assert(gk == k, s"$t days")
+      assert(math.abs(gm - mae) <= 1e-6, s"$t mae")
+      assert(math.abs(gw - wape) <= 1e-6, s"$t wape")
+    }
+  }
+
+  test("abtest: matches a driver-side z recompute and assignment is balanced-ish") {
+    val users = Tables.table(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 150d, 1L)
+        .otherwise(0L)).as("conv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def arm(u: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      val hex = md.take(2).map("%02x".format(_)).mkString
+      Integer.parseInt(hex, 16) % 2
+    }
+    val a0 = users.filter(u => arm(u._1) == 0)
+    val a1 = users.filter(u => arm(u._1) == 1)
+    val (n1, c1) = (a0.length.toDouble, a0.map(_._2).sum.toDouble)
+    val (n2, c2) = (a1.length.toDouble, a1.map(_._2).sum.toDouble)
+    val p1 = c1 / n1; val p2 = c2 / n2
+    val pp = (c1 + c2) / (n1 + n2)
+    val z = (p1 - p2) /
+      math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    val r0 = run("q_stats_abtest").collect().head
+    assert(r0.getLong(0) == n1.toLong && r0.getLong(1) == c1.toLong)
+    assert(r0.getLong(2) == n2.toLong && r0.getLong(3) == c2.toLong)
+    assert(math.abs(r0.getDouble(4) - (p1 - p2)) <= 1e-6)
+    assert(math.abs(r0.getDouble(5) - z) <= 1e-5)
+  }
+
   test("benford: shares sum to 1, counts cover every order, digits in 1..9") {
     val rows = run("q_stats_benford").collect()
     val total = Tables.table(spark, sf, "orders").count()
