@@ -1043,6 +1043,211 @@ object PipelineOps {
           |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
           |    - ln((CAST(digit AS DOUBLE) + 1.0) / CAST(digit AS DOUBLE))
           |    / ln(10.0), 6) AS dev
-          |FROM d, t ORDER BY digit""".stripMargin))
+          |FROM d, t ORDER BY digit""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_mannwhitney",
+      "Mann–Whitney U (rank-sum) test between English and non-English " +
+        "document lengths — the nonparametric companion to " +
+        "q_stats_ttest that survives the heavy-tailed length " +
+        "distributions real corpora have. Ranking never touches the " +
+        "document grain: lengths collapse to the VALUE-grain relation " +
+        "(distinct n_chars, bounded vocabulary however large the " +
+        "corpus), average tie ranks are computed in exact HALF-RANK " +
+        "integers (2·avgrank = 2·cum_before + t + 1 — no /2 float " +
+        "anywhere), and the doubled rank-sum, tie-correction term " +
+        "Σ(t³−t), and 2·U1 are all exact BIGINT. The one ordered " +
+        "window runs over the value-grain relation only (the zipf " +
+        "device); z with tie correction is closed-form doubles on the " +
+        "SAME tree both engines, sqrt-only.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        def D(c: String) = col(c).cast(DoubleType)
+        val byv = table(s, dir, "documents")
+          .groupBy(col("n_chars").as("v"))
+          .agg(count(lit(1)).as("t"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n1v"))
+        val cumw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = byv
+          .withColumn("cum", coalesce(sum(col("t")).over(cumw), lit(0L)))
+          .withColumn("rank2", lit(2L) * col("cum") + col("t") + lit(1L))
+        val a = ranked.agg(
+          sum(col("n1v")).as("n1"), sum(col("t")).as("n"),
+          sum(col("n1v") * col("rank2")).as("r1x2"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+        val u1x2 = col("r1x2") - col("n1") * (col("n1") + lit(1L))
+        val n2 = col("n") - col("n1")
+        val sig2 = D("n1") * n2.cast(DoubleType) / lit(12d) *
+          ((D("n") + lit(1d)) -
+            D("ties") / (D("n") * (D("n") - lit(1d))))
+        a.select(col("n1"), n2.as("n2"),
+            u1x2.as("u1_x2"),
+            round((u1x2.cast(DoubleType) - D("n1") * n2.cast(DoubleType)) /
+              (lit(2d) * sqrt(sig2)), 6).as("z"))
+      },
+      Some(
+        """WITH byv AS (SELECT n_chars AS v, count(*) AS t,
+          |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n1v
+          |  FROM documents GROUP BY 1),
+          |r AS (SELECT v, t, n1v,
+          |    COALESCE(CAST(sum(t) OVER (ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+          |      0) AS cum
+          |  FROM byv),
+          |a AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+          |    CAST(sum(t) AS BIGINT) AS n,
+          |    CAST(sum(n1v * (2 * cum + t + 1)) AS BIGINT) AS r1x2,
+          |    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+          |  FROM r),
+          |k AS (SELECT n1, n - n1 AS n2, n, ties,
+          |    r1x2 - n1 * (n1 + 1) AS u1_x2
+          |  FROM a)
+          |SELECT n1, n2, u1_x2,
+          |  round((CAST(u1_x2 AS DOUBLE)
+          |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+          |    / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+          |      * ((CAST(n AS DOUBLE) + 1.0)
+          |        - CAST(ties AS DOUBLE)
+          |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))),
+          |    6) AS z
+          |FROM k""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_mutual_info",
+      "Mutual information between event type and day-of-week — the " +
+        "information-theoretic strength reading next to q_stats_chi2's " +
+        "significance test, on the same R×C cell machinery. Only " +
+        "OBSERVED cells enter (zero cells contribute 0 to MI, so no " +
+        "margin cross-join is needed, unlike chi-square); margins come " +
+        "from three frame-free windows over the ≤R·C cell relation, and " +
+        "the per-cell float terms accumulate in ONE ordered window " +
+        "(the zipf device: deterministic left-to-right sum, identical " +
+        "on both engines) with the last row carrying the total. " +
+        "Day-of-week is the (epoch_day + 3) mod 7 calendar device. " +
+        "Corpus touches only the first count; everything after is " +
+        "cell-grain.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        def D(c: String) = col(c).cast(DoubleType)
+        val cells = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            pmod(floor(graft.Ts.epochSec(col("ts")) / lit(86400d))
+              .cast(LongType) + lit(3L), lit(7L)).as("dow"))
+          .agg(count(lit(1)).as("o"))
+        val term = D("o") / D("n") *
+          log(D("o") * D("n") / (D("rt") * D("ct")))
+        val ord = Window.orderBy("event_type", "dow")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val whole = Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        cells
+          .withColumn("rt", sum(col("o")).over(Window.partitionBy("event_type")))
+          .withColumn("ct", sum(col("o")).over(Window.partitionBy("dow")))
+          .withColumn("n", sum(col("o")).over(whole))
+          .withColumn("nc", count(lit(1)).over(whole))
+          .withColumn("mi_cum", sum(term).over(ord))
+          .withColumn("rk", row_number().over(Window.orderBy("event_type", "dow"))
+            .cast(LongType))
+          .filter(col("rk") === col("nc"))
+          .select(col("n"), col("nc").as("n_cells"),
+            round(col("mi_cum"), 6).as("mi_nats"),
+            round(col("mi_cum") / log(lit(2d)), 6).as("mi_bits"))
+      },
+      Some(
+        """WITH ev AS (SELECT event_type,
+          |    (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7 AS dow
+          |  FROM events),
+          |cells AS (SELECT event_type, dow, count(*) AS o FROM ev GROUP BY 1, 2),
+          |m AS (SELECT event_type, dow, o,
+          |    CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+          |    CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+          |    CAST(sum(o) OVER () AS BIGINT) AS n,
+          |    CAST(count(*) OVER () AS BIGINT) AS nc
+          |  FROM cells),
+          |k AS (SELECT n, nc,
+          |    sum(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+          |        * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+          |          / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))))
+          |      OVER (ORDER BY event_type, dow ROWS UNBOUNDED PRECEDING)
+          |      AS mi_cum,
+          |    row_number() OVER (ORDER BY event_type, dow) AS rk
+          |  FROM m)
+          |SELECT n, nc AS n_cells, round(mi_cum, 6) AS mi_nats,
+          |  round(mi_cum / ln(2.0), 6) AS mi_bits
+          |FROM k WHERE rk = nc""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_runs",
+      "Wald–Wolfowitz runs test per event type: is the above/below-mean " +
+        "sign sequence of the money stream random, or does it cluster " +
+        "(trending / regime-switching values)? The threshold is the " +
+        "type's EXACT mean spelled integer: row i is above iff " +
+        "n·cents_i > Σcents — no float mean, no tie ambiguity (exact " +
+        "equals are excluded, the standard treatment). Runs are counted " +
+        "by one lag() over the (ts, event_id)-ordered keyed window; n1, " +
+        "n2, R are exact BIGINT, and the normal-approximation z is the " +
+        "closed form on the same double tree both engines. Scale shape: " +
+        "the per-type totals broadcast back (tiny dim), each type's " +
+        "sequence sorts within its own partition — segment by day like " +
+        "q_ts_cusum when a single key's timeline outgrows a task.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        def D(c: String) = col(c).cast(DoubleType)
+        val e = table(s, dir, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+        val tot = e.groupBy("event_type")
+          .agg(sum(col("cents")).as("tc"), count(lit(1)).as("nall"))
+        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        val signed = e.join(broadcast(tot), "event_type")
+          .filter(col("nall") * col("cents") =!= col("tc"))
+          .withColumn("above",
+            when(col("nall") * col("cents") > col("tc"), 1L).otherwise(0L))
+          .withColumn("chg",
+            when(lag(col("above"), 1).over(w).isNull ||
+              lag(col("above"), 1).over(w) =!= col("above"), 1L).otherwise(0L))
+        val twoN1N2 = lit(2d) * D("n1") * D("n2")
+        val nD = D("n1") + D("n2")
+        val mu = twoN1N2 / nD + lit(1d)
+        val sig2 = twoN1N2 * (twoN1N2 - nD) / (nD * nD * (nD - lit(1d)))
+        signed.groupBy("event_type")
+          .agg(sum(col("above")).as("n1"),
+            sum(lit(1L) - col("above")).as("n2"),
+            sum(col("chg")).as("runs"))
+          .select(col("event_type"), col("n1"), col("n2"), col("runs"),
+            round((D("runs") - mu) / sqrt(sig2), 6).as("z"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH e AS (SELECT event_type, ts, event_id,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events),
+          |t AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS tc,
+          |    count(*) AS nall
+          |  FROM e GROUP BY 1),
+          |s AS (SELECT e.event_type, e.ts, e.event_id,
+          |    CASE WHEN t.nall * e.cents > t.tc THEN 1 ELSE 0 END AS above
+          |  FROM e JOIN t ON e.event_type = t.event_type
+          |  WHERE t.nall * e.cents <> t.tc),
+          |c AS (SELECT event_type, above,
+          |    CASE WHEN lag(above) OVER (PARTITION BY event_type
+          |        ORDER BY ts, event_id) IS DISTINCT FROM above
+          |      THEN 1 ELSE 0 END AS chg
+          |  FROM s),
+          |a AS (SELECT event_type,
+          |    CAST(sum(above) AS BIGINT) AS n1,
+          |    CAST(sum(1 - above) AS BIGINT) AS n2,
+          |    CAST(sum(chg) AS BIGINT) AS runs
+          |  FROM c GROUP BY 1),
+          |d AS (SELECT event_type, n1, n2, runs,
+          |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+          |    CAST(runs AS DOUBLE) AS rd
+          |  FROM a)
+          |SELECT event_type, n1, n2, runs,
+          |  round((rd - (2.0 * n1d * n2d / (n1d + n2d) + 1.0))
+          |    / sqrt(2.0 * n1d * n2d * (2.0 * n1d * n2d - (n1d + n2d))
+          |      / ((n1d + n2d) * (n1d + n2d) * ((n1d + n2d) - 1.0))), 6) AS z
+          |FROM d ORDER BY event_type""".stripMargin))
   )
 }

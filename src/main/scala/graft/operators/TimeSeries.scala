@@ -1076,6 +1076,259 @@ object TimeSeries {
           |SELECT event_type, days_scored,
           |  round(CAST(sae AS DOUBLE) / CAST(days_scored AS DOUBLE), 6) AS mae,
           |  round(CAST(sae AS DOUBLE) / CAST(sn AS DOUBLE), 6) AS wape
-          |FROM a ORDER BY event_type""".stripMargin))
+          |FROM a ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_drawdown",
+      "Maximum drawdown of the daily activity series per type: the " +
+        "largest peak-to-trough decline of daily event counts (running " +
+        "max minus current), with the trough day — the activity-collapse " +
+        "detector that SLO/engagement monitoring runs after the anomaly " +
+        "scan. Everything is exact BIGINT (counts, running max, " +
+        "differences), so the answer is bit-identical on any engine and " +
+        "partitioning; the argmax day uses the q_ts_cusum device (window " +
+        "top + conditional min — earliest trough on ties) instead of a " +
+        "second sort. One keyed window over the day-grain relation " +
+        "(≤ types × days rows); both the running max and the partition " +
+        "top share the one sort, and the corpus is touched only by the " +
+        "first count.",
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .agg(count(lit(1)).as("n"))
+        val run = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("peak", max(col("n")).over(run))
+          .withColumn("dd", col("peak") - col("n"))
+          .withColumn("top", max(col("dd")).over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_days"),
+            max(col("dd")).as("max_dd"),
+            min(when(col("dd") === col("top"), col("day"))).as("trough_day"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH d AS (SELECT event_type,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |r AS (SELECT event_type, day, n,
+          |    max(n) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS UNBOUNDED PRECEDING) AS peak
+          |  FROM d),
+          |dd AS (SELECT event_type, day, peak - n AS dd,
+          |    max(peak - n) OVER (PARTITION BY event_type) AS top
+          |  FROM r)
+          |SELECT event_type, count(*) AS n_days,
+          |  CAST(max(dd) AS BIGINT) AS max_dd,
+          |  CAST(min(CASE WHEN dd = top THEN day END) AS BIGINT) AS trough_day
+          |FROM dd GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_peaks",
+      "Local-maxima detection on the observed daily count series per " +
+        "type: a day is a peak iff strictly greater than BOTH observed " +
+        "neighbors (series ends are never peaks) — the spike-census " +
+        "primitive under alerting and seasonality review. Peaks are " +
+        "defined on the OBSERVED sequence (rows-lag neighbors), which is " +
+        "the standard signal-processing formulation; the gap-safe " +
+        "calendar variant is q_ts_snaive_backtest's RANGE-frame device. " +
+        "All comparisons are exact BIGINT; the tallest peak's day uses " +
+        "the window-top + conditional-min argmax (earliest on ties). One " +
+        "keyed window sort shared by lag, lead, and the partition top; " +
+        "day-grain relation only.",
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val flagged = daily
+          .withColumn("pv", lag(col("n"), 1).over(w))
+          .withColumn("nx", lead(col("n"), 1).over(w))
+          .withColumn("is_peak",
+            col("pv").isNotNull && col("nx").isNotNull &&
+              col("n") > col("pv") && col("n") > col("nx"))
+          .withColumn("ptop",
+            max(when(col("is_peak"), col("n")))
+              .over(Window.partitionBy("event_type")))
+        flagged.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_days"),
+            sum(when(col("is_peak"), 1L).otherwise(0L)).as("n_peaks"),
+            max(when(col("is_peak"), col("n"))).as("top_peak"),
+            min(when(col("is_peak") && col("n") === col("ptop"), col("day")))
+              .as("top_peak_day"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH d AS (SELECT event_type,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |f AS (SELECT event_type, day, n,
+          |    lag(n) OVER w AS pv, lead(n) OVER w AS nx
+          |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+          |p AS (SELECT event_type, day, n,
+          |    (pv IS NOT NULL AND nx IS NOT NULL AND n > pv AND n > nx)
+          |      AS is_peak
+          |  FROM f),
+          |t AS (SELECT event_type, day, n, is_peak,
+          |    max(CASE WHEN is_peak THEN n END)
+          |      OVER (PARTITION BY event_type) AS ptop
+          |  FROM p)
+          |SELECT event_type, count(*) AS n_days,
+          |  CAST(sum(CASE WHEN is_peak THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+          |  CAST(max(CASE WHEN is_peak THEN n END) AS BIGINT) AS top_peak,
+          |  CAST(min(CASE WHEN is_peak AND n = ptop THEN day END) AS BIGINT)
+          |    AS top_peak_day
+          |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_changepoint",
+      "Single best changepoint of the daily count series per type by the " +
+        "binary-segmentation variance criterion: the split k maximizing " +
+        "the between-segment sum of squares. Where q_ts_cusum scans " +
+        "intra-day money positions with the CUSUM statistic, this is the " +
+        "ACROSS-days structural break on the count series. The score " +
+        "(S1·nd − S·k)² / (k·(nd−k)·nd) is computed with an exact-BIGINT " +
+        "numerator (prefix sums and totals never touch a float — the " +
+        "squared term stays under 2^63 to ~3e9 events/type at 100-day " +
+        "spans; longer spans sub-shard like q_agg_moments) and ONE IEEE " +
+        "division per candidate, so every candidate's score is " +
+        "bit-identical on both engines and the argmax (window top + " +
+        "conditional min, earliest k on ties) can never flip. One keyed " +
+        "window sort shared by row_number, the prefix sum, and the " +
+        "partition stats; day-grain relation only.",
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .agg(count(lit(1)).as("n"))
+        val ord = Window.partitionBy("event_type").orderBy("day")
+        val part = Window.partitionBy("event_type")
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val num = col("cum") * col("nd") - col("tot") * col("k")
+        val scored = daily
+          .withColumn("k", row_number().over(ord).cast(LongType))
+          .withColumn("cum", sum(col("n")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("nd", count(lit(1)).over(part))
+          .withColumn("tot", sum(col("n")).over(part))
+          .filter(col("k") < col("nd"))
+          .withColumn("score",
+            D(num * num) / D(col("k") * (col("nd") - col("k")) * col("nd")))
+          .withColumn("top", max(col("score")).over(part))
+        scored.groupBy("event_type")
+          .agg(
+            max(col("nd")).as("n_days"),
+            min(when(col("score") === col("top"), col("k"))).as("cp_k"),
+            min(when(col("score") === col("top"), col("day"))).as("cp_day"),
+            round(max(col("score")), 6).as("bss"),
+            round(D(min(when(col("score") === col("top"), col("cum")))) /
+              D(min(when(col("score") === col("top"), col("k")))), 6)
+              .as("mean_before"),
+            round(D(max(col("tot")) -
+                min(when(col("score") === col("top"), col("cum")))) /
+              D(max(col("nd")) -
+                min(when(col("score") === col("top"), col("k")))), 6)
+              .as("mean_after"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH d AS (SELECT event_type,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |s AS (SELECT event_type, day, n,
+          |    CAST(row_number() OVER w AS BIGINT) AS k,
+          |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd,
+          |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+          |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+          |c AS (SELECT event_type, day, k, cum, nd, tot,
+          |    CAST((cum * nd - tot * k) * (cum * nd - tot * k) AS DOUBLE)
+          |      / CAST(k * (nd - k) * nd AS DOUBLE) AS score
+          |  FROM s WHERE k < nd),
+          |t AS (SELECT event_type, day, k, cum, nd, tot, score,
+          |    max(score) OVER (PARTITION BY event_type) AS top
+          |  FROM c)
+          |SELECT event_type, max(nd) AS n_days,
+          |  min(CASE WHEN score = top THEN k END) AS cp_k,
+          |  min(CASE WHEN score = top THEN day END) AS cp_day,
+          |  round(max(score), 6) AS bss,
+          |  round(CAST(min(CASE WHEN score = top THEN cum END) AS DOUBLE)
+          |    / CAST(min(CASE WHEN score = top THEN k END) AS DOUBLE), 6)
+          |    AS mean_before,
+          |  round(CAST(max(tot) - min(CASE WHEN score = top THEN cum END)
+          |      AS DOUBLE)
+          |    / CAST(max(nd) - min(CASE WHEN score = top THEN k END)
+          |      AS DOUBLE), 6) AS mean_after
+          |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_bollinger",
+      "Bollinger-band breach census on the daily count series per type: " +
+        "over a gap-safe 7-day RANGE frame, count the days falling " +
+        "outside mean ± 2σ of their own trailing week — the volatility-" +
+        "normalized outlier monitor next to q_ts_anomaly's global z-score. " +
+        "The breach predicate is FULLY INTEGER: |x − m| > 2σ over the " +
+        "w=7 window is equivalent to (7x − Σx)² > 4·(7·Σx² − (Σx)²), so " +
+        "no float ever decides a breach (window sums Σx, Σx² are exact " +
+        "BIGINT; the float band width is reported but never compared). " +
+        "Only complete 7-day windows score. One keyed window over the " +
+        "day-grain relation; Σx, Σx², and the frame count share one sort.",
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .agg(count(lit(1)).as("n"))
+        val fr = Window.partitionBy("event_type").orderBy("day")
+          .rangeBetween(-6, 0)
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val dev = lit(7L) * col("n") - col("sx")
+        val varNum = lit(7L) * col("sxx") - col("sx") * col("sx")
+        daily
+          .withColumn("cnt", count(lit(1)).over(fr))
+          .withColumn("sx", sum(col("n")).over(fr))
+          .withColumn("sxx", sum(col("n") * col("n")).over(fr))
+          .filter(col("cnt") === 7L)
+          .select(col("event_type"),
+            when(dev * dev > lit(4L) * varNum && dev > 0, 1L).otherwise(0L)
+              .as("hi"),
+            when(dev * dev > lit(4L) * varNum && dev < 0, 1L).otherwise(0L)
+              .as("lo"),
+            varNum.as("vn"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("days_scored"),
+            sum(col("hi")).as("n_breach_hi"), sum(col("lo")).as("n_breach_lo"),
+            round(D(max(col("vn"))) / lit(49d), 6).as("max_var"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH d AS (SELECT event_type,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |w AS (SELECT event_type, day, n,
+          |    CAST(count(*) OVER f AS BIGINT) AS cnt,
+          |    CAST(sum(n) OVER f AS BIGINT) AS sx,
+          |    CAST(sum(n * n) OVER f AS BIGINT) AS sxx
+          |  FROM d WINDOW f AS (PARTITION BY event_type ORDER BY day
+          |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+          |b AS (SELECT event_type,
+          |    7 * n - sx AS dev, 7 * sxx - sx * sx AS vn
+          |  FROM w WHERE cnt = 7)
+          |SELECT event_type, count(*) AS days_scored,
+          |  CAST(sum(CASE WHEN dev * dev > 4 * vn AND dev > 0
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_hi,
+          |  CAST(sum(CASE WHEN dev * dev > 4 * vn AND dev < 0
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_lo,
+          |  round(CAST(max(vn) AS DOUBLE) / 49.0, 6) AS max_var
+          |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
