@@ -650,6 +650,46 @@ object Joins {
           |  round((CAST(p.n12 AS DOUBLE) * CAST(t.nn AS DOUBLE))
           |    / (CAST(r1.nb AS DOUBLE) * CAST(r2.nb AS DOUBLE)), 6) AS lift
           |FROM p JOIN m r1 ON p.b1 = r1.b JOIN m r2 ON p.b2 = r2.b, t
-          |ORDER BY lift DESC, b1, b2 LIMIT 20""".stripMargin))
+          |ORDER BY lift DESC, b1, b2 LIMIT 20""".stripMargin)),
+
+    GraftQuery(
+      "q_join_null_anti",
+      "NOT IN with a nullable subquery — the null-aware anti join, the " +
+        "one join family whose semantics silently invert under NULLs: " +
+        "one NULL in the subquery makes every NOT IN row false, so the " +
+        "same query shape returns 'customers without urgent orders' on a " +
+        "null-free list and ZERO rows on a nullable one. Both branches " +
+        "run here (clean count + nullable count, which must be 0), " +
+        "expressed as SQL TEXT so Spark actually plans its null-aware " +
+        "anti join (a broadcast NAAJ on the build side's key column — " +
+        "only keys ship, never payloads) rather than a DataFrame " +
+        "isin-rewrite. The oracle runs the identical semantics trap.",
+      (s, dir) => {
+        val vc = "graft_naaj_c_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val vo = "graft_naaj_o_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        table(s, dir, "customer").createOrReplaceTempView(vc)
+        table(s, dir, "orders").createOrReplaceTempView(vo)
+        try s.sql(
+          s"""SELECT
+             |  (SELECT count(*) FROM $vc WHERE c_custkey NOT IN
+             |    (SELECT o_custkey FROM $vo WHERE o_orderpriority = '1-URGENT'))
+             |    AS n_clean,
+             |  (SELECT count(*) FROM $vc WHERE c_custkey NOT IN
+             |    (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+             |       THEN o_custkey END FROM $vo))
+             |    AS n_nullable""".stripMargin)
+        finally {
+          s.catalog.dropTempView(vc); s.catalog.dropTempView(vo)
+        }
+      },
+      Some(
+        """SELECT
+          |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+          |    (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+          |    AS n_clean,
+          |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+          |    (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+          |       THEN o_custkey END FROM orders))
+          |    AS n_nullable""".stripMargin))
   )
 }

@@ -286,6 +286,58 @@ object Windows {
           |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n, min(v) AS lo, max(v) AS hi,
           |  """.stripMargin + graft.Exact.moneySumSql("v") +
           """ AS s
-          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_win_ignore_nulls",
+      "The IGNORE NULLS analytic surface over a sparse column: per user, " +
+        "the first / second / latest purchase amount (first_value, " +
+        "nth_value, last_value over the full frame) and the running sum " +
+        "of each event's most-recent-prior purchase (lag IGNORE NULLS) — " +
+        "the sparse-measure carry primitives that q_ts_locf composes, " +
+        "gated here as the raw window functions themselves. Purchase " +
+        "cents stay exact BIGINT end to end (the lag-carry sum included), " +
+        "so every column hash-matches at any partitioning; all four " +
+        "functions share ONE (user, ts, id)-ordered sort, and the final " +
+        "user-grain collapse is a hash agg over per-partition constants.",
+      (s, dir) => {
+        val pc = when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast(LongType))
+        val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), pc.as("pc"))
+          .withColumn("fv", first(col("pc"), ignoreNulls = true).over(full))
+          .withColumn("nv", nth_value(col("pc"), 2, ignoreNulls = true).over(full))
+          .withColumn("lv", last(col("pc"), ignoreNulls = true).over(full))
+          .withColumn("prior",
+            lag(col("pc"), 1, null, ignoreNulls = true).over(ord))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max(col("fv")).as("first_cents"),
+            max(col("nv")).as("second_cents"),
+            max(col("lv")).as("last_cents"),
+            sum(col("prior")).as("carry_cents"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH e AS (SELECT user_id, ts, event_id,
+          |    CASE WHEN event_type = 'purchase'
+          |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS pc
+          |  FROM events),
+          |w AS (SELECT user_id,
+          |    first_value(pc IGNORE NULLS) OVER f AS fv,
+          |    nth_value(pc, 2 IGNORE NULLS) OVER f AS nv,
+          |    last_value(pc IGNORE NULLS) OVER f AS lv,
+          |    lag(pc IGNORE NULLS) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS prior
+          |  FROM e WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+          |SELECT user_id, count(*) AS n_events,
+          |  CAST(max(fv) AS BIGINT) AS first_cents,
+          |  CAST(max(nv) AS BIGINT) AS second_cents,
+          |  CAST(max(lv) AS BIGINT) AS last_cents,
+          |  CAST(sum(prior) AS BIGINT) AS carry_cents
+          |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
