@@ -625,6 +625,105 @@ object TimeSeries {
           |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin)),
 
     GraftQuery(
+      "q_seq_markov",
+      "First-order Markov transition matrix over per-user event-type " +
+        "sequences: P(next | current) for every observed (from, to) pair " +
+        "— the normalized model artifact next-event prediction trains " +
+        "against, where q_seq_trigram only censuses raw patterns. One " +
+        "lead() over the (ts, event_id) tie-broken user window emits " +
+        "transition pairs; counts and row margins are exact BIGINT (the " +
+        "margin via a frame-free window over the ≤|types|² cell " +
+        "relation, not a second corpus pass), and each probability is a " +
+        "single IEEE division of exact integers. The shuffle carries " +
+        "(from, to) pairs only, never timelines.",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        def D(c: String) = col(c).cast(DoubleType)
+        table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("t_from"))
+          .select(col("t_from"), lead(col("t_from"), 1).over(w).as("t_to"))
+          .filter(col("t_to").isNotNull)
+          .groupBy("t_from", "t_to")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_n", sum(col("n")).over(Window.partitionBy("t_from")))
+          .select(col("t_from"), col("t_to"), col("n"),
+            round(D("n") / D("row_n"), 6).as("p"))
+          .orderBy("t_from", "t_to")
+      },
+      Some(
+        """WITH t AS (SELECT event_type AS t_from,
+          |    lead(event_type, 1) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS t_to
+          |  FROM events),
+          |c AS (SELECT t_from, t_to, count(*) AS n FROM t
+          |  WHERE t_to IS NOT NULL GROUP BY 1, 2),
+          |m AS (SELECT t_from, t_to, n,
+          |    CAST(sum(n) OVER (PARTITION BY t_from) AS BIGINT) AS row_n
+          |  FROM c)
+          |SELECT t_from, t_to, n,
+          |  round(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE), 6) AS p
+          |FROM m ORDER BY t_from, t_to""".stripMargin)),
+
+    GraftQuery(
+      "q_seq_paths",
+      "Top-10 session paths: sessionize each user's timeline with the " +
+        "30-minute-gap device (q_ts_session), render each session's " +
+        "first 8 event types as an ordered '>' path string, and count " +
+        "path frequencies — the funnel-discovery staple that tells you " +
+        "what users actually do, not what the funnel spec assumed. " +
+        "Determinism: the per-session prefix is capped by row_number " +
+        "BEFORE aggregation (identical strings on both engines), and " +
+        "Spark's order-free collect_list is made deterministic by " +
+        "sorting (rn, type) structs in-array — never relying on " +
+        "partition arrival order. Two shared-sort windows per user, one " +
+        "session-grain agg, one path-grain count; the full order is " +
+        "(n desc, path) so top-10 cannot flip under ties.",
+      (s, dir) => {
+        val sec = graft.Ts.epochSec(col("ts"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val prevSec = lag(sec, 1).over(w)
+        val sess = table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("t"))
+          .withColumn("new_s",
+            when(prevSec.isNull || (sec - prevSec) > 1800, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")))
+          .filter(col("rn") <= 8)
+        sess.groupBy("user_id", "sid")
+          .agg(collect_list(struct(col("rn"), col("t"))).as("steps"))
+          .select(array_join(
+            transform(array_sort(col("steps")), x => x.getField("t")), ">")
+            .as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(10)
+      },
+      Some(
+        """WITH e AS (SELECT user_id, ts, event_id, event_type AS t,
+          |    CASE WHEN lag(epoch(ts)) OVER w IS NULL
+          |      OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+          |      THEN 1 ELSE 0 END AS new_s
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (SELECT user_id, ts, event_id, t,
+          |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM e),
+          |r AS (SELECT user_id, sid, t, ts, event_id,
+          |    row_number() OVER (PARTITION BY user_id, sid
+          |      ORDER BY ts, event_id) AS rn
+          |  FROM s),
+          |p AS (SELECT user_id, sid,
+          |    string_agg(t, '>' ORDER BY rn) AS path
+          |  FROM r WHERE rn <= 8 GROUP BY 1, 2)
+          |SELECT path, count(*) AS n FROM p
+          |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
+    GraftQuery(
       "q_ts_calendar",
       "Calendar heatmap — traffic and exact money mass per (day-of-week, " +
         "hour-of-day) cell, the capacity-planning staple. Day-of-week is " +
