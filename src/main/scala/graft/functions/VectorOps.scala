@@ -175,6 +175,61 @@ object VectorOps {
         "SELECT a.vec_id AS ida, b.vec_id AS idb, " +
           "round(" + Exact.cosineSql("a.embedding", "b.embedding") + ",6) AS sim " +
           "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
-          "ORDER BY sim DESC, ida, idb LIMIT 20"))
+          "ORDER BY sim DESC, ida, idb LIMIT 20")),
+
+    GraftQuery(
+      "q_vec_rrf",
+      "Reciprocal-rank fusion of two retrieval rankings to query vector " +
+        "0 — cosine (direction) and raw dot product (direction × " +
+        "magnitude) — the standard hybrid-search combiner (k=60): " +
+        "rrf = 1/(60+r_cos) + 1/(60+r_dot), top-10 fused. Both scores " +
+        "come from the codegen'd double dot product (bitwise-identical " +
+        "on both engines), ranks are integers from fully tie-broken " +
+        "(score desc, vec_id) orders, and the fused score is two IEEE " +
+        "divisions + one add on the same tree — so fusion can never " +
+        "diverge. Scale shape: one broadcast of the 1-row query side, " +
+        "one map pass computing both scores, two rank windows over the " +
+        "slim (vec_id, score) relation; swap in the q_hist_equidepth " +
+        "2-pass global rank when the candidate set outgrows one task " +
+        "(production fuses top-k lists from the ANN index, not full " +
+        "scans).",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
+        val scored = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            (Exact.dot(col("embedding"), col("qv")) /
+              (Exact.norm(col("embedding")) * col("qn"))).as("cos"),
+            Exact.dot(col("embedding"), col("qv")).as("dp"))
+        def D(c: org.apache.spark.sql.Column) =
+          c.cast(org.apache.spark.sql.types.DoubleType)
+        scored
+          .withColumn("r_cos",
+            row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+              .cast("long"))
+          .withColumn("r_dot",
+            row_number().over(Window.orderBy(col("dp").desc, col("vec_id")))
+              .cast("long"))
+          .select(col("vec_id"), col("r_cos"), col("r_dot"),
+            round(lit(1d) / D(lit(60L) + col("r_cos")) +
+              lit(1d) / D(lit(60L) + col("r_dot")), 6).as("rrf"))
+          .orderBy(col("rrf").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+          "s AS (SELECT e.vec_id, " + Exact.cosineSql("e.embedding", "q.qv") +
+          " AS cos, " + Exact.dotSql("e.embedding", "q.qv") + " AS dp " +
+          "FROM embeddings e, q WHERE e.vec_id <> 0), " +
+          "r AS (SELECT vec_id, " +
+          "CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS r_cos, " +
+          "CAST(row_number() OVER (ORDER BY dp DESC, vec_id) AS BIGINT) AS r_dot " +
+          "FROM s) " +
+          "SELECT vec_id, r_cos, r_dot, " +
+          "round(1.0 / CAST(60 + r_cos AS DOUBLE) + 1.0 / CAST(60 + r_dot AS DOUBLE), 6) AS rrf " +
+          "FROM r ORDER BY rrf DESC, vec_id LIMIT 10"))
   )
 }

@@ -609,6 +609,60 @@ object Graph {
           |  CAST(sum(m2.m2 * j.wc - j.dc * j.dc) AS BIGINT) AS q_num,
           |  round(CAST(sum(m2.m2 * j.wc - j.dc * j.dc) AS DOUBLE)
           |    / (CAST(max(m2.m2) AS DOUBLE) * max(m2.m2)), 6) AS q
-          |FROM j, m2""".stripMargin))
+          |FROM j, m2""".stripMargin)),
+
+    GraftQuery(
+      "q_graph_2hop",
+      "Friend-of-friend recommendation census over the affinity graph: " +
+        "for each supplier, how many DISTINCT suppliers sit exactly two " +
+        "hops away (reachable through a common partner, not directly " +
+        "adjacent) — the candidate-generation count behind link " +
+        "prediction, on the same write-once top-8 co-purchase artifact " +
+        "as triangles/jaccard. The wedge join composes the symmetrized " +
+        "adjacency with itself (degree-bounded by the kNN ingest cap, " +
+        "so the fan-out is O(k²·nodes) — no hub blowup by construction), " +
+        "dedups to candidate pairs, and one LEFT ANTI join against the " +
+        "adjacency removes direct edges. All-BIGINT, top-10 fully " +
+        "tie-broken. The adjacency broadcasts here (O(k·nodes)); beyond " +
+        "broadcast range both joins become src-keyed shuffles that move " +
+        "only slim id pairs.",
+      (s, dir) => {
+        val oe = affinityGraph(s, dir).select(col("src"), col("dst"))
+        val adj = oe.unionAll(oe.select(col("dst").as("src"), col("src").as("dst")))
+        val two = adj.as("a")
+          .join(broadcast(adj.as("b")), col("a.dst") === col("b.src"))
+          .filter(col("a.src") =!= col("b.dst"))
+          .select(col("a.src").as("u"), col("b.dst").as("v"))
+          .distinct()
+        two
+          .join(adj.select(col("src").as("u"), col("dst").as("v")),
+            Seq("u", "v"), "left_anti")
+          .groupBy(col("u").as("node"))
+          .agg(count(lit(1)).as("n_fof"))
+          .orderBy(col("n_fof").desc, col("node"))
+          .limit(10)
+      },
+      Some(
+        """WITH dpairs AS MATERIALIZED (
+          |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(DISTINCT a.l_orderkey) AS w
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+          |  GROUP BY 1, 2),
+          |knn AS (
+          |  SELECT u, v FROM (
+          |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+          |    FROM dpairs) WHERE rn <= 8),
+          |e AS MATERIALIZED (
+          |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM knn),
+          |adj AS MATERIALIZED (
+          |  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+          |two AS (
+          |  SELECT DISTINCT a.src AS u, b.dst AS v
+          |  FROM adj a JOIN adj b ON a.dst = b.src WHERE a.src <> b.dst),
+          |rec AS (
+          |  SELECT u, v FROM two WHERE NOT EXISTS (
+          |    SELECT 1 FROM adj WHERE adj.src = two.u AND adj.dst = two.v))
+          |SELECT u AS node, count(*) AS n_fof FROM rec
+          |GROUP BY 1 ORDER BY n_fof DESC, node LIMIT 10""".stripMargin))
   )
 }
