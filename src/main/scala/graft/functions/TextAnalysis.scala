@@ -525,6 +525,67 @@ object TextAnalysis {
           |  round((sy - ((CAST(nd AS DOUBLE) * sxy - sx * sy)
           |    / (CAST(nd AS DOUBLE) * sxx - sx * sx)) * sx)
           |    / CAST(nd AS DOUBLE), 6) AS heaps_b0
-          |FROM r, t WHERE rk = nd""".stripMargin))
+          |FROM r, t WHERE rk = nd""".stripMargin)),
+
+    GraftQuery(
+      "q_text_readability",
+      "Flesch reading-ease panel per language: words, sentences, and a " +
+        "vowel-group syllable proxy summed exactly per language, then " +
+        "the Flesch formula (206.835 − 1.015·w/s − 84.6·y/w) as closed-" +
+        "form doubles — the readability gate a curation pipeline runs " +
+        "next to q_text_quality's surface stats. Group COUNTING uses the " +
+        "marker device: regexp-replace each vowel group / sentence-" +
+        "terminator run with one control char (absent from any text) and " +
+        "count markers by length difference — both engines count " +
+        "occurrences without any regex-extract-all materialization. All " +
+        "per-document counts are exact integers; sums are associative " +
+        "BIGINT; sentences are floor-smoothed to ≥1 per doc so the " +
+        "ratio can never divide by zero. One map pass + one 5-group agg.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        val mark = "\u0007"
+        def groups(c: org.apache.spark.sql.Column, pat: String) = {
+          val g = regexp_replace(c, pat, mark)
+          (length(g) - length(translate(g, mark, ""))).cast(LongType)
+        }
+        def D(c: String) = col(c).cast(DoubleType)
+        val d = table(s, dir, "documents")
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast(LongType).as("w"),
+            greatest(groups(col("text"), "[.!?]+"), lit(1L)).as("sen"),
+            greatest(groups(lower(col("text")), "[aeiou]+"), lit(1L)).as("syl"))
+        d.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("w")).as("words"), sum(col("sen")).as("sentences"),
+            sum(col("syl")).as("syllables"))
+          .select(col("lang"), col("n_docs"), col("words"), col("sentences"),
+            col("syllables"),
+            round(lit(206.835d) - lit(1.015d) * (D("words") / D("sentences"))
+              - lit(84.6d) * (D("syllables") / D("words")), 6).as("flesch"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH d AS (SELECT lang,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+          |    greatest(CAST(
+          |      length(regexp_replace(text, '[.!?]+', chr(7), 'g'))
+          |      - length(replace(regexp_replace(text, '[.!?]+', chr(7), 'g'),
+          |        chr(7), '')) AS BIGINT), 1) AS sen,
+          |    greatest(CAST(
+          |      length(regexp_replace(lower(text), '[aeiou]+', chr(7), 'g'))
+          |      - length(replace(regexp_replace(lower(text), '[aeiou]+',
+          |        chr(7), 'g'), chr(7), '')) AS BIGINT), 1) AS syl
+          |  FROM documents),
+          |a AS (SELECT lang, count(*) AS n_docs,
+          |    CAST(sum(w) AS BIGINT) AS words,
+          |    CAST(sum(sen) AS BIGINT) AS sentences,
+          |    CAST(sum(syl) AS BIGINT) AS syllables
+          |  FROM d GROUP BY 1)
+          |SELECT lang, n_docs, words, sentences, syllables,
+          |  round(206.835 - 1.015 * (CAST(words AS DOUBLE)
+          |      / CAST(sentences AS DOUBLE))
+          |    - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)),
+          |    6) AS flesch
+          |FROM a ORDER BY lang""".stripMargin))
   )
 }

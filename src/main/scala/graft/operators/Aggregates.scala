@@ -727,6 +727,52 @@ object Aggregates {
           |SELECT o_orderpriority, n,
           |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
           |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
-          |FROM m ORDER BY o_orderpriority""".stripMargin))
+          |FROM m ORDER BY o_orderpriority""".stripMargin)),
+
+    GraftQuery(
+      "q_agg_weighted_median",
+      "Quantity-weighted median price per return flag — the weighted " +
+        "quantile primitive (each price counts by units moved, not by " +
+        "line count) that inventory/pricing analytics need where plain " +
+        "percentile_cont over-weights small orders. The row grain never " +
+        "sorts: prices collapse to the VALUE-grain relation keyed by " +
+        "exact integer CENTS (a float grouping key would be a cross-" +
+        "engine hash hazard), weights are exact BIGINT unit sums, and " +
+        "the median is the smallest value whose doubled cumulative " +
+        "weight reaches the total (2·cum ≥ W — integer compare, no /2 " +
+        "float). One value-grain window per flag shared by the " +
+        "cumulative and total sums; the only float is the final " +
+        "cents→price division.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byv = table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast(LongType).as("c"))
+          .agg(sum(floor(col("l_quantity") + 0.5).cast(LongType)).as("w"))
+        val ord = Window.partitionBy("l_returnflag").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byv
+          .withColumn("cum", sum(col("w")).over(ord))
+          .withColumn("tw", sum(col("w")).over(Window.partitionBy("l_returnflag")))
+          .filter(col("cum") * 2 >= col("tw"))
+          .groupBy("l_returnflag")
+          .agg(max(col("tw")).as("w_total"),
+            round(min(col("c")).cast("double") / lit(100d), 2).as("wmedian"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """WITH byv AS (SELECT l_returnflag,
+          |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+          |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS w
+          |  FROM lineitem GROUP BY 1, 2),
+          |r AS (SELECT l_returnflag, c, w,
+          |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY c
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+          |  FROM byv)
+          |SELECT l_returnflag, max(tw) AS w_total,
+          |  round(CAST(min(c) AS DOUBLE) / 100.0, 2) AS wmedian
+          |FROM r WHERE cum * 2 >= tw
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -191,6 +191,55 @@ object Warehouse {
           |  FROM per, t)
           |SELECT r_score, f_score, m_score, count(*) AS n_customers,
           |  CAST(sum(m) AS BIGINT) AS monetary_cents
-          |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+          |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    GraftQuery(
+      "q_audit_checksum",
+      "Order-insensitive content fingerprint of the orders table per " +
+        "status — the cross-cluster reconciliation primitive: after a " +
+        "migration/backfill, two engines compare (row count, md5-prefix " +
+        "checksum, min/max digest) per partition group and any single " +
+        "changed byte in any row flips the group's fingerprint. Each row " +
+        "canonicalizes to a '|'-joined string of EXACT integer renderings " +
+        "(cents, epoch days — floats never print), md5 of that string is " +
+        "engine-identical, and the checksum is the exact BIGINT sum of " +
+        "16-bit digest prefixes — associative, so any partitioning and " +
+        "any accumulation order gives the same value (a concat-based " +
+        "fingerprint would be order-dependent and unusable distributed). " +
+        "One map pass + one hash agg; nothing shuffles but (status, " +
+        "digest) slivers.",
+      (s, dir) => {
+        val day = floor(graft.Ts.epochSec(col("o_orderdate")) / lit(86400d))
+          .cast(LongType)
+        val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+        val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          cents, day, col("o_orderpriority"))
+        val h = md5(canon)
+        val h16 = conv(substring(h, 1, 4), 16, 10).cast(LongType)
+        table(s, dir, "orders")
+          .select(col("o_orderstatus"), h.as("h"), h16.as("h16"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("h16")).as("checksum"),
+            min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        """WITH c AS (SELECT o_orderstatus,
+          |    md5(concat_ws('|',
+          |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+          |      CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+          |      CAST(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS VARCHAR),
+          |      o_orderpriority)) AS h
+          |  FROM orders),
+          |v AS (SELECT o_orderstatus, h,
+          |    4096 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+          |    + 256 * (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+          |    + 16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+          |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS h16
+          |  FROM c)
+          |SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(h16) AS BIGINT) AS checksum,
+          |  min(h) AS h_min, max(h) AS h_max
+          |FROM v GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }
