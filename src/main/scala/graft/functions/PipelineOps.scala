@@ -1248,6 +1248,146 @@ object PipelineOps {
           |  round((rd - (2.0 * n1d * n2d / (n1d + n2d) + 1.0))
           |    / sqrt(2.0 * n1d * n2d * (2.0 * n1d * n2d - (n1d + n2d))
           |      / ((n1d + n2d) * (n1d + n2d) * ((n1d + n2d) - 1.0))), 6) AS z
-          |FROM d ORDER BY event_type""".stripMargin))
+          |FROM d ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_anova",
+      "One-way ANOVA of daily event counts across day-of-week groups per " +
+        "type — the F-test that quantifies weekly seasonality (and the " +
+        "missing classical test next to t/chi²/U/runs): eta² = SSB/SST " +
+        "is the seasonality-strength reading, F = (SSB/(k−1)) / " +
+        "(SSW/(n−k)) the significance. Sufficient statistics (c, Σx, " +
+        "Σx² per dow cell; totals per type) are exact BIGINT from the " +
+        "day-grain relation; the one float SUM — Σ_d sx_d²/c_d over the " +
+        "≤7 cells — runs in the dow-ordered window (the zipf device), " +
+        "so both engines fold identically. Everything after the first " +
+        "count is cell-grain.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        import org.apache.spark.sql.expressions.Window
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("dow", pmod(col("day") + lit(3L), lit(7L)))
+        val cells = daily.groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+        val wt = Window.partitionBy("event_type")
+        val ordw = Window.partitionBy("event_type").orderBy("dow")
+        val ssb = col("bcum") - D(col("s") * col("s")) / D(col("n"))
+        val sst = D(col("sxx_t")) - D(col("s") * col("s")) / D(col("n"))
+        cells
+          .withColumn("n", sum(col("c")).over(wt))
+          .withColumn("s", sum(col("sx")).over(wt))
+          .withColumn("sxx_t", sum(col("sxx")).over(wt))
+          .withColumn("k", count(lit(1)).over(wt))
+          .withColumn("bcum", sum(D(col("sx") * col("sx")) / D(col("c")))
+            .over(ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rk", row_number().over(ordw).cast(LongType))
+          .filter(col("rk") === col("k"))
+          .select(col("event_type"), col("n").as("n_days"), col("k"),
+            round(ssb / sst, 6).as("eta2"),
+            round((ssb / D(col("k") - lit(1L))) /
+              ((sst - ssb) / D(col("n") - col("k"))), 6).as("f_stat"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH d AS (SELECT event_type,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |g AS (SELECT event_type, (day + 3) % 7 AS dow, x FROM d),
+          |cells AS (SELECT event_type, dow, count(*) AS c,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+          |  FROM g GROUP BY 1, 2),
+          |w AS (SELECT event_type, dow, c, sx, sxx,
+          |    CAST(sum(c) OVER p AS BIGINT) AS n,
+          |    CAST(sum(sx) OVER p AS BIGINT) AS s,
+          |    CAST(sum(sxx) OVER p AS BIGINT) AS sxx_t,
+          |    CAST(count(*) OVER p AS BIGINT) AS k,
+          |    sum(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(c AS DOUBLE))
+          |      OVER (PARTITION BY event_type ORDER BY dow
+          |        ROWS UNBOUNDED PRECEDING) AS bcum,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY dow) AS rk
+          |  FROM cells WINDOW p AS (PARTITION BY event_type)),
+          |f AS (SELECT event_type, n, k,
+          |    bcum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+          |      AS ssb,
+          |    CAST(sxx_t AS DOUBLE)
+          |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+          |      AS sst
+          |  FROM w WHERE rk = k)
+          |SELECT event_type, n AS n_days, k,
+          |  round(ssb / sst, 6) AS eta2,
+          |  round((ssb / CAST(k - 1 AS DOUBLE))
+          |    / ((sst - ssb) / CAST(n - k AS DOUBLE)), 6) AS f_stat
+          |FROM f ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_clean_impute",
+      "Median imputation — the fill-missing-with-group-median cleaning " +
+        "leg next to q_clean_winsorize's clipping: a deterministic tenth " +
+        "of rows (event_id ≡ 0 mod 10) have their value nulled, each " +
+        "type's LOWER MEDIAN of the surviving cents is found on the " +
+        "value-grain relation with the integer 2·cum ≥ W test (no " +
+        "interpolation float — the imputed value is always a real data " +
+        "value), and the post-imputation ledger Σcents + n_null·median " +
+        "is EXACT BIGINT, so the gate proves conservation, not just the " +
+        "median. Value-grain window per type, medians broadcast back; " +
+        "the corpus is touched by one agg and one map pass.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.LongType
+        import org.apache.spark.sql.expressions.Window
+        val cents0 = when(col("event_id") % 10 =!= 0,
+          floor(col("value") * 100 + 0.5).cast(LongType))
+        val e = table(s, dir, "events")
+          .select(col("event_type"), col("event_id"), cents0.as("c0"))
+        val byv = e.filter(col("c0").isNotNull)
+          .groupBy(col("event_type"), col("c0").as("c"))
+          .agg(count(lit(1)).as("w"))
+        val ord = Window.partitionBy("event_type").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val med = byv
+          .withColumn("cum", sum(col("w")).over(ord))
+          .withColumn("tw", sum(col("w")).over(Window.partitionBy("event_type")))
+          .filter(col("cum") * 2 >= col("tw"))
+          .groupBy("event_type")
+          .agg(min(col("c")).as("median_cents"))
+        e.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("c0").isNull, 1L).otherwise(0L)).as("n_imputed"),
+            sum(col("c0")).as("s"))
+          .join(broadcast(med), "event_type")
+          .select(col("event_type"), col("n"), col("n_imputed"),
+            col("median_cents"),
+            (col("s") + col("n_imputed") * col("median_cents"))
+              .as("total_cents"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH e AS (SELECT event_type, event_id,
+          |    CASE WHEN event_id % 10 <> 0
+          |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS c0
+          |  FROM events),
+          |byv AS (SELECT event_type, c0 AS c, count(*) AS w FROM e
+          |  WHERE c0 IS NOT NULL GROUP BY 1, 2),
+          |r AS (SELECT event_type, c, w,
+          |    CAST(sum(w) OVER (PARTITION BY event_type ORDER BY c
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |    CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS tw
+          |  FROM byv),
+          |m AS (SELECT event_type, min(c) AS median_cents
+          |  FROM r WHERE cum * 2 >= tw GROUP BY 1),
+          |a AS (SELECT event_type, count(*) AS n,
+          |    CAST(sum(CASE WHEN c0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_imputed,
+          |    CAST(sum(c0) AS BIGINT) AS s
+          |  FROM e GROUP BY 1)
+          |SELECT a.event_type, a.n, a.n_imputed, m.median_cents,
+          |  a.s + a.n_imputed * m.median_cents AS total_cents
+          |FROM a JOIN m ON a.event_type = m.event_type
+          |ORDER BY a.event_type""".stripMargin))
   )
 }
