@@ -304,4 +304,34 @@ class PlanShapeSpec extends SparkSuite {
     assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
     assert(p.contains("windowspecdefinition(band"), p)
   }
+
+  test("q_join_null_anti plans a null-aware anti join on the nullable branch") {
+    val p = plan("q_join_null_anti")
+    // BOTH NOT IN branches must run as Spark's null-aware anti join —
+    // BroadcastHashJoin's trailing isNullAwareAntiJoin flag renders as
+    // "LeftAnti, BuildRight, true". A plain hash anti join on the raw
+    // equi-condition would silently return non-empty rows on the nullable
+    // branch.
+    assert("LeftAnti, BuildRight, true".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q_seq_paths: sessionize + cap + collect share the user-keyed sort") {
+    val p = plan("q_seq_paths")
+    // one exchange for the user-keyed windows, one for the (user, sid)
+    // session agg, one for the path-grain count, then the top-10 heap —
+    // no SinglePartition exchange anywhere (the global sort is
+    // TakeOrderedAndProject)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_agg_weighted_median never sorts the row grain") {
+    val p = plan("q_agg_weighted_median")
+    // the window sort runs over the cents value-grain relation AFTER the
+    // collapsing hash agg: the plan must aggregate below the window
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, p)
+    assert(p.lastIndexOf("HashAggregate") > winIdx, p) // partial agg below the window
+  }
 }
