@@ -1178,6 +1178,50 @@ object TimeSeries {
           |FROM a ORDER BY event_type""".stripMargin)),
 
     GraftQuery(
+      "q_ts_gaps",
+      "Silent-gap census per type — the data-freshness/outage monitor " +
+        "run against every ingest feed: consecutive-event gaps from one " +
+        "lead() over the (ts, event_id)-ordered keyed window, reporting " +
+        "how many exceeded an hour, the largest gap, and WHEN it opened " +
+        "(window-top + conditional-min argmax, earliest on ties). Where " +
+        "q_ts_gap_fill repairs calendar holes, this MEASURES them. All " +
+        "arithmetic is exact epoch-microsecond BIGINT; one keyed sort, " +
+        "one hash agg, nothing after the gap relation scales with the " +
+        "corpus beyond the first sort.",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        val us = graft.Ts.epochMicros(col("ts"))
+        table(s, dir, "events")
+          .select(col("event_type"), col("ts"), col("event_id"), us.as("us"))
+          .withColumn("gap", lead(col("us"), 1).over(w) - col("us"))
+          .filter(col("gap").isNotNull)
+          .withColumn("top", max(col("gap")).over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(when(col("gap") > 3600000000L, 1L).otherwise(0L)).as("n_gaps_1h"),
+            max(col("gap")).as("max_gap_us"),
+            min(when(col("gap") === col("top"), col("us"))).as("max_gap_start_us"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH e AS (SELECT event_type, ts, event_id, epoch_us(ts) AS us
+          |  FROM events),
+          |g AS (SELECT event_type, us,
+          |    lead(us) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+          |      - us AS gap
+          |  FROM e),
+          |t AS (SELECT event_type, us, gap,
+          |    max(gap) OVER (PARTITION BY event_type) AS top
+          |  FROM g WHERE gap IS NOT NULL)
+          |SELECT event_type, count(*) AS n_gaps,
+          |  CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_gaps_1h,
+          |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+          |  CAST(min(CASE WHEN gap = top THEN us END) AS BIGINT)
+          |    AS max_gap_start_us
+          |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
       "q_ts_drawdown",
       "Maximum drawdown of the daily activity series per type: the " +
         "largest peak-to-trough decline of daily event counts (running " +
