@@ -96,6 +96,41 @@ object EventStream {
         col("tsb") <= col("tsa") + expr("interval 5 minutes"))
   }
 
+  /** CUSTOM-state streaming aggregation via flatMapGroupsWithState — the
+    * arbitrary-state API gated against a relational oracle (StationTracker
+    * uses the same surface but is only self-oracled): per-user running
+    * (count, exact cents, first/last event micros). Every state field is
+    * ORDER-INSENSITIVE (count/sum associative, min/max commutative), which
+    * is the design requirement for this API on a real stream — micro-batch
+    * boundaries and in-batch row order are not deterministic, so any
+    * order-sensitive fold here would be a run-to-run hash hazard. One row
+    * per (user, batch) is appended; fields are monotone, so the read-back
+    * max/min per user IS the final state — no "last row" ordering needed. */
+  def userRunningState(events: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (n, c, mn, mx) =
+            state.getOption.getOrElse((0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { r =>
+            n += 1; c += r._2
+            mn = math.min(mn, r._3); mx = math.max(mx, r._3)
+          }
+          state.update((n, c, mn, mx))
+          Iterator((user, n, c, mn, mx))
+      }
+  }
+
   /** Checkpointed parquet sink, processing all available input then stopping
     * (Trigger.AvailableNow) — the batch-refresh deployment mode; drop the
     * trigger for a continuously-running collector. */

@@ -278,6 +278,46 @@ object StreamQueries {
           graft.Exact.moneySumSql("value") + """ AS s
           |  FROM events JOIN customer ON user_id = c_custkey GROUP BY 1, 2)
           |WHERE w + INTERVAL 1 HOUR <= (SELECT CAST(max(ts) AS TIMESTAMP) FROM events) - INTERVAL 2 HOUR
-          |ORDER BY w, c_mktsegment""".stripMargin))
+          |ORDER BY w, c_mktsegment""".stripMargin)),
+
+    GraftQuery(
+      "q_stream_state",
+      "REAL flatMapGroupsWithState pipeline under the oracle gate — the " +
+        "arbitrary-state streaming API (the surface session trackers and " +
+        "online feature stores build on), proven against a plain batch " +
+        "aggregation: per-user running (count, exact cents, first/last " +
+        "micros) state, one appended row per (user, micro-batch). Every " +
+        "state field is order-insensitive by design (associative count/" +
+        "sum, commutative min/max — micro-batch boundaries and in-batch " +
+        "order are nondeterministic on a real stream), so the fields are " +
+        "monotone and the read-back max/min per user IS the final state. " +
+        "State is one 4-long tuple per live user — bytes per key, " +
+        "watermark-free.",
+      (spark, dir) => {
+        val out = graft.Scratch.dir("graft_sq_out")
+        val ckpt = graft.Scratch.dir("graft_sq_ck")
+        reapAtExit.add(out)
+        withStreamShuffle(spark) {
+          EventStream.writeParquet(
+            EventStream.userRunningState(
+              EventStream.readEvents(spark, eventsDropDir(spark, dir)))
+              .toDF("user_id", "n", "cents", "first_us", "last_us"),
+            out, ckpt)
+            .awaitTermination()
+        }
+        deleteRecursively(ckpt)
+        spark.read.parquet(out)
+          .groupBy("user_id")
+          .agg(max(col("n")).as("n"), max(col("cents")).as("cents"),
+            min(col("first_us")).as("first_us"), max(col("last_us")).as("last_us"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, count(*) AS n,
+          |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          |    AS cents,
+          |  CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS first_us,
+          |  CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
