@@ -812,6 +812,79 @@ object TimeSeries {
           |FROM d ORDER BY event_type""".stripMargin)),
 
     GraftQuery(
+      "q_ts_acf",
+      "Autocorrelation panel, lags 1–7, of the daily count series per " +
+        "type — the full ACF diagnostic behind seasonality detection " +
+        "(a weekly cycle shows as r₇ ≫ r₁..r₆), extending q_ts_autocorr " +
+        "beyond lag 1. ALL seven lags ride ONE keyed window sort (seven " +
+        "lead() calls share the frame), the lag pairs unpivot through " +
+        "stack() map-side, and each (type, lag) cell folds to five exact " +
+        "BIGINT sufficient statistics with Pearson r as the closed-form " +
+        "double tree (the q_agg_regression discipline — native corr() " +
+        "folds floats in partition order). Day-grain relation only.",
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val withLeads = (1 to 7).foldLeft(daily) { (d, k) =>
+          d.withColumn(s"y$k", lead(col("x"), k).over(w))
+        }
+        val stacked = withLeads.select(col("event_type"), col("x"),
+          expr("stack(7, " +
+            (1 to 7).map(k => s"${k}L, y$k").mkString(", ") +
+            ") AS (lag_k, y)"))
+          .filter(col("y").isNotNull)
+        def D(c: String) = col(c).cast(DoubleType)
+        val num = D("n") * D("sxy") - D("sx") * D("sy")
+        val den = sqrt(D("n") * D("sxx") - D("sx") * D("sx")) *
+          sqrt(D("n") * D("syy") - D("sy") * D("sy"))
+        stacked.groupBy("event_type", "lag_k")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("event_type"), col("lag_k"), col("n"),
+            round(num / den, 6).as("r"))
+          .orderBy("event_type", "lag_k")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+          |    count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |l AS (SELECT event_type, x,
+          |    lead(x, 1) OVER w AS y1, lead(x, 2) OVER w AS y2,
+          |    lead(x, 3) OVER w AS y3, lead(x, 4) OVER w AS y4,
+          |    lead(x, 5) OVER w AS y5, lead(x, 6) OVER w AS y6,
+          |    lead(x, 7) OVER w AS y7
+          |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+          |u AS (
+          |  SELECT event_type, x, 1 AS lag_k, y1 AS y FROM l UNION ALL
+          |  SELECT event_type, x, 2, y2 FROM l UNION ALL
+          |  SELECT event_type, x, 3, y3 FROM l UNION ALL
+          |  SELECT event_type, x, 4, y4 FROM l UNION ALL
+          |  SELECT event_type, x, 5, y5 FROM l UNION ALL
+          |  SELECT event_type, x, 6, y6 FROM l UNION ALL
+          |  SELECT event_type, x, 7, y7 FROM l),
+          |a AS (SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k,
+          |    count(*) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x * y) AS BIGINT) AS sxy,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx,
+          |    CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM u WHERE y IS NOT NULL GROUP BY 1, 2)
+          |SELECT event_type, lag_k, n,
+          |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          |      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+          |    6) AS r
+          |FROM a ORDER BY event_type, lag_k""".stripMargin)),
+
+    GraftQuery(
       "q_ts_interval_union",
       "Merged-interval coverage per user (the interval-union / utilization " +
         "problem): every event opens a 15-minute presence interval; " +
