@@ -812,6 +812,63 @@ object TimeSeries {
           |FROM d ORDER BY event_type""".stripMargin)),
 
     GraftQuery(
+      "q_ts_theilsen",
+      "Theil–Sen robust trend per type: the MEDIAN of all pairwise " +
+        "slopes of the daily count series — the outlier-immune companion " +
+        "to q_ts_trend's least squares (one corrupted day moves OLS, not " +
+        "the median slope). Pair generation self-joins the DAY-GRAIN " +
+        "relation (days²-bounded per type — ~5k pairs per 100-day span — " +
+        "however large the corpus; the corpus is touched only by the " +
+        "first count); each slope is ONE IEEE division of exact BIGINTs, " +
+        "so every slope is bit-identical on both engines and the " +
+        "lower-median pick (first row where 2·rank ≥ n over the fully " +
+        "tie-broken (slope, d1, d2) order) can never flip. No float is " +
+        "ever a grouping key — ordering by identically-computed doubles " +
+        "is safe where hashing them is not.",
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .agg(count(lit(1)).as("x"))
+        val a = daily.select(col("event_type"), col("day").as("d1"), col("x").as("x1"))
+        val b = daily.select(col("event_type").as("et2"), col("day").as("d2"),
+          col("x").as("x2"))
+        val pairs = a.join(b,
+            col("event_type") === col("et2") && col("d1") < col("d2"))
+          .select(col("event_type"), col("d1"), col("d2"),
+            ((col("x2") - col("x1")).cast(DoubleType) /
+              (col("d2") - col("d1")).cast(DoubleType)).as("slope"))
+        val w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+        pairs
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+          .filter(col("rn") * 2 >= col("np"))
+          .groupBy("event_type")
+          .agg(max(col("np")).as("n_pairs"),
+            round(min(col("slope")), 6).as("theil_slope"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+          |    count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |p AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+          |    CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+          |  FROM daily a JOIN daily b
+          |    ON a.event_type = b.event_type AND a.day < b.day),
+          |r AS (SELECT event_type, slope,
+          |    CAST(row_number() OVER (PARTITION BY event_type
+          |      ORDER BY slope, d1, d2) AS BIGINT) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+          |  FROM p)
+          |SELECT event_type, max(np) AS n_pairs,
+          |  round(min(slope), 6) AS theil_slope
+          |FROM r WHERE rn * 2 >= np
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
       "q_ts_acf",
       "Autocorrelation panel, lags 1–7, of the daily count series per " +
         "type — the full ACF diagnostic behind seasonality detection " +
