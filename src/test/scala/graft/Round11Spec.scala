@@ -247,6 +247,65 @@ class Round11Spec extends SparkSuite {
     assert(want.values.map(_._1).sum == rows.length.toLong)
   }
 
+  test("gaps: equals brute-force consecutive-difference scan") {
+    val evs = Tables.table(spark, sf, "events")
+      .select(col("event_type"), graft.Ts.epochMicros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = run("q_ts_gaps").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    evs.groupBy(_._1).foreach { case (t, xs) =>
+      val us = xs.sortBy(x => (x._2, x._3)).map(_._2)
+      val gaps = us.zip(us.tail).map { case (a, b) => (b - a, a) }
+      val maxGap = gaps.map(_._1).max
+      val want = (gaps.size.toLong, gaps.count(_._1 > 3600000000L).toLong,
+        maxGap, gaps.filter(_._1 == maxGap).map(_._2).min)
+      assert(got(t) == want, s"type=$t")
+    }
+  }
+
+  test("acf: each lag equals brute-force Pearson over aligned pairs") {
+    val got = run("q_ts_acf").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    daily.foreach { case (t, series) =>
+      val ns = series.map(_._2.toDouble)
+      (1 to 7).foreach { k =>
+        if (ns.size > k) {
+          val xs = ns.dropRight(k); val ys = ns.drop(k)
+          val n = xs.size.toDouble
+          val sx = xs.sum; val sy = ys.sum
+          val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+          val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+          val r = (n * sxy - sx * sy) /
+            (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+          val (gn, gr) = got((t, k.toLong))
+          assert(gn == xs.size.toLong, s"type=$t k=$k")
+          assert(math.abs(gr - r) < 1e-5, s"type=$t k=$k got=$gr want=$r")
+        }
+      }
+    }
+  }
+
+  test("theil-sen: equals brute-force median of pairwise slopes") {
+    val got = run("q_ts_theilsen").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    daily.foreach { case (t, series) =>
+      val slopes = for {
+        i <- series.indices; j <- (i + 1) until series.size
+      } yield (series(j)._2 - series(i)._2).toDouble /
+        (series(j)._1 - series(i)._1).toDouble
+      val sorted = slopes.sorted
+      // lower median: smallest element whose 1-based rank r has 2r >= n
+      val lowerMed = sorted(((sorted.size + 1) / 2) - 1)
+      val (np, slope) = got(t)
+      assert(np == slopes.size.toLong, s"type=$t")
+      assert(math.abs(slope - lowerMed) < 1e-6,
+        s"type=$t got=$slope want=$lowerMed")
+    }
+  }
+
   test("rrf: fused score consistent with independently recomputed ranks") {
     val rows = run("q_vec_rrf").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
