@@ -229,5 +229,49 @@ object Scalars {
       Some(
         "SELECT n_name, r_name, CAST(levenshtein(n_name, r_name) AS INT) AS dist " +
           "FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_name"))
+    ,
+
+    GraftQuery(
+      "q_array_hof",
+      "The higher-order-function surface as a first-class battery — " +
+        "transform / filter / exists / aggregate(fold) / array_sort over " +
+        "per-document token arrays, the lambda-expression API users reach " +
+        "for before dropping to UDFs (and the reason they never need to): " +
+        "long-token count (filter), leading-capital detection (exists), " +
+        "total character fold (aggregate with an explicit zero — a " +
+        "sequential left fold, deterministic by definition), longest " +
+        "token (array_max∘transform), and the lexicographically first " +
+        "token (array_sort). All integer/boolean/string outputs — " +
+        "nothing to drift. One map pass; the arrays never leave their " +
+        "row.",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(filter(toks, t => length(t) > 5)).cast(LongType)
+              .as("n_long"),
+            exists(toks, t => t.rlike("^[A-Z]")).as("has_cap"),
+            aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+              .as("total_chars"),
+            array_max(transform(toks, t => length(t))).cast(LongType)
+              .as("max_len"),
+            element_at(array_sort(toks), 1).as("first_tok"))
+          .orderBy("doc_id")
+          .limit(500)
+      },
+      Some(
+        """SELECT doc_id,
+          |  CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 5))
+          |    AS BIGINT) AS n_long,
+          |  len(list_filter(string_split(text, ' '),
+          |    t -> regexp_matches(t, '^[A-Z]'))) > 0 AS has_cap,
+          |  CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+          |    list_transform(string_split(text, ' '),
+          |      t -> CAST(len(t) AS BIGINT))), (a, b) -> a + b) AS BIGINT)
+          |    AS total_chars,
+          |  CAST(list_max(list_transform(string_split(text, ' '),
+          |    t -> len(t))) AS BIGINT) AS max_len,
+          |  list_sort(string_split(text, ' '))[1] AS first_tok
+          |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin))
   )
 }

@@ -668,6 +668,49 @@ object Joins {
           |ORDER BY lift DESC, b1, b2 LIMIT 20""".stripMargin)),
 
     GraftQuery(
+      "q_join_lateral",
+      "LATERAL correlated derived-table join through the SQL front door " +
+        "— the per-row-subquery surface (top-N-per-key spelled as the " +
+        "outer query's own subquery) that ports from every warehouse " +
+        "dialect: for each nation, the top-2 orders by exact cents via a " +
+        "correlated ORDER BY … LIMIT 2 lateral. Catalyst decorrelates " +
+        "the lateral into a ranked window join (DecorrelateInnerQuery + " +
+        "RewriteLateralSubquery), so the executed plan is the same " +
+        "shuffle-once-per-key shape as q_win_rank — the gate proves the " +
+        "SQL surface AND that the decorrelation is semantics-preserving " +
+        "against an engine that executes LATERAL natively.",
+      (s, dir) => {
+        val vn = "graft_lat_n_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val vo = "graft_lat_o_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val vc = "graft_lat_c_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        table(s, dir, "nation").createOrReplaceTempView(vn)
+        table(s, dir, "orders").createOrReplaceTempView(vo)
+        table(s, dir, "customer").createOrReplaceTempView(vc)
+        try s.sql(
+          s"""SELECT n.n_name, l.o_orderkey, l.cents
+             |FROM $vn n, LATERAL (
+             |  SELECT o_orderkey,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM $vo JOIN $vc ON o_custkey = c_custkey
+             |  WHERE c_nationkey = n.n_nationkey
+             |  ORDER BY cents DESC, o_orderkey LIMIT 2) l
+             |ORDER BY n.n_name, l.cents DESC, l.o_orderkey""".stripMargin)
+        finally {
+          s.catalog.dropTempView(vn); s.catalog.dropTempView(vo)
+          s.catalog.dropTempView(vc)
+        }
+      },
+      Some(
+        """SELECT n.n_name, l.o_orderkey, l.cents
+          |FROM nation n, LATERAL (
+          |  SELECT o_orderkey,
+          |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY cents DESC, o_orderkey LIMIT 2) l
+          |ORDER BY n.n_name, l.cents DESC, l.o_orderkey""".stripMargin)),
+
+    GraftQuery(
       "q_join_null_anti",
       "NOT IN with a nullable subquery — the null-aware anti join, the " +
         "one join family whose semantics silently invert under NULLs: " +

@@ -64,6 +64,28 @@ object FormatSources {
       out
     })
 
+  /** Raw-file drop directory for the binaryFile source: the first 20
+    * documents written as individual `doc_<id>.bin` files (UTF-8 bytes),
+    * once per (session, dir) — the ingest layout multimodal corpora
+    * actually arrive in (one object per image/audio/page), read back
+    * through Spark's binaryFile source. The export is a driver-side loop
+    * over a 20-row fixture slice; production exports land via a
+    * distributed writer, but the SOURCE under test is the read path. */
+  private def binaryDir(s: SparkSession, dir: String): String =
+    exports.computeIfAbsent((Tables.sessionId(s), dir, "bin"), _ => {
+      val out = graft.TempReaper.add(graft.Scratch.dir("graft_src_bin"))
+      Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+        .collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, f"doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      out
+    })
+
   /** Build (or confirm) every format export for this (session, dir) — the
     * hook Bench uses to time the one-time exports as a separately reported
     * artifact step. */
@@ -73,7 +95,8 @@ object FormatSources {
     timePartitionedDir(s, dir)
     compactedDir(s, dir)
     evolutionDir(s, dir)
-    malformedDir(s, dir); ()
+    malformedDir(s, dir)
+    binaryDir(s, dir); ()
   }
 
   /** Two-generation parquet lake with SCHEMA DRIFT, written once per
@@ -385,6 +408,34 @@ object FormatSources {
         "SELECT CASE WHEN doc_id % 10 = 3 THEN '__corrupt' ELSE lang END AS lang, " +
           "count(*) AS n, " +
           "CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 0 ELSE n_chars END) AS BIGINT) AS chars " +
-          "FROM documents GROUP BY 1 ORDER BY 1"))
+          "FROM documents GROUP BY 1 ORDER BY 1")),
+
+    GraftQuery(
+      "q_source_binaryfile",
+      "The binaryFile source — Spark's raw-object ingest path (one file " +
+        "per image/audio/page, exactly how multimodal corpora land in " +
+        "object storage): 20 fixture documents exported once as " +
+        "individual .bin files, read back as (path, length, content) " +
+        "rows, identified by filename, and content-proven by byte length " +
+        "AND md5 digest against the source table (DuckDB's md5(VARCHAR) " +
+        "hashes UTF-8 bytes — the same bytes the export wrote). This is " +
+        "the ingest stage in front of graft.functions.Multimodal's " +
+        "decode pipeline; at 100 TB binaryFile partitions by file and " +
+        "streams content lazily, so the scan parallelizes per object.",
+      (s, dir) => {
+        val bin = binaryDir(s, dir)
+        s.read.format("binaryFile").load(bin)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+              .cast(LongType).as("doc_id"),
+            length(col("content")).cast(LongType).as("n_bytes"),
+            md5(col("content")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  md5(text) AS digest
+          |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin))
   )
 }
