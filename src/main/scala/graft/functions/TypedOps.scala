@@ -124,6 +124,81 @@ object TypedOps {
           |tot AS (SELECT user_id, count(*) AS n FROM base GROUP BY user_id)
           |SELECT s.user_id, t.n AS n_events, s.kept AS n_kept
           |FROM step s JOIN tot t ON s.user_id = t.user_id AND s.rk = t.n
-          |ORDER BY s.user_id""".stripMargin))
+          |ORDER BY s.user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_holt",
+      "Holt's linear exponential smoothing (α = β = 0.5) per type over " +
+        "the daily count series, through the TYPED API — the trend-aware " +
+        "forecast one step up from q_ts_ewma's level-only smoothing, and " +
+        "a genuinely SEQUENTIAL recursion (each level depends on the " +
+        "previous level AND trend, so no window frame expresses it). " +
+        "groupByKey + flatMapGroups folds each type's day-ordered series " +
+        "in one pass; the corpus collapses to day grain BEFORE the typed " +
+        "stage, so only ≤ types × days slim rows reach it. Cross-engine " +
+        "float determinism: the oracle's RECURSIVE CTE spells the " +
+        "IDENTICAL IEEE expression tree in the identical order (0.5 " +
+        "multiplications are exact; every add/sub is sequential), so the " +
+        "recursion is bit-equal, not approximately equal. Output: final " +
+        "level, trend, and the 1-step forecast.",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast("long")
+              .as("day"))
+          .agg(count(lit(1)).as("x"))
+          .select(col("event_type"), col("day"), col("x"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (et, it) =>
+            val xs = it.toArray.sortBy(_._2).map(_._3.toDouble)
+            if (xs.length < 2) Iterator.empty
+            else {
+              var l = xs(0)
+              var b = xs(1) - xs(0)
+              var t = 1
+              while (t < xs.length) {
+                val lNew = 0.5 * xs(t) + 0.5 * (l + b)
+                b = 0.5 * (lNew - l) + 0.5 * b
+                l = lNew
+                t += 1
+              }
+              Iterator((et, xs.length.toLong, l, b, l + b))
+            }
+          }
+          .toDF("event_type", "n_days", "level", "trend", "forecast_1")
+          .select(col("event_type"), col("n_days"),
+            round(col("level"), 6).as("level"),
+            round(col("trend"), 6).as("trend"),
+            round(col("forecast_1"), 6).as("forecast_1"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH RECURSIVE base AS (
+          |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+          |    count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |rk AS (SELECT event_type, CAST(x AS DOUBLE) AS x,
+          |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+          |      AS BIGINT) AS rk
+          |  FROM base),
+          |n AS (SELECT event_type, count(*) AS nd FROM rk GROUP BY 1),
+          |step AS (
+          |  SELECT a.event_type, CAST(1 AS BIGINT) AS rk,
+          |    a.x AS l, b2.x - a.x AS b
+          |  FROM rk a JOIN rk b2
+          |    ON a.event_type = b2.event_type AND a.rk = 1 AND b2.rk = 2
+          |  UNION ALL
+          |  SELECT s.event_type, s.rk + 1,
+          |    0.5 * nb.x + 0.5 * (s.l + s.b),
+          |    0.5 * ((0.5 * nb.x + 0.5 * (s.l + s.b)) - s.l) + 0.5 * s.b
+          |  FROM step s JOIN rk nb
+          |    ON nb.event_type = s.event_type AND nb.rk = s.rk + 1)
+          |SELECT s.event_type, n.nd AS n_days,
+          |  round(s.l, 6) AS level, round(s.b, 6) AS trend,
+          |  round(s.l + s.b, 6) AS forecast_1
+          |FROM step s JOIN n ON s.event_type = n.event_type AND s.rk = n.nd
+          |ORDER BY s.event_type""".stripMargin))
   )
 }
