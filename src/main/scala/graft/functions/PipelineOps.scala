@@ -1251,6 +1251,48 @@ object PipelineOps {
           |FROM d ORDER BY event_type""".stripMargin)),
 
     GraftQuery(
+      "q_stats_simpson",
+      "Simpson diversity index of the language mix per source — the " +
+        "collision-probability diversity measure next to q_text_entropy's " +
+        "Shannon form: D = 1 − Σnᵢ(nᵢ−1)/(N(N−1)) is the chance two " +
+        "random documents differ in language, and UNLIKE entropy it is a " +
+        "pure RATIONAL of exact integers — the only float op is the one " +
+        "final division, so no ordering device is needed at all (the " +
+        "entropy form needs the ordered-window sum for its ln terms). " +
+        "Also reports effective language count 1/(1−D) = N(N−1)/Σnᵢ(nᵢ−1). " +
+        "One cell-grain agg over (source, lang); the corpus is touched by " +
+        "one count.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        def D(c: String) = col(c).cast(DoubleType)
+        table(s, dir, "documents")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("ni"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_langs"), sum(col("ni")).as("n"),
+            sum(col("ni") * (col("ni") - 1)).as("coll"))
+          .select(col("source"), col("n_langs"), col("n"),
+            round(lit(1d) - D("coll") / (D("n") * (D("n") - lit(1d))), 6)
+              .as("simpson"),
+            round(D("n") * (D("n") - lit(1d)) / D("coll"), 6).as("eff_langs"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH c AS (SELECT source, lang, count(*) AS ni
+          |  FROM documents GROUP BY 1, 2),
+          |a AS (SELECT source, count(*) AS n_langs,
+          |    CAST(sum(ni) AS BIGINT) AS n,
+          |    CAST(sum(ni * (ni - 1)) AS BIGINT) AS coll
+          |  FROM c GROUP BY 1)
+          |SELECT source, n_langs, n,
+          |  round(1.0 - CAST(coll AS DOUBLE)
+          |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+          |    AS simpson,
+          |  round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+          |    / CAST(coll AS DOUBLE), 6) AS eff_langs
+          |FROM a ORDER BY source""".stripMargin)),
+
+    GraftQuery(
       "q_stats_anova",
       "One-way ANOVA of daily event counts across day-of-week groups per " +
         "type — the F-test that quantifies weekly seasonality (and the " +

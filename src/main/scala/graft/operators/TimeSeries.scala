@@ -812,6 +812,68 @@ object TimeSeries {
           |FROM d ORDER BY event_type""".stripMargin)),
 
     GraftQuery(
+      "q_ts_ccf",
+      "Cross-correlation function between the click and purchase daily " +
+        "series at lags −3..+3 — the lead–lag detector (does click " +
+        "volume LEAD purchase volume, and by how many days?) that sits " +
+        "beside the single-series ACF panel. The lag fan-out is an " +
+        "explode of the 7 lag literals over the day-grain click series " +
+        "(≤ 7 × days rows), one equi-join on the shifted day aligns the " +
+        "purchase side, and each lag cell folds to exact BIGINT " +
+        "sufficient statistics with Pearson r as the closed-form double " +
+        "tree. Day-grain only; the corpus is touched by one count.",
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .agg(count(lit(1)).as("n"))
+        val da = daily.filter(col("event_type") === "click")
+          .select(col("day"), col("n").as("x"))
+        val db = daily.filter(col("event_type") === "purchase")
+          .select(col("day").as("dayb"), col("n").as("y"))
+        def D(c: String) = col(c).cast(DoubleType)
+        val num = D("np") * D("sxy") - D("sx") * D("sy")
+        val den = sqrt(D("np") * D("sxx") - D("sx") * D("sx")) *
+          sqrt(D("np") * D("syy") - D("sy") * D("sy"))
+        da
+          .withColumn("lag_k", explode(array((-3 to 3).map(k => lit(k.toLong)): _*)))
+          .join(db, col("day") + col("lag_k") === col("dayb"))
+          .groupBy("lag_k")
+          .agg(count(lit(1)).as("np"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("lag_k"), col("np"), round(num / den, 6).as("r"))
+          .orderBy("lag_k")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+          |    count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |da AS (SELECT day, n AS x FROM daily WHERE event_type = 'click'),
+          |db AS (SELECT day AS dayb, n AS y FROM daily
+          |  WHERE event_type = 'purchase'),
+          |lags AS (SELECT CAST(range AS BIGINT) AS lag_k FROM range(-3, 4)),
+          |j AS (SELECT l.lag_k, a.x, b.y
+          |  FROM da a CROSS JOIN lags l
+          |  JOIN db b ON a.day + l.lag_k = b.dayb),
+          |a AS (SELECT lag_k, count(*) AS np,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x * y) AS BIGINT) AS sxy,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx,
+          |    CAST(sum(y * y) AS BIGINT) AS syy
+          |  FROM j GROUP BY 1)
+          |SELECT lag_k, np,
+          |  round((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          |    / (sqrt(CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          |      * sqrt(CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+          |    6) AS r
+          |FROM a ORDER BY lag_k""".stripMargin)),
+
+    GraftQuery(
       "q_ts_theilsen",
       "Theil–Sen robust trend per type: the MEDIAN of all pairwise " +
         "slopes of the daily count series — the outlier-immune companion " +
