@@ -1368,6 +1368,99 @@ object PipelineOps {
           |FROM f ORDER BY event_type""".stripMargin)),
 
     GraftQuery(
+      "q_stats_levene",
+      "Brown–Forsythe/Levene variance-homogeneity test across day-of-week " +
+        "groups per type — the assumption check run BEFORE trusting " +
+        "q_stats_anova's F (ANOVA assumes equal group variances; Levene " +
+        "tests exactly that): one-way ANOVA on the absolute deviations " +
+        "z = |x − group MEDIAN|. The median variant (Brown–Forsythe) " +
+        "keeps everything integral: each dow cell's lower median is an " +
+        "actual data value (2·rank ≥ n over the ≤days-per-dow cell — " +
+        "tiny keyed windows), so every z is an exact BIGINT and the " +
+        "ANOVA sufficient statistics stay integer to the closed-form " +
+        "doubles; the one float sum (Σ sz²/c over ≤7 cells) runs in the " +
+        "dow-ordered window. Day-grain only.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        import org.apache.spark.sql.expressions.Window
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("dow", pmod(col("day") + lit(3L), lit(7L)))
+        val cw = Window.partitionBy("event_type", "dow").orderBy("x", "day")
+        val med = daily
+          .withColumn("rk", row_number().over(cw).cast(LongType))
+          .withColumn("cn", count(lit(1)).over(
+            Window.partitionBy("event_type", "dow")))
+          .filter(col("rk") * 2 >= col("cn"))
+          .groupBy("event_type", "dow")
+          .agg(min(col("x")).as("med"))
+        val z = daily.join(med, Seq("event_type", "dow"))
+          .select(col("event_type"), col("dow"), abs(col("x") - col("med")).as("z"))
+        val cells = z.groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("c"), sum(col("z")).as("sz"),
+            sum(col("z") * col("z")).as("szz"))
+        val wt = Window.partitionBy("event_type")
+        val ordw = Window.partitionBy("event_type").orderBy("dow")
+        val ssb = col("bcum") - D(col("st") * col("st")) / D(col("n"))
+        val sst = D(col("szz_t")) - D(col("st") * col("st")) / D(col("n"))
+        cells
+          .withColumn("n", sum(col("c")).over(wt))
+          .withColumn("st", sum(col("sz")).over(wt))
+          .withColumn("szz_t", sum(col("szz")).over(wt))
+          .withColumn("k", count(lit(1)).over(wt))
+          .withColumn("bcum", sum(D(col("sz") * col("sz")) / D(col("c")))
+            .over(ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rk", row_number().over(ordw).cast(LongType))
+          .filter(col("rk") === col("k"))
+          .select(col("event_type"), col("n").as("n_days"), col("k"),
+            round((ssb / D(col("k") - lit(1L))) /
+              ((sst - ssb) / D(col("n") - col("k"))), 6).as("levene_w"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH d AS (SELECT event_type,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |g AS (SELECT event_type, day, (day + 3) % 7 AS dow, x FROM d),
+          |r AS (SELECT event_type, dow, x,
+          |    CAST(row_number() OVER (PARTITION BY event_type, dow
+          |      ORDER BY x, day) AS BIGINT) AS rk,
+          |    CAST(count(*) OVER (PARTITION BY event_type, dow) AS BIGINT)
+          |      AS cn
+          |  FROM g),
+          |m AS (SELECT event_type, dow, min(x) AS med
+          |  FROM r WHERE rk * 2 >= cn GROUP BY 1, 2),
+          |z AS (SELECT g.event_type, g.dow, abs(g.x - m.med) AS z
+          |  FROM g JOIN m ON g.event_type = m.event_type AND g.dow = m.dow),
+          |cells AS (SELECT event_type, dow, count(*) AS c,
+          |    CAST(sum(z) AS BIGINT) AS sz, CAST(sum(z * z) AS BIGINT) AS szz
+          |  FROM z GROUP BY 1, 2),
+          |w AS (SELECT event_type, dow, c, sz, szz,
+          |    CAST(sum(c) OVER p AS BIGINT) AS n,
+          |    CAST(sum(sz) OVER p AS BIGINT) AS st,
+          |    CAST(sum(szz) OVER p AS BIGINT) AS szz_t,
+          |    CAST(count(*) OVER p AS BIGINT) AS k,
+          |    sum(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(c AS DOUBLE))
+          |      OVER (PARTITION BY event_type ORDER BY dow
+          |        ROWS UNBOUNDED PRECEDING) AS bcum,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY dow) AS rk
+          |  FROM cells WINDOW p AS (PARTITION BY event_type)),
+          |f AS (SELECT event_type, n, k,
+          |    bcum - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+          |      / CAST(n AS DOUBLE) AS ssb,
+          |    CAST(szz_t AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+          |      / CAST(n AS DOUBLE) AS sst
+          |  FROM w WHERE rk = k)
+          |SELECT event_type, n AS n_days, k,
+          |  round((ssb / CAST(k - 1 AS DOUBLE))
+          |    / ((sst - ssb) / CAST(n - k AS DOUBLE)), 6) AS levene_w
+          |FROM f ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
       "q_clean_impute",
       "Median imputation — the fill-missing-with-group-median cleaning " +
         "leg next to q_clean_winsorize's clipping: a deterministic tenth " +
