@@ -306,6 +306,75 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("ccf: each lag equals brute-force Pearson over shifted-day pairs") {
+    val got = run("q_ts_ccf").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ca = daily("click").toMap
+    val cb = daily("purchase").toMap
+    (-3L to 3L).foreach { k =>
+      val pairs = ca.toSeq.flatMap { case (d, x) => cb.get(d + k).map(y => (x.toDouble, y.toDouble)) }
+      val n = pairs.size.toDouble
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum; val syy = pairs.map(p => p._2 * p._2).sum
+      val r = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val (gn, gr) = got(k)
+      assert(gn == pairs.size.toLong, s"k=$k")
+      assert(math.abs(gr - r) < 1e-5, s"k=$k got=$gr want=$r")
+    }
+  }
+
+  test("simpson: equals brute-force collision probability per source") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = run("q_stats_simpson").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val byLang = xs.groupBy(_._2).map { case (_, ys) => ys.size.toLong }
+      val n = xs.size.toLong
+      val coll = byLang.map(ni => ni * (ni - 1)).sum
+      val simpson = 1.0 - coll.toDouble / (n.toDouble * (n - 1).toDouble)
+      val (gl, gn, gs) = got(src)
+      assert(gl == byLang.size.toLong && gn == n, s"source=$src")
+      assert(math.abs(gs - simpson) < 1e-5, s"source=$src")
+    }
+  }
+
+  test("levene: equals brute-force ANOVA on median absolute deviations") {
+    val got = run("q_stats_levene").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    daily.foreach { case (t, series) =>
+      val groups = series.groupBy { case (d, _) => ((d + 3) % 7) }
+        .map { case (dow, xs) =>
+          // lower median over (x, day) order = element at ceil(n/2) of x-sorted
+          val sorted = xs.sortBy { case (d, x) => (x, d) }.map(_._2)
+          val med = sorted(((sorted.size + 1) / 2) - 1)
+          dow -> xs.map { case (_, x) => math.abs(x - med).toDouble }
+        }
+      val all = groups.values.flatten
+      val n = all.size.toDouble; val k = groups.size.toDouble
+      val gm = all.sum / n
+      val ssb = groups.values.map(zs => zs.size * math.pow(zs.sum / zs.size - gm, 2)).sum
+      val ssw = groups.values.flatMap(zs => { val m = zs.sum / zs.size; zs.map(z => (z - m) * (z - m)) }).sum
+      val w = (ssb / (k - 1)) / (ssw / (n - k))
+      val (gn, gw) = got(t)
+      assert(gn == all.size.toLong, s"type=$t")
+      assert(math.abs(gw - w) < 1e-4, s"type=$t got=$gw want=$w")
+    }
+  }
+
+  test("holt: forecast is level plus trend and the group count is full") {
+    val rows = run("q_ts_holt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, nd, l, b, f) =>
+      assert(nd == daily(t).size.toLong, s"type=$t")
+      assert(math.abs(f - (l + b)) < 2e-6, s"type=$t")
+    }
+  }
+
   test("rrf: fused score consistent with independently recomputed ranks") {
     val rows = run("q_vec_rrf").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
