@@ -1368,6 +1368,117 @@ object PipelineOps {
           |FROM f ORDER BY event_type""".stripMargin)),
 
     GraftQuery(
+      "q_stats_median_ci",
+      "Distribution-free 95% confidence interval for the median of order " +
+        "cents per priority — the order-statistic (binomial) interval: " +
+        "rank bounds ⌊(n − 1.96√n)/2⌋ and ⌈1 + (n + 1.96√n)/2⌉ index " +
+        "into the sorted sample, so the bounds are ACTUAL data values " +
+        "with no distributional assumption (the honest report next to a " +
+        "bare median). Ranks come from one identical IEEE expression on " +
+        "both engines; all three lookups (lo, median, hi) ride ONE " +
+        "value-grain cumulative window via the 2·cum ≥ r device — the " +
+        "row grain never sorts.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        import org.apache.spark.sql.expressions.Window
+        val byv = table(s, dir, "orders")
+          .groupBy(col("o_orderpriority"),
+            floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("c"))
+          .agg(count(lit(1)).as("w"))
+        val ord = Window.partitionBy("o_orderpriority").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val half = lit(1.96d) * sqrt(D(col("n")))
+        val loRank = floor((D(col("n")) - half) / lit(2d)).cast(LongType)
+        val hiRank = ceil(lit(1d) + (D(col("n")) + half) / lit(2d)).cast(LongType)
+        byv
+          .withColumn("cum", sum(col("w")).over(ord))
+          .withColumn("n", sum(col("w")).over(Window.partitionBy("o_orderpriority")))
+          .groupBy("o_orderpriority")
+          .agg(max(col("n")).as("n_rows"),
+            min(when(col("cum") * 2 >= col("n"), col("c"))).as("median_cents"),
+            min(when(col("cum") >= loRank, col("c"))).as("lo_cents"),
+            min(when(col("cum") >= hiRank, col("c"))).as("hi_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """WITH byv AS (SELECT o_orderpriority,
+          |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+          |    count(*) AS w
+          |  FROM orders GROUP BY 1, 2),
+          |r AS (SELECT o_orderpriority, c, w,
+          |    CAST(sum(w) OVER (PARTITION BY o_orderpriority ORDER BY c
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |    CAST(sum(w) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+          |  FROM byv),
+          |k AS (SELECT o_orderpriority, c, cum, n,
+          |    CAST(floor((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS DOUBLE)))
+          |      / 2.0) AS BIGINT) AS lo_rank,
+          |    CAST(ceil(1.0 + (CAST(n AS DOUBLE)
+          |      + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT) AS hi_rank
+          |  FROM r)
+          |SELECT o_orderpriority, max(n) AS n_rows,
+          |  CAST(min(CASE WHEN cum * 2 >= n THEN c END) AS BIGINT)
+          |    AS median_cents,
+          |  CAST(min(CASE WHEN cum >= lo_rank THEN c END) AS BIGINT)
+          |    AS lo_cents,
+          |  CAST(min(CASE WHEN cum >= hi_rank THEN c END) AS BIGINT)
+          |    AS hi_cents
+          |FROM k GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_hill",
+      "Hill tail-index estimator over document lengths (k = 100): " +
+        "α̂ = k / Σ ln(x_(i)/x_(k+1)) over the k largest order statistics " +
+        "— the principled MLE the q_text_zipf rank-frequency OLS " +
+        "approximates, and the heavy-tail gate run before trusting any " +
+        "mean-based length statistic. The top-(k+1) slice comes from the " +
+        "distributed top-k heap (TakeOrderedAndProject — never a global " +
+        "sort), the reference value x_(k+1) broadcasts back, and the ln " +
+        "terms accumulate in the value-ordered window (equal values " +
+        "contribute identical addends, so tie order cannot change the " +
+        "float sum).",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        import org.apache.spark.sql.expressions.Window
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val top = table(s, dir, "documents")
+          .select(col("n_chars"), col("doc_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .limit(101)
+        val ord = Window.orderBy(col("n_chars").desc, col("doc_id"))
+        top
+          .withColumn("rk", row_number().over(ord).cast(LongType))
+          .withColumn("x_ref", min(when(col("rk") === 101L, col("n_chars")))
+            .over(Window.partitionBy(lit(1))
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .filter(col("rk") <= 100L)
+          .withColumn("lncum",
+            sum(log(D(col("n_chars")) / D(col("x_ref"))))
+              .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("rk") === 100L)
+          .select(lit(100L).as("k"), col("x_ref").as("x_k1"),
+            round(lit(100d) / col("lncum"), 6).as("hill_alpha"))
+      },
+      Some(
+        """WITH top AS (SELECT n_chars, doc_id FROM documents
+          |  ORDER BY n_chars DESC, doc_id LIMIT 101),
+          |rk AS (SELECT n_chars,
+          |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+          |      AS BIGINT) AS rk
+          |  FROM top),
+          |xr AS (SELECT rk, n_chars,
+          |    min(CASE WHEN rk = 101 THEN n_chars END) OVER () AS x_ref
+          |  FROM rk),
+          |s AS (SELECT rk, x_ref,
+          |    sum(ln(CAST(n_chars AS DOUBLE) / CAST(x_ref AS DOUBLE)))
+          |      OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS lncum
+          |  FROM xr WHERE rk <= 100)
+          |SELECT CAST(100 AS BIGINT) AS k, CAST(x_ref AS BIGINT) AS x_k1,
+          |  round(100.0 / lncum, 6) AS hill_alpha
+          |FROM s WHERE rk = 100""".stripMargin)),
+
+    GraftQuery(
       "q_stats_levene",
       "Brown–Forsythe/Levene variance-homogeneity test across day-of-week " +
         "groups per type — the assumption check run BEFORE trusting " +
