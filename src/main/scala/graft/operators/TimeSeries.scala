@@ -812,6 +812,52 @@ object TimeSeries {
           |FROM d ORDER BY event_type""".stripMargin)),
 
     GraftQuery(
+      "q_ts_rolling_median",
+      "7-day rolling MEDIAN of the daily count series per type — the " +
+        "robust smoother (one spike day cannot move it, unlike the " +
+        "rolling mean) that no built-in window aggregate expresses: " +
+        "window frames can sum but not select order statistics. The " +
+        "decomposition is a bounded band join on the day-grain relation " +
+        "(each day collects its ≤7 trailing observations — O(7·days) " +
+        "rows however large the corpus), then the lower median comes " +
+        "from an in-array sort of the collected multiset (array_sort of " +
+        "VALUES is deterministic regardless of collect order — the " +
+        "q_seq_paths discipline) indexed at ⌈n/2⌉. All-BIGINT; only " +
+        "complete 7-day windows report.",
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .agg(count(lit(1)).as("x"))
+        val a = daily.select(col("event_type"), col("day"), col("x"))
+        val b = daily.select(col("event_type").as("et2"), col("day").as("d2"),
+          col("x").as("x2"))
+        a.join(b, col("event_type") === col("et2") &&
+            col("d2").between(col("day") - 6, col("day")))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("cnt"),
+            element_at(array_sort(collect_list(col("x2"))),
+              (((count(lit(1)) + 1) / 2)).cast("int")).as("med"))
+          .filter(col("cnt") === 7L)
+          .select(col("event_type"), col("day"), col("med"))
+          .orderBy("event_type", "day")
+      },
+      Some(
+        """WITH d AS (SELECT event_type,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |j AS (SELECT a.event_type, a.day, b.x AS x2
+          |  FROM d a JOIN d b ON a.event_type = b.event_type
+          |    AND b.day BETWEEN a.day - 6 AND a.day),
+          |m AS (SELECT event_type, day, count(*) AS cnt,
+          |    CAST(list_sort(list(x2))[CAST((count(*) + 1) // 2 AS INT)]
+          |      AS BIGINT) AS med
+          |  FROM j GROUP BY 1, 2)
+          |SELECT event_type, day, med FROM m WHERE cnt = 7
+          |ORDER BY event_type, day""".stripMargin)),
+
+    GraftQuery(
       "q_ts_ccf",
       "Cross-correlation function between the click and purchase daily " +
         "series at lags −3..+3 — the lead–lag detector (does click " +
