@@ -730,6 +730,70 @@ object Aggregates {
           |FROM m ORDER BY o_orderpriority""".stripMargin)),
 
     GraftQuery(
+      "q_agg_means_panel",
+      "The Pythagorean means panel per event type — arithmetic, " +
+        "geometric, and harmonic mean of the money cents (AM ≥ GM ≥ HM " +
+        "is also asserted by the oracle match itself): the rate-vs-ratio " +
+        "averaging primitives (GM for multiplicative growth, HM for " +
+        "rates) missing from engine-native aggregates in deterministic " +
+        "form. The arithmetic mean is a single division of exact " +
+        "BIGINTs; the float Σ w·ln(c) and Σ w/c folds run over the " +
+        "VALUE-grain relation (cents domain is bounded — ~1e5 distinct " +
+        "values regardless of corpus size) in ONE ordered window (the " +
+        "zipf device), so both engines fold identically; both tails are " +
+        "single exp/division ops.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val byv = table(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * 100 + 0.5).cast(LongType).as("c"))
+          .filter(col("c") > 0) // GM/HM are defined on positives only
+          .groupBy(col("event_type"), col("c"))
+          .agg(count(lit(1)).as("w"))
+        val part = Window.partitionBy("event_type")
+        val ord = Window.partitionBy("event_type").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byv
+          .withColumn("n", sum(col("w")).over(part))
+          .withColumn("sc", sum(col("w") * col("c")).over(part))
+          .withColumn("lncum", sum(D(col("w")) * log(D(col("c")))).over(ord))
+          .withColumn("invcum", sum(D(col("w")) / D(col("c"))).over(ord))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("event_type").orderBy("c")).cast(LongType))
+          .withColumn("nv", count(lit(1)).over(part))
+          .filter(col("rk") === col("nv"))
+          .select(col("event_type"), col("n"),
+            round(D(col("sc")) / D(col("n")) / lit(100d), 6).as("am"),
+            round(exp(col("lncum") / D(col("n"))) / lit(100d), 6).as("gm"),
+            round(D(col("n")) / col("invcum") / lit(100d), 6).as("hm"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH byv AS (SELECT event_type,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, count(*) AS w
+          |  FROM events
+          |  WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) > 0
+          |  GROUP BY 1, 2),
+          |r AS (SELECT event_type, c, w,
+          |    CAST(sum(w) OVER p AS BIGINT) AS n,
+          |    CAST(sum(w * c) OVER p AS BIGINT) AS sc,
+          |    sum(CAST(w AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+          |      OVER (PARTITION BY event_type ORDER BY c
+          |        ROWS UNBOUNDED PRECEDING) AS lncum,
+          |    sum(CAST(w AS DOUBLE) / CAST(c AS DOUBLE))
+          |      OVER (PARTITION BY event_type ORDER BY c
+          |        ROWS UNBOUNDED PRECEDING) AS invcum,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk,
+          |    count(*) OVER p AS nv
+          |  FROM byv WINDOW p AS (PARTITION BY event_type))
+          |SELECT event_type, n,
+          |  round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS am,
+          |  round(exp(lncum / CAST(n AS DOUBLE)) / 100.0, 6) AS gm,
+          |  round(CAST(n AS DOUBLE) / invcum / 100.0, 6) AS hm
+          |FROM r WHERE rk = nv ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
       "q_agg_weighted_median",
       "Quantity-weighted median price per return flag — the weighted " +
         "quantile primitive (each price counts by units moved, not by " +
