@@ -730,6 +730,54 @@ object Aggregates {
           |FROM m ORDER BY o_orderpriority""".stripMargin)),
 
     GraftQuery(
+      "q_sql_modern",
+      "Modern-SQL surface gate through the text front door: GROUP BY " +
+        "ALL (grouping keys inferred from the select list), aggregate " +
+        "FILTER (WHERE …) clauses (the per-aggregate predicate that " +
+        "replaces CASE-wrapped sums), and a named WINDOW clause shared " +
+        "by two functions — the three dialect features a user migrating " +
+        "warehouse SQL hits first. Same engine underneath: FILTER " +
+        "lowers to conditional aggregates, the named window is " +
+        "resolved once and shared, GROUP BY ALL resolves to the " +
+        "explicit key list — the gate proves the dialect, the plan is " +
+        "the ordinary two-phase hash aggregate + one keyed window.",
+      (s, dir) => {
+        val v = "graft_modern_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        table(s, dir, "orders").createOrReplaceTempView(v)
+        try s.sql(
+          s"""WITH base AS (
+             |  SELECT o_orderpriority,
+             |    count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+             |    count(*) FILTER (WHERE o_orderstatus <> 'F') AS n_open,
+             |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             |      AS finished_cents
+             |  FROM $v GROUP BY ALL)
+             |SELECT o_orderpriority, n_finished, n_open, finished_cents,
+             |  CAST(rank() OVER w AS BIGINT) AS rk,
+             |  CAST(sum(finished_cents) OVER w AS BIGINT) AS running_cents
+             |FROM base
+             |WINDOW w AS (ORDER BY finished_cents DESC, o_orderpriority)
+             |ORDER BY o_orderpriority""".stripMargin)
+        finally s.catalog.dropTempView(v)
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT o_orderpriority,
+          |    count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+          |    count(*) FILTER (WHERE o_orderstatus <> 'F') AS n_open,
+          |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+          |      FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+          |      AS finished_cents
+          |  FROM orders GROUP BY ALL)
+          |SELECT o_orderpriority, n_finished, n_open, finished_cents,
+          |  CAST(rank() OVER w AS BIGINT) AS rk,
+          |  CAST(sum(finished_cents) OVER w AS BIGINT) AS running_cents
+          |FROM base
+          |WINDOW w AS (ORDER BY finished_cents DESC, o_orderpriority)
+          |ORDER BY o_orderpriority""".stripMargin)),
+
+    GraftQuery(
       "q_agg_means_panel",
       "The Pythagorean means panel per event type — arithmetic, " +
         "geometric, and harmonic mean of the money cents (AM ≥ GM ≥ HM " +
