@@ -1,0 +1,274 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Series decomposition and sequence-mining additions (round 12): the
+  * classical additive decomposition (trend / weekly seasonal), MAU-style
+  * growth accounting, the entropy rate of the event-type Markov chain, and
+  * SAX symbolization of the daily series.
+  *
+  * Shared scale discipline: every operator collapses the corpus to a slim
+  * keyed relation first (day-grain counts, distinct user-days, transition
+  * cells) with ONE hash aggregation, then does its real work on that
+  * bounded relation. Exact BIGINT sufficient statistics everywhere; IEEE
+  * only in per-row divisions of exact integers or in closed final trees;
+  * sums OF IEEE terms ride ordered windows (both engines fold identically).
+  */
+object SeriesDecomp {
+  import Tables.table
+
+  private def daily(s: org.apache.spark.sql.SparkSession, dir: String) =
+    table(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+          .as("day"))
+      .agg(count(lit(1)).as("x"))
+
+  private val dailySql =
+    """daily AS (
+      |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |    count(*) AS x
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_ts_stl",
+      "Additive seasonal decomposition of the daily count series per " +
+        "type — trend via the centered 7-day moving average (only frames " +
+        "that hold 7 CONTIGUOUS days qualify: count=7 AND span=6, so a " +
+        "gap never fakes a week), weekly seasonal index per day-of-week " +
+        "from the detrended residue. The per-dow mean of detrended " +
+        "values needs NO float fold at all: Σ(xᵢ − s7ᵢ/7) = " +
+        "Σxᵢ − (Σs7ᵢ)/7 over exact BIGINTs, so the seasonal index is a " +
+        "closed tree of three integer sums — the decomposition is exact " +
+        "until the final divisions. One keyed window over the day-grain " +
+        "relation; the corpus is touched by one count.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-3, 3)
+        daily(s, dir)
+          .withColumn("s7", sum(col("x")).over(w))
+          .withColumn("c7", count(lit(1)).over(w))
+          .withColumn("span", max(col("day")).over(w) - min(col("day")).over(w))
+          .filter(col("c7") === 7L && col("span") === 6L)
+          .withColumn("dow", pmod(col("day") + lit(3L), lit(7L)))
+          .groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("x")).as("sx"), sum(col("s7")).as("ss7"))
+          .select(col("event_type"), col("dow"), col("n_days"),
+            round((D(col("sx")) - D(col("ss7")) / lit(7d)) / D(col("n_days")), 6)
+              .as("seasonal"),
+            round(D(col("ss7")) / lit(7d) / D(col("n_days")), 6).as("trend_mean"))
+          .orderBy("event_type", "dow")
+      },
+      Some(
+        s"""WITH $dailySql,
+           |t AS (SELECT event_type, day, x,
+           |    CAST(sum(x) OVER w AS BIGINT) AS s7,
+           |    CAST(count(*) OVER w AS BIGINT) AS c7,
+           |    CAST(max(day) OVER w - min(day) OVER w AS BIGINT) AS span
+           |  FROM daily
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+           |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+           |f AS (SELECT event_type, (day + 3) % 7 AS dow, x, s7
+           |  FROM t WHERE c7 = 7 AND span = 6),
+           |a AS (SELECT event_type, dow, count(*) AS n_days,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(s7) AS BIGINT) AS ss7
+           |  FROM f GROUP BY 1, 2)
+           |SELECT event_type, CAST(dow AS BIGINT) AS dow, n_days,
+           |  round((CAST(sx AS DOUBLE) - CAST(ss7 AS DOUBLE) / 7.0)
+           |    / CAST(n_days AS DOUBLE), 6) AS seasonal,
+           |  round(CAST(ss7 AS DOUBLE) / 7.0 / CAST(n_days AS DOUBLE), 6)
+           |    AS trend_mean
+           |FROM a ORDER BY event_type, dow""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_growth",
+      "Growth accounting over user activity — the product-analytics " +
+        "ledger that splits each day's active users into NEW (first-ever " +
+        "day), RETAINED (also active yesterday) and RESURRECTED (gap ≥ 2 " +
+        "days), plus the CHURNED count attached to the day a user went " +
+        "dark (active on d, not on d+1; the last observed day is " +
+        "censored via a broadcast max-day scalar, never a guess). " +
+        "Identity n_active(d) = new+retained+resurrected holds by " +
+        "construction; churned(d+1) = active(d) − retained(d+1) is the " +
+        "cross-check the oracle recomputes independently. One distinct " +
+        "user-day collapse, one keyed lag/lead pass, all-integer counts.",
+      (s, dir) => {
+        val ud = table(s, dir, "events")
+          .select(col("user_id"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .distinct()
+        val maxd = ud.agg(max(col("day")).as("maxday"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val marked = ud
+          .withColumn("prev", lag(col("day"), 1).over(w))
+          .withColumn("nxt", lead(col("day"), 1).over(w))
+          .join(broadcast(maxd))
+        val active = marked.select(col("day"),
+          when(col("prev").isNull, 1L).otherwise(0L).as("n"),
+          when(col("prev") === col("day") - 1, 1L).otherwise(0L).as("r"),
+          when(col("prev").isNotNull && col("prev") < col("day") - 1, 1L)
+            .otherwise(0L).as("s"),
+          lit(0L).as("c"))
+        val churn = marked
+          .filter((col("nxt").isNull && col("day") < col("maxday")) ||
+            col("nxt") > col("day") + 1)
+          .select((col("day") + 1).as("day"),
+            lit(0L).as("n"), lit(0L).as("r"), lit(0L).as("s"), lit(1L).as("c"))
+        active.unionAll(churn)
+          .groupBy("day")
+          .agg(sum("n").as("n_new"), sum("r").as("n_retained"),
+            sum("s").as("n_resurrected"), sum("c").as("n_churned"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH ud AS (SELECT DISTINCT user_id,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),
+          |mx AS (SELECT max(day) AS maxday FROM ud),
+          |m AS (SELECT user_id, day,
+          |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+          |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+          |  FROM ud),
+          |u AS (
+          |  SELECT day,
+          |    CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS n,
+          |    CASE WHEN prev = day - 1 THEN 1 ELSE 0 END AS r,
+          |    CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 ELSE 0 END AS s,
+          |    0 AS c
+          |  FROM m
+          |  UNION ALL
+          |  SELECT day + 1, 0, 0, 0, 1
+          |  FROM m, mx
+          |  WHERE (nxt IS NULL AND day < mx.maxday) OR nxt > day + 1)
+          |SELECT day, CAST(sum(n) AS BIGINT) AS n_new,
+          |  CAST(sum(r) AS BIGINT) AS n_retained,
+          |  CAST(sum(s) AS BIGINT) AS n_resurrected,
+          |  CAST(sum(c) AS BIGINT) AS n_churned
+          |FROM u GROUP BY day ORDER BY day""".stripMargin)),
+
+    GraftQuery(
+      "q_seq_entropy_rate",
+      "Entropy rate of the empirical event-type Markov chain — the " +
+        "single-number predictability reading over q_seq_markov's " +
+        "transition matrix: H = −Σᵢⱼ (nᵢⱼ/N)·ln(nᵢⱼ/nᵢ·), with " +
+        "perplexity exp(H) as the branching-factor interpretation. One " +
+        "keyed lead pass builds transitions, the matrix is ≤|types|² " +
+        "cells, every ln argument is a ratio of exact BIGINTs (identical " +
+        "IEEE on both engines), and the one sum OF float terms rides the " +
+        "(i,j)-ordered cumulative window — the zipf/entropy fold device " +
+        "— so both engines fold in the same order.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val trans = table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("a"))
+          .withColumn("b", lead(col("a"), 1).over(w))
+          .filter(col("b").isNotNull)
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("nij"))
+        val tot = Window.partitionBy(lit(1))
+        val rowi = Window.partitionBy("a")
+        val ord = Window.partitionBy(lit(1)).orderBy("a", "b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        trans
+          .withColumn("nn", sum(col("nij")).over(tot))
+          .withColumn("ni", sum(col("nij")).over(rowi))
+          .withColumn("cells", count(lit(1)).over(tot))
+          .withColumn("term",
+            -(D(col("nij")) / D(col("nn"))) * log(D(col("nij")) / D(col("ni"))))
+          .withColumn("h", sum(col("term")).over(ord))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(lit(1)).orderBy("a", "b")).cast(LongType))
+          .filter(col("rn") === col("cells"))
+          .select(col("nn").as("n_transitions"), col("cells").as("n_cells"),
+            round(col("h"), 6).as("entropy_rate"),
+            round(exp(col("h")), 6).as("perplexity"))
+      },
+      Some(
+        """WITH t AS (SELECT user_id, event_type AS a,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS b
+          |  FROM events),
+          |c AS (SELECT a, b, count(*) AS nij FROM t
+          |  WHERE b IS NOT NULL GROUP BY 1, 2),
+          |e AS (SELECT a, b, nij,
+          |    CAST(sum(nij) OVER () AS BIGINT) AS nn,
+          |    CAST(sum(nij) OVER (PARTITION BY a) AS BIGINT) AS ni,
+          |    CAST(count(*) OVER () AS BIGINT) AS cells
+          |  FROM c),
+          |f AS (SELECT nn, cells,
+          |    sum(-(CAST(nij AS DOUBLE) / CAST(nn AS DOUBLE))
+          |      * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE)))
+          |      OVER (ORDER BY a, b
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h,
+          |    row_number() OVER (ORDER BY a, b) AS rn
+          |  FROM e)
+          |SELECT nn AS n_transitions, cells AS n_cells,
+          |  round(h, 6) AS entropy_rate, round(exp(h), 6) AS perplexity
+          |FROM f WHERE rn = cells""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_sax",
+      "SAX symbolization of the daily series per type — PAA compression " +
+        "(mean over consecutive FULL 7-day segments) followed by " +
+        "EQUAL-FREQUENCY discretization into the 4-letter alphabet " +
+        "a-d, concatenated into the per-type SAX word (the time-series " +
+        "indexing/motif primitive). The binning needs no breakpoint " +
+        "table at all: symbol = ⌊4·(rank−1)/n⌋ over the (paa, w) total " +
+        "order — pure integer arithmetic on ranks, with the PAA means " +
+        "(one IEEE division of exact BIGINTs each) only ever COMPARED, " +
+        "never hashed. The word assembles via the deterministic " +
+        "in-array struct sort (the q_seq_paths device), so no " +
+        "single-partition exchange anywhere.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val seg = daily(s, dir)
+          .withColumn("d0", min(col("day")).over(Window.partitionBy("event_type")))
+          .withColumn("w", ((col("day") - col("d0")) / 7L).cast(LongType))
+          .groupBy("event_type", "w")
+          .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"))
+          .filter(col("c") === 7L)
+          .select(col("event_type"), col("w"), (D(col("sx")) / lit(7d)).as("paa"))
+        val ranked = seg
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("event_type").orderBy(col("paa"), col("w")))
+            .cast(LongType) - 1)
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .withColumn("sym", chr(lit(97L) + (col("rk") * 4 / col("n"))))
+        ranked.groupBy("event_type")
+          .agg(max(col("n")).as("n_seg"),
+            array_join(transform(array_sort(collect_list(struct(col("w"),
+              col("sym")))), x => x.getField("sym")), "").as("sax"))
+          .orderBy("event_type")
+      },
+      Some(
+        s"""WITH $dailySql,
+           |b AS (SELECT event_type, day, x,
+           |    min(day) OVER (PARTITION BY event_type) AS d0
+           |  FROM daily),
+           |seg AS (SELECT event_type,
+           |    CAST((day - d0) // 7 AS BIGINT) AS w,
+           |    count(*) AS c, CAST(sum(x) AS BIGINT) AS sx
+           |  FROM b GROUP BY 1, 2),
+           |paa AS (SELECT event_type, w, CAST(sx AS DOUBLE) / 7.0 AS paa
+           |  FROM seg WHERE c = 7),
+           |r AS (SELECT event_type, w,
+           |    CAST(row_number() OVER (PARTITION BY event_type
+           |      ORDER BY paa, w) AS BIGINT) - 1 AS rk,
+           |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           |  FROM paa),
+           |sym AS (SELECT event_type, w, n,
+           |    chr(CAST(97 + (rk * 4 // n) AS INTEGER)) AS s
+           |  FROM r)
+           |SELECT event_type, max(n) AS n_seg,
+           |  string_agg(s, '' ORDER BY w) AS sax
+           |FROM sym GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}
