@@ -230,6 +230,103 @@ object VectorOps {
           "FROM s) " +
           "SELECT vec_id, r_cos, r_dot, " +
           "round(1.0 / CAST(60 + r_cos AS DOUBLE) + 1.0 / CAST(60 + r_dot AS DOUBLE), 6) AS rrf " +
-          "FROM r ORDER BY rrf DESC, vec_id LIMIT 10"))
+          "FROM r ORDER BY rrf DESC, vec_id LIMIT 10")),
+
+    GraftQuery(
+      "q_vec_pca_power",
+      "Top principal direction of the embedding cloud (uncentered " +
+        "second-moment form) via THREE power-iteration supersteps in " +
+        "fixed-point INTEGER arithmetic — the q_graph_pagerank " +
+        "determinism discipline applied to linear algebra. X^T X is " +
+        "never materialized: each superstep computes y = X·v (per-row " +
+        "integer dot against the broadcast 64-cell v relation), rescales " +
+        "y by an offset-shifted integer division (positive-domain shift " +
+        "2^50 makes truncating and floor division agree on BOTH " +
+        "engines), then s = X^T·y as 64 exact BIGINT sums, and " +
+        "re-quantizes v to 2^20 through floor(x+0.5) of an exact-int " +
+        "ratio — so every iterate is bit-identical on any engine, any " +
+        "partitioning, any accumulation order (a float power iteration's " +
+        "low bits depend on reduction order; after 3 iterations that " +
+        "noise is ranking-visible). Output: the unit loading's top-8 " +
+        "dims by |loading|. Scale shape: two keyed passes over the slim " +
+        "(vec_id, k, q) relation per superstep; overflow headroom is " +
+        "rows·2^46 per component sum — beyond ~1e5 rows, drop the " +
+        "quantization to 2^17 or sub-shard the X^T·y sum (the " +
+        "q_agg_moments split), same dataflow.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val sc = lit(1048576L) // 2^20
+        val qrel = table(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("k", "x")))
+          .select(col("vec_id"), col("k").cast(LongType).as("k"),
+            floor(D(col("x")) * D(sc) + lit(0.5d)).cast(LongType).as("q"))
+          .localCheckpoint(true)
+        val v0 = s.range(64).select(col("id").as("k"), sc.as("v"))
+        val wAll = Window.partitionBy(lit(1))
+        def step(v: org.apache.spark.sql.DataFrame) = {
+          val y = qrel.join(broadcast(v), "k")
+            .groupBy("vec_id").agg(sum(col("q") * col("v")).as("y"))
+            .select(col("vec_id"),
+              (call_function("div", col("y") + lit(1L << 50), sc) -
+                lit(1L << 30)).as("yq"))
+          qrel.join(broadcast(y), "vec_id")
+            .groupBy("k").agg(sum(col("q") * col("yq")).as("sv"))
+            .withColumn("mx", max(abs(col("sv"))).over(wAll))
+            .select(col("k"),
+              floor(D(col("sv")) / D(col("mx")) * D(sc) + lit(0.5d))
+                .cast(LongType).as("v"))
+        }
+        val v3 = step(step(step(v0)))
+        v3.withColumn("nrm", sqrt(sum(D(col("v") * col("v"))).over(wAll)))
+          .select(col("k"), round(D(col("v")) / col("nrm"), 6).as("loading"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(abs(col("loading")).desc, col("k"))).cast(LongType))
+          .filter(col("rk") <= 8)
+          .select(col("rk"), col("k"), col("loading"))
+          .orderBy("rk")
+      },
+      Some(
+        """WITH qrel AS MATERIALIZED (
+          |  SELECT vec_id, CAST(g.range AS BIGINT) AS k,
+          |    CAST(floor(CAST(embedding[g.range + 1] AS DOUBLE) * 1048576.0 + 0.5)
+          |      AS BIGINT) AS q
+          |  FROM embeddings CROSS JOIN range(0, 64) g),
+          |y1 AS (SELECT vec_id,
+          |    ((CAST(sum(q * 1048576) AS BIGINT) + (1::BIGINT << 50)) // 1048576)
+          |      - (1::BIGINT << 30) AS yq
+          |  FROM qrel GROUP BY 1),
+          |s1 AS (SELECT k, CAST(sum(q * yq) AS BIGINT) AS sv
+          |  FROM qrel JOIN y1 USING (vec_id) GROUP BY 1),
+          |v1 AS (SELECT k, CAST(floor(CAST(sv AS DOUBLE)
+          |    / CAST(max(abs(sv)) OVER () AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS v
+          |  FROM s1),
+          |y2 AS (SELECT vec_id,
+          |    ((CAST(sum(q * v) AS BIGINT) + (1::BIGINT << 50)) // 1048576)
+          |      - (1::BIGINT << 30) AS yq
+          |  FROM qrel JOIN v1 USING (k) GROUP BY 1),
+          |s2 AS (SELECT k, CAST(sum(q * yq) AS BIGINT) AS sv
+          |  FROM qrel JOIN y2 USING (vec_id) GROUP BY 1),
+          |v2 AS (SELECT k, CAST(floor(CAST(sv AS DOUBLE)
+          |    / CAST(max(abs(sv)) OVER () AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS v
+          |  FROM s2),
+          |y3 AS (SELECT vec_id,
+          |    ((CAST(sum(q * v) AS BIGINT) + (1::BIGINT << 50)) // 1048576)
+          |      - (1::BIGINT << 30) AS yq
+          |  FROM qrel JOIN v2 USING (k) GROUP BY 1),
+          |s3 AS (SELECT k, CAST(sum(q * yq) AS BIGINT) AS sv
+          |  FROM qrel JOIN y3 USING (vec_id) GROUP BY 1),
+          |v3 AS (SELECT k, CAST(floor(CAST(sv AS DOUBLE)
+          |    / CAST(max(abs(sv)) OVER () AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS v
+          |  FROM s3),
+          |u AS (SELECT k,
+          |    round(CAST(v AS DOUBLE)
+          |      / sqrt(sum(CAST(v * v AS DOUBLE)) OVER ()), 6) AS loading
+          |  FROM v3),
+          |r AS (SELECT k, loading,
+          |    CAST(row_number() OVER (ORDER BY abs(loading) DESC, k) AS BIGINT) AS rk
+          |  FROM u)
+          |SELECT rk, k, loading FROM r WHERE rk <= 8 ORDER BY rk""".stripMargin))
   )
 }

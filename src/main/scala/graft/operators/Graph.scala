@@ -663,6 +663,75 @@ object Graph {
           |  SELECT u, v FROM two WHERE NOT EXISTS (
           |    SELECT 1 FROM adj WHERE adj.src = two.u AND adj.dst = two.v))
           |SELECT u AS node, count(*) AS n_fof FROM rec
-          |GROUP BY 1 ORDER BY n_fof DESC, node LIMIT 10""".stripMargin))
+          |GROUP BY 1 ORDER BY n_fof DESC, node LIMIT 10""".stripMargin)),
+
+    GraftQuery(
+      "q_graph_closeness",
+      "Harmonic closeness centrality of the 4 smallest-id nodes over the " +
+        "order graph, radius-4 ball: MULTI-SOURCE BFS (the frontier " +
+        "carries a seed column, so all four searches share every " +
+        "superstep's single edge pass — 4 rounds total, not 4×4), then " +
+        "harmonic = Σ_d n_d/d over the per-distance reach counts — a " +
+        "closed IEEE tree of four exact BIGINTs, the disconnected-safe " +
+        "centrality (standard closeness degenerates off-component). " +
+        "Per-round discipline is q_graph_bfs's: frontier⋈edges, " +
+        "anti-join visited, localCheckpoint both. The oracle is DuckDB's " +
+        "native WITH RECURSIVE over (seed, node) — a genuinely different " +
+        "execution model computing the same fixpoint. Seed pick is a " +
+        "4-row driver fetch of the id order statistic (the BFS seed " +
+        "discipline, widened), not a data collect.",
+      (s, dir) => {
+        val (edges, _) = orderGraph(s, dir)
+        val seeds = edges.select(col("src")).distinct()
+          .orderBy("src").limit(4).collect().map(_.getLong(0))
+        var visited = s.createDataFrame(
+            seeds.toSeq.map(Tuple3(_, 0, 0)))
+          .toDF("seed", "node", "d")
+          .select(col("seed"), col("seed").as("node"), lit(0).as("d"))
+          .localCheckpoint(true)
+        var frontier = visited
+        for (i <- 1 to 4) {
+          val next = edges
+            .join(broadcast(frontier), col("src") === col("node"))
+            .select(col("seed"), col("dst").as("node")).distinct()
+            .join(visited, Seq("seed", "node"), "left_anti")
+            .select(col("seed"), col("node"), lit(i).as("d"))
+            .localCheckpoint(true)
+          visited = visited.unionByName(next).localCheckpoint(true)
+          frontier = next
+        }
+        def nAt(k: Int) =
+          sum(when(col("d") === k, 1L).otherwise(0L))
+        def D(c: org.apache.spark.sql.Column) = c.cast("double")
+        visited.groupBy("seed")
+          .agg(nAt(1).as("n1"), nAt(2).as("n2"), nAt(3).as("n3"), nAt(4).as("n4"))
+          .select(col("seed"), col("n1"), col("n2"), col("n3"), col("n4"),
+            round(D(col("n1")) + D(col("n2")) / lit(2d) +
+              D(col("n3")) / lit(3d) + D(col("n4")) / lit(4d), 6)
+              .as("harmonic"))
+          .orderBy("seed")
+      },
+      Some(
+        """WITH RECURSIVE base AS (
+          |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+          |seeds AS (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 4),
+          |bfs(seed, node, d) AS (
+          |  SELECT src, src, 0 FROM seeds
+          |  UNION
+          |  SELECT b.seed, e.dst, b.d + 1
+          |  FROM bfs b JOIN edges e ON e.src = b.node WHERE b.d < 4),
+          |m AS (SELECT seed, node, min(d) AS d FROM bfs GROUP BY 1, 2),
+          |a AS (SELECT seed,
+          |    CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          |    CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+          |    CAST(sum(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+          |  FROM m GROUP BY 1)
+          |SELECT seed, n1, n2, n3, n4,
+          |  round(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)/2.0
+          |    + CAST(n3 AS DOUBLE)/3.0 + CAST(n4 AS DOUBLE)/4.0, 6) AS harmonic
+          |FROM a ORDER BY seed""".stripMargin))
   )
 }
