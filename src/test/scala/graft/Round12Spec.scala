@@ -1,0 +1,271 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior gates for the round-12 operators: rank correlations (Spearman,
+  * Kendall τ-b), resampling inference (jackknife ratio, permutation test,
+  * bootstrap CI), decomposition (STL seasonal, growth accounting, SAX,
+  * entropy rate), harmonic closeness, and power-iteration PCA. Each is
+  * checked against an independent in-process brute-force formulation (the
+  * DuckDB oracle pins cross-engine value equality; these pin SEMANTICS).
+  */
+class Round12Spec extends SparkSuite {
+
+  /** (type, day, count) day-grain series of the fixture, driver-side. */
+  private lazy val daily: Map[String, Seq[(Long, Long)]] =
+    Tables.table(spark, sf, "events")
+      .groupBy(col("event_type"),
+        floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(x => (x._2, x._3)).sortBy(_._1).toSeq }
+
+  /** Paired (day, clicks, purchases) series, inner-joined on day. */
+  private lazy val paired: Seq[(Long, Long, Long)] = {
+    val c = daily("click").toMap
+    val p = daily("purchase").toMap
+    c.keySet.intersect(p.keySet).toSeq.sorted.map(d => (d, c(d), p(d)))
+  }
+
+  test("spearman: equals brute-force rho on average ranks") {
+    def avgRanks(xs: Seq[Long]): Seq[Double] = {
+      val sorted = xs.sorted
+      val first = sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> (g.map(_._2).min + 1) }
+      val cnt = xs.groupBy(identity).map { case (v, g) => v -> g.size }
+      xs.map(v => first(v) + (cnt(v) - 1) / 2.0)
+    }
+    val rx = avgRanks(paired.map(_._2))
+    val ry = avgRanks(paired.map(_._3))
+    val n = rx.size.toDouble
+    val sx = rx.sum; val sy = ry.sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val sxx = rx.map(a => a * a).sum; val syy = ry.map(a => a * a).sum
+    val rho = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = run("q_stats_spearman").collect().head
+    assert(got.getLong(0) == paired.size)
+    assert(math.abs(got.getDouble(1) - rho) < 1e-5)
+  }
+
+  test("kendall: equals brute-force tau-b over all pairs") {
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+    for (i <- paired.indices; j <- paired.indices if i < j) {
+      val dx = paired(j)._2 - paired(i)._2
+      val dy = paired(j)._3 - paired(i)._3
+      if (dx * dy > 0) c += 1
+      else if (dx * dy < 0) d += 1
+      else if (dx == 0 && dy != 0) tx += 1
+      else if (dy == 0 && dx != 0) ty += 1
+    }
+    val tau = (c - d).toDouble /
+      (math.sqrt((c + d + tx).toDouble) * math.sqrt((c + d + ty).toDouble))
+    val got = run("q_stats_kendall").collect().head
+    assert(got.getLong(0) == paired.size.toLong * (paired.size - 1) / 2)
+    assert(got.getLong(1) == c && got.getLong(2) == d)
+    assert(math.abs(got.getDouble(3) - tau) < 1e-5)
+  }
+
+  test("jackknife: equals brute-force leave-one-out ratio SE") {
+    val n = paired.size
+    val sx = paired.map(_._2).sum; val sy = paired.map(_._3).sum
+    val thetas = paired.map { case (_, x, y) =>
+      (sy - y).toDouble / (sx - x).toDouble }
+    val mean = thetas.sum / n
+    val se = math.sqrt((n - 1).toDouble / n *
+      thetas.map(t => (t - mean) * (t - mean)).sum)
+    val got = run("q_stats_jackknife").collect().head
+    assert(got.getLong(0) == n)
+    assert(math.abs(got.getDouble(1) - sy.toDouble / sx) < 1e-6)
+    assert(math.abs(got.getDouble(2) - se) < 1e-4)
+  }
+
+  test("permutation: t_obs comparison is exact and p-count is sane") {
+    val got = run("q_stats_permutation").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val nDays = r.getLong(1); val nWknd = r.getLong(2)
+      val nPerms = r.getLong(3); val nGe = r.getLong(4)
+      assert(nPerms == 200L)
+      assert(nGe >= 0L && nGe <= nPerms)
+      assert(nWknd > 0L && nWknd < nDays)
+      // weekend days are 2/7 of the span give or take boundary days
+      assert(math.abs(nWknd.toDouble / nDays - 2.0 / 7) < 0.1)
+    }
+  }
+
+  test("bootstrap: CI brackets the observed mean and is ordered") {
+    val got = run("q_stats_bootstrap").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    daily.foreach { case (t, series) =>
+      val mean = series.map(_._2).sum.toDouble / series.size
+      val (lo, hi) = got(t)
+      assert(lo <= hi, s"type=$t")
+      // percentile-CI of the mean must straddle the observed mean
+      assert(lo <= mean && mean <= hi, s"type=$t lo=$lo mean=$mean hi=$hi")
+    }
+  }
+
+  test("stl: seasonal+trend_mean equals brute-force centered MA per dow") {
+    val got = run("q_ts_stl").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    daily.foreach { case (t, series) =>
+      val cells = (3 until series.size - 3).flatMap { i =>
+        val win = series.slice(i - 3, i + 4)
+        if (win.last._1 - win.head._1 == 6) {
+          val s7 = win.map(_._2).sum
+          Some((series(i)._1 + 3) % 7, series(i)._2, s7)
+        } else None
+      }
+      cells.groupBy(_._1).foreach { case (dow, xs) =>
+        val nD = xs.size.toLong
+        val seasonal = (xs.map(_._2).sum.toDouble -
+          xs.map(_._3).sum.toDouble / 7) / nD
+        val trendMean = xs.map(_._3).sum.toDouble / 7 / nD
+        val (gn, gs, gt) = got((t, dow))
+        assert(gn == nD, s"$t dow=$dow")
+        assert(math.abs(gs - seasonal) < 1e-4, s"$t dow=$dow")
+        assert(math.abs(gt - trendMean) < 1e-4, s"$t dow=$dow")
+      }
+    }
+  }
+
+  test("growth: per-day ledger equals brute-force user-timeline scan") {
+    val userDays = Tables.table(spark, sf, "events")
+      .select(col("user_id"),
+        floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast("long").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDay = userDays.map(_._2).max
+    case class Led(var n: Long = 0, var r: Long = 0, var s: Long = 0, var c: Long = 0)
+    val led = scala.collection.mutable.Map[Long, Led]()
+    def at(d: Long) = led.getOrElseUpdate(d, Led())
+    userDays.groupBy(_._1).foreach { case (_, xs) =>
+      val days = xs.map(_._2).sorted
+      days.zipWithIndex.foreach { case (d, i) =>
+        if (i == 0) at(d).n += 1
+        else if (days(i - 1) == d - 1) at(d).r += 1
+        else at(d).s += 1
+        val next = if (i + 1 < days.size) Some(days(i + 1)) else None
+        val churns = next match {
+          case Some(nd) => nd > d + 1
+          case None => d < maxDay
+        }
+        if (churns) at(d + 1).c += 1
+      }
+    }
+    val got = run("q_ts_growth").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == led.keySet)
+    led.foreach { case (d, l) =>
+      assert(got(d) == (l.n, l.r, l.s, l.c), s"day=$d")
+    }
+    // identity: every active day's actives = new + retained + resurrected
+    val activePerDay = userDays.groupBy(_._2).map { case (d, xs) => d -> xs.size.toLong }
+    activePerDay.foreach { case (d, a) =>
+      val (n, r, s2, _) = got(d)
+      assert(n + r + s2 == a, s"day=$d")
+    }
+  }
+
+  test("entropy rate: equals brute-force over transition counts") {
+    val rows = Tables.table(spark, sf, "events")
+      .select(col("user_id"), graft.Ts.epochMicros(col("ts")).as("tsm"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = scala.collection.mutable.Map[(String, String), Long]()
+    rows.groupBy(_._1).foreach { case (_, xs) =>
+      val seq2 = xs.sortBy(x => (x._2, x._3)).map(_._4)
+      seq2.sliding(2).filter(_.length == 2).foreach { p =>
+        val key = (p(0), p(1))
+        trans(key) = trans.getOrElse(key, 0L) + 1
+      }
+    }
+    val nn = trans.values.sum.toDouble
+    val ni = trans.groupBy(_._1._1).map { case (a, g) => a -> g.values.sum.toDouble }
+    val h = -trans.map { case ((a, _), nij) =>
+      nij / nn * math.log(nij / ni(a)) }.sum
+    val got = run("q_seq_entropy_rate").collect().head
+    assert(got.getLong(0) == trans.values.sum)
+    assert(got.getLong(1) == trans.size.toLong)
+    assert(math.abs(got.getDouble(2) - h) < 1e-5)
+  }
+
+  test("sax: equal-frequency alphabet, word length = full 7-day segments") {
+    val got = run("q_ts_sax").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    got.foreach { case (t, nSeg, word) =>
+      assert(word.length.toLong == nSeg, s"type=$t")
+      assert(word.forall(c => c >= 'a' && c <= 'd'), s"type=$t")
+      // equal-frequency binning: symbol counts differ by at most 1
+      val counts = word.groupBy(identity).map(_._2.size)
+      if (nSeg >= 4) assert(counts.max - counts.min <= 1, s"type=$t $word")
+      // n_seg = number of complete 7-day PAA segments of the series
+      val series = daily(t)
+      val d0 = series.map(_._1).min
+      val expect = series.groupBy(x => (x._1 - d0) / 7)
+        .count { case (_, xs) => xs.size == 7 }
+      assert(nSeg == expect.toLong, s"type=$t")
+    }
+  }
+
+  test("closeness: harmonic centrality equals brute-force BFS") {
+    val edges = Tables.table(spark, sf, "orders")
+      .join(Tables.table(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, List[Long]]()
+    edges.foreach { case (a, b) =>
+      adj(a) = b :: adj.getOrElse(a, Nil)
+      adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    val seeds = adj.keys.toSeq.sorted.take(4)
+    val got = run("q_graph_closeness").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    seeds.foreach { seed =>
+      val dist = scala.collection.mutable.Map(seed -> 0)
+      var frontier = List(seed)
+      for (d <- 1 to 4) {
+        frontier = frontier.flatMap(adj(_)).distinct.filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = d)
+      }
+      def nAt(k: Int) = dist.count(_._2 == k).toLong
+      val h = nAt(1) + nAt(2) / 2.0 + nAt(3) / 3.0 + nAt(4) / 4.0
+      val (g1, g2, g3, g4, gh) = got(seed)
+      assert((g1, g2, g3, g4) == (nAt(1), nAt(2), nAt(3), nAt(4)), s"seed=$seed")
+      assert(math.abs(gh - h) < 1e-5, s"seed=$seed")
+    }
+  }
+
+  test("pca: loading is unit-norm and aligns with the float power iterate") {
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // float-precision reference power iteration (same start, same 3 steps —
+    // the only divergence left is the 2^-20 quantization noise)
+    var v = Array.fill(64)(1.0)
+    for (_ <- 1 to 3) {
+      val y = vecs.map(x => x.zip(v).map { case (a, b) => a * b }.sum)
+      val s2 = Array.tabulate(64)(k => vecs.zip(y).map { case (x, yy) => x(k) * yy }.sum)
+      val mx = s2.map(math.abs).max
+      v = s2.map(_ / mx)
+    }
+    val nrm = math.sqrt(v.map(a => a * a).sum)
+    val ref = v.map(_ / nrm)
+    val got = run("q_vec_pca_power").collect()
+      .map(r => (r.getLong(1).toInt, r.getDouble(2)))
+    // top dim must match the reference's top dim, loadings close
+    val refTop = ref.zipWithIndex.maxBy { case (l, _) => math.abs(l) }._2
+    assert(got.head._1 == refTop)
+    got.foreach { case (k, l) => assert(math.abs(l - ref(k)) < 0.01, s"k=$k") }
+    // returned loadings come from a unit vector: top-8 norm ≤ 1
+    assert(got.map(x => x._2 * x._2).sum <= 1.0 + 1e-9)
+  }
+}
