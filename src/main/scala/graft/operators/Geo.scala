@@ -523,9 +523,14 @@ object Geo {
         "the naive pair form (with a lat band so its optimizer gets a fair " +
         "range-join plan) — the gate proves the bucket rewrite.",
       (s, dir) => {
+        // materialize the slim parsed relation ONCE: both join sides read it,
+        // and without this the physical plan duplicates the TNC2 parse subtree
+        // (format+regex over the corpus, the dominant cost) — the same
+        // single-parse discipline the tfidf family pins for tokenize
         val p = parsedClicks(s, dir)
           .filter(col("packet_type") === "position")
           .select(col("event_id"), col("lat"), col("lon"))
+          .localCheckpoint(true)
         val cs = 0.5d
         val a = p.select(col("event_id").as("ida"), col("lat").as("lata"), col("lon").as("lona"),
             explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
