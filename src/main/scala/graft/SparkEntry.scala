@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Graph.all ++      // §2.11 iterative graph analytics (fixed-point PageRank)
       operators.RankStats.all ++  // §2 appendix: rank correlations / resampling inference
       operators.SeriesDecomp.all ++ // §2 appendix: decomposition / growth / SAX / entropy rate
+      operators.QualityOps.all ++ // §2 appendix: constraint ledger / fuzzy dedup
       operators.Warehouse.all ++  // §2 appendix: SCD2 / incremental view maintenance
       functions.TextOps.all ++    // §2.11 text / dedup
       functions.VectorOps.all ++  // §2.11 vector / similarity

@@ -22,6 +22,82 @@ import org.apache.spark.sql.functions._
 object VectorOps {
   import Tables.table
 
+  /** Quantized (vec_id, k, q) relation for the power-iteration family:
+    * q = floor(x·2^20 + 0.5) — exact per row (float→double is exact), so
+    * every downstream sum is associative BIGINT. Checkpointed: the PCA
+    * queries scan it twice per superstep. */
+  private def pcaQrel(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("k", "x")))
+      .select(col("vec_id"), col("k").cast(LongType).as("k"),
+        floor(col("x").cast(DoubleType) * lit(1048576d) + lit(0.5d))
+          .cast(LongType).as("q"))
+      .localCheckpoint(true)
+  }
+
+  /** Three fixed-point power-iteration supersteps from the all-ones start;
+    * returns the 64-cell (k, v) iterate at 2^20 scale. See q_vec_pca_power's
+    * doc for the determinism argument. */
+  private def pcaV3(s: org.apache.spark.sql.SparkSession,
+                    qrel: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val sc = lit(1048576L)
+    val wAll = Window.partitionBy(lit(1))
+    def step(v: org.apache.spark.sql.DataFrame) = {
+      val y = qrel.join(broadcast(v), "k")
+        .groupBy("vec_id").agg(sum(col("q") * col("v")).as("y"))
+        .select(col("vec_id"),
+          (call_function("div", col("y") + lit(1L << 50), sc) -
+            lit(1L << 30)).as("yq"))
+      qrel.join(broadcast(y), "vec_id")
+        .groupBy("k").agg(sum(col("q") * col("yq")).as("sv"))
+        .withColumn("mx", max(abs(col("sv"))).over(wAll))
+        .select(col("k"),
+          floor(D(col("sv")) / D(col("mx")) * D(sc) + lit(0.5d))
+            .cast(LongType).as("v"))
+    }
+    val v0 = s.range(64).select(col("id").as("k"), sc.as("v"))
+    step(step(step(v0)))
+  }
+
+  /** Oracle CTE prefix shared by the PCA queries: qrel + 3 supersteps → v3. */
+  private val pcaSqlPrefix: String =
+    """WITH qrel AS MATERIALIZED (
+      |  SELECT vec_id, CAST(g.range AS BIGINT) AS k,
+      |    CAST(floor(CAST(embedding[g.range + 1] AS DOUBLE) * 1048576.0 + 0.5)
+      |      AS BIGINT) AS q
+      |  FROM embeddings CROSS JOIN range(0, 64) g),
+      |y1 AS (SELECT vec_id,
+      |    ((CAST(sum(q * 1048576) AS BIGINT) + (1::BIGINT << 50)) // 1048576)
+      |      - (1::BIGINT << 30) AS yq
+      |  FROM qrel GROUP BY 1),
+      |s1 AS (SELECT k, CAST(sum(q * yq) AS BIGINT) AS sv
+      |  FROM qrel JOIN y1 USING (vec_id) GROUP BY 1),
+      |v1 AS (SELECT k, CAST(floor(CAST(sv AS DOUBLE)
+      |    / CAST(max(abs(sv)) OVER () AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS v
+      |  FROM s1),
+      |y2 AS (SELECT vec_id,
+      |    ((CAST(sum(q * v) AS BIGINT) + (1::BIGINT << 50)) // 1048576)
+      |      - (1::BIGINT << 30) AS yq
+      |  FROM qrel JOIN v1 USING (k) GROUP BY 1),
+      |s2 AS (SELECT k, CAST(sum(q * yq) AS BIGINT) AS sv
+      |  FROM qrel JOIN y2 USING (vec_id) GROUP BY 1),
+      |v2 AS (SELECT k, CAST(floor(CAST(sv AS DOUBLE)
+      |    / CAST(max(abs(sv)) OVER () AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS v
+      |  FROM s2),
+      |y3 AS (SELECT vec_id,
+      |    ((CAST(sum(q * v) AS BIGINT) + (1::BIGINT << 50)) // 1048576)
+      |      - (1::BIGINT << 30) AS yq
+      |  FROM qrel JOIN v2 USING (k) GROUP BY 1),
+      |s3 AS (SELECT k, CAST(sum(q * yq) AS BIGINT) AS sv
+      |  FROM qrel JOIN y3 USING (vec_id) GROUP BY 1),
+      |v3 AS (SELECT k, CAST(floor(CAST(sv AS DOUBLE)
+      |    / CAST(max(abs(sv)) OVER () AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS v
+      |  FROM s3)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_vec_norm",
@@ -257,28 +333,8 @@ object VectorOps {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.types.{DoubleType, LongType}
         def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
-        val sc = lit(1048576L) // 2^20
-        val qrel = table(s, dir, "embeddings")
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("k", "x")))
-          .select(col("vec_id"), col("k").cast(LongType).as("k"),
-            floor(D(col("x")) * D(sc) + lit(0.5d)).cast(LongType).as("q"))
-          .localCheckpoint(true)
-        val v0 = s.range(64).select(col("id").as("k"), sc.as("v"))
         val wAll = Window.partitionBy(lit(1))
-        def step(v: org.apache.spark.sql.DataFrame) = {
-          val y = qrel.join(broadcast(v), "k")
-            .groupBy("vec_id").agg(sum(col("q") * col("v")).as("y"))
-            .select(col("vec_id"),
-              (call_function("div", col("y") + lit(1L << 50), sc) -
-                lit(1L << 30)).as("yq"))
-          qrel.join(broadcast(y), "vec_id")
-            .groupBy("k").agg(sum(col("q") * col("yq")).as("sv"))
-            .withColumn("mx", max(abs(col("sv"))).over(wAll))
-            .select(col("k"),
-              floor(D(col("sv")) / D(col("mx")) * D(sc) + lit(0.5d))
-                .cast(LongType).as("v"))
-        }
-        val v3 = step(step(step(v0)))
+        val v3 = pcaV3(s, pcaQrel(s, dir))
         v3.withColumn("nrm", sqrt(sum(D(col("v") * col("v"))).over(wAll)))
           .select(col("k"), round(D(col("v")) / col("nrm"), 6).as("loading"))
           .withColumn("rk", row_number().over(
@@ -287,39 +343,8 @@ object VectorOps {
           .select(col("rk"), col("k"), col("loading"))
           .orderBy("rk")
       },
-      Some(
-        """WITH qrel AS MATERIALIZED (
-          |  SELECT vec_id, CAST(g.range AS BIGINT) AS k,
-          |    CAST(floor(CAST(embedding[g.range + 1] AS DOUBLE) * 1048576.0 + 0.5)
-          |      AS BIGINT) AS q
-          |  FROM embeddings CROSS JOIN range(0, 64) g),
-          |y1 AS (SELECT vec_id,
-          |    ((CAST(sum(q * 1048576) AS BIGINT) + (1::BIGINT << 50)) // 1048576)
-          |      - (1::BIGINT << 30) AS yq
-          |  FROM qrel GROUP BY 1),
-          |s1 AS (SELECT k, CAST(sum(q * yq) AS BIGINT) AS sv
-          |  FROM qrel JOIN y1 USING (vec_id) GROUP BY 1),
-          |v1 AS (SELECT k, CAST(floor(CAST(sv AS DOUBLE)
-          |    / CAST(max(abs(sv)) OVER () AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS v
-          |  FROM s1),
-          |y2 AS (SELECT vec_id,
-          |    ((CAST(sum(q * v) AS BIGINT) + (1::BIGINT << 50)) // 1048576)
-          |      - (1::BIGINT << 30) AS yq
-          |  FROM qrel JOIN v1 USING (k) GROUP BY 1),
-          |s2 AS (SELECT k, CAST(sum(q * yq) AS BIGINT) AS sv
-          |  FROM qrel JOIN y2 USING (vec_id) GROUP BY 1),
-          |v2 AS (SELECT k, CAST(floor(CAST(sv AS DOUBLE)
-          |    / CAST(max(abs(sv)) OVER () AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS v
-          |  FROM s2),
-          |y3 AS (SELECT vec_id,
-          |    ((CAST(sum(q * v) AS BIGINT) + (1::BIGINT << 50)) // 1048576)
-          |      - (1::BIGINT << 30) AS yq
-          |  FROM qrel JOIN v2 USING (k) GROUP BY 1),
-          |s3 AS (SELECT k, CAST(sum(q * yq) AS BIGINT) AS sv
-          |  FROM qrel JOIN y3 USING (vec_id) GROUP BY 1),
-          |v3 AS (SELECT k, CAST(floor(CAST(sv AS DOUBLE)
-          |    / CAST(max(abs(sv)) OVER () AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS v
-          |  FROM s3),
+      Some(pcaSqlPrefix +
+        """,
           |u AS (SELECT k,
           |    round(CAST(v AS DOUBLE)
           |      / sqrt(sum(CAST(v * v AS DOUBLE)) OVER ()), 6) AS loading
@@ -327,6 +352,59 @@ object VectorOps {
           |r AS (SELECT k, loading,
           |    CAST(row_number() OVER (ORDER BY abs(loading) DESC, k) AS BIGINT) AS rk
           |  FROM u)
-          |SELECT rk, k, loading FROM r WHERE rk <= 8 ORDER BY rk""".stripMargin))
+          |SELECT rk, k, loading FROM r WHERE rk <= 8 ORDER BY rk""".stripMargin)),
+
+    GraftQuery(
+      "q_vec_pca_project",
+      "Per-label projection statistics on the top principal direction — " +
+        "the 1-D feature extraction that turns q_vec_pca_power's loading " +
+        "into a labeled diagnostic (are the 10 label clusters separated " +
+        "along the dominant axis?). Each row's projection " +
+        "Σₖ qₖ·vₖ is an exact BIGINT (the quantized iterate against the " +
+        "quantized row); per label, mean/min/max come out as closed IEEE " +
+        "trees over integer sums divided by the 2^40-scale norm factor — " +
+        "so the whole statistic inherits the power iteration's bit-" +
+        "stability. One broadcast of the 64-cell iterate, one vec_id-" +
+        "keyed aggregation, one label join: the projection pass is a " +
+        "single map-side dot per row at any corpus size.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val qrel = pcaQrel(s, dir)
+        val v3 = pcaV3(s, qrel)
+        val nrm = v3.agg(
+          sqrt(sum(D(col("v") * col("v")))).as("nrm"))
+        val proj = qrel.join(broadcast(v3), "k")
+          .groupBy("vec_id").agg(sum(col("q") * col("v")).as("pi"))
+        proj
+          .join(table(s, dir, "embeddings").select(col("vec_id"), col("label")),
+            "vec_id")
+          .join(broadcast(nrm))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("pi")).cast(DoubleType) /
+              (count(lit(1)).cast(DoubleType) * lit(1048576d) * max(col("nrm"))), 6)
+              .as("mean_proj"),
+            round(min(col("pi")).cast(DoubleType) /
+              (lit(1048576d) * max(col("nrm"))), 6).as("min_proj"),
+            round(max(col("pi")).cast(DoubleType) /
+              (lit(1048576d) * max(col("nrm"))), 6).as("max_proj"))
+          .orderBy("label")
+      },
+      Some(pcaSqlPrefix +
+        """,
+          |nrm AS (SELECT sqrt(sum(CAST(v * v AS DOUBLE))) AS nrm FROM v3),
+          |proj AS (SELECT vec_id, CAST(sum(q * v) AS BIGINT) AS pi
+          |  FROM qrel JOIN v3 USING (k) GROUP BY 1)
+          |SELECT e.label, count(*) AS n,
+          |  round(CAST(sum(p.pi) AS DOUBLE)
+          |    / (CAST(count(*) AS DOUBLE) * 1048576.0 * max(nrm.nrm)), 6)
+          |    AS mean_proj,
+          |  round(CAST(min(p.pi) AS DOUBLE) / (1048576.0 * max(nrm.nrm)), 6)
+          |    AS min_proj,
+          |  round(CAST(max(p.pi) AS DOUBLE) / (1048576.0 * max(nrm.nrm)), 6)
+          |    AS max_proj
+          |FROM proj p JOIN embeddings e USING (vec_id) CROSS JOIN nrm
+          |GROUP BY e.label ORDER BY e.label""".stripMargin))
   )
 }

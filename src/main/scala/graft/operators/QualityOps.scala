@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Data-quality operators (round 12): the declarative constraint ledger
+  * (the dbt-test / expectations primitive every warehouse migration runs
+  * first) and blocked fuzzy near-duplicate detection by edit distance.
+  *
+  * Scale notes: every constraint is a count over one scan, one hash agg, or
+  * one anti join — the three shapes that parallelize trivially; the ledger
+  * union is rows-of-one. The fuzzy pairs are block-bounded (lang × length
+  * bucket), never corpus-quadratic, and the edit distance runs on a fixed
+  * 40-char prefix so the per-pair cost is O(40²) regardless of document
+  * length.
+  */
+object QualityOps {
+  import Tables.table
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q_quality_constraints",
+      "Declarative constraint census over the star schema — the " +
+        "data-quality assertion battery (primary-key uniqueness, two " +
+        "foreign-key orphan checks, a domain range, a sign rule, a " +
+        "cross-table date ordering) evaluated in ONE pass each and " +
+        "unioned into the (constraint, n_checked, n_violations) ledger " +
+        "that CI gates read. PK duplication counts Σ(c−1) over duplicated " +
+        "keys (0 rows lost to sampling); orphan checks are LEFT joins " +
+        "counting null hits — one pass yields BOTH n_checked and the " +
+        "violation count (an anti join would need a second scan for the " +
+        "denominator) — broadcast for the dim side, shuffle for " +
+        "fact-fact; the date-order check joins lineitem to orders once. " +
+        "All-integer counts; each leg is scan→agg or scan→join→agg, " +
+        "nothing quadratic.",
+      (s, dir) => {
+        val orders = table(s, dir, "orders")
+        val lineitem = table(s, dir, "lineitem")
+        val customer = table(s, dir, "customer")
+        def ledger(name: String, checked: org.apache.spark.sql.DataFrame,
+                   violations: org.apache.spark.sql.Column) =
+          checked.agg(count(lit(1)).as("n_checked"),
+              coalesce(violations, lit(0L)).as("n_violations"))
+            .select(lit(name).as("constraint_name"), col("n_checked"),
+              col("n_violations"))
+        val pkDup = orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_checked"),
+            sum(col("c") - 1).as("n_violations"))
+          .select(lit("orders.pk_unique").as("constraint_name"),
+            col("n_checked"), col("n_violations"))
+        val lineChecked = lineitem
+          .join(orders.select(col("o_orderkey").as("k"), lit(1L).as("hit")),
+            col("l_orderkey") === col("k"), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit("lineitem.order_fk").as("constraint_name"),
+            col("n_checked"), col("n_violations"))
+        val custChecked = orders
+          .join(broadcast(customer.select(col("c_custkey").as("k"),
+            lit(1L).as("hit"))), col("o_custkey") === col("k"), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit("orders.customer_fk").as("constraint_name"),
+            col("n_checked"), col("n_violations"))
+        val qtyRange = ledger("lineitem.qty_range", lineitem,
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)))
+        val pricePos = ledger("orders.totalprice_positive", orders,
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)))
+        val dateOrder = lineitem
+          .join(orders.select(col("o_orderkey").as("k"), col("o_orderdate")),
+            col("l_orderkey") === col("k"))
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+              .as("n_violations"))
+          .select(lit("lineitem.ship_after_order").as("constraint_name"),
+            col("n_checked"), col("n_violations"))
+        pkDup.unionByName(lineChecked).unionByName(custChecked)
+          .unionByName(qtyRange).unionByName(pricePos).unionByName(dateOrder)
+          .orderBy("constraint_name")
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT 'orders.pk_unique' AS constraint_name,
+          |    count(*) AS n_checked,
+          |    CAST(sum(c - 1) AS BIGINT) AS n_violations
+          |  FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+          |  UNION ALL
+          |  SELECT 'lineitem.order_fk', count(*),
+          |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  UNION ALL
+          |  SELECT 'orders.customer_fk', count(*),
+          |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          |  UNION ALL
+          |  SELECT 'lineitem.qty_range', count(*),
+          |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT 'orders.totalprice_positive', count(*),
+          |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'lineitem.ship_after_order', count(*),
+          |    CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |) ORDER BY constraint_name""".stripMargin)),
+
+    GraftQuery(
+      "q_dedup_fuzzy_block",
+      "Blocked fuzzy near-duplicate detection by EDIT distance — the " +
+        "typo-tolerant dedup the token/shingle family (exact, minhash, " +
+        "simhash, jaccard) cannot see: Levenshtein over the 40-char " +
+        "prefix, candidate pairs restricted to (lang, ⌊n_chars/32⌋) " +
+        "blocks so the comparison count is Σ(block size)² — " +
+        "length-and-language blocking is the classical entity-resolution " +
+        "move, and a true near-dup pair can only cross one length-bucket " +
+        "boundary, which the census tolerates by design (it reports " +
+        "closest-pair structure, not a closed dedup set). Reports the 10 " +
+        "closest ordered pairs, fully tie-broken; the prefix cap makes " +
+        "the per-pair cost O(40²) at any document length. Both engines " +
+        "implement standard Levenshtein — an integer dynamic program " +
+        "with no float anywhere.",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            call_function("div", col("n_chars"), lit(32L)).as("blk"),
+            substring(col("text"), 1, 40).as("pfx"))
+        val a = d.select(col("lang"), col("blk"), col("doc_id").as("ida"),
+          col("pfx").as("pa"))
+        val b = d.select(col("lang").as("lang_b"), col("blk").as("blk_b"),
+          col("doc_id").as("idb"), col("pfx").as("pb"))
+        a.join(b, col("lang") === col("lang_b") && col("blk") === col("blk_b")
+            && col("ida") < col("idb"))
+          .select(col("ida"), col("idb"),
+            levenshtein(col("pa"), col("pb")).cast(LongType).as("dist"))
+          .orderBy(col("dist"), col("ida"), col("idb"))
+          .limit(10)
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, lang, n_chars // 32 AS blk,
+          |    substr(text, 1, 40) AS pfx FROM documents),
+          |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+          |    CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+          |  FROM d a JOIN d b
+          |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
+          |SELECT ida, idb, dist FROM p
+          |ORDER BY dist, ida, idb LIMIT 10""".stripMargin))
+  )
+}

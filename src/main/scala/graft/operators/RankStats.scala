@@ -361,6 +361,65 @@ object RankStats {
            |SELECT event_type, count(*) AS n_boot,
            |  round(min(CASE WHEN rk = 5 THEN m END), 6) AS ci_lo,
            |  round(min(CASE WHEN rk = 196 THEN m END), 6) AS ci_hi
-           |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin))
+           |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_qq",
+      "Quantile-quantile table of click vs purchase money distributions " +
+        "(integer cents), 5%-grid order statistics — the distribution-" +
+        "shape comparison that q_stats_ks's single supremum collapses " +
+        "away. Order statistics ride the VALUE-GRAIN cumulative device " +
+        "(distinct cents + running count; the row grain never sorts): " +
+        "quantile p/20 = min cents with cum ≥ 1+⌊(n−1)·p/20⌋ — all " +
+        "integer arithmetic, so every reported quantile is a data value " +
+        "picked exactly, no interpolation, no floats anywhere. The " +
+        "20-point probe joins each side's cell relation once; corpus " +
+        "touched by one count per side.",
+      (s, dir) => {
+        def side(t: String) = {
+          val cells = table(s, dir, "events")
+            .filter(col("event_type") === t)
+            .select(floor(col("value") * 100 + lit(0.5d)).cast(LongType)
+              .as("cents"))
+            .groupBy("cents").agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum(col("c")).over(
+              Window.partitionBy(lit(1)).orderBy("cents")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+          cells
+            .withColumn("p", explode(sequence(lit(1L), lit(19L))))
+            .filter(col("cum") >= lit(1L) +
+              call_function("div", (col("n") - 1) * col("p"), lit(20L)))
+            .groupBy("p").agg(min(col("cents")).as(s"${t}_cents"))
+        }
+        side("click").join(side("purchase"), "p")
+          .select(col("p"), col("click_cents"), col("purchase_cents"))
+          .orderBy("p")
+      },
+      Some(
+        """WITH cc AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+          |    count(*) AS c FROM events WHERE event_type = 'click' GROUP BY 1),
+          |ca AS (SELECT cents,
+          |    CAST(sum(c) OVER (ORDER BY cents
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          |    CAST(sum(c) OVER () AS BIGINT) AS n
+          |  FROM cc),
+          |cq AS (SELECT p.range AS p, min(cents) AS click_cents
+          |  FROM ca CROSS JOIN range(1, 20) p
+          |  WHERE cum >= 1 + ((n - 1) * p.range) // 20
+          |  GROUP BY 1),
+          |pc AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+          |    count(*) AS c FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          |pa AS (SELECT cents,
+          |    CAST(sum(c) OVER (ORDER BY cents
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          |    CAST(sum(c) OVER () AS BIGINT) AS n
+          |  FROM pc),
+          |pq AS (SELECT p.range AS p, min(cents) AS purchase_cents
+          |  FROM pa CROSS JOIN range(1, 20) p
+          |  WHERE cum >= 1 + ((n - 1) * p.range) // 20
+          |  GROUP BY 1)
+          |SELECT CAST(cq.p AS BIGINT) AS p, click_cents, purchase_cents
+          |FROM cq JOIN pq ON cq.p = pq.p ORDER BY p""".stripMargin))
   )
 }
