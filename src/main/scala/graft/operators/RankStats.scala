@@ -420,6 +420,234 @@ object RankStats {
           |  WHERE cum >= 1 + ((n - 1) * p.range) // 20
           |  GROUP BY 1)
           |SELECT CAST(cq.p AS BIGINT) AS p, click_cents, purchase_cents
-          |FROM cq JOIN pq ON cq.p = pq.p ORDER BY p""".stripMargin))
+          |FROM cq JOIN pq ON cq.p = pq.p ORDER BY p""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_mcnemar",
+      "McNemar test for paired activity change: did users active in the " +
+        "first half of the span stay active in the second half? Each " +
+        "user is its own control (the PAIRED 2×2 the independent-sample " +
+        "chi² cannot express); the statistic (b−c)²/(b+c) uses ONLY the " +
+        "discordant cells. The half-split midpoint is an integer derived " +
+        "from the observed day span (broadcast 1-row scalar, no driver " +
+        "fetch); per-user half-flags are two conditional max aggregates " +
+        "over the distinct user-day relation; all four cells are exact " +
+        "BIGINTs and the statistic is one closed IEEE division.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val ud = table(s, dir, "events")
+          .select(col("user_id"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .distinct()
+        val mid = ud.agg((call_function("div",
+          min(col("day")) + max(col("day")) + 1, lit(2L))).as("mid"))
+        ud.join(broadcast(mid))
+          .groupBy("user_id")
+          .agg(max(when(col("day") < col("mid"), 1L).otherwise(0L)).as("h1"),
+            max(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("h2"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("h1") === 1L && col("h2") === 1L, 1L).otherwise(0L))
+              .as("n_both"),
+            sum(when(col("h1") === 1L && col("h2") === 0L, 1L).otherwise(0L))
+              .as("n_h1_only"),
+            sum(when(col("h1") === 0L && col("h2") === 1L, 1L).otherwise(0L))
+              .as("n_h2_only"))
+          .select(col("n_users"), col("n_both"), col("n_h1_only"),
+            col("n_h2_only"),
+            // no discordant users ⇒ no evidence of change: statistic 0 by
+            // convention (ANSI division would throw, DuckDB would emit NaN)
+            when(col("n_h1_only") + col("n_h2_only") === 0L, lit(0d))
+              .otherwise(round(D(col("n_h1_only") - col("n_h2_only")) *
+                D(col("n_h1_only") - col("n_h2_only")) /
+                D(col("n_h1_only") + col("n_h2_only")), 6)).as("mcnemar_chi2"))
+      },
+      Some(
+        """WITH ud AS (SELECT DISTINCT user_id,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),
+          |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ud),
+          |u AS (SELECT user_id,
+          |    max(CASE WHEN day < mid THEN 1 ELSE 0 END) AS h1,
+          |    max(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS h2
+          |  FROM ud CROSS JOIN mid GROUP BY 1),
+          |c AS (SELECT count(*) AS n_users,
+          |    CAST(sum(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+          |    CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_h1_only,
+          |    CAST(sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_h2_only
+          |  FROM u)
+          |SELECT n_users, n_both, n_h1_only, n_h2_only,
+          |  CASE WHEN n_h1_only + n_h2_only = 0 THEN 0.0
+          |    ELSE round(CAST((n_h1_only - n_h2_only) * (n_h1_only - n_h2_only) AS DOUBLE)
+          |      / CAST(n_h1_only + n_h2_only AS DOUBLE), 6) END AS mcnemar_chi2
+          |FROM c""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_cramers_v",
+      "Cramér's V effect size for the event_type × day-of-week " +
+        "contingency — the normalized association strength the raw chi² " +
+        "(q_stats_chi2) leaves unscaled. Cell/margin/total counts are " +
+        "exact BIGINTs; each cell's (o−e)²/e term is one closed IEEE " +
+        "tree of integers, and the one sum OF terms rides the (type, " +
+        "dow)-ordered cumulative window over the ≤|types|·7 cell " +
+        "relation — the entropy fold device. V = √(χ²/(N·(min(r,c)−1))) " +
+        "finishes the tree.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val cells = table(s, dir, "events")
+          .select(col("event_type"),
+            pmod(floor(graft.Ts.epochSec(col("ts")) / lit(86400d))
+              .cast(LongType) + 3, lit(7L)).as("dow"))
+          .groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("o"))
+        val tot = Window.partitionBy(lit(1))
+        val ord = Window.partitionBy(lit(1)).orderBy("event_type", "dow")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = D(col("rsum")) * D(col("csum")) / D(col("nn"))
+        cells
+          .withColumn("nn", sum(col("o")).over(tot))
+          .withColumn("rsum", sum(col("o")).over(Window.partitionBy("event_type")))
+          .withColumn("csum", sum(col("o")).over(Window.partitionBy("dow")))
+          .withColumn("r", size(collect_set(col("event_type")).over(tot)))
+          .withColumn("c", size(collect_set(col("dow")).over(tot)))
+          .withColumn("cells", count(lit(1)).over(tot))
+          .withColumn("term", (D(col("o")) - e) * (D(col("o")) - e) / e)
+          .withColumn("chi2", sum(col("term")).over(ord))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(lit(1)).orderBy("event_type", "dow"))
+            .cast(LongType))
+          .filter(col("rn") === col("cells"))
+          .select(col("nn").as("n"), col("r").cast(LongType).as("r"),
+            col("c").cast(LongType).as("c"),
+            round(col("chi2"), 6).as("chi2"),
+            round(sqrt(col("chi2") / (D(col("nn")) *
+              D(least(col("r"), col("c")) - 1))), 6).as("cramers_v"))
+      },
+      Some(
+        """WITH cells AS (SELECT event_type,
+          |    (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7 AS dow,
+          |    count(*) AS o
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT event_type, dow, o,
+          |    CAST(sum(o) OVER () AS BIGINT) AS nn,
+          |    CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rsum,
+          |    CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS csum,
+          |    CAST(count(*) OVER () AS BIGINT) AS cells
+          |  FROM cells),
+          |dims AS (SELECT count(DISTINCT event_type) AS r,
+          |    count(DISTINCT dow) AS c FROM cells),
+          |f AS (SELECT nn, cells,
+          |    sum((CAST(o AS DOUBLE) - CAST(rsum AS DOUBLE) * CAST(csum AS DOUBLE) / CAST(nn AS DOUBLE))
+          |      * (CAST(o AS DOUBLE) - CAST(rsum AS DOUBLE) * CAST(csum AS DOUBLE) / CAST(nn AS DOUBLE))
+          |      / (CAST(rsum AS DOUBLE) * CAST(csum AS DOUBLE) / CAST(nn AS DOUBLE)))
+          |      OVER (ORDER BY event_type, dow
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chi2,
+          |    row_number() OVER (ORDER BY event_type, dow) AS rn
+          |  FROM m)
+          |SELECT nn AS n, CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+          |  round(chi2, 6) AS chi2,
+          |  round(sqrt(chi2 / (CAST(nn AS DOUBLE)
+          |    * CAST(least(r, c) - 1 AS DOUBLE))), 6) AS cramers_v
+          |FROM f CROSS JOIN dims WHERE rn = cells""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_dispersion",
+      "Poisson dispersion index of the daily count series per type — " +
+        "variance-to-mean ratio (the over/under-dispersion reading that " +
+        "decides Poisson vs negative-binomial modeling) plus the " +
+        "chi²-shaped dispersion statistic (n−1)·D. Sufficient statistics " +
+        "are exact BIGINTs over the day-grain relation; both outputs are " +
+        "closed IEEE trees — no fold device needed anywhere.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val varN = (D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))) /
+          (D(col("n")) * (D(col("n")) - lit(1d)))
+        val mean = D(col("sx")) / D(col("n"))
+        daily(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n").as("n_days"),
+            round(mean, 6).as("mean"),
+            round(varN / mean, 6).as("dispersion"),
+            round((D(col("n")) - lit(1d)) * varN / mean, 6).as("chi2_stat"))
+          .orderBy("event_type")
+      },
+      Some(
+        s"""WITH $dailySql,
+           |a AS (SELECT event_type, count(*) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx
+           |  FROM daily GROUP BY 1)
+           |SELECT event_type, n AS n_days,
+           |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+           |  round(((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+           |    / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS dispersion,
+           |  round((CAST(n AS DOUBLE) - 1.0)
+           |    * ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+           |    / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS chi2_stat
+           |FROM a ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_agg_pareto_share",
+      "Pareto concentration per region: the minimum number of customers " +
+        "whose revenue reaches 80% of the region's total — the 80/20 " +
+        "reading, decided by the EXACT integer predicate 5·cum ≥ 4·total " +
+        "over cumulative cents (no float threshold can flip a boundary " +
+        "customer). Revenue collapses to customer grain first (exact " +
+        "cents), ranks and running sums ride one region-keyed window " +
+        "over the customer-grain relation, and the answer is the " +
+        "min-rank aggregate. Share = top_n/n_customers is the one final " +
+        "division.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val rev = table(s, dir, "orders")
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("c_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5d)).cast(LongType))
+            .as("cents"))
+        val w = Window.partitionBy("r_name")
+          .orderBy(col("cents").desc, col("c_custkey"))
+        rev
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .withColumn("cum", sum(col("cents")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum(col("cents")).over(Window.partitionBy("r_name")))
+          .withColumn("nc", count(lit(1)).over(Window.partitionBy("r_name")))
+          .filter(col("cum") * 5 >= col("tot") * 4)
+          .groupBy(col("r_name").as("region"))
+          .agg(max(col("nc")).as("n_customers"), min(col("rk")).as("top_n"))
+          .select(col("region"), col("n_customers"), col("top_n"),
+            round(D(col("top_n")) / D(col("n_customers")), 6).as("share"))
+          .orderBy("region")
+      },
+      Some(
+        """WITH rev AS (
+          |  SELECT r.r_name, o.o_custkey AS ck,
+          |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          |      AS cents
+          |  FROM orders o
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |  JOIN region r ON n.n_regionkey = r.r_regionkey
+          |  GROUP BY 1, 2),
+          |rk AS (SELECT r_name, ck, cents,
+          |    CAST(row_number() OVER w AS BIGINT) AS rk,
+          |    CAST(sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS BIGINT) AS cum,
+          |    CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS tot,
+          |    CAST(count(*) OVER (PARTITION BY r_name) AS BIGINT) AS nc
+          |  FROM rev WINDOW w AS (PARTITION BY r_name ORDER BY cents DESC, ck))
+          |SELECT r_name AS region, max(nc) AS n_customers,
+          |  min(rk) AS top_n,
+          |  round(CAST(min(rk) AS DOUBLE) / CAST(max(nc) AS DOUBLE), 6) AS share
+          |FROM rk WHERE cum * 5 >= tot * 4
+          |GROUP BY r_name ORDER BY region""".stripMargin))
   )
 }

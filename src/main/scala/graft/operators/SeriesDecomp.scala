@@ -269,6 +269,138 @@ object SeriesDecomp {
            |  FROM r)
            |SELECT event_type, max(n) AS n_seg,
            |  string_agg(s, '' ORDER BY w) AS sax
-           |FROM sym GROUP BY event_type ORDER BY event_type""".stripMargin))
+           |FROM sym GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_hurst",
+      "Hurst exponent estimate of the daily series per type via " +
+        "rescaled-range (R/S) analysis at segment sizes 4/8/16 days — " +
+        "the long-memory diagnostic (H≈0.5 random walk, H>0.5 trending). " +
+        "Determinism ladder: per full L-day segment (count=L guarantees " +
+        "contiguity, since the segment id is day arithmetic), the " +
+        "cumulative-deviation range R and the population sd are closed " +
+        "IEEE trees over exact BIGINT (cum, S, SS); zero-variance " +
+        "segments are excluded by the EXACT integer predicate " +
+        "SS·L = S² (a float sd==0 test could flip); the per-size mean " +
+        "R/S and the 3-point log-log OLS slope both ride ordered " +
+        "cumulative windows (the fold device), with the regressor " +
+        "log₂L ∈ {2,3,4} as exact literals — no libm on the x side. " +
+        "Everything after the day-grain collapse is segment-grain.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val d = daily(s, dir)
+          .withColumn("d0", min(col("day")).over(Window.partitionBy("event_type")))
+          .withColumn("l", explode(array(lit(4L), lit(8L), lit(16L))))
+          .withColumn("seg", call_function("div", col("day") - col("d0"), col("l")))
+        val ws = Window.partitionBy("event_type", "l", "seg")
+        val wo = ws.orderBy("day")
+        val scored = d
+          .withColumn("cnt", count(lit(1)).over(ws))
+          .withColumn("ss", sum(col("x")).over(ws))
+          .withColumn("sxx", sum(col("x") * col("x")).over(ws))
+          .withColumn("k", row_number().over(wo).cast(LongType))
+          .withColumn("cum", sum(col("x")).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cdev",
+            D(col("cum")) - D(col("k")) * D(col("ss")) / D(col("l")))
+          .withColumn("rng", max(col("cdev")).over(ws) - min(col("cdev")).over(ws))
+          .filter(col("cnt") === col("l") && col("k") === col("l") &&
+            col("sxx") * col("l") =!= col("ss") * col("ss"))
+          .select(col("event_type"), col("l"), col("seg"),
+            (col("rng") / sqrt(D(col("sxx")) / D(col("l")) -
+              (D(col("ss")) / D(col("l"))) * (D(col("ss")) / D(col("l")))))
+              .as("rs"))
+        val wl = Window.partitionBy("event_type", "l").orderBy("seg")
+        val meanRs = scored
+          .withColumn("cumrs", sum(col("rs")).over(
+            wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rn", row_number().over(wl).cast(LongType))
+          .withColumn("nseg", count(lit(1)).over(Window.partitionBy("event_type", "l")))
+          .filter(col("rn") === col("nseg"))
+          .select(col("event_type"), col("l"),
+            (col("cumrs") / D(col("nseg"))).as("mrs"))
+        val x = when(col("l") === 4L, lit(2d)).when(col("l") === 8L, lit(3d))
+          .otherwise(lit(4d))
+        val wt = Window.partitionBy("event_type").orderBy("l")
+        val folded = meanRs
+          .withColumn("x", x)
+          .withColumn("sy", sum(log(col("mrs"))).over(
+            wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("sxy", sum(col("x") * log(col("mrs"))).over(
+            wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rn", row_number().over(wt).cast(LongType))
+        val slope = folded.filter(col("rn") === 3L)
+          .select(col("event_type").as("et"),
+            // (3·Σxy − Σx·Σy)/(3·Σxx − (Σx)²) with Σx=9, Σxx=29 exact;
+            // ln2 divisor converts the natural-log fold to the log₂ grid
+            (((lit(3d) * col("sxy") - lit(9d) * col("sy")) / lit(6d)) /
+              log(lit(2d))).as("h"))
+        meanRs.groupBy("event_type")
+          .agg(round(min(when(col("l") === 4L, col("mrs"))), 6).as("rs4"),
+            round(min(when(col("l") === 8L, col("mrs"))), 6).as("rs8"),
+            round(min(when(col("l") === 16L, col("mrs"))), 6).as("rs16"))
+          .join(slope, col("event_type") === col("et"))
+          .select(col("event_type"), col("rs4"), col("rs8"), col("rs16"),
+            round(col("h"), 6).as("hurst"))
+          .orderBy("event_type")
+      },
+      Some(
+        s"""WITH $dailySql,
+           |b AS (SELECT event_type, day, x,
+           |    min(day) OVER (PARTITION BY event_type) AS d0
+           |  FROM daily),
+           |e AS (SELECT event_type, day, x, d0, CAST(l.l AS BIGINT) AS l
+           |  FROM b CROSS JOIN (SELECT unnest([4, 8, 16]) AS l) l),
+           |g AS (SELECT event_type, day, x, l, (day - d0) // l AS seg FROM e),
+           |t AS (SELECT event_type, l, seg, day, x,
+           |    CAST(count(*) OVER ws AS BIGINT) AS cnt,
+           |    CAST(sum(x) OVER ws AS BIGINT) AS ss,
+           |    CAST(sum(x * x) OVER ws AS BIGINT) AS sxx,
+           |    CAST(row_number() OVER wo AS BIGINT) AS k,
+           |    CAST(sum(x) OVER (wo ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM g
+           |  WINDOW ws AS (PARTITION BY event_type, l, seg),
+           |    wo AS (PARTITION BY event_type, l, seg ORDER BY day)),
+           |cd AS (SELECT event_type, l, seg, cnt, ss, sxx, k,
+           |    CAST(cum AS DOUBLE) - CAST(k AS DOUBLE) * CAST(ss AS DOUBLE)
+           |      / CAST(l AS DOUBLE) AS cdev
+           |  FROM t),
+           |rngd AS (SELECT event_type, l, seg, cnt, ss, sxx, k,
+           |    max(cdev) OVER ws - min(cdev) OVER ws AS rng
+           |  FROM cd
+           |  WINDOW ws AS (PARTITION BY event_type, l, seg)),
+           |rs AS (SELECT event_type, l, seg,
+           |    rng / sqrt(CAST(sxx AS DOUBLE) / CAST(l AS DOUBLE)
+           |      - (CAST(ss AS DOUBLE) / CAST(l AS DOUBLE))
+           |        * (CAST(ss AS DOUBLE) / CAST(l AS DOUBLE))) AS rs
+           |  FROM rngd
+           |  WHERE cnt = l AND k = l AND sxx * l <> ss * ss),
+           |mrs AS (SELECT event_type, l, mrs FROM (
+           |  SELECT event_type, l, seg,
+           |    sum(rs) OVER (wl ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      / CAST(count(*) OVER (PARTITION BY event_type, l) AS DOUBLE) AS mrs,
+           |    row_number() OVER wl AS rn,
+           |    count(*) OVER (PARTITION BY event_type, l) AS nseg
+           |  FROM rs
+           |  WINDOW wl AS (PARTITION BY event_type, l ORDER BY seg))
+           |  WHERE rn = nseg),
+           |sl AS (SELECT event_type, h FROM (
+           |  SELECT event_type,
+           |    (((3.0 * sum((CASE l WHEN 4 THEN 2.0 WHEN 8 THEN 3.0 ELSE 4.0 END)
+           |        * ln(mrs)) OVER (wt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      - 9.0 * sum(ln(mrs)) OVER (wt ROWS BETWEEN UNBOUNDED PRECEDING
+           |        AND CURRENT ROW)) / 6.0) / ln(2.0)) AS h,
+           |    row_number() OVER wt AS rn
+           |  FROM mrs
+           |  WINDOW wt AS (PARTITION BY event_type ORDER BY l))
+           |  WHERE rn = 3)
+           |SELECT m.event_type,
+           |  round(min(CASE WHEN l = 4 THEN mrs END), 6) AS rs4,
+           |  round(min(CASE WHEN l = 8 THEN mrs END), 6) AS rs8,
+           |  round(min(CASE WHEN l = 16 THEN mrs END), 6) AS rs16,
+           |  round(max(sl.h), 6) AS hurst
+           |FROM mrs m JOIN sl ON m.event_type = sl.event_type
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -268,4 +268,173 @@ class Round12Spec extends SparkSuite {
     // returned loadings come from a unit vector: top-8 norm ≤ 1
     assert(got.map(x => x._2 * x._2).sum <= 1.0 + 1e-9)
   }
+
+  test("mcnemar: cells equal brute-force half-split flags") {
+    val userDays = Tables.table(spark, sf, "events")
+      .select(col("user_id"),
+        floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast("long").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (userDays.map(_._2).min + userDays.map(_._2).max + 1) / 2
+    val flags = userDays.groupBy(_._1).toSeq.map { case (_, xs) =>
+      (xs.exists(_._2 < mid), xs.exists(_._2 >= mid)) }
+    val b = flags.count { case (h1, h2) => h1 && !h2 }.toLong
+    val c = flags.count { case (h1, h2) => !h1 && h2 }.toLong
+    val both = flags.count { case (h1, h2) => h1 && h2 }.toLong
+    val got = run("q_stats_mcnemar").collect().head
+    assert(got.getLong(0) == flags.size.toLong)
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == (both, b, c))
+    val expect = if (b + c == 0) 0.0
+      else (b - c).toDouble * (b - c) / (b + c)
+    assert(math.abs(got.getDouble(4) - expect) < 1e-5)
+  }
+
+  test("cramers_v: equals brute-force contingency chi2") {
+    val cells = daily.toSeq.flatMap { case (t, xs) =>
+      xs.map { case (d, n) => ((t, (d + 3) % 7), n) } }
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    // cell counts here are EVENT counts per (type, dow), i.e. sum of daily
+    val nn = cells.values.sum.toDouble
+    val rsum = cells.groupBy(_._1._1).map { case (t, g) => t -> g.values.sum }
+    val csum = cells.groupBy(_._1._2).map { case (w, g) => w -> g.values.sum }
+    val chi2 = cells.map { case ((t, w), o) =>
+      val e = rsum(t) * csum(w) / nn
+      (o - e) * (o - e) / e }.sum
+    val r = rsum.size; val cD = csum.size
+    val v = math.sqrt(chi2 / (nn * (math.min(r, cD) - 1)))
+    val got = run("q_stats_cramers_v").collect().head
+    assert(got.getLong(0) == cells.values.sum)
+    assert(got.getLong(1) == r.toLong && got.getLong(2) == cD.toLong)
+    assert(math.abs(got.getDouble(3) - chi2) < 1e-3)
+    assert(math.abs(got.getDouble(4) - v) < 1e-6)
+  }
+
+  test("dispersion: equals brute-force var/mean of the daily series") {
+    val got = run("q_stats_dispersion").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    daily.foreach { case (t, series) =>
+      val xs = series.map(_._2.toDouble)
+      val n = xs.size
+      val mean = xs.sum / n
+      val varS = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      val (gn, gm, gd) = got(t)
+      assert(gn == n.toLong, s"type=$t")
+      assert(math.abs(gm - mean) < 1e-4, s"type=$t")
+      assert(math.abs(gd - varS / mean) < 1e-3, s"type=$t")
+    }
+  }
+
+  test("pareto: top_n is the minimal 80% prefix per region") {
+    val got = run("q_agg_pareto_share").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rev = Tables.table(spark, sf, "orders")
+      .join(Tables.table(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.table(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.table(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5d)).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rev.groupBy(_._1).foreach { case (region, xs) =>
+      val perCust = xs.groupBy(_._2).map { case (ck, g) => (ck, g.map(_._3).sum) }
+        .toSeq.sortBy { case (ck, cents) => (-cents, ck) }
+      val tot = perCust.map(_._2).sum
+      var cum = 0L; var topN = 0L
+      var found = false
+      perCust.zipWithIndex.foreach { case ((_, cents), i) =>
+        if (!found) { cum += cents; if (cum * 5 >= tot * 4) { topN = i + 1L; found = true } }
+      }
+      val (nCust, gTop) = got(region)
+      assert(nCust == perCust.size.toLong, s"region=$region")
+      assert(gTop == topN, s"region=$region")
+    }
+  }
+
+  test("qq: quantiles are exact order statistics of cents") {
+    def cents(t: String): Seq[Long] = Tables.table(spark, sf, "events")
+      .filter(col("event_type") === t)
+      .select(floor(col("value") * 100 + lit(0.5d)).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val cl = cents("click"); val pu = cents("purchase")
+    val got = run("q_stats_qq").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (1L to 19L).foreach { p =>
+      val rc = 1 + ((cl.size - 1) * p / 20)
+      val rp = 1 + ((pu.size - 1) * p / 20)
+      assert(got(p) == (cl((rc - 1).toInt), pu((rp - 1).toInt)), s"p=$p")
+    }
+  }
+
+  test("constraints: fixture satisfies the ledger and checked counts match") {
+    val got = run("q_quality_constraints").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nOrders = Tables.table(spark, sf, "orders").count()
+    val nLine = Tables.table(spark, sf, "lineitem").count()
+    assert(got("orders.pk_unique") == (nOrders, 0L))
+    assert(got("lineitem.order_fk") == (nLine, 0L))
+    assert(got("orders.customer_fk") == (nOrders, 0L))
+    assert(got("lineitem.qty_range") == (nLine, 0L))
+    assert(got("orders.totalprice_positive") == (nOrders, 0L))
+    assert(got("lineitem.ship_after_order")._1 == nLine)
+  }
+
+  test("fuzzy dedup: reported distances equal direct Levenshtein") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0 })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val pfx = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run("q_dedup_fuzzy_block").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.size == 10)
+    got.foreach { case (a, b, d) =>
+      assert(lev(pfx(a), pfx(b)).toLong == d, s"pair=($a,$b)")
+    }
+    // ascending by (dist, ida, idb)
+    assert(got.sortBy(x => (x._3, x._1, x._2)).toSeq == got.toSeq)
+  }
+
+  test("hurst: R/S means equal brute-force segment scan") {
+    val got = run("q_ts_hurst").collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    daily.foreach { case (t, series) =>
+      val d0 = series.map(_._1).min
+      def meanRs(l: Int): Double = {
+        val segs = series.groupBy { case (d, _) => (d - d0) / l }
+          .filter(_._2.size == l)
+          .toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_._1).map(_._2))
+        val rss = segs.flatMap { xs =>
+          val sum = xs.sum; val ssq = xs.map(x => x * x).sum
+          if (ssq * l == sum * sum) None
+          else {
+            val mean = sum.toDouble / l
+            val cumdev = xs.scanLeft(0.0) { case (c, x) => c + x }.tail
+              .zipWithIndex.map { case (c, i) => c - (i + 1) * mean }
+            val r = cumdev.max - cumdev.min
+            val sd = math.sqrt(ssq.toDouble / l - mean * mean)
+            Some(r / sd)
+          }
+        }
+        rss.sum / rss.size
+      }
+      val (g4, g8, g16, gh) = got(t)
+      assert(math.abs(g4 - meanRs(4)) < 1e-4, s"type=$t L=4")
+      assert(math.abs(g8 - meanRs(8)) < 1e-4, s"type=$t L=8")
+      assert(math.abs(g16 - meanRs(16)) < 1e-4, s"type=$t L=16")
+      val ys = Seq(meanRs(4), meanRs(8), meanRs(16)).map(math.log)
+      val xs2 = Seq(2.0, 3.0, 4.0)
+      val slope = (3 * xs2.zip(ys).map { case (a, b) => a * b }.sum -
+        xs2.sum * ys.sum) / (3 * xs2.map(a => a * a).sum - xs2.sum * xs2.sum)
+      // y is ln(R/S) but the x grid is log2(L): divide by ln 2 to get the
+      // slope with respect to ln L — the Hurst exponent
+      assert(math.abs(gh - slope / math.log(2)) < 1e-4, s"type=$t hurst")
+    }
+  }
 }
