@@ -732,6 +732,95 @@ object Graph {
           |SELECT seed, n1, n2, n3, n4,
           |  round(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)/2.0
           |    + CAST(n3 AS DOUBLE)/3.0 + CAST(n4 AS DOUBLE)/4.0, 6) AS harmonic
-          |FROM a ORDER BY seed""".stripMargin))
+          |FROM a ORDER BY seed""".stripMargin)),
+
+    GraftQuery(
+      "q_graph_walk",
+      "Deterministic 4-step random walks from the 8 smallest-id nodes of " +
+        "the affinity graph — the node2vec/DeepWalk sampling primitive, " +
+        "made engine-reproducible by the md5-index discipline: at step t " +
+        "from node u the walker takes neighbor rank " +
+        "1 + (md5₅₂(seed|t|u) mod deg(u)) over the (dst-ordered) ranked " +
+        "adjacency — no RNG, so the same corpus yields the same walks on " +
+        "any engine, any partitioning, any retry (a task retry that " +
+        "resampled walks would silently corrupt a downstream embedding " +
+        "training set). Each step is one equi-join of the 8-row frontier " +
+        "against the ranked-adjacency artifact (degree-bounded by the " +
+        "kNN ingest cap); the path string accumulates in the frontier " +
+        "relation. The oracle unrolls the same 4 steps as recursive-free " +
+        "CTE joins.",
+      (s, dir) => {
+        val oe = affinityGraph(s, dir).select(col("src"), col("dst"))
+        val adj = oe.unionAll(oe.select(col("dst").as("src"), col("src").as("dst")))
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy("dst")
+        val ranked = adj
+          .withColumn("rn", row_number().over(wS).cast("long"))
+          .withColumn("d", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("src")))
+          .localCheckpoint(true)
+        val seeds = ranked.select(col("src")).distinct()
+          .orderBy("src").limit(8).collect().map(_.getLong(0))
+        var walk = s.createDataFrame(seeds.toSeq.map(Tuple1(_))).toDF("seed")
+          .select(col("seed"), col("seed").as("cur"),
+            col("seed").cast("string").as("path"))
+        for (t <- 1 to 4) {
+          val h = conv(substring(md5(concat_ws("|",
+            col("seed"), lit(t.toLong), col("cur"))), 1, 13), 16, 10)
+            .cast("long")
+          walk = walk
+            .join(broadcast(ranked), col("cur") === col("src") &&
+              col("rn") === pmod(h, col("d")) + 1)
+            .select(col("seed"), col("dst").as("cur"),
+              concat(col("path"), lit("->"), col("dst").cast("string")).as("path"))
+        }
+        walk.select(col("seed"), col("cur").as("end_node"), col("path"))
+          .orderBy("seed")
+      },
+      Some(
+        """WITH dpairs AS MATERIALIZED (
+          |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(DISTINCT a.l_orderkey) AS w
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+          |  GROUP BY 1, 2),
+          |knn AS (
+          |  SELECT u, v FROM (
+          |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+          |    FROM dpairs) WHERE rn <= 8),
+          |e AS MATERIALIZED (
+          |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM knn),
+          |adj AS MATERIALIZED (
+          |  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+          |rk AS MATERIALIZED (SELECT src, dst,
+          |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS d
+          |  FROM adj),
+          |w0 AS (SELECT src AS seed, src AS cur, CAST(src AS VARCHAR) AS path
+          |  FROM (SELECT DISTINCT src FROM adj ORDER BY src LIMIT 8)),
+          |w1 AS (SELECT w.seed, r.dst AS cur,
+          |    w.path || '->' || CAST(r.dst AS VARCHAR) AS path
+          |  FROM w0 w JOIN rk r ON w.cur = r.src
+          |    AND r.rn = 1 + CAST(CAST('0x' || substr(md5(CAST(w.seed AS VARCHAR)
+          |      || '|1|' || CAST(w.cur AS VARCHAR)), 1, 13) AS UBIGINT)
+          |      % CAST(r.d AS UBIGINT) AS BIGINT)),
+          |w2 AS (SELECT w.seed, r.dst AS cur,
+          |    w.path || '->' || CAST(r.dst AS VARCHAR) AS path
+          |  FROM w1 w JOIN rk r ON w.cur = r.src
+          |    AND r.rn = 1 + CAST(CAST('0x' || substr(md5(CAST(w.seed AS VARCHAR)
+          |      || '|2|' || CAST(w.cur AS VARCHAR)), 1, 13) AS UBIGINT)
+          |      % CAST(r.d AS UBIGINT) AS BIGINT)),
+          |w3 AS (SELECT w.seed, r.dst AS cur,
+          |    w.path || '->' || CAST(r.dst AS VARCHAR) AS path
+          |  FROM w2 w JOIN rk r ON w.cur = r.src
+          |    AND r.rn = 1 + CAST(CAST('0x' || substr(md5(CAST(w.seed AS VARCHAR)
+          |      || '|3|' || CAST(w.cur AS VARCHAR)), 1, 13) AS UBIGINT)
+          |      % CAST(r.d AS UBIGINT) AS BIGINT)),
+          |w4 AS (SELECT w.seed, r.dst AS cur,
+          |    w.path || '->' || CAST(r.dst AS VARCHAR) AS path
+          |  FROM w3 w JOIN rk r ON w.cur = r.src
+          |    AND r.rn = 1 + CAST(CAST('0x' || substr(md5(CAST(w.seed AS VARCHAR)
+          |      || '|4|' || CAST(w.cur AS VARCHAR)), 1, 13) AS UBIGINT)
+          |      % CAST(r.d AS UBIGINT) AS BIGINT))
+          |SELECT seed, cur AS end_node, path FROM w4 ORDER BY seed""".stripMargin))
   )
 }

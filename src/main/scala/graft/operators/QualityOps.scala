@@ -147,6 +147,83 @@ object QualityOps {
           |  FROM d a JOIN d b
           |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
           |SELECT ida, idb, dist FROM p
-          |ORDER BY dist, ida, idb LIMIT 10""".stripMargin))
+          |ORDER BY dist, ida, idb LIMIT 10""".stripMargin)),
+
+    GraftQuery(
+      "q_profile_columns",
+      "ANALYZE-style column profile of the orders table — per column: " +
+        "row count, null count, EXACT distinct count, min/max, mean " +
+        "string length — the statistics every catalog/optimizer ingest " +
+        "job and every data-discovery UI runs first. One scan per " +
+        "column leg (Catalyst prunes each leg to its single column), " +
+        "exact NDV via count(distinct) (the approximate twin is the " +
+        "q_agg_approx_distinct family), money profiled in integer CENTS " +
+        "so min/max render identically on both engines (raw doubles " +
+        "would format differently), and the ledger union is rows-of-one.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast("double")
+        val o = table(s, dir, "orders")
+        def leg(name: String, c: org.apache.spark.sql.Column,
+                strLen: Boolean) =
+          o.agg(count(lit(1)).as("n_rows"),
+              sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+              countDistinct(c).as("ndv"),
+              min(c).cast("string").as("min_s"),
+              max(c).cast("string").as("max_s"),
+              (if (strLen) round(sum(length(c.cast("string"))).cast("double") /
+                D(count(c)), 6) else lit(null).cast("double")).as("avg_len"))
+            .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+              col("ndv"), col("min_s"), col("max_s"), col("avg_len"))
+        leg("o_orderkey", col("o_orderkey"), strLen = false)
+          .unionByName(leg("o_custkey", col("o_custkey"), strLen = false))
+          .unionByName(leg("o_totalprice_cents",
+            floor(col("o_totalprice") * 100 + lit(0.5d)).cast(LongType),
+            strLen = false))
+          .unionByName(leg("o_orderstatus", col("o_orderstatus"), strLen = true))
+          .unionByName(leg("o_orderpriority", col("o_orderpriority"),
+            strLen = true))
+          .orderBy("col_name")
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+          |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          |    count(DISTINCT o_orderkey) AS ndv,
+          |    CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+          |    CAST(max(o_orderkey) AS VARCHAR) AS max_s,
+          |    CAST(NULL AS DOUBLE) AS avg_len
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'o_custkey', count(*),
+          |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |    count(DISTINCT o_custkey),
+          |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR),
+          |    CAST(NULL AS DOUBLE)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'o_totalprice_cents', count(*),
+          |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |    count(DISTINCT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
+          |    CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS VARCHAR),
+          |    CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS VARCHAR),
+          |    CAST(NULL AS DOUBLE)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'o_orderstatus', count(*),
+          |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |    count(DISTINCT o_orderstatus),
+          |    min(o_orderstatus), max(o_orderstatus),
+          |    round(CAST(sum(length(o_orderstatus)) AS DOUBLE)
+          |      / CAST(count(o_orderstatus) AS DOUBLE), 6)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'o_orderpriority', count(*),
+          |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |    count(DISTINCT o_orderpriority),
+          |    min(o_orderpriority), max(o_orderpriority),
+          |    round(CAST(sum(length(o_orderpriority)) AS DOUBLE)
+          |      / CAST(count(o_orderpriority) AS DOUBLE), 6)
+          |  FROM orders
+          |) ORDER BY col_name""".stripMargin))
   )
 }

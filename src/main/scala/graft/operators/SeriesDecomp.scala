@@ -401,6 +401,61 @@ object SeriesDecomp {
            |  round(min(CASE WHEN l = 16 THEN mrs END), 6) AS rs16,
            |  round(max(sl.h), 6) AS hurst
            |FROM mrs m JOIN sl ON m.event_type = sl.event_type
-           |GROUP BY 1 ORDER BY 1""".stripMargin))
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_m4",
+      "M4 downsampling of the money series per type — first/last/min/max " +
+        "cents per 6-hour bucket, the error-free line-chart reduction " +
+        "(M4 preserves the exact rendered envelope at any zoom; LTTB and " +
+        "friends are lossy AND sequential). Spark shape: ONE hash " +
+        "aggregation with four min/max(struct) arguments — the argmax " +
+        "discipline; no window, no sort, fully map-side combinable, " +
+        "which is why M4 is the downsample that scales (the oracle " +
+        "spells the same four tie-broken picks as window row_numbers — " +
+        "a genuinely different formulation). All-integer: epoch-micros " +
+        "buckets, cents values, (tsm, event_id) total order.",
+      (s, dir) => {
+        val bw = 21600000000L // 6 h in micros
+        val e = table(s, dir, "events")
+          .select(col("event_type"),
+            graft.Ts.epochMicros(col("ts")).as("tsm"), col("event_id"),
+            floor(col("value") * 100 + lit(0.5d)).cast(LongType).as("c"))
+          .withColumn("bkt", call_function("div", col("tsm"), lit(bw)))
+        e.groupBy("event_type", "bkt")
+          .agg(count(lit(1)).as("n"),
+            min(struct(col("tsm"), col("event_id"), col("c")))
+              .getField("c").as("first_c"),
+            max(struct(col("tsm"), col("event_id"), col("c")))
+              .getField("c").as("last_c"),
+            min(struct(col("c"), col("tsm"), col("event_id")))
+              .getField("c").as("min_c"),
+            max(struct(col("c"), col("tsm"), col("event_id")))
+              .getField("c").as("max_c"))
+          .orderBy("event_type", "bkt")
+      },
+      Some(
+        """WITH e AS (SELECT event_type, epoch_us(ts) AS tsm, event_id,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+          |  FROM events),
+          |b AS (SELECT event_type, tsm // 21600000000 AS bkt, tsm, event_id, c
+          |  FROM e),
+          |r AS (SELECT event_type, bkt, c,
+          |    row_number() OVER (PARTITION BY event_type, bkt
+          |      ORDER BY tsm, event_id) AS rf,
+          |    row_number() OVER (PARTITION BY event_type, bkt
+          |      ORDER BY tsm DESC, event_id DESC) AS rl,
+          |    row_number() OVER (PARTITION BY event_type, bkt
+          |      ORDER BY c, tsm, event_id) AS rmin,
+          |    row_number() OVER (PARTITION BY event_type, bkt
+          |      ORDER BY c DESC, tsm DESC, event_id DESC) AS rmax,
+          |    count(*) OVER (PARTITION BY event_type, bkt) AS n
+          |  FROM b)
+          |SELECT event_type, bkt, max(n) AS n,
+          |  min(CASE WHEN rf = 1 THEN c END) AS first_c,
+          |  min(CASE WHEN rl = 1 THEN c END) AS last_c,
+          |  min(CASE WHEN rmin = 1 THEN c END) AS min_c,
+          |  min(CASE WHEN rmax = 1 THEN c END) AS max_c
+          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
