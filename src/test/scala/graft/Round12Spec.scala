@@ -437,4 +437,77 @@ class Round12Spec extends SparkSuite {
       assert(math.abs(gh - slope / math.log(2)) < 1e-4, s"type=$t hurst")
     }
   }
+
+  test("m4: bucket envelope equals brute-force first/last/min/max") {
+    val evs = Tables.table(spark, sf, "events")
+      .select(col("event_type"), graft.Ts.epochMicros(col("ts")).as("tsm"),
+        col("event_id"),
+        floor(col("value") * 100 + lit(0.5d)).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ref = evs.groupBy(e => (e._1, e._2 / 21600000000L)).map { case (k, xs) =>
+      val byTs = xs.sortBy(e => (e._2, e._3))
+      val byC = xs.sortBy(e => (e._4, e._2, e._3))
+      k -> (xs.size.toLong, byTs.head._4, byTs.last._4, byC.head._4, byC.last._4)
+    }
+    val got = run("q_ts_m4").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got.keySet == ref.keySet)
+    ref.foreach { case (k, v) => assert(got(k) == v, s"bucket=$k") }
+  }
+
+  test("profile: ledger equals direct column statistics") {
+    val o = Tables.table(spark, sf, "orders")
+    val n = o.count()
+    val got = run("q_profile_columns").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got.keySet == Set("o_orderkey", "o_custkey", "o_totalprice_cents",
+      "o_orderstatus", "o_orderpriority"))
+    got.values.foreach { case (rows, _, _, _, _) => assert(rows == n) }
+    val keys = o.select(col("o_orderkey")).collect().map(_.getLong(0))
+    assert(got("o_orderkey")._3 == keys.distinct.length.toLong)
+    assert(got("o_orderkey")._4 == keys.min.toString)
+    assert(got("o_orderkey")._5 == keys.max.toString)
+    val st = o.select(col("o_orderstatus")).collect().map(_.getString(0))
+    assert(got("o_orderstatus")._3 == st.distinct.length.toLong)
+    assert(got("o_orderstatus")._2 == 0L)
+  }
+
+  test("walk: every step follows the md5-indexed ranked adjacency") {
+    val got = run("q_graph_walk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 8)
+    // rebuild the ranked adjacency driver-side from the same artifact
+    val oe = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val pairs = oe.join(oe.select(col("ok"), col("sk").as("sk2")), "ok")
+      .filter(col("sk") =!= col("sk2"))
+      .groupBy(col("sk").as("u"), col("sk2").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val knn = pairs.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      xs.sortBy(x => (-x._3, x._2)).take(8).map(x => (u, x._2)) }
+    val und = knn.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._2).sorted }
+    def md52(s2: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s2.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 13), 16)
+    }
+    got.foreach { case (seed, end, path) =>
+      val nodes = path.split("->").map(_.toLong)
+      assert(nodes.length == 5 && nodes.head == seed && nodes.last == end)
+      (1 to 4).foreach { t =>
+        val cur = nodes(t - 1)
+        val nbrs = adj(cur)
+        val pick = nbrs((md52(s"$seed|$t|$cur") % nbrs.size).toInt)
+        assert(nodes(t) == pick, s"seed=$seed step=$t")
+      }
+    }
+  }
 }
