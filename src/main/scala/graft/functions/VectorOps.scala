@@ -405,6 +405,62 @@ object VectorOps {
           |  round(CAST(max(p.pi) AS DOUBLE) / (1048576.0 * max(nrm.nrm)), 6)
           |    AS max_proj
           |FROM proj p JOIN embeddings e USING (vec_id) CROSS JOIN nrm
-          |GROUP BY e.label ORDER BY e.label""".stripMargin))
+          |GROUP BY e.label ORDER BY e.label""".stripMargin)),
+
+    GraftQuery(
+      "q_vec_mips",
+      "Maximum-inner-product search gated against its cosine reduction — " +
+        "the norm-augmentation theorem (append √(M²−‖x‖²) to every " +
+        "corpus vector, 0 to the query; cosine order in the augmented " +
+        "space IS inner-product order) that lets cosine-only ANN " +
+        "infrastructure serve MIPS workloads. The query reports BOTH " +
+        "rankings side by side for the top-10 — r_dot from the raw " +
+        "double dot, r_aug from the augmented cosine (M is the corpus " +
+        "max norm, a broadcast 1-row scalar) — so the oracle-checked " +
+        "equality r_dot = r_aug on every row is the machine-checked " +
+        "proof of the reduction, not a code comment. Both scores are " +
+        "the identical IEEE trees on both engines; ranks are fully " +
+        "tie-broken by vec_id.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DoubleType
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        val m = e.select(Exact.norm(col("embedding")).as("nrm"))
+          .agg(max(col("nrm")).as("mx"))
+        val scored = e.filter(col("vec_id") =!= 0)
+          .join(broadcast(q)).join(broadcast(m))
+          .select(col("vec_id"),
+            Exact.dot(col("embedding"), col("qv")).as("dp"),
+            // augmented cosine: x·q / (M·‖q‖) — the augmented x has norm M,
+            // the augmented q keeps ‖q‖; the extra dimension contributes 0
+            (Exact.dot(col("embedding"), col("qv")) /
+              (col("mx") * Exact.norm(col("qv")))).as("ac"))
+        scored
+          .withColumn("r_dot", row_number().over(
+            Window.orderBy(col("dp").desc, col("vec_id"))).cast("long"))
+          .withColumn("r_aug", row_number().over(
+            Window.orderBy(col("ac").desc, col("vec_id"))).cast("long"))
+          .filter(col("r_dot") <= 10)
+          .select(col("vec_id"), col("r_dot"), col("r_aug"),
+            round(col("dp"), 6).as("dot"))
+          .orderBy("r_dot")
+      },
+      Some(
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+          "m AS (SELECT max(sqrt(" + Exact.squaredNormSql("embedding") +
+          ")) AS mx FROM embeddings), " +
+          "s AS (SELECT e.vec_id, " + Exact.dotSql("e.embedding", "q.qv") +
+          " AS dp, " + Exact.dotSql("e.embedding", "q.qv") +
+          " / (m.mx * sqrt(" + Exact.squaredNormSql("q.qv") + ")) AS ac " +
+          "FROM embeddings e, q, m WHERE e.vec_id <> 0), " +
+          "r AS (SELECT vec_id, dp, " +
+          "CAST(row_number() OVER (ORDER BY dp DESC, vec_id) AS BIGINT) AS r_dot, " +
+          "CAST(row_number() OVER (ORDER BY ac DESC, vec_id) AS BIGINT) AS r_aug " +
+          "FROM s) " +
+          "SELECT vec_id, r_dot, r_aug, round(dp, 6) AS dot " +
+          "FROM r WHERE r_dot <= 10 ORDER BY r_dot"))
   )
 }

@@ -821,6 +821,79 @@ object Graph {
           |    AND r.rn = 1 + CAST(CAST('0x' || substr(md5(CAST(w.seed AS VARCHAR)
           |      || '|4|' || CAST(w.cur AS VARCHAR)), 1, 13) AS UBIGINT)
           |      % CAST(r.d AS UBIGINT) AS BIGINT))
-          |SELECT seed, cur AS end_node, path FROM w4 ORDER BY seed""".stripMargin))
+          |SELECT seed, cur AS end_node, path FROM w4 ORDER BY seed""".stripMargin)),
+
+    GraftQuery(
+      "q_graph_clustercoef",
+      "Local clustering coefficient over the affinity graph — " +
+        "cc(v) = 2·t(v)/(d(v)·(d(v)−1)), how close each supplier's " +
+        "neighborhood is to a clique (the community-tightness reading " +
+        "q_graph_triangles' raw counts don't normalize). Triangle " +
+        "participation reuses the oriented wedge join (degree-bounded by " +
+        "the kNN ingest cap — the node-iterator discipline); degrees " +
+        "come from the symmetrized adjacency; cc is ONE IEEE division of " +
+        "exact BIGINTs. Top-10 by (cc, −node), d ≥ 2 only (cc undefined " +
+        "below), fully tie-broken.",
+      (s, dir) => {
+        val oe = affinityGraph(s, dir)
+        val wedges = oe.as("x")
+          .join(broadcast(oe.as("y")),
+            col("x.src") === col("y.src") && col("x.rdst") < col("y.rdst"))
+          .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+        val tri = wedges
+          .join(broadcast(oe.as("z")),
+            col("b") === col("z.src") && col("c") === col("z.dst"))
+          .select(col("a"), col("b"), col("c"))
+        val triPer = tri.select(col("a").as("node"))
+          .unionAll(tri.select(col("b").as("node")))
+          .unionAll(tri.select(col("c").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("t"))
+        val base = oe.select(col("src"), col("dst"))
+        val deg = base.select(col("src").as("node"))
+          .unionAll(base.select(col("dst").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("d"))
+        deg.filter(col("d") >= 2)
+          .join(triPer, Seq("node"), "left")
+          .select(col("node"), col("d"), coalesce(col("t"), lit(0L)).as("t"))
+          .withColumn("cc", round(col("t").cast("double") * 2 /
+            (col("d").cast("double") * (col("d").cast("double") - 1)), 6))
+          .orderBy(col("cc").desc, col("node"))
+          .limit(10)
+          .select(col("node").as("supp_key"), col("d"), col("t"), col("cc"))
+      },
+      Some(
+        """WITH dpairs AS MATERIALIZED (
+          |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(DISTINCT a.l_orderkey) AS w
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+          |  GROUP BY 1, 2),
+          |knn AS (
+          |  SELECT u, v FROM (
+          |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+          |    FROM dpairs) WHERE rn <= 8),
+          |e AS MATERIALIZED (
+          |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM knn),
+          |deg0 AS (SELECT node, count(*) AS d FROM (
+          |  SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+          |rk AS (SELECT node, d * 1000000 + node AS r FROM deg0),
+          |oe AS MATERIALIZED (
+          |  SELECT CASE WHEN ru.r < rv.r THEN e.u ELSE e.v END AS src,
+          |         CASE WHEN ru.r < rv.r THEN e.v ELSE e.u END AS dst,
+          |         CASE WHEN ru.r < rv.r THEN rv.r ELSE ru.r END AS rdst
+          |  FROM e JOIN rk ru ON e.u = ru.node JOIN rk rv ON e.v = rv.node),
+          |tri AS (
+          |  SELECT x.src AS a, x.dst AS b, y.dst AS c
+          |  FROM oe x JOIN oe y ON x.src = y.src AND x.rdst < y.rdst
+          |  JOIN oe z ON z.src = x.dst AND z.dst = y.dst),
+          |tp AS (SELECT node, count(*) AS t FROM (
+          |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+          |  UNION ALL SELECT c FROM tri) GROUP BY 1)
+          |SELECT d0.node AS supp_key, CAST(d0.d AS BIGINT) AS d,
+          |  CAST(coalesce(tp.t, 0) AS BIGINT) AS t,
+          |  round(CAST(coalesce(tp.t, 0) AS DOUBLE) * 2
+          |    / (CAST(d0.d AS DOUBLE) * (CAST(d0.d AS DOUBLE) - 1)), 6) AS cc
+          |FROM deg0 d0 LEFT JOIN tp ON d0.node = tp.node
+          |WHERE d0.d >= 2
+          |ORDER BY cc DESC, supp_key LIMIT 10""".stripMargin))
   )
 }

@@ -224,6 +224,58 @@ object QualityOps {
           |    round(CAST(sum(length(o_orderpriority)) AS DOUBLE)
           |      / CAST(count(o_orderpriority) AS DOUBLE), 6)
           |  FROM orders
-          |) ORDER BY col_name""".stripMargin))
+          |) ORDER BY col_name""".stripMargin)),
+
+    GraftQuery(
+      "q_text_feature_hash",
+      "Hashing-trick featurization per language — the fixed-width " +
+        "vocabulary-free featurizer (256 signed buckets) every scale " +
+        "text pipeline reaches for when the vocabulary won't fit a " +
+        "dictionary: bucket = md5₅₂(token) mod 256, sign from the next " +
+        "hash bit, mass = signed token-count sum. Hashing runs on the " +
+        "VOCABULARY-grain (lang, token, count) relation — the single-" +
+        "tokenize discipline — so the md5 cost is vocabulary-sized, not " +
+        "corpus-sized, and the signed masses are exact BIGINTs. Reports " +
+        "each language's 5 heaviest buckets by |mass|, fully tie-broken. " +
+        "No RNG, no engine-specific hash: the same feature vector " +
+        "materializes anywhere.",
+      (s, dir) => {
+        val vocab = table(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        val h = conv(substring(md5(col("tok")), 1, 13), 16, 10).cast(LongType)
+        val scored = vocab
+          .select(col("lang"), pmod(h, lit(256L)).as("bucket"),
+            (when(pmod(call_function("div", h, lit(256L)), lit(2L)) === 0L,
+              lit(1L)).otherwise(lit(-1L)) * col("c")).as("m"))
+          .groupBy("lang", "bucket").agg(sum(col("m")).as("mass"))
+        scored
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")
+              .orderBy(abs(col("mass")).desc, col("bucket"))).cast(LongType))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("rk"), col("bucket"), col("mass"))
+          .orderBy("lang", "rk")
+      },
+      Some(
+        """WITH vocab AS (
+          |  SELECT lang, tok, count(*) AS c FROM (
+          |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+          |    FROM documents)
+          |  GROUP BY 1, 2),
+          |h AS (SELECT lang,
+          |    CAST(CAST('0x' || substr(md5(tok), 1, 13) AS UBIGINT) AS BIGINT) AS hv,
+          |    c
+          |  FROM vocab),
+          |b AS (SELECT lang, hv % 256 AS bucket,
+          |    CAST(sum(CASE WHEN (hv // 256) % 2 = 0 THEN c ELSE -c END) AS BIGINT)
+          |      AS mass
+          |  FROM h GROUP BY 1, 2),
+          |r AS (SELECT lang, bucket, mass,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY abs(mass) DESC, bucket) AS BIGINT) AS rk
+          |  FROM b)
+          |SELECT lang, rk, bucket, mass FROM r WHERE rk <= 5
+          |ORDER BY lang, rk""".stripMargin))
   )
 }

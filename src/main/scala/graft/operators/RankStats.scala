@@ -648,6 +648,72 @@ object RankStats {
           |  min(rk) AS top_n,
           |  round(CAST(min(rk) AS DOUBLE) / CAST(max(nc) AS DOUBLE), 6) AS share
           |FROM rk WHERE cum * 5 >= tot * 4
-          |GROUP BY r_name ORDER BY region""".stripMargin))
+          |GROUP BY r_name ORDER BY region""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_friedman",
+      "Friedman rank test per type — day-of-week treatments ranked " +
+        "WITHIN each complete Monday-aligned week block, the repeated-" +
+        "measures companion to q_stats_anova (it asks the same weekly-" +
+        "seasonality question without ANOVA's normality assumption). " +
+        "Ranks are integer half-units (2·avgrank = 2·min_rank + ties − 1, " +
+        "the Mann-Whitney discipline), so per-(type, dow) rank sums and " +
+        "their squares are exact BIGINTs; with k=7 the statistic " +
+        "χ²_F = 12·Σ(2Rⱼ)²/(4·56·n) − 24n reduces to one closed IEEE " +
+        "tree over two integers. Untied-form statistic (ties are rare at " +
+        "daily-count magnitudes; the tie-corrected denominator is a " +
+        "documented refinement). Day-grain only; blocks with missing " +
+        "days are excluded by the exact count=7 predicate.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val d = daily(s, dir)
+          .withColumn("wk", call_function("div", col("day") + 3, lit(7L)))
+          .withColumn("dow", pmod(col("day") + lit(3L), lit(7L)))
+          .withColumn("full", count(lit(1)).over(
+            Window.partitionBy("event_type", "wk")))
+          .filter(col("full") === 7L)
+        val r2 = rank().over(Window.partitionBy("event_type", "wk")
+          .orderBy(col("x"))).cast(LongType) * 2 +
+          count(lit(1)).over(Window.partitionBy("event_type", "wk", "x"))
+            .cast(LongType) - 1
+        val sums = d.select(col("event_type"), col("wk"), col("dow"),
+            r2.as("r2"))
+          .groupBy("event_type", "dow")
+          .agg(sum(col("r2")).as("rs2"),
+            count(lit(1)).as("nb"))
+        sums.groupBy("event_type")
+          .agg(max(col("nb")).as("n_blocks"),
+            sum(col("rs2") * col("rs2")).as("sq2"))
+          .select(col("event_type"), col("n_blocks"),
+            // χ²_F = 12/(n·k(k+1))·ΣR_j² − 3n(k+1); R_j = rs2/2, k = 7
+            round(lit(12d) * D(col("sq2")) / lit(4d) /
+              (D(col("n_blocks")) * lit(56d)) -
+              lit(24d) * D(col("n_blocks")), 6).as("friedman_chi2"))
+          .orderBy("event_type")
+      },
+      Some(
+        s"""WITH $dailySql,
+           |d AS (SELECT event_type, day, x,
+           |    (day + 3) // 7 AS wk, (day + 3) % 7 AS dow
+           |  FROM daily),
+           |f AS (SELECT event_type, wk, dow, x,
+           |    CAST(count(*) OVER (PARTITION BY event_type, wk) AS BIGINT) AS fullc
+           |  FROM d),
+           |r AS (SELECT event_type, wk, dow,
+           |    CAST(2 * rank() OVER (PARTITION BY event_type, wk ORDER BY x)
+           |      + count(*) OVER (PARTITION BY event_type, wk, x) - 1
+           |      AS BIGINT) AS r2
+           |  FROM f WHERE fullc = 7),
+           |s AS (SELECT event_type, dow,
+           |    CAST(sum(r2) AS BIGINT) AS rs2, count(*) AS nb
+           |  FROM r GROUP BY 1, 2),
+           |a AS (SELECT event_type, max(nb) AS n_blocks,
+           |    CAST(sum(rs2 * rs2) AS BIGINT) AS sq2
+           |  FROM s GROUP BY 1)
+           |SELECT event_type, n_blocks,
+           |  round(12.0 * CAST(sq2 AS DOUBLE) / 4.0
+           |      / (CAST(n_blocks AS DOUBLE) * 56.0)
+           |    - 24.0 * CAST(n_blocks AS DOUBLE), 6) AS friedman_chi2
+           |FROM a ORDER BY event_type""".stripMargin))
   )
 }
