@@ -510,4 +510,103 @@ class Round12Spec extends SparkSuite {
       }
     }
   }
+
+  test("friedman: equals brute-force within-week average ranks") {
+    val got = run("q_stats_friedman").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    daily.foreach { case (t, series) =>
+      val weeks = series.groupBy { case (d, _) => (d + 3) / 7 }
+        .filter(_._2.size == 7)
+      val n = weeks.size
+      // rank sums per dow over average ranks within each full week
+      val rankSums = scala.collection.mutable.Map[Long, Double]()
+      weeks.values.foreach { block =>
+        val xs = block.map(_._2)
+        block.foreach { case (d, x) =>
+          val less = xs.count(_ < x); val ties = xs.count(_ == x)
+          val avgRank = less + 1 + (ties - 1) / 2.0
+          val dow = (d + 3) % 7
+          rankSums(dow) = rankSums.getOrElse(dow, 0.0) + avgRank
+        }
+      }
+      val chi2 = 12.0 / (n * 7 * 8) * rankSums.values.map(r => r * r).sum -
+        3.0 * n * 8
+      val (gn, gchi) = got(t)
+      assert(gn == n.toLong, s"type=$t")
+      assert(math.abs(gchi - chi2) < 1e-3, s"type=$t got=$gchi want=$chi2")
+    }
+  }
+
+  test("feature hash: masses equal brute-force signed token sums") {
+    def md52(s2: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s2.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 13), 16)
+    }
+    val toks = Tables.table(spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (r.getString(0), t)))
+    val mass = toks.groupBy(identity).toSeq.flatMap { case ((lang, tok), g) =>
+      val h = md52(tok)
+      val sign = if ((h / 256) % 2 == 0) 1L else -1L
+      Some(((lang, h % 256), sign * g.size))
+    }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val got = run("q_text_feature_hash").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (lang, _, bucket, m) =>
+      assert(mass((lang, bucket)) == m, s"lang=$lang bucket=$bucket")
+    }
+    // per lang, the 5 reported are the heaviest by |mass|
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val reported = rows.map(_._3).toSet
+      val top5 = mass.filter(_._1._1 == lang).toSeq
+        .sortBy { case ((_, b), m) => (-math.abs(m), b) }.take(5)
+        .map(_._1._2).toSet
+      assert(reported == top5, s"lang=$lang")
+    }
+  }
+
+  test("mips: augmented-cosine ranking equals inner-product ranking") {
+    val got = run("q_vec_mips").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 10)
+    got.foreach { case (id, rDot, rAug, _) =>
+      assert(rDot == rAug, s"vec=$id: reduction violated")
+    }
+    // dot scores descend with rank
+    val byRank = got.sortBy(_._2).map(_._4)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("clustercoef: cc equals brute-force triangles over degree pairs") {
+    // brute-force adjacency of the affinity artifact (as in the walk test)
+    val oe = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val pairs = oe.join(oe.select(col("ok"), col("sk").as("sk2")), "ok")
+      .filter(col("sk") =!= col("sk2"))
+      .groupBy(col("sk").as("u"), col("sk2").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val knn = pairs.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      xs.sortBy(x => (-x._3, x._2)).take(8).map(x => (u, x._2)) }
+    val und = knn.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adjSet = und.toSet
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._2).toSet }
+    def triCount(v: Long): Long = {
+      val nb = adj(v).toSeq
+      (for (i <- nb.indices; j <- nb.indices if i < j) yield (nb(i), nb(j)))
+        .count { case (a, b) =>
+          adjSet((math.min(a, b), math.max(a, b))) }.toLong
+    }
+    val got = run("q_graph_clustercoef").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 10)
+    got.foreach { case (node, d, t, cc) =>
+      assert(adj(node).size.toLong == d, s"node=$node degree")
+      assert(triCount(node) == t, s"node=$node triangles")
+      assert(math.abs(cc - 2.0 * t / (d.toDouble * (d - 1))) < 1e-6,
+        s"node=$node cc")
+    }
+  }
 }
