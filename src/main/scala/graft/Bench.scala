@@ -103,7 +103,8 @@ object Bench {
       ("lsh_bands", () => graft.functions.DedupOps.ensureBands(spark, sfDir)),
       ("dedup_ledger", () => { graft.functions.DedupOps.componentLedger(spark, sfDir); () }),
       ("bucketed_layout", () => { graft.sources.BucketedLayout.ensureTables(spark, sfDir); () }),
-      ("format_exports", () => graft.sources.FormatSources.ensureExports(spark, sfDir))
+      ("format_exports", () => graft.sources.FormatSources.ensureExports(spark, sfDir)),
+      ("pca_iterate", () => graft.functions.VectorOps.ensurePcaIterate(spark, sfDir))
     ).map { case (n, f) =>
       val t0 = System.nanoTime()
       try f() catch { case e: Throwable =>

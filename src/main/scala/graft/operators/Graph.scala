@@ -894,6 +894,75 @@ object Graph {
           |    / (CAST(d0.d AS DOUBLE) * (CAST(d0.d AS DOUBLE) - 1)), 6) AS cc
           |FROM deg0 d0 LEFT JOIN tp ON d0.node = tp.node
           |WHERE d0.d >= 2
-          |ORDER BY cc DESC, supp_key LIMIT 10""".stripMargin))
+          |ORDER BY cc DESC, supp_key LIMIT 10""".stripMargin)),
+
+    GraftQuery(
+      "q_graph_hits",
+      "HITS hubs-and-authorities over the BIPARTITE customer→supplier " +
+        "order graph, two supersteps in fixed-point integer arithmetic — " +
+        "the q_graph_pagerank determinism discipline on the hub/auth " +
+        "mutual recursion (auth(s) = Σ hub(c) over buyers, hub(c) = " +
+        "Σ auth(s) over sellers, max-normalized each half-step through " +
+        "floor(v/max·2^20 + 0.5) of exact BIGINTs — bit-identical on any " +
+        "engine or partitioning). Each half-step is one broadcast of the " +
+        "node-sized score relation + one keyed sum over the distinct " +
+        "edge artifact; the edge relation moves at most once per " +
+        "half-step. Top-10 authorities, fully tie-broken.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sc = lit(1048576L)
+        val wAll = Window.partitionBy(lit(1))
+        val be = table(s, dir, "orders")
+          .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+          .distinct()
+          .localCheckpoint(true)
+        def norm(df: org.apache.spark.sql.DataFrame, key: String, v: String) =
+          df.withColumn("mx", max(col(v)).over(wAll))
+            .select(col(key),
+              floor(col(v).cast("double") / col("mx").cast("double") *
+                sc.cast("double") + lit(0.5d)).cast("long").as("score"))
+        // auth⁰ ≡ 2^20 ⇒ hub¹_raw(c) = deg(c)·2^20
+        val hub1 = norm(be.groupBy("c").agg((count(lit(1)) * sc).as("hr")),
+          "c", "hr")
+        val auth1 = norm(be.join(broadcast(hub1), "c")
+          .groupBy("sk").agg(sum(col("score")).as("ar")), "sk", "ar")
+        val hub2 = norm(be.join(broadcast(auth1), "sk")
+          .groupBy("c").agg(sum(col("score")).as("hr")), "c", "hr")
+        val auth2 = norm(be.join(broadcast(hub2), "c")
+          .groupBy("sk").agg(sum(col("score")).as("ar")), "sk", "ar")
+        auth2
+          .select(col("sk").as("supp_key"), col("score").as("auth_fp"),
+            round(col("score").cast("double") / sc.cast("double"), 6)
+              .as("authority"))
+          .orderBy(col("auth_fp").desc, col("supp_key"))
+          .limit(10)
+      },
+      Some(
+        """WITH be AS MATERIALIZED (
+          |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |h1r AS (SELECT c, count(*) * 1048576 AS hr FROM be GROUP BY 1),
+          |h1 AS (SELECT c, CAST(floor(CAST(hr AS DOUBLE)
+          |    / CAST(max(hr) OVER () AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+          |    AS score FROM h1r),
+          |a1r AS (SELECT be.sk, CAST(sum(h1.score) AS BIGINT) AS ar
+          |  FROM be JOIN h1 ON be.c = h1.c GROUP BY 1),
+          |a1 AS (SELECT sk, CAST(floor(CAST(ar AS DOUBLE)
+          |    / CAST(max(ar) OVER () AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+          |    AS score FROM a1r),
+          |h2r AS (SELECT be.c, CAST(sum(a1.score) AS BIGINT) AS hr
+          |  FROM be JOIN a1 ON be.sk = a1.sk GROUP BY 1),
+          |h2 AS (SELECT c, CAST(floor(CAST(hr AS DOUBLE)
+          |    / CAST(max(hr) OVER () AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+          |    AS score FROM h2r),
+          |a2r AS (SELECT be.sk, CAST(sum(h2.score) AS BIGINT) AS ar
+          |  FROM be JOIN h2 ON be.c = h2.c GROUP BY 1),
+          |a2 AS (SELECT sk, CAST(floor(CAST(ar AS DOUBLE)
+          |    / CAST(max(ar) OVER () AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+          |    AS score FROM a2r)
+          |SELECT sk AS supp_key, score AS auth_fp,
+          |  round(CAST(score AS DOUBLE) / 1048576.0, 6) AS authority
+          |FROM a2 ORDER BY auth_fp DESC, supp_key LIMIT 10""".stripMargin))
   )
 }

@@ -124,10 +124,15 @@ object QualityOps {
         "implement standard Levenshtein — an integer dynamic program " +
         "with no float anywhere.",
       (s, dir) => {
-        val d = table(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            call_function("div", col("n_chars"), lit(32L)).as("blk"),
-            substring(col("text"), 1, 40).as("pfx"))
+        // spread before the pair join: the fixture scan is one input split,
+        // so without this every Levenshtein DP runs on one core (the
+        // parse-stage discipline of Tables.spread); the checkpoint also
+        // keeps the plan from re-deriving the prefix relation per side
+        val d = graft.Tables.spread(s, table(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              call_function("div", col("n_chars"), lit(32L)).as("blk"),
+              substring(col("text"), 1, 40).as("pfx")))
+          .localCheckpoint(true)
         val a = d.select(col("lang"), col("blk"), col("doc_id").as("ida"),
           col("pfx").as("pa"))
         val b = d.select(col("lang").as("lang_b"), col("blk").as("blk_b"),
@@ -154,12 +159,16 @@ object QualityOps {
       "ANALYZE-style column profile of the orders table — per column: " +
         "row count, null count, EXACT distinct count, min/max, mean " +
         "string length — the statistics every catalog/optimizer ingest " +
-        "job and every data-discovery UI runs first. One scan per " +
-        "column leg (Catalyst prunes each leg to its single column), " +
-        "exact NDV via count(distinct) (the approximate twin is the " +
-        "q_agg_approx_distinct family), money profiled in integer CENTS " +
-        "so min/max render identically on both engines (raw doubles " +
-        "would format differently), and the ledger union is rows-of-one.",
+        "job and every data-discovery UI runs first. One pruned scan per " +
+        "column leg (each leg's parquet read touches exactly its own " +
+        "column; the fused 5-way multi-distinct alternative plans " +
+        "through a 5× Expand into ONE wide aggregation and measured 3× " +
+        "slower here — per-column passes also match how profilers " +
+        "schedule at scale: column legs parallelize as independent " +
+        "jobs). Exact NDV via count(distinct) (the approximate twin is " +
+        "the q_agg_approx_distinct family); money profiled in integer " +
+        "CENTS so min/max render identically on both engines; the " +
+        "ledger union is rows-of-one.",
       (s, dir) => {
         def D(c: org.apache.spark.sql.Column) = c.cast("double")
         val o = table(s, dir, "orders")
@@ -276,6 +285,85 @@ object QualityOps {
           |      ORDER BY abs(mass) DESC, bucket) AS BIGINT) AS rk
           |  FROM b)
           |SELECT lang, rk, bucket, mass FROM r WHERE rk <= 5
-          |ORDER BY lang, rk""".stripMargin))
+          |ORDER BY lang, rk""".stripMargin)),
+
+    GraftQuery(
+      "q_text_bm25",
+      "BM25 retrieval scoring (k1=1.2, b=0.75, Lucene idf) for the " +
+        "3-term query {join, hash, vector} — the ranking function " +
+        "standing behind every lexical search index, next to q_text_tfidf's " +
+        "weighting. All inputs are exact integers (tf, df, N, doc " +
+        "length); avgdl is one division; each term's score is a closed " +
+        "IEEE tree, and the 3-term sum is an EXPLICIT fixed-order " +
+        "addition of three pivoted columns (a float SUM over join rows " +
+        "would fold in partition order). Corpus stats ride broadcast " +
+        "1-row scalars; the tf relation is term-filtered BEFORE the " +
+        "aggregation, so the scoring pass touches only matching " +
+        "postings — the inverted-index access pattern. Top-10 by " +
+        "(score, doc_id), fully tie-broken.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val terms = Seq("join", "hash", "vector")
+        val docs = table(s, dir, "documents")
+        val dl = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("avgdl"))
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val idf = log(lit(1d) + (D(col("n_docs")) - D(col("df")) + lit(0.5d)) /
+          (D(col("df")) + lit(0.5d)))
+        val termScore = idf * D(col("tf")) * lit(2.2d) /
+          (D(col("tf")) + lit(1.2d) *
+            (lit(0.25d) + lit(0.75d) * D(col("dl")) / col("avgdl")))
+        val scored = tf
+          .join(broadcast(df), "tok")
+          .join(dl, "doc_id")
+          .join(broadcast(stats))
+          .select(col("doc_id"), col("tok"), termScore.as("s"))
+        scored.groupBy("doc_id")
+          .agg(min(when(col("tok") === "join", col("s"))).as("s1"),
+            min(when(col("tok") === "hash", col("s"))).as("s2"),
+            min(when(col("tok") === "vector", col("s"))).as("s3"))
+          .select(col("doc_id"),
+            round(coalesce(col("s1"), lit(0d)) + coalesce(col("s2"), lit(0d)) +
+              coalesce(col("s3"), lit(0d)), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(
+        """WITH dl AS (SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+          |  FROM documents),
+          |st AS (SELECT count(*) AS n_docs,
+          |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          |  FROM dl),
+          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+          |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |    FROM documents)
+          |  WHERE tok IN ('join', 'hash', 'vector') GROUP BY 1, 2),
+          |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+          |sc AS (SELECT t.doc_id, t.tok,
+          |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+          |      / (CAST(d.df AS DOUBLE) + 0.5))
+          |    * CAST(t.tf AS DOUBLE) * 2.2
+          |    / (CAST(t.tf AS DOUBLE)
+          |      + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / st.avgdl)) AS s
+          |  FROM tf t JOIN df d ON t.tok = d.tok
+          |  JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN st),
+          |p AS (SELECT doc_id,
+          |    min(CASE WHEN tok = 'join' THEN s END) AS s1,
+          |    min(CASE WHEN tok = 'hash' THEN s END) AS s2,
+          |    min(CASE WHEN tok = 'vector' THEN s END) AS s3
+          |  FROM sc GROUP BY 1)
+          |SELECT doc_id,
+          |  round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 6)
+          |    AS bm25
+          |FROM p ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin))
   )
 }
