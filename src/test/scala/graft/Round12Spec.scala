@@ -609,4 +609,55 @@ class Round12Spec extends SparkSuite {
         s"node=$node cc")
     }
   }
+
+  test("bm25: scores equal brute-force Lucene-form BM25") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val n = docs.size
+    val avgdl = docs.values.map(_.length).sum.toDouble / n
+    val terms = Seq("join", "hash", "vector")
+    val dfm = terms.map(t => t -> docs.values.count(_.contains(t))).toMap
+    def score(toks: Array[String]): Double = terms.map { t =>
+      val tf = toks.count(_ == t)
+      if (tf == 0) 0.0
+      else {
+        val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+        idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+      }
+    }.sum
+    val ref = docs.map { case (id, toks) => id -> score(toks) }
+    val top = ref.toSeq.sortBy { case (id, s2) => (-s2, id) }.take(10)
+    val got = run("q_text_bm25").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    got.zip(top).foreach { case ((gid, gs), (rid, rs)) =>
+      assert(gid == rid, s"doc=$gid vs $rid")
+      assert(math.abs(gs - rs) < 1e-4, s"doc=$gid")
+    }
+  }
+
+  test("hits: authorities equal brute-force quantized half-steps") {
+    val be = Tables.table(spark, sf, "orders")
+      .join(Tables.table(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sc = 1048576L
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max.toDouble
+      m.map { case (k, v) => k -> math.floor(v / mx * sc + 0.5).toLong }
+    }
+    val bySupp = be.groupBy(_._2); val byCust = be.groupBy(_._1)
+    var hub = norm(byCust.map { case (c, xs) => c -> xs.size.toLong * sc })
+    var auth = norm(bySupp.map { case (s2, xs) =>
+      s2 -> xs.map(x => hub(x._1)).sum })
+    hub = norm(byCust.map { case (c, xs) => c -> xs.map(x => auth(x._2)).sum })
+    auth = norm(bySupp.map { case (s2, xs) => s2 -> xs.map(x => hub(x._1)).sum })
+    val top = auth.toSeq.sortBy { case (k, v) => (-v, k) }.take(10)
+    val got = run("q_graph_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    got.zip(top).foreach { case ((gk, gv), (rk2, rv)) =>
+      assert(gk == rk2 && gv == rv, s"supp=$gk")
+    }
+  }
 }
