@@ -18,6 +18,9 @@ object Catalog {
       "Time series (batch)" -> operators.TimeSeries.all,
       "Geo / packet analytics" -> operators.Geo.all,
       "Graph analytics" -> operators.Graph.all,
+      "Rank / resampling statistics" -> operators.RankStats.all,
+      "Series decomposition / mining" -> operators.SeriesDecomp.all,
+      "Data quality / retrieval" -> operators.QualityOps.all,
       "Warehouse maintenance" -> operators.Warehouse.all,
       "Text / dedup primitives" -> functions.TextOps.all,
       "Vector / similarity" -> functions.VectorOps.all,
@@ -32,6 +35,14 @@ object Catalog {
       "Sources / formats" ->
         (sources.FormatSources.all ++ sources.BucketedLayout.all),
       "Structured Streaming (oracle-gated)" -> streaming.StreamQueries.all)
+
+    // drift guard: the catalog must cover the registry exactly — a module
+    // registered in SparkEntry but absent here (or vice versa) fails loudly
+    val catalogNames = groups.flatMap(_._2).map(_.name).toSet
+    val registryNames = SparkEntry.registry.map(_.name).toSet
+    require(catalogNames == registryNames,
+      s"catalog/registry drift: missing=${registryNames -- catalogNames} " +
+        s"extra=${catalogNames -- registryNames}")
 
     val sb = new StringBuilder
     sb.append("# Operator catalog\n\n")
