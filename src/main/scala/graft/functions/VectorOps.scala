@@ -482,6 +482,122 @@ object VectorOps {
           "CAST(row_number() OVER (ORDER BY ac DESC, vec_id) AS BIGINT) AS r_aug " +
           "FROM s) " +
           "SELECT vec_id, r_dot, r_aug, round(dp, 6) AS dot " +
-          "FROM r WHERE r_dot <= 10 ORDER BY r_dot"))
+          "FROM r WHERE r_dot <= 10 ORDER BY r_dot")),
+
+    GraftQuery(
+      "q_vec_pq",
+      "Product quantization codebook training — 8 subspaces × 8 dims × 4 " +
+        "centroids, two Lloyd iterations — the ANN compression primitive " +
+        "(a PQ code stores 64 floats in 8 bytes), trained ENTIRELY in " +
+        "exact integer arithmetic: inputs quantized at 2^20, every " +
+        "vector-to-centroid distance is an exact BIGINT sum of squares " +
+        "(argmin decided on integers — no float can flip an assignment), " +
+        "and centroid updates use the offset-shifted integer mean " +
+        "((Σq + n·2^30) div n − 2^30, where truncating and floor " +
+        "division agree on both engines). Deterministic seeding from " +
+        "vec_id 0-3; empty clusters keep their previous centroid. " +
+        "Output: per-subspace SSE and code-usage histogram — every " +
+        "column an exact BIGINT, so the whole training run hash-matches " +
+        "bit-for-bit. Scale shape: assignment is a (sub, j)-keyed join " +
+        "of the slim quantized relation against the 256-cell broadcast " +
+        "codebook + one argmin agg per superstep — the k-means shape " +
+        "that scales; iterations are unrolled, no driver loop state.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.LongType
+        val qrel8 = pcaArtifacts(s, dir)._1
+          .select(col("vec_id"),
+            call_function("div", col("k"), lit(8L)).as("sub"),
+            pmod(col("k"), lit(8L)).as("j"), col("q"))
+        val c0 = qrel8.filter(col("vec_id") < 4)
+          .select(col("sub"), col("vec_id").as("cid"), col("j"),
+            col("q").as("cv"))
+        def assign(c: org.apache.spark.sql.DataFrame) =
+          qrel8.join(broadcast(c), Seq("sub", "j"))
+            .groupBy("vec_id", "sub", "cid")
+            .agg(sum((col("q") - col("cv")) * (col("q") - col("cv"))).as("d"))
+            .groupBy("vec_id", "sub")
+            .agg(min(struct(col("d"), col("cid"))).as("m"))
+            .select(col("vec_id"), col("sub"),
+              col("m.cid").as("code"), col("m.d").as("dmin"))
+        def update(c: org.apache.spark.sql.DataFrame,
+                   a: org.apache.spark.sql.DataFrame) = {
+          val upd = qrel8
+            .join(a.select(col("vec_id"), col("sub"), col("code")),
+              Seq("vec_id", "sub"))
+            .groupBy(col("sub"), col("code").as("cid"), col("j"))
+            .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+            .select(col("sub"), col("cid"), col("j"),
+              (call_function("div",
+                col("sq") + col("cnt") * lit(1L << 30), col("cnt")) -
+                lit(1L << 30)).as("nv"))
+          c.join(upd, Seq("sub", "cid", "j"), "left")
+            .select(col("sub"), col("cid"), col("j"),
+              coalesce(col("nv"), col("cv")).as("cv"))
+        }
+        val a1 = assign(c0)
+        val c1 = update(c0, a1)
+        val a2 = assign(c1)
+        val c2 = update(c1, a2)
+        val a3 = assign(c2)
+        def usage(k: Int) =
+          sum(when(col("code") === k.toLong, 1L).otherwise(0L)).as(s"n$k")
+        a3.groupBy("sub")
+          .agg(count(lit(1)).as("n_vecs"), sum(col("dmin")).as("sse"),
+            usage(0), usage(1), usage(2), usage(3))
+          .select(col("sub").cast(LongType).as("sub"), col("n_vecs"),
+            col("sse"), col("n0"), col("n1"), col("n2"), col("n3"))
+          .orderBy("sub")
+      },
+      Some(
+        """WITH qrel AS MATERIALIZED (
+          |  SELECT vec_id, CAST(g.range AS BIGINT) // 8 AS sub,
+          |    CAST(g.range AS BIGINT) % 8 AS j,
+          |    CAST(floor(CAST(embedding[g.range + 1] AS DOUBLE) * 1048576.0 + 0.5)
+          |      AS BIGINT) AS q
+          |  FROM embeddings CROSS JOIN range(0, 64) g),
+          |c0 AS (SELECT sub, vec_id AS cid, j, q AS cv FROM qrel WHERE vec_id < 4),
+          |d1 AS (SELECT r.vec_id, r.sub, c.cid,
+          |    CAST(sum((r.q - c.cv) * (r.q - c.cv)) AS BIGINT) AS d
+          |  FROM qrel r JOIN c0 c ON r.sub = c.sub AND r.j = c.j
+          |  GROUP BY 1, 2, 3),
+          |a1 AS (SELECT vec_id, sub,
+          |    min_by(cid, d * 4 + cid) AS code, min(d) AS dmin
+          |  FROM d1 GROUP BY 1, 2),
+          |u1 AS (SELECT r.sub, a.code AS cid, r.j,
+          |    (CAST(sum(r.q) AS BIGINT) + count(*) * (1::BIGINT << 30))
+          |      // count(*) - (1::BIGINT << 30) AS nv
+          |  FROM qrel r JOIN a1 a ON r.vec_id = a.vec_id AND r.sub = a.sub
+          |  GROUP BY 1, 2, 3),
+          |c1 AS (SELECT c.sub, c.cid, c.j, coalesce(u.nv, c.cv) AS cv
+          |  FROM c0 c LEFT JOIN u1 u
+          |    ON c.sub = u.sub AND c.cid = u.cid AND c.j = u.j),
+          |d2 AS (SELECT r.vec_id, r.sub, c.cid,
+          |    CAST(sum((r.q - c.cv) * (r.q - c.cv)) AS BIGINT) AS d
+          |  FROM qrel r JOIN c1 c ON r.sub = c.sub AND r.j = c.j
+          |  GROUP BY 1, 2, 3),
+          |a2 AS (SELECT vec_id, sub,
+          |    min_by(cid, d * 4 + cid) AS code, min(d) AS dmin
+          |  FROM d2 GROUP BY 1, 2),
+          |u2 AS (SELECT r.sub, a.code AS cid, r.j,
+          |    (CAST(sum(r.q) AS BIGINT) + count(*) * (1::BIGINT << 30))
+          |      // count(*) - (1::BIGINT << 30) AS nv
+          |  FROM qrel r JOIN a2 a ON r.vec_id = a.vec_id AND r.sub = a.sub
+          |  GROUP BY 1, 2, 3),
+          |c2 AS (SELECT c.sub, c.cid, c.j, coalesce(u.nv, c.cv) AS cv
+          |  FROM c1 c LEFT JOIN u2 u
+          |    ON c.sub = u.sub AND c.cid = u.cid AND c.j = u.j),
+          |d3 AS (SELECT r.vec_id, r.sub, c.cid,
+          |    CAST(sum((r.q - c.cv) * (r.q - c.cv)) AS BIGINT) AS d
+          |  FROM qrel r JOIN c2 c ON r.sub = c.sub AND r.j = c.j
+          |  GROUP BY 1, 2, 3),
+          |a3 AS (SELECT vec_id, sub,
+          |    min_by(cid, d * 4 + cid) AS code, min(d) AS dmin
+          |  FROM d3 GROUP BY 1, 2)
+          |SELECT sub, count(*) AS n_vecs, CAST(sum(dmin) AS BIGINT) AS sse,
+          |  CAST(sum(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          |  CAST(sum(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |  CAST(sum(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          |  CAST(sum(CASE WHEN code = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+          |FROM a3 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

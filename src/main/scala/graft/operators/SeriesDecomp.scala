@@ -456,6 +456,48 @@ object SeriesDecomp {
           |  min(CASE WHEN rl = 1 THEN c END) AS last_c,
           |  min(CASE WHEN rmin = 1 THEN c END) AS min_c,
           |  min(CASE WHEN rmax = 1 THEN c END) AS max_c
-          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_session_native",
+      "30-min sessionization through Spark's NATIVE batch session_window() " +
+        "operator (SessionWindowing + MergingSessionsExec — a genuinely " +
+        "different execution path from q_ts_session's gaps-and-islands " +
+        "window rewrite, and the same operator the streaming pipeline " +
+        "runs with state): per-user session count + exact cents mass. " +
+        "The oracle is the relational break-flag formulation with the " +
+        "native operator's boundary rule (an event exactly gap seconds " +
+        "after the previous starts a NEW session — sessions [t, t+gap) " +
+        "merge only on strict overlap, so the break is >= 1800 where the " +
+        "island rewrite uses > 1800), which makes this gate the " +
+        "machine-checked spec of that off-by-boundary difference. One " +
+        "shuffle on user_id; session merging is per-partition state, " +
+        "exactly the shape that scales.",
+      (s, dir) => {
+        table(s, dir, "events")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n"),
+            graft.Exact.moneySum(col("value")).as("cents"))
+          .select(col("user_id"), col("sw.start").as("ws"),
+            col("sw.end").as("we"), col("n"), col("cents"))
+          .orderBy("user_id", "ws")
+      },
+      Some(
+        """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+          |    value FROM events),
+          |g AS (SELECT user_id, ts, event_id, value, CASE WHEN
+          |  epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+          |  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk
+          |  FROM e),
+          |s AS (SELECT user_id, ts, value,
+          |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g)
+          |SELECT user_id, min(ts) AS ws,
+          |  max(ts) + INTERVAL 30 MINUTE AS we, count(*) AS n, """.stripMargin +
+          graft.Exact.moneySumSql("value") +
+          """ AS cents
+          |FROM s GROUP BY user_id, sid
+          |ORDER BY user_id, ws""".stripMargin))
   )
 }
