@@ -660,4 +660,74 @@ class Round12Spec extends SparkSuite {
       assert(gk == rk2 && gv == rv, s"supp=$gk")
     }
   }
+
+  test("session_native: boundary rule differs from islands exactly at gap") {
+    // native session_window: an event exactly 1800 s after the previous
+    // STARTS a new session; the islands rewrite (q_ts_session) keeps it.
+    // Totals must still conserve: Σn = corpus rows on both.
+    val nEvents = Tables.table(spark, sf, "events").count()
+    val native = run("q_ts_session_native").collect()
+    val islands = run("q_ts_session").collect()
+    assert(native.map(_.getLong(3)).sum == nEvents)
+    assert(islands.map(_.getLong(2)).sum == nEvents)
+    // the native operator can only split MORE sessions, never fewer
+    assert(native.length >= islands.length)
+    // session windows are well-formed: start < end, no per-user overlap
+    // (epoch micros via Ts: the fixture's ts type flips TIMESTAMP⇄NTZ)
+    val byUser = run("q_ts_session_native")
+      .select(col("user_id"), graft.Ts.epochMicros(col("ws")).as("s"),
+        graft.Ts.epochMicros(col("we")).as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    byUser.values.foreach { xs =>
+      val sorted = xs.sortBy(_._2)
+      sorted.foreach { case (_, s2, e2) => assert(s2 < e2) }
+      sorted.zip(sorted.drop(1)).foreach { case ((_, _, e1), (_, s2, _)) =>
+        assert(e1 <= s2, "overlapping sessions")
+      }
+    }
+  }
+
+  test("pq: codes and SSE equal brute-force Lloyd iterations") {
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576 + 0.5).toLong).toArray)
+      .toMap
+    val got = run("q_vec_pq").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Seq(r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    (0 until 8).foreach { sub =>
+      val sl = vecs.map { case (id, q) => id -> q.slice(sub * 8, sub * 8 + 8) }
+      var cents: Map[Long, Array[Long]] = (0L to 3L).map(c => c -> sl(c)).toMap
+      def dist(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      def assign() = sl.map { case (id, q) =>
+        id -> (0L to 3L).map(c => (dist(q, cents(c)), c)).min._2 }
+      for (_ <- 1 to 2) {
+        val a = assign()
+        val upd = a.groupBy(_._2).map { case (c, g) =>
+          val qs = g.keys.map(sl).toSeq
+          val n = qs.size
+          c -> Array.tabulate(8) { j =>
+            val s2 = qs.map(_(j)).sum
+            (s2 + n.toLong * (1L << 30)) / n - (1L << 30)
+          }
+        }
+        cents = cents.map { case (c, old) => c -> upd.getOrElse(c, old) }
+      }
+      val fin = sl.map { case (id, q) =>
+        val (d, c) = (0L to 3L).map(c => (dist(q, cents(c)), c)).min
+        (id, c, d)
+      }
+      val (n, sse, usage) = got(sub.toLong)
+      assert(n == sl.size.toLong, s"sub=$sub")
+      assert(sse == fin.map(_._3).sum, s"sub=$sub sse")
+      (0 to 3).foreach { c =>
+        assert(usage(c) == fin.count(_._2 == c).toLong, s"sub=$sub code=$c")
+      }
+    }
+  }
 }
