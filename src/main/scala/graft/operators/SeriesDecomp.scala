@@ -498,6 +498,39 @@ object SeriesDecomp {
           graft.Exact.moneySumSql("value") +
           """ AS cents
           |FROM s GROUP BY user_id, sid
-          |ORDER BY user_id, ws""".stripMargin))
+          |ORDER BY user_id, ws""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_tumbling_native",
+      "Hourly tumbling aggregation through Spark's NATIVE window() " +
+        "function (the TimeWindow expression — the same operator the " +
+        "streaming pipeline runs; q_ts_tumbling's date_trunc form is the " +
+        "manual rewrite): count + exact cents per (hour window, type), " +
+        "window START reported as its NTZ-safe epoch-seconds integer. " +
+        "TimeWindow lowers to the same integer epoch arithmetic the " +
+        "oracle spells directly (epoch − epoch mod 3600), so the gate " +
+        "pins that lowering. One hash aggregation, map-side combinable; " +
+        "the window struct is computed per row with no fan-out (tumbling " +
+        "⇒ exactly one window per event).",
+      (s, dir) => {
+        table(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            graft.Exact.moneySum(col("value")).as("cents"))
+          .select(
+            graft.Ts.epochSec(col("w.start")).cast(LongType).as("hr_start"),
+            col("event_type"), col("n"), col("cents"))
+          .orderBy("hr_start", "event_type")
+      },
+      Some(
+        """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+          |  FROM events),
+          |g AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+          |      AS hr_start,
+          |    event_type, value FROM e)
+          |SELECT hr_start, event_type, count(*) AS n, """.stripMargin +
+          graft.Exact.moneySumSql("value") +
+          """ AS cents
+          |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
