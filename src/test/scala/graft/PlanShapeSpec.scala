@@ -334,4 +334,45 @@ class PlanShapeSpec extends SparkSuite {
     assert(aggIdx >= 0 && winIdx >= 0, p)
     assert(p.lastIndexOf("HashAggregate") > winIdx, p) // partial agg below the window
   }
+
+  test("q_ts_m4: the envelope is one hash aggregation, no window, no row sort") {
+    val p = plan("q_ts_m4")
+    // four min_by/max_by picks in ONE agg — a window formulation would sort
+    // the corpus four times, and min/max over bare STRUCTs would plan a
+    // SortAggregate; the only Sort allowed is the final ORDER BY over the
+    // bucket-grain result
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"), p)
+  }
+
+  test("q_dedup_fuzzy_block: the pair stage is an equi hash join, never a cartesian") {
+    val p = plan("q_dedup_fuzzy_block")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_ts_session_native runs Spark's native session-window merge operator") {
+    val p = plan("q_ts_session_native")
+    assert(p.contains("session_window") || p.contains("MergingSessions"), p)
+  }
+
+  test("q_stats_permutation: the B-fold fan-out explodes the day grain below the agg") {
+    val p = plan("q_stats_permutation")
+    // generator (explode of the 200 permutation ids) must sit above a
+    // collapsing aggregate of the corpus — the corpus itself is never
+    // multiplied by B
+    val genIdx = p.indexOf("Generate")
+    assert(genIdx >= 0, p)
+    assert(p.lastIndexOf("HashAggregate") > genIdx, p)
+  }
+
+  test("q_vec_pca_project consumes the write-once iterate, no per-query re-train") {
+    // the artifact is a checkpointed RDD scan: the projection plan must not
+    // contain the 3-superstep chain (it would show >= 6 aggregates)
+    val p = plan("q_vec_pca_project")
+    assert("HashAggregate".r.findAllIn(p).size <= 6, p)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("ExistingRDD"), p)
+  }
 }
