@@ -598,6 +598,80 @@ object VectorOps {
           |  CAST(sum(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
           |  CAST(sum(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
           |  CAST(sum(CASE WHEN code = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
-          |FROM a3 GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM a3 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_vec_binary_hamming",
+      "1-bit (sign) embedding quantization with a Hamming-recall audit — " +
+        "the binary-embedding compression modern retrieval stacks run " +
+        "before exact re-ranking (64 floats → 8 bytes, distance = one " +
+        "XOR+popcount): each vector folds to TWO 32-bit sign words " +
+        "(bit 63 of a single word would overflow DuckDB's checked " +
+        "shift), candidates rank by bit_count(xor) against query 0, and " +
+        "recall@10 counts the overlap with the exact double-cosine " +
+        "top-10 — the honest quality gate (the q_ann_recall discipline " +
+        "applied to quantization). Integers end-to-end except the " +
+        "ground-truth cosine, which is the identical IEEE tree on both " +
+        "engines. One posexplode+agg builds the signature table; at " +
+        "corpus scale that is the write-once signature artifact and the " +
+        "query side pays one broadcast row.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = table(s, dir, "embeddings")
+        val words = e
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("k", "x")))
+          .groupBy("vec_id")
+          .agg(
+            sum(when(col("x") >= 0f && col("k") < 32,
+              expr("shiftleft(1L, CAST(k AS INT))")).otherwise(0L))
+              .as("w_lo"),
+            sum(when(col("x") >= 0f && col("k") >= 32,
+              expr("shiftleft(1L, CAST(k - 32 AS INT))")).otherwise(0L))
+              .as("w_hi"))
+        val q = words.filter(col("vec_id") === 0)
+          .select(col("w_lo").as("q_lo"), col("w_hi").as("q_hi"))
+        val ham10 = words.filter(col("vec_id") =!= 0)
+          .join(broadcast(q))
+          .select(col("vec_id"),
+            (bit_count(col("w_lo").bitwiseXOR(col("q_lo"))) +
+              bit_count(col("w_hi").bitwiseXOR(col("q_hi")))).cast("long")
+              .as("ham"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("ham"), col("vec_id"))).cast("long"))
+          .filter(col("rk") <= 10)
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val cos10 = e.filter(col("vec_id") =!= 0)
+          .join(broadcast(qv))
+          .select(col("vec_id").as("cid"),
+            Exact.cosine(col("embedding"), col("qv")).as("cos"))
+          .withColumn("rc", row_number().over(
+            Window.orderBy(col("cos").desc, col("cid"))).cast("long"))
+          .filter(col("rc") <= 10)
+        ham10.join(cos10, col("vec_id") === col("cid"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(col("n_hits"),
+            round(col("n_hits").cast("double") / lit(10d), 6).as("recall10"))
+      },
+      Some(
+        "WITH words AS (SELECT vec_id, " +
+          "CAST(sum(CASE WHEN embedding[g.range + 1] >= 0 AND g.range < 32 " +
+          "THEN (1::BIGINT << CAST(g.range AS INTEGER)) ELSE 0 END) AS BIGINT) AS w_lo, " +
+          "CAST(sum(CASE WHEN embedding[g.range + 1] >= 0 AND g.range >= 32 " +
+          "THEN (1::BIGINT << CAST(g.range - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS w_hi " +
+          "FROM embeddings CROSS JOIN range(0, 64) g GROUP BY 1), " +
+          "q AS (SELECT w_lo AS q_lo, w_hi AS q_hi FROM words WHERE vec_id = 0), " +
+          "h AS (SELECT w.vec_id, " +
+          "CAST(bit_count(xor(w.w_lo, q.q_lo)) + bit_count(xor(w.w_hi, q.q_hi)) AS BIGINT) AS ham " +
+          "FROM words w, q WHERE w.vec_id <> 0), " +
+          "h10 AS (SELECT vec_id FROM (SELECT vec_id, " +
+          "row_number() OVER (ORDER BY ham, vec_id) AS rk FROM h) WHERE rk <= 10), " +
+          "qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+          "c AS (SELECT e.vec_id AS cid, " + Exact.cosineSql("e.embedding", "qv.qv") +
+          " AS cos FROM embeddings e, qv WHERE e.vec_id <> 0), " +
+          "c10 AS (SELECT cid FROM (SELECT cid, " +
+          "row_number() OVER (ORDER BY cos DESC, cid) AS rc FROM c) WHERE rc <= 10) " +
+          "SELECT count(*) AS n_hits, " +
+          "round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall10 " +
+          "FROM h10 JOIN c10 ON h10.vec_id = c10.cid"))
   )
 }

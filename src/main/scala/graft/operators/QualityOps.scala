@@ -364,6 +364,57 @@ object QualityOps {
           |SELECT doc_id,
           |  round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 6)
           |    AS bm25
-          |FROM p ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin))
+          |FROM p ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)),
+
+    GraftQuery(
+      "q_text_chunk_plan",
+      "Context-window chunking plan per language — the RAG/pretraining " +
+        "chunker's ledger for 64-token windows at stride 48 (16-token " +
+        "overlap): documents, token mass, chunk count " +
+        "⌈max(n−64,0)/48⌉+1, overlap mass 16·(chunks−1), and padding " +
+        "mass 64·chunks − tokens − overlap (what the last partial window " +
+        "wastes). Everything is per-doc integer arithmetic folded by one " +
+        "hash aggregation — the whole plan costs one tokenize-count " +
+        "pass; the one division (chunks per doc) is the final IEEE op. " +
+        "Sister to q_pack_sequences, which actually materializes packed " +
+        "sequences — this is the planner that sizes that job.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast("double")
+        val nTok = size(split(col("text"), " ")).cast(LongType)
+        val over = greatest(nTok - 64L, lit(0L))
+        val nChunks = call_function("div", over + 47L, lit(48L)) + 1L
+        table(s, dir, "documents")
+          .select(col("lang"), nTok.as("n_tok"), nChunks.as("n_chunks"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tokens"),
+            sum(col("n_chunks")).as("chunks"),
+            sum((col("n_chunks") - 1) * 16).as("overlap_tokens"),
+            sum(col("n_chunks") * 64 - col("n_tok") -
+              (col("n_chunks") - 1) * 16).as("pad_tokens"))
+          .select(col("lang"), col("n_docs"), col("tokens"), col("chunks"),
+            col("overlap_tokens"), col("pad_tokens"),
+            round(D(col("chunks")) / D(col("n_docs")), 6).as("chunks_per_doc"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH d AS (SELECT lang,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |c AS (SELECT lang, n_tok,
+          |    (CASE WHEN n_tok > 64 THEN n_tok - 64 ELSE 0 END + 47) // 48 + 1
+          |      AS n_chunks
+          |  FROM d),
+          |a AS (SELECT lang, count(*) AS n_docs,
+          |    CAST(sum(n_tok) AS BIGINT) AS tokens,
+          |    CAST(sum(n_chunks) AS BIGINT) AS chunks,
+          |    CAST(sum((n_chunks - 1) * 16) AS BIGINT) AS overlap_tokens,
+          |    CAST(sum(n_chunks * 64 - n_tok - (n_chunks - 1) * 16) AS BIGINT)
+          |      AS pad_tokens
+          |  FROM c GROUP BY 1)
+          |SELECT lang, n_docs, tokens, chunks, overlap_tokens, pad_tokens,
+          |  round(CAST(chunks AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+          |    AS chunks_per_doc
+          |FROM a ORDER BY lang""".stripMargin))
   )
 }
