@@ -963,6 +963,89 @@ object Graph {
           |    AS score FROM a2r)
           |SELECT sk AS supp_key, score AS auth_fp,
           |  round(CAST(score AS DOUBLE) / 1048576.0, 6) AS authority
-          |FROM a2 ORDER BY auth_fp DESC, supp_key LIMIT 10""".stripMargin))
+          |FROM a2 ORDER BY auth_fp DESC, supp_key LIMIT 10""".stripMargin)),
+
+    GraftQuery(
+      "q_graph_ppr",
+      "Personalized PageRank from the smallest-id node (restart 0.15 to " +
+        "THE SEED only — the recommendation/trust propagation variant " +
+        "whose teleport vector is a delta, not uniform), 3 unrolled " +
+        "supersteps in q_graph_pagerank's all-integer fixed point: mass " +
+        "starts at the seed, each step ships pr div degree along edges " +
+        "and the seed alone receives the 0.15 restart — so the ranking " +
+        "localizes around the seed's neighborhood and is bit-identical " +
+        "at any partitioning. The teleport row is UNIONed into the " +
+        "inflow relation (a step can leave the seed with zero inflow and " +
+        "losing the restart row would zero the fixpoint). Top-10 nodes " +
+        "with their entity decode; nodes never visited stay implicit " +
+        "zeros — the propagation relation holds the REACHED set, not " +
+        "the graph.",
+      (s, dir) => {
+        val (edges, _) = orderGraph(s, dir)
+        val seed = edges.agg(min(col("src"))).head.getLong(0)
+        def step(p: DataFrame): DataFrame =
+          edges
+            .join(broadcast(p.withColumnRenamed("node", "jn")),
+              col("src") === col("jn"))
+            .select(col("dst"), expr("pr div sd").as("contrib"))
+            .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
+            .select(col("dst").as("node"), col("inflow"))
+            .unionByName(s.range(1)
+              .select(lit(seed).as("node"), lit(0L).as("inflow")))
+            .groupBy("node").agg(sum(col("inflow")).as("inflow"))
+            .select(col("node"),
+              (when(col("node") === seed, lit(150000000L)).otherwise(lit(0L)) +
+                expr("(85 * inflow) div 100")).as("pr"))
+        val p0 = s.range(1)
+          .select(lit(seed).as("node"), lit(1000000000L).as("pr"))
+        val p3 = step(step(step(p0)))
+        p3.select(col("node"),
+            when(pmod(col("node"), lit(2L)) === 1, lit("S")).otherwise(lit("C"))
+              .as("kind"),
+            when(pmod(col("node"), lit(2L)) === 1,
+              expr("(node - 1) div 2")).otherwise(expr("node div 2"))
+              .as("entity_key"),
+            col("pr"))
+          .orderBy(col("pr").desc, col("node"))
+          .limit(10)
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+          |deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+          |sd AS (SELECT min(src) AS seed FROM edges),
+          |p0 AS (SELECT seed AS node, CAST(1000000000 AS BIGINT) AS pr FROM sd),
+          |f1 AS (SELECT e.dst AS node, CAST(sum(p.pr // d.d) AS BIGINT) AS inflow
+          |  FROM edges e JOIN p0 p ON e.src = p.node JOIN deg d ON e.src = d.node
+          |  GROUP BY 1
+          |  UNION ALL SELECT seed, 0 FROM sd),
+          |p1 AS (SELECT node,
+          |    CAST(CASE WHEN node = (SELECT seed FROM sd) THEN 150000000 ELSE 0 END
+          |      + (85 * CAST(sum(inflow) AS BIGINT)) // 100 AS BIGINT) AS pr
+          |  FROM f1 GROUP BY node),
+          |f2 AS (SELECT e.dst AS node, CAST(sum(p.pr // d.d) AS BIGINT) AS inflow
+          |  FROM edges e JOIN p1 p ON e.src = p.node JOIN deg d ON e.src = d.node
+          |  GROUP BY 1
+          |  UNION ALL SELECT seed, 0 FROM sd),
+          |p2 AS (SELECT node,
+          |    CAST(CASE WHEN node = (SELECT seed FROM sd) THEN 150000000 ELSE 0 END
+          |      + (85 * CAST(sum(inflow) AS BIGINT)) // 100 AS BIGINT) AS pr
+          |  FROM f2 GROUP BY node),
+          |f3 AS (SELECT e.dst AS node, CAST(sum(p.pr // d.d) AS BIGINT) AS inflow
+          |  FROM edges e JOIN p2 p ON e.src = p.node JOIN deg d ON e.src = d.node
+          |  GROUP BY 1
+          |  UNION ALL SELECT seed, 0 FROM sd),
+          |p3 AS (SELECT node,
+          |    CAST(CASE WHEN node = (SELECT seed FROM sd) THEN 150000000 ELSE 0 END
+          |      + (85 * CAST(sum(inflow) AS BIGINT)) // 100 AS BIGINT) AS pr
+          |  FROM f3 GROUP BY node)
+          |SELECT node,
+          |  CASE WHEN node % 2 = 1 THEN 'S' ELSE 'C' END AS kind,
+          |  CASE WHEN node % 2 = 1 THEN (node - 1) // 2 ELSE node // 2 END
+          |    AS entity_key,
+          |  pr
+          |FROM p3 ORDER BY pr DESC, node LIMIT 10""".stripMargin))
   )
 }

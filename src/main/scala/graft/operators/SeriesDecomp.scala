@@ -536,6 +536,94 @@ object SeriesDecomp {
           |SELECT hr_start, event_type, count(*) AS n, """.stripMargin +
           graft.Exact.moneySumSql("value") +
           """ AS cents
-          |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    GraftQuery(
+      "q_seq_stationary",
+      "Stationary distribution of the event-type Markov chain via THREE " +
+        "integer fixed-point power steps over the transition-cell " +
+        "relation (π·P iterated from uniform, the q_graph_pagerank " +
+        "discipline on q_seq_markov's matrix): each step sums " +
+        "⌊π(a)·n_ab/n_a·⌋ per target state, then renormalizes to the " +
+        "2^20 scale by ⌊π·2^20/Σπ⌋ — every operation exact BIGINT, so " +
+        "the fixpoint is bit-identical anywhere. Reported next to the " +
+        "EMPIRICAL state frequency: their agreement (the chain is " +
+        "ergodic and the data is near-stationary) is the analytic " +
+        "payload, and both columns are closed IEEE divisions of exact " +
+        "integers. The matrix is ≤|types|² cells — the iteration " +
+        "touches the corpus once, for the transition count.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val cells = table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("a"))
+          .withColumn("b", lead(col("a"), 1).over(w))
+          .filter(col("b").isNotNull)
+          .groupBy("a", "b").agg(count(lit(1)).as("nij"))
+          .withColumn("ni", sum(col("nij")).over(Window.partitionBy("a")))
+          .localCheckpoint(true)
+        val states = cells.select(col("a").as("state")).distinct()
+        val wAll = Window.partitionBy(lit(1))
+        def step(p: org.apache.spark.sql.DataFrame) = {
+          val raw = cells
+            .join(broadcast(p), col("a") === col("state"))
+            .groupBy(col("b").as("state"))
+            .agg(sum(call_function("div", col("pi") * col("nij"), col("ni")))
+              .as("praw"))
+          raw.withColumn("tot", sum(col("praw")).over(wAll))
+            .select(col("state"),
+              call_function("div", col("praw") * lit(1048576L), col("tot"))
+                .as("pi"))
+        }
+        val p0 = states.select(col("state"), lit(1048576L).as("pi"))
+        val p3 = step(step(step(p0)))
+        val emp = cells.groupBy(col("a").as("st"))
+          .agg(sum(col("nij")).as("na"))
+          .withColumn("nn", sum(col("na")).over(wAll))
+        p3.join(emp, col("state") === col("st"))
+          .select(col("state"),
+            round(D(col("pi")) / lit(1048576d), 6).as("stationary"),
+            round(D(col("na")) / D(col("nn")), 6).as("empirical"))
+          .orderBy("state")
+      },
+      Some(
+        """WITH t AS (SELECT user_id, event_type AS a,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS b
+          |  FROM events),
+          |c0 AS (SELECT a, b, count(*) AS nij FROM t
+          |  WHERE b IS NOT NULL GROUP BY 1, 2),
+          |cells AS (SELECT a, b, nij,
+          |    CAST(sum(nij) OVER (PARTITION BY a) AS BIGINT) AS ni
+          |  FROM c0),
+          |p0 AS (SELECT DISTINCT a AS state, CAST(1048576 AS BIGINT) AS pi
+          |  FROM cells),
+          |r1 AS (SELECT c.b AS state,
+          |    CAST(sum((p.pi * c.nij) // c.ni) AS BIGINT) AS praw
+          |  FROM cells c JOIN p0 p ON c.a = p.state GROUP BY 1),
+          |p1 AS (SELECT state,
+          |    CAST((praw * 1048576) // (CAST(sum(praw) OVER () AS BIGINT))
+          |      AS BIGINT) AS pi FROM r1),
+          |r2 AS (SELECT c.b AS state,
+          |    CAST(sum((p.pi * c.nij) // c.ni) AS BIGINT) AS praw
+          |  FROM cells c JOIN p1 p ON c.a = p.state GROUP BY 1),
+          |p2 AS (SELECT state,
+          |    CAST((praw * 1048576) // (CAST(sum(praw) OVER () AS BIGINT))
+          |      AS BIGINT) AS pi FROM r2),
+          |r3 AS (SELECT c.b AS state,
+          |    CAST(sum((p.pi * c.nij) // c.ni) AS BIGINT) AS praw
+          |  FROM cells c JOIN p2 p ON c.a = p.state GROUP BY 1),
+          |p3 AS (SELECT state,
+          |    CAST((praw * 1048576) // (CAST(sum(praw) OVER () AS BIGINT))
+          |      AS BIGINT) AS pi FROM r3),
+          |emp AS (SELECT a AS st, CAST(sum(nij) AS BIGINT) AS na,
+          |    CAST(sum(sum(nij)) OVER () AS BIGINT) AS nn
+          |  FROM cells GROUP BY 1)
+          |SELECT p3.state,
+          |  round(CAST(p3.pi AS DOUBLE) / 1048576.0, 6) AS stationary,
+          |  round(CAST(emp.na AS DOUBLE) / CAST(emp.nn AS DOUBLE), 6)
+          |    AS empirical
+          |FROM p3 JOIN emp ON p3.state = emp.st ORDER BY p3.state""".stripMargin))
   )
 }
