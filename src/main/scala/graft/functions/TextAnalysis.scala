@@ -586,6 +586,98 @@ object TextAnalysis {
           |      / CAST(sentences AS DOUBLE))
           |    - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)),
           |    6) AS flesch
-          |FROM a ORDER BY lang""".stripMargin))
+          |FROM a ORDER BY lang""".stripMargin)),
+
+    GraftQuery(
+      "q_text_lang_metrics",
+      "Per-class precision / recall / F1 of the language-ID heuristic — " +
+        "the classifier-evaluation operator over q_text_lang_id's " +
+        "confusion relation (every retrieval/quality-filter model ships " +
+        "with this scorecard). The prediction pass is the identical " +
+        "marker-argmax; the metrics collapse the confusion cells to " +
+        "per-class tp/fp/fn EXACT counts via three conditional sums, " +
+        "and precision/recall/F1 are closed IEEE trees with the " +
+        "zero-denominator convention 0.0 (a class never predicted has " +
+        "precision 0, not NULL — both engines spell the same CASE). " +
+        "Cell relation is ≤(langs+1)² rows; the corpus is touched once.",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DoubleType
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val scoreAggs = markers.map { case (l, ws) =>
+          sum(when(col("w").isin(ws: _*), col("c")).otherwise(0L)).as(s"sc_$l")
+        }
+        val scored = graft.Tables.spread(s, table(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"),
+            explode(VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
+          .select(col("doc_id"), col("lang"), col("kv.w").as("w"),
+            col("kv.c").as("c"))
+          .groupBy("doc_id", "lang")
+          .agg(scoreAggs.head, scoreAggs.tail: _*)
+        val best = greatest(markers.map { case (l, _) => col(s"sc_$l") }: _*)
+        val chain = markers.foldRight(lit("und")) { case ((lang, _), els) =>
+          when(col(s"sc_$lang") === best && best > 0, lang).otherwise(els)
+        }
+        val cells = scored.withColumn("pred", chain)
+          .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        val classes = cells.select(col("lang").as("cls")).distinct()
+        val m = classes
+          .join(cells, col("cls") === col("lang") || col("cls") === col("pred"),
+            "left")
+          .groupBy("cls")
+          .agg(
+            sum(when(col("lang") === col("cls") && col("pred") === col("cls"),
+              col("n")).otherwise(0L)).as("tp"),
+            sum(when(col("pred") === col("cls") && col("lang") =!= col("cls"),
+              col("n")).otherwise(0L)).as("fp"),
+            sum(when(col("lang") === col("cls") && col("pred") =!= col("cls"),
+              col("n")).otherwise(0L)).as("fn"))
+        val prec = when(col("tp") + col("fp") === 0L, lit(0d))
+          .otherwise(D(col("tp")) / D(col("tp") + col("fp")))
+        val rec = when(col("tp") + col("fn") === 0L, lit(0d))
+          .otherwise(D(col("tp")) / D(col("tp") + col("fn")))
+        m.select(col("cls").as("lang"), col("tp"), col("fp"), col("fn"),
+            round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+            when(col("tp") === 0L, lit(0d))
+              .otherwise(round(lit(2d) * prec * rec / (prec + rec), 6))
+              .as("f1"))
+          .orderBy("lang")
+      },
+      Some {
+        val scoreCols = markers.map { case (lang, ws) =>
+          val inList = ws.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(toks, t -> t IN ($inList))) AS sc_$lang"
+        }.mkString(", ")
+        val bestExpr = "greatest(" +
+          markers.map { case (l, _) => s"sc_$l" }.mkString(", ") + ")"
+        val chain = markers.map { case (lang, _) =>
+          s"WHEN sc_$lang = best AND best > 0 THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH d AS (SELECT lang, string_split(text,' ') AS toks FROM documents),
+           |sc AS (SELECT lang, $scoreCols FROM d),
+           |p AS (SELECT lang, CASE $chain ELSE 'und' END AS pred
+           |      FROM (SELECT *, $bestExpr AS best FROM sc) t),
+           |cells AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),
+           |cls AS (SELECT DISTINCT lang AS cls FROM cells),
+           |m AS (SELECT cls,
+           |    CAST(sum(CASE WHEN c.lang = cls AND c.pred = cls THEN n ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(sum(CASE WHEN c.pred = cls AND c.lang <> cls THEN n ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(sum(CASE WHEN c.lang = cls AND c.pred <> cls THEN n ELSE 0 END) AS BIGINT) AS fn
+           |  FROM cls LEFT JOIN cells c ON c.lang = cls OR c.pred = cls
+           |  GROUP BY 1)
+           |SELECT cls AS lang, tp, fp, fn,
+           |  CASE WHEN tp + fp = 0 THEN 0.0
+           |    ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END
+           |    AS precision,
+           |  CASE WHEN tp + fn = 0 THEN 0.0
+           |    ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END
+           |    AS recall,
+           |  CASE WHEN tp = 0 THEN 0.0
+           |    ELSE round(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+           |      * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+           |      / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+           |        + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) END
+           |    AS f1
+           |FROM m ORDER BY lang""".stripMargin
+      })
   )
 }

@@ -672,6 +672,82 @@ object VectorOps {
           "row_number() OVER (ORDER BY cos DESC, cid) AS rc FROM c) WHERE rc <= 10) " +
           "SELECT count(*) AS n_hits, " +
           "round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall10 " +
-          "FROM h10 JOIN c10 ON h10.vec_id = c10.cid"))
+          "FROM h10 JOIN c10 ON h10.vec_id = c10.cid")),
+
+    GraftQuery(
+      "q_vec_drift",
+      "Embedding-distribution drift monitor: cosine between the even- " +
+        "and odd-cohort mean vectors plus the L2 mean shift — the " +
+        "KS-style drift gate for the vector column (a silently drifting " +
+        "embedding model corrupts every downstream ANN index). Per-dim " +
+        "cohort sums are exact BIGINTs from the quantized relation; the " +
+        "per-dim means are IEEE divisions of exact ints, and the three " +
+        "sums OF float terms (dot, the two squared norms) plus the " +
+        "shift all ride ONE k-ordered cumulative window over the " +
+        "64-row relation — both engines fold identically. Scale shape: " +
+        "one pass over the quantized artifact, a 64-row tail.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DoubleType
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val byDim = pcaArtifacts(s, dir)._1
+          .groupBy("k")
+          .agg(
+            sum(when(pmod(col("vec_id"), lit(2L)) === 0, col("q"))
+              .otherwise(0L)).as("s1"),
+            sum(when(pmod(col("vec_id"), lit(2L)) === 0, 1L).otherwise(0L))
+              .as("n1"),
+            sum(when(pmod(col("vec_id"), lit(2L)) === 1, col("q"))
+              .otherwise(0L)).as("s2"),
+            sum(when(pmod(col("vec_id"), lit(2L)) === 1, 1L).otherwise(0L))
+              .as("n2"))
+        val m1 = D(col("s1")) / D(col("n1"))
+        val m2 = D(col("s2")) / D(col("n2"))
+        val ord = Window.partitionBy(lit(1)).orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byDim
+          .withColumn("dot", sum(m1 * m2).over(ord))
+          .withColumn("q1", sum(m1 * m1).over(ord))
+          .withColumn("q2", sum(m2 * m2).over(ord))
+          .withColumn("sh", sum((m1 - m2) * (m1 - m2)).over(ord))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(lit(1)).orderBy("k")).cast("long"))
+          .filter(col("rn") === 64L)
+          .select(col("n1").as("n_even_rows"), col("n2").as("n_odd_rows"),
+            round(col("dot") / (sqrt(col("q1")) * sqrt(col("q2"))), 6)
+              .as("mean_cosine"),
+            round(sqrt(col("sh")) / lit(1048576d), 6).as("l2_shift"))
+      },
+      Some(
+        """WITH qrel AS (
+          |  SELECT vec_id, CAST(g.range AS BIGINT) AS k,
+          |    CAST(floor(CAST(embedding[g.range + 1] AS DOUBLE) * 1048576.0 + 0.5)
+          |      AS BIGINT) AS q
+          |  FROM embeddings CROSS JOIN range(0, 64) g),
+          |b AS (SELECT k,
+          |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN q ELSE 0 END) AS BIGINT) AS s1,
+          |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN q ELSE 0 END) AS BIGINT) AS s2,
+          |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          |  FROM qrel GROUP BY 1),
+          |f AS (SELECT n1, n2,
+          |    sum((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          |      * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) OVER w AS dot,
+          |    sum((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          |      * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))) OVER w AS q1,
+          |    sum((CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          |      * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) OVER w AS q2,
+          |    sum((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          |       - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          |      * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          |       - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) OVER w AS sh,
+          |    row_number() OVER (ORDER BY k) AS rn
+          |  FROM b
+          |  WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+          |    AND CURRENT ROW))
+          |SELECT n1 AS n_even_rows, n2 AS n_odd_rows,
+          |  round(dot / (sqrt(q1) * sqrt(q2)), 6) AS mean_cosine,
+          |  round(sqrt(sh) / 1048576.0, 6) AS l2_shift
+          |FROM f WHERE rn = 64""".stripMargin))
   )
 }

@@ -714,6 +714,91 @@ object RankStats {
            |  round(12.0 * CAST(sq2 AS DOUBLE) / 4.0
            |      / (CAST(n_blocks AS DOUBLE) * 56.0)
            |    - 24.0 * CAST(n_blocks AS DOUBLE), 6) AS friedman_chi2
-           |FROM a ORDER BY event_type""".stripMargin))
+           |FROM a ORDER BY event_type""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_theil",
+      "Theil T inequality of customer revenue WITH its regional " +
+        "decomposition — the inequality measure that is exactly " +
+        "additive (T = Σ share_g·T_g + T_between), which is what makes " +
+        "it the DISTRIBUTED inequality measure: each region's " +
+        "within-group fold runs in its own region-partitioned window " +
+        "(never a global sort), the between term folds over the 5-row " +
+        "region relation, and global totals arrive as a broadcast 1-row " +
+        "scalar. Every ln argument is a ratio of exact integer cents/" +
+        "counts (x·N_g/X_g and X_g·N/(X·N_g) — cross-multiplied so no " +
+        "intermediate division feeds another), every sum OF float terms " +
+        "rides an ordered cumulative window. Per-region output: " +
+        "revenue share, within-Theil, its weighted contribution, and " +
+        "the between term.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val rev = table(s, dir, "orders")
+          .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("c_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5d)).cast(LongType))
+            .as("x"))
+          .filter(col("x") > 0)
+        val wg = Window.partitionBy("r_name")
+        val ord = wg.orderBy("c_custkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val term = D(col("x")) / D(col("xg")) *
+          log(D(col("x") * col("ng")) / D(col("xg")))
+        val perRegion = rev
+          .withColumn("xg", sum(col("x")).over(wg))
+          .withColumn("ng", count(lit(1)).over(wg))
+          .withColumn("tg", sum(term).over(ord))
+          .withColumn("rn", row_number().over(wg.orderBy("c_custkey"))
+            .cast(LongType))
+          .filter(col("rn") === col("ng"))
+          .select(col("r_name"), col("ng"), col("xg"), col("tg"))
+        val tot = rev.agg(sum(col("x")).as("xx"), count(lit(1)).as("nn"))
+        perRegion.join(broadcast(tot))
+          .select(col("r_name").as("region"), col("ng").as("n_cust"),
+            round(D(col("xg")) / D(col("xx")), 6).as("x_share"),
+            round(col("tg"), 6).as("theil_within"),
+            round(D(col("xg")) / D(col("xx")) * col("tg"), 6)
+              .as("within_contrib"),
+            round(D(col("xg")) / D(col("xx")) *
+              log(D(col("xg") * col("nn")) / D(col("xx") * col("ng"))), 6)
+              .as("between_term"))
+          .orderBy("region")
+      },
+      Some(
+        """WITH rev AS (
+          |  SELECT r.r_name, o.o_custkey AS ck,
+          |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          |      AS x
+          |  FROM orders o
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |  JOIN region r ON n.n_regionkey = r.r_regionkey
+          |  GROUP BY 1, 2 HAVING sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) > 0),
+          |g AS (SELECT r_name, ck, x,
+          |    CAST(sum(x) OVER (PARTITION BY r_name) AS BIGINT) AS xg,
+          |    CAST(count(*) OVER (PARTITION BY r_name) AS BIGINT) AS ng
+          |  FROM rev),
+          |f AS (SELECT r_name, ng, xg,
+          |    sum(CAST(x AS DOUBLE) / CAST(xg AS DOUBLE)
+          |      * ln(CAST(x * ng AS DOUBLE) / CAST(xg AS DOUBLE)))
+          |      OVER (PARTITION BY r_name ORDER BY ck
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tg,
+          |    row_number() OVER (PARTITION BY r_name ORDER BY ck) AS rn
+          |  FROM g),
+          |pr AS (SELECT r_name, ng, xg, tg FROM f WHERE rn = ng),
+          |tot AS (SELECT CAST(sum(x) AS BIGINT) AS xx, count(*) AS nn FROM rev)
+          |SELECT r_name AS region, ng AS n_cust,
+          |  round(CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE), 6) AS x_share,
+          |  round(tg, 6) AS theil_within,
+          |  round(CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE) * tg, 6)
+          |    AS within_contrib,
+          |  round(CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE)
+          |    * ln(CAST(xg * nn AS DOUBLE) / CAST(xx * ng AS DOUBLE)), 6)
+          |    AS between_term
+          |FROM pr CROSS JOIN tot ORDER BY region""".stripMargin))
   )
 }
