@@ -823,4 +823,79 @@ class Round12Spec extends SparkSuite {
       assert(math.abs(pi - emp) < 0.05, s"state=$st pi=$pi emp=$emp")
     }
   }
+
+  test("lang metrics: tp/fp/fn derive from the confusion matrix") {
+    val cm = run("q_text_lang_id").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = run("q_text_lang_metrics").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))
+      .toMap
+    got.foreach { case (cls, (tp, fp, fn, p, rcl, f1)) =>
+      val tpRef = cm.getOrElse((cls, cls), 0L)
+      val fpRef = cm.filter { case ((a, pr), _) => pr == cls && a != cls }
+        .values.sum
+      val fnRef = cm.filter { case ((a, pr), _) => a == cls && pr != cls }
+        .values.sum
+      assert((tp, fp, fn) == (tpRef, fpRef, fnRef), s"cls=$cls")
+      val pr = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+      val rc = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+      assert(math.abs(p - pr) < 1e-6 && math.abs(rcl - rc) < 1e-6, s"cls=$cls")
+      val f1Ref = if (tp == 0) 0.0 else 2 * pr * rc / (pr + rc)
+      assert(math.abs(f1 - f1Ref) < 1e-6, s"cls=$cls")
+    }
+  }
+
+  test("theil: decomposition reconstructs the direct global index") {
+    val rev = Tables.table(spark, sf, "orders")
+      .join(Tables.table(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.table(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.table(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5d)).cast("long")).as("x"))
+      .filter(col("x") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val xx = rev.map(_._2).sum.toDouble
+    val nn = rev.length
+    val direct = rev.map { case (_, x) =>
+      x / xx * math.log(x * nn / xx) }.sum
+    val got = run("q_stats_theil").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // each region's within index against brute force
+    rev.groupBy(_._1).foreach { case (region, xs) =>
+      val xg = xs.map(_._2).sum.toDouble
+      val ng = xs.size
+      val tg = xs.map { case (_, x) => x / xg * math.log(x * ng / xg) }.sum
+      val row = got.find(_._1 == region).get
+      assert(row._2 == ng.toLong, s"region=$region")
+      assert(math.abs(row._4 - tg) < 1e-4, s"region=$region within")
+    }
+    // additivity: Σ within_contrib + Σ between_term = direct global Theil
+    val recon = got.map(_._5).sum + got.map(_._6).sum
+    assert(math.abs(recon - direct) < 1e-3, s"recon=$recon direct=$direct")
+  }
+
+  test("drift: mean cosine equals brute-force cohort means") {
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576 + 0.5)).toArray)
+    val even = vecs.filter(_._1 % 2 == 0).map(_._2)
+    val odd = vecs.filter(_._1 % 2 == 1).map(_._2)
+    def mean(xs: Array[Array[Double]]): Array[Double] =
+      Array.tabulate(64)(k => xs.map(_(k)).sum / xs.length)
+    val m1 = mean(even); val m2 = mean(odd)
+    val dot = m1.zip(m2).map { case (a, b) => a * b }.sum
+    val cosRef = dot / (math.sqrt(m1.map(a => a * a).sum) *
+      math.sqrt(m2.map(a => a * a).sum))
+    val shRef = math.sqrt(m1.zip(m2).map { case (a, b) =>
+      (a - b) * (a - b) }.sum) / 1048576.0
+    val got = run("q_vec_drift").collect().head
+    assert(got.getLong(0) == even.length.toLong)
+    assert(got.getLong(1) == odd.length.toLong)
+    assert(math.abs(got.getDouble(2) - cosRef) < 1e-5)
+    assert(math.abs(got.getDouble(3) - shRef) < 1e-5)
+  }
 }
