@@ -85,6 +85,99 @@ object VectorOps {
     pcaArtifacts(s, dir); ()
   }
 
+  /** PQ model: subspace relation, trained codebook (2 Lloyd iterations) and
+    * final assignments — shared by q_vec_pq (training audit) and
+    * q_vec_pq_recall (search quality). See q_vec_pq's doc for the all-integer
+    * determinism argument. */
+  private[graft] def pqModel(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val qrel8 = pcaArtifacts(s, dir)._1
+      .select(col("vec_id"),
+        call_function("div", col("k"), lit(8L)).as("sub"),
+        pmod(col("k"), lit(8L)).as("j"), col("q"))
+    val c0 = qrel8.filter(col("vec_id") < 4)
+      .select(col("sub"), col("vec_id").as("cid"), col("j"),
+        col("q").as("cv"))
+    def assign(c: org.apache.spark.sql.DataFrame) =
+      qrel8.join(broadcast(c), Seq("sub", "j"))
+        .groupBy("vec_id", "sub", "cid")
+        .agg(sum((col("q") - col("cv")) * (col("q") - col("cv"))).as("d"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("sub"),
+          col("m.cid").as("code"), col("m.d").as("dmin"))
+    def update(c: org.apache.spark.sql.DataFrame,
+               a: org.apache.spark.sql.DataFrame) = {
+      val upd = qrel8
+        .join(a.select(col("vec_id"), col("sub"), col("code")),
+          Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("code").as("cid"), col("j"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+        .select(col("sub"), col("cid"), col("j"),
+          (call_function("div",
+            col("sq") + col("cnt") * lit(1L << 30), col("cnt")) -
+            lit(1L << 30)).as("nv"))
+      c.join(upd, Seq("sub", "cid", "j"), "left")
+        .select(col("sub"), col("cid"), col("j"),
+          coalesce(col("nv"), col("cv")).as("cv"))
+    }
+    val a1 = assign(c0)
+    val c1 = update(c0, a1)
+    val a2 = assign(c1)
+    val c2 = update(c1, a2)
+    val a3 = assign(c2)
+    (qrel8, c2, a3)
+  }
+
+  /** Oracle CTE prefix shared by the PQ queries: qrel8 → codebook c2 + final
+    * assignments a3 (mirrors [[pqModel]] exactly). */
+  private val pqSqlPrefix: String =
+    """WITH qrel AS MATERIALIZED (
+      |  SELECT vec_id, CAST(g.range AS BIGINT) // 8 AS sub,
+      |    CAST(g.range AS BIGINT) % 8 AS j,
+      |    CAST(floor(CAST(embedding[g.range + 1] AS DOUBLE) * 1048576.0 + 0.5)
+      |      AS BIGINT) AS q
+      |  FROM embeddings CROSS JOIN range(0, 64) g),
+      |c0 AS (SELECT sub, vec_id AS cid, j, q AS cv FROM qrel WHERE vec_id < 4),
+      |d1 AS (SELECT r.vec_id, r.sub, c.cid,
+      |    CAST(sum((r.q - c.cv) * (r.q - c.cv)) AS BIGINT) AS d
+      |  FROM qrel r JOIN c0 c ON r.sub = c.sub AND r.j = c.j
+      |  GROUP BY 1, 2, 3),
+      |a1 AS (SELECT vec_id, sub,
+      |    min_by(cid, d * 4 + cid) AS code, min(d) AS dmin
+      |  FROM d1 GROUP BY 1, 2),
+      |u1 AS (SELECT r.sub, a.code AS cid, r.j,
+      |    (CAST(sum(r.q) AS BIGINT) + count(*) * (1::BIGINT << 30))
+      |      // count(*) - (1::BIGINT << 30) AS nv
+      |  FROM qrel r JOIN a1 a ON r.vec_id = a.vec_id AND r.sub = a.sub
+      |  GROUP BY 1, 2, 3),
+      |c1 AS (SELECT c.sub, c.cid, c.j, coalesce(u.nv, c.cv) AS cv
+      |  FROM c0 c LEFT JOIN u1 u
+      |    ON c.sub = u.sub AND c.cid = u.cid AND c.j = u.j),
+      |d2 AS (SELECT r.vec_id, r.sub, c.cid,
+      |    CAST(sum((r.q - c.cv) * (r.q - c.cv)) AS BIGINT) AS d
+      |  FROM qrel r JOIN c1 c ON r.sub = c.sub AND r.j = c.j
+      |  GROUP BY 1, 2, 3),
+      |a2 AS (SELECT vec_id, sub,
+      |    min_by(cid, d * 4 + cid) AS code, min(d) AS dmin
+      |  FROM d2 GROUP BY 1, 2),
+      |u2 AS (SELECT r.sub, a.code AS cid, r.j,
+      |    (CAST(sum(r.q) AS BIGINT) + count(*) * (1::BIGINT << 30))
+      |      // count(*) - (1::BIGINT << 30) AS nv
+      |  FROM qrel r JOIN a2 a ON r.vec_id = a.vec_id AND r.sub = a.sub
+      |  GROUP BY 1, 2, 3),
+      |c2 AS (SELECT c.sub, c.cid, c.j, coalesce(u.nv, c.cv) AS cv
+      |  FROM c1 c LEFT JOIN u2 u
+      |    ON c.sub = u.sub AND c.cid = u.cid AND c.j = u.j),
+      |d3 AS (SELECT r.vec_id, r.sub, c.cid,
+      |    CAST(sum((r.q - c.cv) * (r.q - c.cv)) AS BIGINT) AS d
+      |  FROM qrel r JOIN c2 c ON r.sub = c.sub AND r.j = c.j
+      |  GROUP BY 1, 2, 3),
+      |a3 AS (SELECT vec_id, sub,
+      |    min_by(cid, d * 4 + cid) AS code, min(d) AS dmin
+      |  FROM d3 GROUP BY 1, 2)""".stripMargin
+
   /** Oracle CTE prefix shared by the PCA queries: qrel + 3 supersteps → v3. */
   private val pcaSqlPrefix: String =
     """WITH qrel AS MATERIALIZED (
@@ -504,41 +597,7 @@ object VectorOps {
         "that scales; iterations are unrolled, no driver loop state.",
       (s, dir) => {
         import org.apache.spark.sql.types.LongType
-        val qrel8 = pcaArtifacts(s, dir)._1
-          .select(col("vec_id"),
-            call_function("div", col("k"), lit(8L)).as("sub"),
-            pmod(col("k"), lit(8L)).as("j"), col("q"))
-        val c0 = qrel8.filter(col("vec_id") < 4)
-          .select(col("sub"), col("vec_id").as("cid"), col("j"),
-            col("q").as("cv"))
-        def assign(c: org.apache.spark.sql.DataFrame) =
-          qrel8.join(broadcast(c), Seq("sub", "j"))
-            .groupBy("vec_id", "sub", "cid")
-            .agg(sum((col("q") - col("cv")) * (col("q") - col("cv"))).as("d"))
-            .groupBy("vec_id", "sub")
-            .agg(min(struct(col("d"), col("cid"))).as("m"))
-            .select(col("vec_id"), col("sub"),
-              col("m.cid").as("code"), col("m.d").as("dmin"))
-        def update(c: org.apache.spark.sql.DataFrame,
-                   a: org.apache.spark.sql.DataFrame) = {
-          val upd = qrel8
-            .join(a.select(col("vec_id"), col("sub"), col("code")),
-              Seq("vec_id", "sub"))
-            .groupBy(col("sub"), col("code").as("cid"), col("j"))
-            .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
-            .select(col("sub"), col("cid"), col("j"),
-              (call_function("div",
-                col("sq") + col("cnt") * lit(1L << 30), col("cnt")) -
-                lit(1L << 30)).as("nv"))
-          c.join(upd, Seq("sub", "cid", "j"), "left")
-            .select(col("sub"), col("cid"), col("j"),
-              coalesce(col("nv"), col("cv")).as("cv"))
-        }
-        val a1 = assign(c0)
-        val c1 = update(c0, a1)
-        val a2 = assign(c1)
-        val c2 = update(c1, a2)
-        val a3 = assign(c2)
+        val (_, _, a3) = pqModel(s, dir)
         def usage(k: Int) =
           sum(when(col("code") === k.toLong, 1L).otherwise(0L)).as(s"n$k")
         a3.groupBy("sub")
@@ -548,57 +607,82 @@ object VectorOps {
             col("sse"), col("n0"), col("n1"), col("n2"), col("n3"))
           .orderBy("sub")
       },
-      Some(
-        """WITH qrel AS MATERIALIZED (
-          |  SELECT vec_id, CAST(g.range AS BIGINT) // 8 AS sub,
-          |    CAST(g.range AS BIGINT) % 8 AS j,
-          |    CAST(floor(CAST(embedding[g.range + 1] AS DOUBLE) * 1048576.0 + 0.5)
-          |      AS BIGINT) AS q
-          |  FROM embeddings CROSS JOIN range(0, 64) g),
-          |c0 AS (SELECT sub, vec_id AS cid, j, q AS cv FROM qrel WHERE vec_id < 4),
-          |d1 AS (SELECT r.vec_id, r.sub, c.cid,
-          |    CAST(sum((r.q - c.cv) * (r.q - c.cv)) AS BIGINT) AS d
-          |  FROM qrel r JOIN c0 c ON r.sub = c.sub AND r.j = c.j
-          |  GROUP BY 1, 2, 3),
-          |a1 AS (SELECT vec_id, sub,
-          |    min_by(cid, d * 4 + cid) AS code, min(d) AS dmin
-          |  FROM d1 GROUP BY 1, 2),
-          |u1 AS (SELECT r.sub, a.code AS cid, r.j,
-          |    (CAST(sum(r.q) AS BIGINT) + count(*) * (1::BIGINT << 30))
-          |      // count(*) - (1::BIGINT << 30) AS nv
-          |  FROM qrel r JOIN a1 a ON r.vec_id = a.vec_id AND r.sub = a.sub
-          |  GROUP BY 1, 2, 3),
-          |c1 AS (SELECT c.sub, c.cid, c.j, coalesce(u.nv, c.cv) AS cv
-          |  FROM c0 c LEFT JOIN u1 u
-          |    ON c.sub = u.sub AND c.cid = u.cid AND c.j = u.j),
-          |d2 AS (SELECT r.vec_id, r.sub, c.cid,
-          |    CAST(sum((r.q - c.cv) * (r.q - c.cv)) AS BIGINT) AS d
-          |  FROM qrel r JOIN c1 c ON r.sub = c.sub AND r.j = c.j
-          |  GROUP BY 1, 2, 3),
-          |a2 AS (SELECT vec_id, sub,
-          |    min_by(cid, d * 4 + cid) AS code, min(d) AS dmin
-          |  FROM d2 GROUP BY 1, 2),
-          |u2 AS (SELECT r.sub, a.code AS cid, r.j,
-          |    (CAST(sum(r.q) AS BIGINT) + count(*) * (1::BIGINT << 30))
-          |      // count(*) - (1::BIGINT << 30) AS nv
-          |  FROM qrel r JOIN a2 a ON r.vec_id = a.vec_id AND r.sub = a.sub
-          |  GROUP BY 1, 2, 3),
-          |c2 AS (SELECT c.sub, c.cid, c.j, coalesce(u.nv, c.cv) AS cv
-          |  FROM c1 c LEFT JOIN u2 u
-          |    ON c.sub = u.sub AND c.cid = u.cid AND c.j = u.j),
-          |d3 AS (SELECT r.vec_id, r.sub, c.cid,
-          |    CAST(sum((r.q - c.cv) * (r.q - c.cv)) AS BIGINT) AS d
-          |  FROM qrel r JOIN c2 c ON r.sub = c.sub AND r.j = c.j
-          |  GROUP BY 1, 2, 3),
-          |a3 AS (SELECT vec_id, sub,
-          |    min_by(cid, d * 4 + cid) AS code, min(d) AS dmin
-          |  FROM d3 GROUP BY 1, 2)
+      Some(pqSqlPrefix +
+        """
           |SELECT sub, count(*) AS n_vecs, CAST(sum(dmin) AS BIGINT) AS sse,
           |  CAST(sum(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
           |  CAST(sum(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
           |  CAST(sum(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
           |  CAST(sum(CASE WHEN code = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
           |FROM a3 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_vec_pq_recall",
+      "PQ search-quality audit: recall@10 of the asymmetric-distance " +
+        "(ADC) ranking against exact quantized L2 — the q_ann_recall " +
+        "discipline applied to the trained PQ codebook (a compressor " +
+        "whose recall nobody measured is not an index). ADC scores " +
+        "every document by Σ_sub d²(query_sub, centroid(code)) — a " +
+        "4×8-cell lookup-table join, never the raw vectors (the PQ " +
+        "speedup at scale) — while ground truth is the exact integer " +
+        "L2 over the quantized relation; BOTH distances are exact " +
+        "BIGINTs, so this entire quality gate contains not one float " +
+        "beyond the final recall division. Query = vec_id 0, fully " +
+        "tie-broken top-10s.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (qrel8, c2, a3) = pqModel(s, dir)
+        // ADC lookup table: query subvector vs every centroid
+        val lut = qrel8.filter(col("vec_id") === 0)
+          .select(col("sub"), col("j"), col("q").as("qq"))
+          .join(broadcast(c2), Seq("sub", "j"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(sum((col("qq") - col("cv")) * (col("qq") - col("cv")))
+            .as("d2"))
+        val adc = a3.filter(col("vec_id") =!= 0)
+          .join(broadcast(lut.select(col("sub").as("ls"), col("cid"),
+            col("d2"))), col("sub") === col("ls") && col("code") === col("cid"))
+          .groupBy("vec_id").agg(sum(col("d2")).as("adc"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("adc"), col("vec_id"))).cast("long"))
+          .filter(col("rk") <= 10)
+        val q = qrel8.filter(col("vec_id") === 0)
+          .select(col("sub").as("qs"), col("j").as("qj"), col("q").as("qq"))
+        val exact = qrel8.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("sub") === col("qs") && col("j") === col("qj"))
+          .groupBy(col("vec_id").as("eid"))
+          .agg(sum((col("q") - col("qq")) * (col("q") - col("qq"))).as("l2"))
+          .withColumn("re", row_number().over(
+            Window.orderBy(col("l2"), col("eid"))).cast("long"))
+          .filter(col("re") <= 10)
+        adc.join(exact, col("vec_id") === col("eid"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(col("n_hits"),
+            round(col("n_hits").cast("double") / lit(10d), 6).as("recall10"))
+      },
+      Some(pqSqlPrefix +
+        """,
+          |lut AS (SELECT r.sub, c.cid,
+          |    CAST(sum((r.q - c.cv) * (r.q - c.cv)) AS BIGINT) AS d2
+          |  FROM qrel r JOIN c2 c ON r.sub = c.sub AND r.j = c.j
+          |  WHERE r.vec_id = 0 GROUP BY 1, 2),
+          |adc AS (SELECT a.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc
+          |  FROM a3 a JOIN lut l ON a.sub = l.sub AND a.code = l.cid
+          |  WHERE a.vec_id <> 0 GROUP BY 1),
+          |a10 AS (SELECT vec_id FROM (SELECT vec_id,
+          |    row_number() OVER (ORDER BY adc, vec_id) AS rk FROM adc)
+          |  WHERE rk <= 10),
+          |ex AS (SELECT r.vec_id, CAST(sum((r.q - q.q) * (r.q - q.q)) AS BIGINT)
+          |    AS l2
+          |  FROM qrel r JOIN qrel q
+          |    ON q.vec_id = 0 AND r.sub = q.sub AND r.j = q.j
+          |  WHERE r.vec_id <> 0 GROUP BY 1),
+          |e10 AS (SELECT vec_id FROM (SELECT vec_id,
+          |    row_number() OVER (ORDER BY l2, vec_id) AS re FROM ex)
+          |  WHERE re <= 10)
+          |SELECT count(*) AS n_hits,
+          |  round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall10
+          |FROM a10 JOIN e10 ON a10.vec_id = e10.vec_id""".stripMargin)),
 
     GraftQuery(
       "q_vec_binary_hamming",

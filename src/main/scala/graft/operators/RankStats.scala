@@ -799,6 +799,113 @@ object RankStats {
           |  round(CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE)
           |    * ln(CAST(xg * nn AS DOUBLE) / CAST(xx * ng AS DOUBLE)), 6)
           |    AS between_term
-          |FROM pr CROSS JOIN tot ORDER BY region""".stripMargin))
+          |FROM pr CROSS JOIN tot ORDER BY region""".stripMargin)),
+
+    GraftQuery(
+      "q_agg_abc_class",
+      "ABC inventory classification of part brands by lineitem revenue — " +
+        "A up to 70% cumulative share, B to 90%, C the tail — with the " +
+        "class boundaries decided by EXACT integer cross-multiplication " +
+        "(10·cum ≤ 7·total / 10·cum ≤ 9·total), so no float threshold " +
+        "can flip a boundary brand. Revenue collapses to brand grain " +
+        "(exact cents) before the single ranked window; per-class " +
+        "output: brand count, revenue mass and share. The classic " +
+        "warehouse-ops rollup next to q_agg_pareto_share's top-N form.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val rev = table(s, dir, "lineitem")
+          .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5d))
+            .cast(LongType)).as("cents"))
+        val w = Window.partitionBy(lit(1))
+          .orderBy(col("cents").desc, col("p_brand"))
+        rev
+          .withColumn("cum", sum(col("cents")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum(col("cents")).over(Window.partitionBy(lit(1))))
+          .withColumn("cls",
+            when(col("cum") * 10 <= col("tot") * 7, "A")
+              .when(col("cum") * 10 <= col("tot") * 9, "B")
+              .otherwise("C"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_brands"), sum(col("cents")).as("cents"),
+            max(col("tot")).as("tot"))
+          .select(col("cls"), col("n_brands"), col("cents"),
+            round(D(col("cents")) / D(col("tot")), 6).as("share"))
+          .orderBy("cls")
+      },
+      Some(
+        """WITH rev AS (
+          |  SELECT p.p_brand,
+          |    CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+          |      AS BIGINT) AS cents
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          |  GROUP BY 1),
+          |r AS (SELECT p_brand, cents,
+          |    CAST(sum(cents) OVER (ORDER BY cents DESC, p_brand
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |      AS cum,
+          |    CAST(sum(cents) OVER () AS BIGINT) AS tot
+          |  FROM rev),
+          |c AS (SELECT CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+          |    WHEN cum * 10 <= tot * 9 THEN 'B' ELSE 'C' END AS cls,
+          |    cents, tot
+          |  FROM r)
+          |SELECT cls, count(*) AS n_brands, CAST(sum(cents) AS BIGINT) AS cents,
+          |  round(CAST(sum(cents) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+          |    AS share
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_lorenz",
+      "Lorenz curve of customer revenue at the decile grid — the " +
+        "concentration curve under q_agg_gini's single number and the " +
+        "chartable companion to Pareto/Theil: for each decile d, the " +
+        "share of total revenue held by the poorest ⌊n·d/10⌋ customers. " +
+        "Rank and cumulative cents ride one window over the " +
+        "customer-grain relation; each curve point picks the cumulative " +
+        "value AT the exact integer rank ⌊n·d/10⌋ (conditional min — no " +
+        "interpolation), and the share is the one IEEE division.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val rev = table(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5d)).cast(LongType))
+            .as("cents"))
+        val w = Window.partitionBy(lit(1))
+          .orderBy(col("cents"), col("o_custkey"))
+        rev
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .withColumn("cum", sum(col("cents")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+          .withColumn("tot", sum(col("cents")).over(Window.partitionBy(lit(1))))
+          .withColumn("d", explode(sequence(lit(1L), lit(10L))))
+          .filter(col("rk") === call_function("div", col("n") * col("d"), lit(10L)))
+          .select(col("d").as("decile"),
+            col("rk").as("n_bottom"),
+            round(D(col("cum")) / D(col("tot")), 6).as("cum_share"))
+          .orderBy("decile")
+      },
+      Some(
+        """WITH rev AS (
+          |  SELECT o_custkey,
+          |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          |      AS cents
+          |  FROM orders GROUP BY 1),
+          |r AS (SELECT o_custkey, cents,
+          |    CAST(row_number() OVER w AS BIGINT) AS rk,
+          |    CAST(sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS BIGINT) AS cum,
+          |    CAST(count(*) OVER () AS BIGINT) AS n,
+          |    CAST(sum(cents) OVER () AS BIGINT) AS tot
+          |  FROM rev WINDOW w AS (ORDER BY cents, o_custkey)),
+          |p AS (SELECT d.range AS d, r.rk, r.cum, r.tot
+          |  FROM r CROSS JOIN range(1, 11) d
+          |  WHERE r.rk = (r.n * d.range) // 10)
+          |SELECT CAST(d AS BIGINT) AS decile, rk AS n_bottom,
+          |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+          |FROM p ORDER BY decile""".stripMargin))
   )
 }
