@@ -898,4 +898,104 @@ class Round12Spec extends SparkSuite {
     assert(math.abs(got.getDouble(2) - cosRef) < 1e-5)
     assert(math.abs(got.getDouble(3) - shRef) < 1e-5)
   }
+
+  test("abc: classes partition brands and shares bracket 70/90") {
+    val got = run("q_agg_abc_class").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val rev = Tables.table(spark, sf, "lineitem")
+      .join(Tables.table(spark, sf, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5d)).cast("long"))
+        .as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val tot = rev.map(_._2).sum
+    var cum = 0L
+    val ref = scala.collection.mutable.Map[String, (Long, Long)]()
+    rev.sortBy { case (b, c) => (-c, b) }.foreach { case (_, c) =>
+      cum += c
+      val cls = if (cum * 10 <= tot * 7) "A"
+        else if (cum * 10 <= tot * 9) "B" else "C"
+      val (n0, c0) = ref.getOrElse(cls, (0L, 0L))
+      ref(cls) = (n0 + 1, c0 + c)
+    }
+    ref.foreach { case (cls, (n, c)) =>
+      val (gn, gc, _) = got(cls)
+      assert((gn, gc) == (n, c), s"class=$cls")
+    }
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-5)
+  }
+
+  test("lorenz: decile shares are the exact rank-threshold points") {
+    val rev = Tables.table(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5d)).cast("long"))
+        .as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, c) => (c, k) }
+    val n = rev.length
+    val tot = rev.map(_._2).sum.toDouble
+    val cums = rev.scanLeft(0L) { case (a, (_, c)) => a + c }.tail
+    val got = run("q_stats_lorenz").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 10)
+    got.foreach { case (d, nb, share) =>
+      val rk = n.toLong * d / 10
+      assert(nb == rk, s"decile=$d")
+      assert(math.abs(share - cums((rk - 1).toInt) / tot) < 1e-6, s"decile=$d")
+    }
+    // monotone, ending at full mass
+    val shares = got.sortBy(_._1).map(_._3)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(shares.last - 1.0) < 1e-9)
+  }
+
+  test("pq recall: ADC top-10 overlap equals brute-force") {
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576 + 0.5).toLong).toArray)
+      .toMap
+    // retrain brute-force PQ (same procedure as the pq test)
+    val codebooks = (0 until 8).map { sub =>
+      val sl = vecs.map { case (id, q) => id -> q.slice(sub * 8, sub * 8 + 8) }
+      var cents: Map[Long, Array[Long]] = (0L to 3L).map(c => c -> sl(c)).toMap
+      def dist(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      for (_ <- 1 to 2) {
+        val a = sl.map { case (id, q) =>
+          id -> (0L to 3L).map(c => (dist(q, cents(c)), c)).min._2 }
+        val upd = a.groupBy(_._2).map { case (c, g) =>
+          val qs = g.keys.map(sl).toSeq
+          val nn = qs.size
+          c -> Array.tabulate(8) { j =>
+            (qs.map(_(j)).sum + nn.toLong * (1L << 30)) / nn - (1L << 30) }
+        }
+        cents = cents.map { case (c, old) => c -> upd.getOrElse(c, old) }
+      }
+      sub -> cents
+    }.toMap
+    def dist8(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val codes = vecs.map { case (id, q) =>
+      id -> (0 until 8).map { sub =>
+        val sl = q.slice(sub * 8, sub * 8 + 8)
+        (0L to 3L).map(c => (dist8(sl, codebooks(sub)(c)), c)).min._2
+      }
+    }
+    val q0 = vecs(0L)
+    val lut = (0 until 8).map { sub =>
+      sub -> (0L to 3L).map { c =>
+        c -> dist8(q0.slice(sub * 8, sub * 8 + 8), codebooks(sub)(c)) }.toMap
+    }.toMap
+    val adc = codes.filter(_._1 != 0L).map { case (id, cs) =>
+      id -> cs.zipWithIndex.map { case (c, sub) => lut(sub)(c) }.sum }
+    val a10 = adc.toSeq.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val exact = vecs.filter(_._1 != 0L).map { case (id, q) =>
+      id -> q.zip(q0).map { case (a, b) => (a - b) * (a - b) }.sum }
+    val e10 = exact.toSeq.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val expect = a10.intersect(e10).size.toLong
+    val got = run("q_vec_pq_recall").collect().head
+    assert(got.getLong(0) == expect, s"got=${got.getLong(0)} want=$expect")
+  }
 }
