@@ -104,7 +104,8 @@ object Bench {
       ("dedup_ledger", () => { graft.functions.DedupOps.componentLedger(spark, sfDir); () }),
       ("bucketed_layout", () => { graft.sources.BucketedLayout.ensureTables(spark, sfDir); () }),
       ("format_exports", () => graft.sources.FormatSources.ensureExports(spark, sfDir)),
-      ("pca_iterate", () => graft.functions.VectorOps.ensurePcaIterate(spark, sfDir))
+      ("pca_iterate", () => graft.functions.VectorOps.ensurePcaIterate(spark, sfDir)),
+      ("pq_model", () => graft.functions.VectorOps.ensurePqModel(spark, sfDir))
     ).map { case (n, f) =>
       val t0 = System.nanoTime()
       try f() catch { case e: Throwable =>

@@ -912,11 +912,13 @@ object Graph {
         import org.apache.spark.sql.expressions.Window
         val sc = lit(1048576L)
         val wAll = Window.partitionBy(lit(1))
-        val be = table(s, dir, "orders")
-          .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-          .distinct()
-          .localCheckpoint(true)
+        // the bipartite relation is the customer→supplier half of the
+        // write-once orderGraph artifact (even src = 2·custkey, odd dst =
+        // 2·suppkey+1) — reuse it instead of re-running the fact-fact
+        // distinct join per query
+        val be = orderGraph(s, dir)._1
+          .filter(pmod(col("src"), lit(2L)) === 0)
+          .select(expr("src div 2").as("c"), expr("(dst - 1) div 2").as("sk"))
         def norm(df: org.apache.spark.sql.DataFrame, key: String, v: String) =
           df.withColumn("mx", max(col(v)).over(wAll))
             .select(col(key),
