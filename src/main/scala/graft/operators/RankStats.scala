@@ -906,6 +906,119 @@ object RankStats {
           |  WHERE r.rk = (r.n * d.range) // 10)
           |SELECT CAST(d AS BIGINT) AS decile, rk AS n_bottom,
           |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
-          |FROM p ORDER BY decile""".stripMargin))
+          |FROM p ORDER BY decile""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_hhi",
+      "Herfindahl–Hirschman market-concentration index per region — " +
+        "supplier revenue shares squared and summed on the 0–10000 " +
+        "antitrust scale, with the equivalent-competitor count 1/Σs² — " +
+        "the regulator's reading next to Simpson/Gini/Theil. Revenue " +
+        "collapses to supplier grain in exact cents; each share is ONE " +
+        "IEEE division of exact BIGINTs and the sum OF squared shares " +
+        "rides the supplier-ordered cumulative window per region (the " +
+        "fold device; partitions are region-bounded, never global).",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val rev = table(s, dir, "lineitem")
+          .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("s_suppkey"))
+          .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5d))
+            .cast(LongType)).as("c"))
+        val wg = Window.partitionBy("r_name")
+        val ord = wg.orderBy("s_suppkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val share = D(col("c")) / D(col("tot"))
+        rev
+          .withColumn("tot", sum(col("c")).over(wg))
+          .withColumn("ssq", sum(share * share).over(ord))
+          .withColumn("ng", count(lit(1)).over(wg))
+          .withColumn("rn", row_number().over(wg.orderBy("s_suppkey"))
+            .cast(LongType))
+          .filter(col("rn") === col("ng"))
+          .select(col("r_name").as("region"), col("ng").as("n_suppliers"),
+            round(col("ssq") * lit(10000d), 6).as("hhi"),
+            round(lit(1d) / col("ssq"), 6).as("eff_competitors"))
+          .orderBy("region")
+      },
+      Some(
+        """WITH rev AS (
+          |  SELECT r.r_name, l.l_suppkey AS sk,
+          |    CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+          |      AS BIGINT) AS c
+          |  FROM lineitem l
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |  JOIN region r ON n.n_regionkey = r.r_regionkey
+          |  GROUP BY 1, 2),
+          |g AS (SELECT r_name, sk, c,
+          |    CAST(sum(c) OVER (PARTITION BY r_name) AS BIGINT) AS tot,
+          |    CAST(count(*) OVER (PARTITION BY r_name) AS BIGINT) AS ng
+          |  FROM rev),
+          |f AS (SELECT r_name, ng,
+          |    sum((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+          |      * (CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)))
+          |      OVER (PARTITION BY r_name ORDER BY sk
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ssq,
+          |    row_number() OVER (PARTITION BY r_name ORDER BY sk) AS rn
+          |  FROM g)
+          |SELECT r_name AS region, ng AS n_suppliers,
+          |  round(ssq * 10000.0, 6) AS hhi,
+          |  round(1.0 / ssq, 6) AS eff_competitors
+          |FROM f WHERE rn = ng ORDER BY region""".stripMargin)),
+
+    GraftQuery(
+      "q_stats_capture_recapture",
+      "Chapman capture–recapture population estimate: the first two " +
+        "complete Monday-aligned weeks are the two capture occasions, " +
+        "their user sets the marks, and N̂ = (n1+1)(n2+1)/(m+1) − 1 " +
+        "estimates the active population — the ecology/census estimator " +
+        "that generalizes to count things a full scan cannot see (here " +
+        "the audit twin, TRUE distinct users over the span, sits right " +
+        "beside it). All counts exact from two conditional max flags " +
+        "per user; the estimator is one closed IEEE tree.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val ud = table(s, dir, "events")
+          .select(col("user_id"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"))
+          .distinct()
+          .withColumn("wk", call_function("div", col("day") + 3, lit(7L)))
+        val w0 = ud.agg(min(col("wk")).as("w0"))
+        val flags = ud.join(broadcast(w0))
+          .groupBy("user_id")
+          .agg(max(when(col("wk") === col("w0"), 1L).otherwise(0L)).as("c1"),
+            max(when(col("wk") === col("w0") + 1, 1L).otherwise(0L)).as("c2"))
+        flags.agg(
+            count(lit(1)).as("n_total"),
+            sum(col("c1")).as("n1"),
+            sum(col("c2")).as("n2"),
+            sum(col("c1") * col("c2")).as("m"))
+          .select(col("n_total"), col("n1"), col("n2"), col("m"),
+            round((D(col("n1") + 1) * D(col("n2") + 1)) / D(col("m") + 1) -
+              lit(1d), 6).as("chapman_estimate"))
+      },
+      Some(
+        """WITH ud AS (SELECT DISTINCT user_id,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),
+          |w AS (SELECT user_id, (day + 3) // 7 AS wk FROM ud),
+          |w0 AS (SELECT min(wk) AS w0 FROM w),
+          |f AS (SELECT user_id,
+          |    max(CASE WHEN wk = w0 THEN 1 ELSE 0 END) AS c1,
+          |    max(CASE WHEN wk = w0 + 1 THEN 1 ELSE 0 END) AS c2
+          |  FROM w CROSS JOIN w0 GROUP BY 1),
+          |a AS (SELECT count(*) AS n_total,
+          |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+          |    CAST(sum(c1 * c2) AS BIGINT) AS m
+          |  FROM f)
+          |SELECT n_total, n1, n2, m,
+          |  round(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+          |    / CAST(m + 1 AS DOUBLE) - 1.0, 6) AS chapman_estimate
+          |FROM a""".stripMargin))
   )
 }

@@ -624,6 +624,57 @@ object SeriesDecomp {
           |  round(CAST(p3.pi AS DOUBLE) / 1048576.0, 6) AS stationary,
           |  round(CAST(emp.na AS DOUBLE) / CAST(emp.nn AS DOUBLE), 6)
           |    AS empirical
-          |FROM p3 JOIN emp ON p3.state = emp.st ORDER BY p3.state""".stripMargin))
+          |FROM p3 JOIN emp ON p3.state = emp.st ORDER BY p3.state""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_new_returning",
+      "Daily revenue split between first-day and returning users — the " +
+        "acquisition-vs-retention ledger that prices q_ts_growth's user " +
+        "counts in money: a purchase is NEW revenue iff it lands on its " +
+        "user's first active day (min over the user window — one keyed " +
+        "pass), exact cents both sides, share one division. The " +
+        "conservation identity new+returning = daily total is built in " +
+        "(the two legs partition the rows).",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val e = table(s, dir, "events")
+          .select(col("user_id"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"),
+            floor(col("value") * 100 + lit(0.5d)).cast(LongType).as("cents"))
+          .withColumn("d0", min(col("day")).over(
+            Window.partitionBy("user_id")))
+        e.groupBy("day")
+          .agg(
+            sum(when(col("day") === col("d0"), col("cents")).otherwise(0L))
+              .as("new_cents"),
+            sum(when(col("day") =!= col("d0"), col("cents")).otherwise(0L))
+              .as("ret_cents"),
+            sum(when(col("day") === col("d0"), 1L).otherwise(0L))
+              .as("n_new_events"))
+          .select(col("day"), col("new_cents"), col("ret_cents"),
+            col("n_new_events"),
+            round(D(col("new_cents")) /
+              D(col("new_cents") + col("ret_cents")), 6).as("new_share"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH e AS (SELECT user_id,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events),
+          |f AS (SELECT user_id, day, cents,
+          |    min(day) OVER (PARTITION BY user_id) AS d0
+          |  FROM e)
+          |SELECT day,
+          |  CAST(sum(CASE WHEN day = d0 THEN cents ELSE 0 END) AS BIGINT)
+          |    AS new_cents,
+          |  CAST(sum(CASE WHEN day <> d0 THEN cents ELSE 0 END) AS BIGINT)
+          |    AS ret_cents,
+          |  CAST(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_new_events,
+          |  round(CAST(sum(CASE WHEN day = d0 THEN cents ELSE 0 END) AS DOUBLE)
+          |    / CAST(sum(cents) AS DOUBLE), 6) AS new_share
+          |FROM f GROUP BY day ORDER BY day""".stripMargin))
   )
 }
