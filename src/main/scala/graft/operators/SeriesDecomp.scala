@@ -675,6 +675,151 @@ object SeriesDecomp {
           |    AS n_new_events,
           |  round(CAST(sum(CASE WHEN day = d0 THEN cents ELSE 0 END) AS DOUBLE)
           |    / CAST(sum(cents) AS DOUBLE), 6) AS new_share
-          |FROM f GROUP BY day ORDER BY day""".stripMargin))
+          |FROM f GROUP BY day ORDER BY day""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_iat",
+      "Inter-arrival-time percentiles per type (p50/p90/p99 in whole " +
+        "seconds) — the latency-style SLO panel over event arrivals. " +
+        "Gaps are computed WITHIN (type, day) partitions (day-bounded " +
+        "sorts — a whole-type timeline would serialize through one task " +
+        "at corpus scale; the day-boundary gap loss is the documented " +
+        "trade), quantized to integer seconds so the percentile domain " +
+        "is value-grain (≤86400 cells/type however large the corpus), " +
+        "and each percentile is the exact order statistic min gap with " +
+        "cum ≥ 1+⌊(n−1)p/100⌋ — all integer, no interpolation.",
+      (s, dir) => {
+        val wd = Window.partitionBy("event_type", "day")
+          .orderBy(col("tsm"), col("event_id"))
+        val gaps = table(s, dir, "events")
+          .select(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"),
+            graft.Ts.epochMicros(col("ts")).as("tsm"), col("event_id"))
+          .withColumn("prev", lag(col("tsm"), 1).over(wd))
+          .filter(col("prev").isNotNull)
+          .select(col("event_type"),
+            call_function("div", col("tsm") - col("prev"), lit(1000000L))
+              .as("g"))
+        val cells = gaps.groupBy("event_type", "g")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy("event_type").orderBy("g")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum(col("c")).over(
+            Window.partitionBy("event_type")))
+        def pct(p: Int) = min(when(col("cum") >= lit(1L) +
+          call_function("div", (col("n") - 1) * p, lit(100L)), col("g")))
+        cells.groupBy("event_type")
+          .agg(max(col("n")).as("n_gaps"),
+            pct(50).as("p50_s"), pct(90).as("p90_s"), pct(99).as("p99_s"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH e AS (SELECT event_type,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+          |    epoch_us(ts) AS tsm, event_id
+          |  FROM events),
+          |g0 AS (SELECT event_type, day, tsm, event_id,
+          |    lag(tsm) OVER (PARTITION BY event_type, day
+          |      ORDER BY tsm, event_id) AS prev
+          |  FROM e),
+          |g AS (SELECT event_type, (tsm - prev) // 1000000 AS g
+          |  FROM g0 WHERE prev IS NOT NULL),
+          |cells AS (SELECT event_type, g, count(*) AS c
+          |  FROM g GROUP BY 1, 2),
+          |a AS (SELECT event_type, g,
+          |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY g
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |      AS cum,
+          |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          |  FROM cells)
+          |SELECT event_type, max(n) AS n_gaps,
+          |  min(CASE WHEN cum >= 1 + ((n - 1) * 50) // 100 THEN g END) AS p50_s,
+          |  min(CASE WHEN cum >= 1 + ((n - 1) * 90) // 100 THEN g END) AS p90_s,
+          |  min(CASE WHEN cum >= 1 + ((n - 1) * 99) // 100 THEN g END) AS p99_s
+          |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q_ts_profile_divergence",
+      "Jensen–Shannon divergence between the weekday and weekend " +
+        "hour-of-day profiles per type — the distribution-shift reading " +
+        "for BEHAVIORAL shape (does weekend traffic redistribute across " +
+        "the day, not just shrink?). Both profiles are exact 24-cell " +
+        "count vectors; every ln argument is a ratio of exact BIGINTs " +
+        "(2·p/(p+q) written cross-multiplied over counts), and the one " +
+        "sum OF float terms rides the hour-ordered window per type. " +
+        "JS is symmetric and bounded by ln 2 — reported alongside its " +
+        "normalized [0,1] form.",
+      (s, dir) => {
+        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+        val cells = table(s, dir, "events")
+          .select(col("event_type"),
+            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+              .as("day"),
+            pmod(call_function("div",
+              graft.Ts.epochMicros(col("ts")), lit(3600000000L)), lit(24L))
+              .as("hr"))
+          .withColumn("wknd", (pmod(col("day") + 3, lit(7L)) >= 5L)
+            .cast(LongType))
+          .groupBy("event_type", "hr")
+          .agg(sum(when(col("wknd") === 0L, 1L).otherwise(0L)).as("a"),
+            sum(when(col("wknd") === 1L, 1L).otherwise(0L)).as("b"))
+        val wt = Window.partitionBy("event_type")
+        val ord = wt.orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // p = a/na, q = b/nb; m = (p+q)/2. Terms spelled over integers:
+        // p·ln(2p/(p+q)) with p/q expanded to a·nb etc. so each ln argument
+        // is one division of exact products
+        val p = D(col("a")) / D(col("na"))
+        val q = D(col("b")) / D(col("nb"))
+        val termA = when(col("a") > 0,
+          p * log(lit(2d) * D(col("a") * col("nb")) /
+            D(col("a") * col("nb") + col("b") * col("na")))).otherwise(lit(0d))
+        val termB = when(col("b") > 0,
+          q * log(lit(2d) * D(col("b") * col("na")) /
+            D(col("a") * col("nb") + col("b") * col("na")))).otherwise(lit(0d))
+        cells
+          .withColumn("na", sum(col("a")).over(wt))
+          .withColumn("nb", sum(col("b")).over(wt))
+          .withColumn("cells", count(lit(1)).over(wt))
+          .withColumn("js", sum((termA + termB) / lit(2d)).over(ord))
+          .withColumn("rn", row_number().over(wt.orderBy("hr")).cast(LongType))
+          .filter(col("rn") === col("cells"))
+          .select(col("event_type"), col("na").as("n_weekday"),
+            col("nb").as("n_weekend"),
+            round(col("js"), 6).as("js_nats"),
+            round(col("js") / log(lit(2d)), 6).as("js_normalized"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH e AS (SELECT event_type,
+          |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+          |    (epoch_us(ts) // 3600000000) % 24 AS hr
+          |  FROM events),
+          |cells AS (SELECT event_type, hr,
+          |    CAST(sum(CASE WHEN (day + 3) % 7 >= 5 THEN 0 ELSE 1 END) AS BIGINT) AS a,
+          |    CAST(sum(CASE WHEN (day + 3) % 7 >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS b
+          |  FROM e GROUP BY 1, 2),
+          |t AS (SELECT event_type, hr, a, b,
+          |    CAST(sum(a) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+          |    CAST(sum(b) OVER (PARTITION BY event_type) AS BIGINT) AS nb,
+          |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS cells
+          |  FROM cells),
+          |f AS (SELECT event_type, na, nb, cells,
+          |    sum(((CASE WHEN a > 0 THEN (CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+          |        * ln(2.0 * CAST(a * nb AS DOUBLE)
+          |          / CAST(a * nb + b * na AS DOUBLE)) ELSE 0.0 END)
+          |      + (CASE WHEN b > 0 THEN (CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))
+          |        * ln(2.0 * CAST(b * na AS DOUBLE)
+          |          / CAST(a * nb + b * na AS DOUBLE)) ELSE 0.0 END)) / 2.0)
+          |      OVER (PARTITION BY event_type ORDER BY hr
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS js,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+          |  FROM t)
+          |SELECT event_type, na AS n_weekday, nb AS n_weekend,
+          |  round(js, 6) AS js_nats,
+          |  round(js / ln(2.0), 6) AS js_normalized
+          |FROM f WHERE rn = cells ORDER BY event_type""".stripMargin))
   )
 }
