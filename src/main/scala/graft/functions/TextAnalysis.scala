@@ -299,26 +299,41 @@ object TextAnalysis {
         "the diversity score next to q_text_zipf's decay slope (a corpus " +
         "collapsing onto few tokens scores low; uniform scores ln V): " +
         "H = −Σ p ln p over each language's term distribution, plus the " +
-        "ln(V)-normalized efficiency. Same determinism device as zipf: " +
-        "the per-term float contributions accumulate in ONE ordered " +
-        "window over the (lang, term) relation (vocabulary-bounded — ~31 " +
-        "terms/lang here), so the summation order is identical on both " +
-        "engines; term counts are exact BIGINTs from the TokenCounts " +
-        "pre-reduction.",
+        "ln(V)-normalized efficiency. Determinism at SCALE: the float " +
+        "fold is BANDED TWO-PASS (the q_pack_sequences device applied to " +
+        "doubles). Terms band on their 2-char prefix (prefix blocks are " +
+        "contiguous in both engines' binary collation); each (lang, band) " +
+        "folds its −p·ln p contributions sequentially in term order in a " +
+        "PARTITIONED window, band subtotals (each band's last local value) " +
+        "fold sequentially in band order over the band-grain relation, " +
+        "and the answer reads off the last band. Because float addition " +
+        "is non-associative, the DuckDB oracle computes the IDENTICAL " +
+        "banded tree — same fold order, same IEEE doubles — so no stage " +
+        "on either engine ever folds a vocabulary-sized relation in one " +
+        "partition. Term counts are exact BIGINTs from the TokenCounts " +
+        "pre-reduction; lang totals are one hash agg broadcast back.",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val cf = Tables.spread(s, table(s, dir, "documents"))
           .select(col("lang"), explode(VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
           .groupBy(col("lang"), col("kv.w").as("w")).agg(sum(col("kv.c")).as("c"))
-        val tot = Window.partitionBy("lang")
-        val ord = Window.partitionBy("lang").orderBy("w")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = cf.groupBy("lang")
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
         val p = col("c").cast("double") / col("n").cast("double")
-        cf.withColumn("n", sum(col("c")).over(tot))
-          .withColumn("v", count(lit(1)).over(tot))
-          .withColumn("h_cum", sum(-p * log(p)).over(ord))
-          .withColumn("rk", row_number().over(Window.partitionBy("lang").orderBy("w")))
-          .filter(col("rk") === col("v"))
+        val wLo = Window.partitionBy("lang", "band").orderBy("w")
+        val wL = wLo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wBo = Window.partitionBy("lang").orderBy("band")
+        val wB = wBo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cf.join(broadcast(tot), "lang")
+          .withColumn("band", substring(col("w"), 1, 2))
+          .withColumn("h_loc", sum(-p * log(p)).over(wL))
+          .withColumn("rk_loc", row_number().over(wLo))
+          .withColumn("nb", count(lit(1)).over(Window.partitionBy("lang", "band")))
+          .filter(col("rk_loc") === col("nb")) // band grain from here on
+          .withColumn("h_cum", sum(col("h_loc")).over(wB))
+          .withColumn("brk", row_number().over(wBo))
+          .withColumn("nbands", count(lit(1)).over(Window.partitionBy("lang")))
+          .filter(col("brk") === col("nbands"))
           .select(col("lang"), col("v").as("vocab"),
             round(col("h_cum"), 6).as("entropy"),
             round(col("h_cum") / log(col("v").cast("double")), 6).as("efficiency"))
@@ -328,18 +343,26 @@ object TextAnalysis {
         """WITH tf AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM (
           |    SELECT lang, unnest(string_split(text,' ')) AS w FROM documents)
           |  GROUP BY lang, w),
-          |m AS (SELECT lang, w, c,
-          |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n,
-          |    count(*) OVER (PARTITION BY lang) AS v,
-          |    row_number() OVER (PARTITION BY lang ORDER BY w) AS rk
-          |  FROM tf),
-          |h AS (SELECT lang, v, rk,
+          |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n, count(*) AS v
+          |  FROM tf GROUP BY lang),
+          |loc AS (SELECT tf.lang AS lang, w, v, substr(w, 1, 2) AS band,
           |    sum(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
-          |      OVER (PARTITION BY lang ORDER BY w ROWS UNBOUNDED PRECEDING) AS h_cum
-          |  FROM m)
+          |      OVER (PARTITION BY tf.lang, substr(w, 1, 2)
+          |            ORDER BY w ROWS UNBOUNDED PRECEDING) AS h_loc,
+          |    row_number() OVER (PARTITION BY tf.lang, substr(w, 1, 2)
+          |                       ORDER BY w) AS rk_loc,
+          |    count(*) OVER (PARTITION BY tf.lang, substr(w, 1, 2)) AS nb
+          |  FROM tf JOIN tot ON tf.lang = tot.lang),
+          |ends AS (SELECT lang, band, v, h_loc FROM loc WHERE rk_loc = nb),
+          |cum AS (SELECT lang, v,
+          |    sum(h_loc) OVER (PARTITION BY lang ORDER BY band
+          |                     ROWS UNBOUNDED PRECEDING) AS h_cum,
+          |    row_number() OVER (PARTITION BY lang ORDER BY band) AS brk,
+          |    count(*) OVER (PARTITION BY lang) AS nbands
+          |  FROM ends)
           |SELECT lang, CAST(v AS BIGINT) AS vocab, round(h_cum, 6) AS entropy,
           |  round(h_cum / ln(CAST(v AS DOUBLE)), 6) AS efficiency
-          |FROM h WHERE rk = v ORDER BY lang""".stripMargin)),
+          |FROM cum WHERE brk = nbands ORDER BY lang""".stripMargin)),
 
     GraftQuery(
       "q_text_js_divergence",
@@ -350,10 +373,14 @@ object TextAnalysis {
         "mode): JSD = ½Σ p ln(p/m) + ½Σ q ln(q/m), m = (p+q)/2. One " +
         "conditional-sum aggregation collapses the corpus to the " +
         "vocabulary relation (term, c1, c2); the 1-row totals broadcast " +
-        "back; the float contributions accumulate in ONE ordered window " +
-        "over the vocabulary (the zipf/entropy determinism device) and " +
-        "the answer reads off the last term's row, normalized to [0,1] " +
-        "by ln 2.",
+        "back. The float fold is BANDED TWO-PASS (the q_text_entropy " +
+        "scale device): terms band on their 2-char prefix, each band " +
+        "folds its contributions sequentially in term order in a " +
+        "PARTITIONED window, band subtotals fold sequentially over the " +
+        "tiny band-grain relation, and the answer reads off the last " +
+        "band, normalized to [0,1] by ln 2. The oracle computes the " +
+        "identical banded tree, so the non-associative double sums " +
+        "agree bit-for-bit with NO vocabulary-sized single partition.",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val t = Tables.spread(s, table(s, dir, "documents"))
@@ -370,12 +397,21 @@ object TextAnalysis {
         val contrib =
           (when(col("c1") > 0L, p * log(p / m)).otherwise(lit(0d)) +
             when(col("c2") > 0L, q * log(q / m)).otherwise(lit(0d))) / lit(2d)
-        val ord = Window.orderBy("w")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wLo = Window.partitionBy("band").orderBy("w")
+        val wL = wLo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wBo = Window.orderBy("band")
+        val wB = wBo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t.crossJoin(broadcast(tot))
-          .withColumn("jsd_cum", sum(contrib).over(ord))
-          .withColumn("rk", row_number().over(Window.orderBy("w")))
-          .filter(col("rk") === col("v"))
+          .withColumn("band", substring(col("w"), 1, 2))
+          .withColumn("j_loc", sum(contrib).over(wL))
+          .withColumn("rk_loc", row_number().over(wLo))
+          .withColumn("nb", count(lit(1)).over(Window.partitionBy("band")))
+          .filter(col("rk_loc") === col("nb")) // band grain from here on
+          .withColumn("jsd_cum", sum(col("j_loc")).over(wB))
+          .withColumn("brk", row_number().over(wBo))
+          .withColumn("nbands", count(lit(1)).over(
+            wBo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .filter(col("brk") === col("nbands"))
           .select(col("v").as("vocab"), round(col("jsd_cum"), 6).as("jsd"),
             round(col("jsd_cum") / lit(math.log(2d)), 6).as("jsd_norm"))
       },
@@ -389,8 +425,7 @@ object TextAnalysis {
           |  GROUP BY w),
           |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
           |    CAST(sum(c2) AS BIGINT) AS n2, count(*) AS v FROM t),
-          |c AS (SELECT w, v,
-          |    row_number() OVER (ORDER BY w) AS rk,
+          |loc AS (SELECT w, v, substr(w, 1, 2) AS band,
           |    sum(
           |      (CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE)/n1)
           |         * ln((CAST(c1 AS DOUBLE)/n1)
@@ -400,11 +435,20 @@ object TextAnalysis {
           |         * ln((CAST(c2 AS DOUBLE)/n2)
           |               / ((CAST(c1 AS DOUBLE)/n1 + CAST(c2 AS DOUBLE)/n2) / 2))
           |        ELSE 0 END) / 2)
-          |      OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) AS jsd_cum
-          |  FROM t, tot)
+          |      OVER (PARTITION BY substr(w, 1, 2)
+          |            ORDER BY w ROWS UNBOUNDED PRECEDING) AS j_loc,
+          |    row_number() OVER (PARTITION BY substr(w, 1, 2) ORDER BY w) AS rk_loc,
+          |    count(*) OVER (PARTITION BY substr(w, 1, 2)) AS nb
+          |  FROM t, tot),
+          |ends AS (SELECT band, v, j_loc FROM loc WHERE rk_loc = nb),
+          |cum AS (SELECT v,
+          |    sum(j_loc) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING) AS jsd_cum,
+          |    row_number() OVER (ORDER BY band) AS brk,
+          |    count(*) OVER () AS nbands
+          |  FROM ends)
           |SELECT CAST(v AS BIGINT) AS vocab, round(jsd_cum, 6) AS jsd,
           |  round(jsd_cum / ln(2.0), 6) AS jsd_norm
-          |FROM c WHERE rk = v""".stripMargin)),
+          |FROM cum WHERE brk = nbands""".stripMargin)),
 
     GraftQuery(
       "q_text_novelty",
@@ -456,13 +500,19 @@ object TextAnalysis {
         "(natural corpora grow V ≈ K·nᵝ with β ≈ 0.4–0.6; a saturated " +
         "or templated corpus flattens toward 0, as this ~31-term " +
         "fixture does). Per-token first occurrence is ONE min(doc_id) " +
-        "keyed agg (vocabulary-bounded, the q_text_novelty device), " +
-        "new-vocab counts land back on the doc-grain relation, and " +
-        "BOTH cumulative layers — the count prefix sums and the four " +
-        "float OLS sufficient sums over their logs — run in ordered " +
-        "windows sharing ONE doc_id sort (the zipf determinism device: " +
-        "fixed float summation order on both engines). Everything " +
-        "after the token agg is doc-grain; the corpus is touched once.",
+        "keyed agg (vocabulary-bounded, the q_text_novelty device); " +
+        "new-vocab counts land back on the doc-grain relation. BOTH " +
+        "cumulative layers run BANDED TWO-PASS over band = doc_id div " +
+        "1024 (the q_pack_sequences device, extended to doubles): the " +
+        "integer token/vocab prefix sums shift per-band local windows " +
+        "by band offsets (exact — integer addition is associative), " +
+        "and the four float OLS sufficient sums over ln(ct), ln(cv) " +
+        "fold sequentially per band with band subtotals folded over " +
+        "the tiny band-grain relation. The oracle computes the " +
+        "IDENTICAL banded float tree (non-associative doubles need the " +
+        "same fold order, not just the same order of terms), so the " +
+        "corpus-grain relation is never sorted into one partition on " +
+        "either engine; the corpus itself is touched once.",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -474,30 +524,52 @@ object TextAnalysis {
           .select(col("doc_id"), explode(col("toks")).as("w"))
           .groupBy("w").agg(min(col("doc_id")).as("fd"))
           .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("vnew"))
-        val ord = Window.orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         def D(c: String) = col(c).cast(DoubleType)
-        val slope = (D("nd") * col("sxy") - col("sx") * col("sy")) /
-          (D("nd") * col("sxx") - col("sx") * col("sx"))
         val base = perDoc.join(firstNew, Seq("doc_id"), "left")
           .withColumn("vnew", coalesce(col("vnew"), lit(0L)))
-        base
-          .withColumn("ct", sum(col("ntok")).over(ord))
-          .withColumn("cv", sum(col("vnew")).over(ord))
-          .withColumn("x", log(col("ct").cast(DoubleType)))
-          .withColumn("y", log(col("cv").cast(DoubleType)))
-          .withColumn("rk",
-            row_number().over(Window.orderBy("doc_id")).cast(LongType))
-          .withColumn("sx", sum(col("x")).over(ord))
-          .withColumn("sy", sum(col("y")).over(ord))
-          .withColumn("sxy", sum(col("x") * col("y")).over(ord))
-          .withColumn("sxx", sum(col("x") * col("x")).over(ord))
-          .crossJoin(broadcast(base.agg(count(lit(1)).as("nd"))))
-          .filter(col("rk") === col("nd"))
+          .withColumn("band", expr("doc_id div 1024"))
+        val wLo = Window.partitionBy("band").orderBy("doc_id")
+        val wL = wLo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wBo = Window.orderBy("band")
+        val wB = wBo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // pass 1: integer band subtotals -> offsets over the tiny band grain
+        val offsets = base.groupBy("band")
+          .agg(sum(col("ntok")).as("ts"), sum(col("vnew")).as("vs"),
+            count(lit(1)).as("nb"))
+          .withColumn("ct_off", sum(col("ts")).over(wB) - col("ts"))
+          .withColumn("cv_off", sum(col("vs")).over(wB) - col("vs"))
+          .withColumn("rk_off", sum(col("nb")).over(wB) - col("nb"))
+          .select("band", "nb", "ct_off", "cv_off", "rk_off")
+        // pass 2: per-band local prefix sums shifted by the band offsets
+        // give exact global ct/cv/rk at every row; the float OLS folds
+        // stay band-local and only their band-end values survive
+        val ends = base.join(broadcast(offsets), "band")
+          .withColumn("rk_loc", row_number().over(wLo).cast(LongType))
+          .withColumn("ct", col("ct_off") + sum(col("ntok")).over(wL))
+          .withColumn("cv", col("cv_off") + sum(col("vnew")).over(wL))
+          .withColumn("rk", col("rk_off") + col("rk_loc"))
+          .withColumn("x", log(D("ct")))
+          .withColumn("y", log(D("cv")))
+          .withColumn("sx", sum(col("x")).over(wL))
+          .withColumn("sy", sum(col("y")).over(wL))
+          .withColumn("sxy", sum(col("x") * col("y")).over(wL))
+          .withColumn("sxx", sum(col("x") * col("x")).over(wL))
+          .filter(col("rk_loc") === col("nb")) // band grain from here on
+        val slope = (D("rk") * col("gsxy") - col("gsx") * col("gsy")) /
+          (D("rk") * col("gsxx") - col("gsx") * col("gsx"))
+        ends
+          .withColumn("gsx", sum(col("sx")).over(wB))
+          .withColumn("gsy", sum(col("sy")).over(wB))
+          .withColumn("gsxy", sum(col("sxy")).over(wB))
+          .withColumn("gsxx", sum(col("sxx")).over(wB))
+          .withColumn("brk", row_number().over(wBo))
+          .withColumn("nbands", count(lit(1)).over(
+            wBo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .filter(col("brk") === col("nbands")) // rk here = total doc count nd
           .select(col("rk").as("n_docs"), col("cv").as("vocab"),
             col("ct").as("tokens"),
             round(slope, 6).as("heaps_beta"),
-            round((col("sy") - slope * col("sx")) / D("nd"), 6).as("heaps_b0"))
+            round((col("gsy") - slope * col("gsx")) / D("rk"), 6).as("heaps_b0"))
       },
       Some(
         """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
@@ -505,27 +577,49 @@ object TextAnalysis {
           |fw AS (SELECT w, min(doc_id) AS fd FROM (
           |    SELECT doc_id, unnest(toks) AS w FROM d) GROUP BY w),
           |nv AS (SELECT fd AS doc_id, count(*) AS vnew FROM fw GROUP BY fd),
-          |b AS (SELECT pd.doc_id, ntok, COALESCE(vnew, 0) AS vnew
+          |b AS (SELECT pd.doc_id, ntok, COALESCE(vnew, 0) AS vnew,
+          |    pd.doc_id // 1024 AS band
           |  FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id),
-          |c AS (SELECT doc_id,
-          |    sum(ntok) OVER win AS ct, sum(vnew) OVER win AS cv,
-          |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rk
-          |  FROM b WINDOW win AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)),
-          |xy AS (SELECT rk, ct, cv,
+          |ba AS (SELECT band, CAST(sum(ntok) AS BIGINT) AS ts,
+          |    CAST(sum(vnew) AS BIGINT) AS vs, count(*) AS nb
+          |  FROM b GROUP BY band),
+          |bo AS (SELECT band, nb,
+          |    CAST(sum(ts) OVER wb - ts AS BIGINT) AS ct_off,
+          |    CAST(sum(vs) OVER wb - vs AS BIGINT) AS cv_off,
+          |    CAST(sum(nb) OVER wb - nb AS BIGINT) AS rk_off
+          |  FROM ba WINDOW wb AS (ORDER BY band ROWS UNBOUNDED PRECEDING)),
+          |c AS (SELECT b.doc_id AS doc_id, b.band AS band, nb,
+          |    row_number() OVER wo AS rk_loc,
+          |    ct_off + sum(ntok) OVER wl AS ct,
+          |    cv_off + sum(vnew) OVER wl AS cv,
+          |    rk_off + row_number() OVER wo AS rk
+          |  FROM b JOIN bo ON b.band = bo.band
+          |  WINDOW wl AS (PARTITION BY b.band ORDER BY b.doc_id
+          |                ROWS UNBOUNDED PRECEDING),
+          |         wo AS (PARTITION BY b.band ORDER BY b.doc_id)),
+          |xy AS (SELECT doc_id, band, nb, rk_loc, ct, cv, rk,
           |    ln(CAST(ct AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y FROM c),
-          |r AS (SELECT rk, ct, cv,
-          |    sum(x) OVER win AS sx, sum(y) OVER win AS sy,
-          |    sum(x * y) OVER win AS sxy, sum(x * x) OVER win AS sxx
-          |  FROM xy WINDOW win AS (ORDER BY rk ROWS UNBOUNDED PRECEDING)),
-          |t AS (SELECT count(*) AS nd FROM b)
-          |SELECT rk AS n_docs, CAST(cv AS BIGINT) AS vocab,
+          |e AS (SELECT band, nb, rk_loc, ct, cv, rk,
+          |    sum(x) OVER wl AS sx, sum(y) OVER wl AS sy,
+          |    sum(x * y) OVER wl AS sxy, sum(x * x) OVER wl AS sxx
+          |  FROM xy WINDOW wl AS (PARTITION BY band ORDER BY doc_id
+          |                        ROWS UNBOUNDED PRECEDING)),
+          |en AS (SELECT band, ct, cv, rk, sx, sy, sxy, sxx
+          |  FROM e WHERE rk_loc = nb),
+          |g AS (SELECT ct, cv, rk,
+          |    sum(sx) OVER wb AS gsx, sum(sy) OVER wb AS gsy,
+          |    sum(sxy) OVER wb AS gsxy, sum(sxx) OVER wb AS gsxx,
+          |    row_number() OVER (ORDER BY band) AS brk,
+          |    count(*) OVER () AS nbands
+          |  FROM en WINDOW wb AS (ORDER BY band ROWS UNBOUNDED PRECEDING))
+          |SELECT CAST(rk AS BIGINT) AS n_docs, CAST(cv AS BIGINT) AS vocab,
           |  CAST(ct AS BIGINT) AS tokens,
-          |  round((CAST(nd AS DOUBLE) * sxy - sx * sy)
-          |    / (CAST(nd AS DOUBLE) * sxx - sx * sx), 6) AS heaps_beta,
-          |  round((sy - ((CAST(nd AS DOUBLE) * sxy - sx * sy)
-          |    / (CAST(nd AS DOUBLE) * sxx - sx * sx)) * sx)
-          |    / CAST(nd AS DOUBLE), 6) AS heaps_b0
-          |FROM r, t WHERE rk = nd""".stripMargin)),
+          |  round((CAST(rk AS DOUBLE) * gsxy - gsx * gsy)
+          |    / (CAST(rk AS DOUBLE) * gsxx - gsx * gsx), 6) AS heaps_beta,
+          |  round((gsy - ((CAST(rk AS DOUBLE) * gsxy - gsx * gsy)
+          |    / (CAST(rk AS DOUBLE) * gsxx - gsx * gsx)) * gsx)
+          |    / CAST(rk AS DOUBLE), 6) AS heaps_b0
+          |FROM g WHERE brk = nbands""".stripMargin)),
 
     GraftQuery(
       "q_text_readability",

@@ -305,6 +305,28 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("windowspecdefinition(band"), p)
   }
 
+  test("q_text_heaps: banded two-pass — the doc grain never single-partitions") {
+    val p = plan("q_text_heaps")
+    // doc-grain windows partition by band; only the two band-grain relations
+    // (the integer-offsets aggregate and the band-ends row set) go global
+    assert(p.contains("Exchange hashpartitioning(band"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_text_js_divergence: banded two-pass — the vocab grain never single-partitions") {
+    val p = plan("q_text_js_divergence")
+    // vocab-grain window partitions by the 2-char term-prefix band; global
+    // exchanges remain only for the 1-row totals agg and the band ends
+    assert(p.contains("Exchange hashpartitioning(band"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_text_entropy: banded two-pass — no single-partition exchange at all") {
+    val p = plan("q_text_entropy")
+    assert("Exchange hashpartitioning\\(lang#\\d+, band".r.findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q_join_null_anti plans a null-aware anti join on the nullable branch") {
     val p = plan("q_join_null_anti")
     // BOTH NOT IN branches must run as Spark's null-aware anti join —
