@@ -400,13 +400,14 @@ object VectorOps {
         "(score desc, vec_id) orders, and the fused score is two IEEE " +
         "divisions + one add on the same tree — so fusion can never " +
         "diverge. Scale shape: one broadcast of the 1-row query side, " +
-        "one map pass computing both scores, two rank windows over the " +
-        "slim (vec_id, score) relation; swap in the q_hist_equidepth " +
-        "2-pass global rank when the candidate set outgrows one task " +
-        "(production fuses top-k lists from the ANN index, not full " +
+        "one map pass computing both scores, then TWO exact global " +
+        "ranks via GlobalRank.rowNumber2Pass (the q_hist_equidepth " +
+        "device: range-repartition + local index + broadcast offsets) — " +
+        "the slim (vec_id, score) relation moves through two range " +
+        "exchanges and NEVER sorts into one partition (production " +
+        "additionally fuses top-k lists from the ANN index, not full " +
         "scans).",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val e = table(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
@@ -418,13 +419,11 @@ object VectorOps {
             Exact.dot(col("embedding"), col("qv")).as("dp"))
         def D(c: org.apache.spark.sql.Column) =
           c.cast(org.apache.spark.sql.types.DoubleType)
-        scored
-          .withColumn("r_cos",
-            row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
-              .cast("long"))
-          .withColumn("r_dot",
-            row_number().over(Window.orderBy(col("dp").desc, col("vec_id")))
-              .cast("long"))
+        val ranked = graft.operators.GlobalRank.rowNumber2Pass(
+          graft.operators.GlobalRank.rowNumber2Pass(
+            scored, Seq(col("cos").desc, col("vec_id")), "r_cos"),
+          Seq(col("dp").desc, col("vec_id")), "r_dot")
+        ranked
           .select(col("vec_id"), col("r_cos"), col("r_dot"),
             round(lit(1d) / D(lit(60L) + col("r_cos")) +
               lit(1d) / D(lit(60L) + col("r_dot")), 6).as("rrf"))
@@ -555,11 +554,11 @@ object VectorOps {
         "equality r_dot = r_aug on every row is the machine-checked " +
         "proof of the reduction, not a code comment. Both scores are " +
         "the identical IEEE trees on both engines; ranks are fully " +
-        "tie-broken by vec_id.",
+        "tie-broken by vec_id and computed as exact global row numbers " +
+        "via GlobalRank.rowNumber2Pass (range-repartition + local " +
+        "index + broadcast offsets), so the corpus-sized score " +
+        "relation never sorts into one partition.",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.types.DoubleType
-        def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
         val e = table(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"))
@@ -573,11 +572,10 @@ object VectorOps {
             // the augmented q keeps ‖q‖; the extra dimension contributes 0
             (Exact.dot(col("embedding"), col("qv")) /
               (col("mx") * Exact.norm(col("qv")))).as("ac"))
-        scored
-          .withColumn("r_dot", row_number().over(
-            Window.orderBy(col("dp").desc, col("vec_id"))).cast("long"))
-          .withColumn("r_aug", row_number().over(
-            Window.orderBy(col("ac").desc, col("vec_id"))).cast("long"))
+        graft.operators.GlobalRank.rowNumber2Pass(
+          graft.operators.GlobalRank.rowNumber2Pass(
+            scored, Seq(col("dp").desc, col("vec_id")), "r_dot"),
+          Seq(col("ac").desc, col("vec_id")), "r_aug")
           .filter(col("r_dot") <= 10)
           .select(col("vec_id"), col("r_dot"), col("r_aug"),
             round(col("dp"), 6).as("dot"))
@@ -664,18 +662,16 @@ object VectorOps {
           .join(broadcast(lut.select(col("sub").as("ls"), col("cid"),
             col("d2"))), col("sub") === col("ls") && col("code") === col("cid"))
           .groupBy("vec_id").agg(sum(col("d2")).as("adc"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("adc"), col("vec_id"))).cast("long"))
-          .filter(col("rk") <= 10)
+          // top-10 SET only (ranks are not output): TakeOrderedAndProject,
+          // no global window — the corpus never sorts into one partition
+          .orderBy(col("adc"), col("vec_id")).limit(10)
         val q = qrel8.filter(col("vec_id") === 0)
           .select(col("sub").as("qs"), col("j").as("qj"), col("q").as("qq"))
         val exact = qrel8.filter(col("vec_id") =!= 0)
           .join(broadcast(q), col("sub") === col("qs") && col("j") === col("qj"))
           .groupBy(col("vec_id").as("eid"))
           .agg(sum((col("q") - col("qq")) * (col("q") - col("qq"))).as("l2"))
-          .withColumn("re", row_number().over(
-            Window.orderBy(col("l2"), col("eid"))).cast("long"))
-          .filter(col("re") <= 10)
+          .orderBy(col("l2"), col("eid")).limit(10)
         adc.join(exact, col("vec_id") === col("eid"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
           .select(col("n_hits"),
@@ -741,17 +737,14 @@ object VectorOps {
             (bit_count(col("w_lo").bitwiseXOR(col("q_lo"))) +
               bit_count(col("w_hi").bitwiseXOR(col("q_hi")))).cast("long")
               .as("ham"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("ham"), col("vec_id"))).cast("long"))
-          .filter(col("rk") <= 10)
+          // top-10 SET only: TakeOrderedAndProject, no global window
+          .orderBy(col("ham"), col("vec_id")).limit(10)
         val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
         val cos10 = e.filter(col("vec_id") =!= 0)
           .join(broadcast(qv))
           .select(col("vec_id").as("cid"),
             Exact.cosine(col("embedding"), col("qv")).as("cos"))
-          .withColumn("rc", row_number().over(
-            Window.orderBy(col("cos").desc, col("cid"))).cast("long"))
-          .filter(col("rc") <= 10)
+          .orderBy(col("cos").desc, col("cid")).limit(10)
         ham10.join(cos10, col("vec_id") === col("cid"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
           .select(col("n_hits"),

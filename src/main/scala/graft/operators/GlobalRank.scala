@@ -45,6 +45,36 @@ object GlobalRank {
   def denseRank(df: DataFrame, key: Column, out: String): DataFrame =
     df.join(broadcast(denseRanks(df, key, out)), key <=> col("__k")).drop("__k")
 
+  /** row_number() OVER (ORDER BY sortCols…) over a near-unique key WITHOUT a
+    * single-partition window — the q_hist_equidepth 2-pass device factored
+    * for reuse (the [[denseRanks]] broadcast trick only pays off when the key
+    * collapses; a fully tie-broken score order does not). Range-repartition
+    * on the sort order (one full shuffle through Spark's sampled range
+    * partitioner), sort within partitions, read (partition, local index) off
+    * monotonically_increasing_id over ONE eager materialization, collect the
+    * `parts`-row partition-count relation (a bounded driver fetch — `parts`
+    * rows at any corpus size), and add the exclusive offsets back via a
+    * broadcast join: global row number = partition offset + local index + 1.
+    * The fact relation only ever moves through the range exchange. */
+  def rowNumber2Pass(df: DataFrame, sortCols: Seq[Column], out: String,
+      parts: Int = 16): DataFrame = {
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val cnts = sorted.groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__cnt")).orderBy("__pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val offsets = cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _))
+    val ss = df.sparkSession
+    import ss.implicits._
+    val offDf = offsets.toDF("__pid", "__off")
+    sorted.join(broadcast(offDf), shiftright(col("__mid"), 33) === col("__pid"))
+      .withColumn(out,
+        col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .drop("__mid", "__pid", "__off")
+  }
+
   /** rank() OVER (ORDER BY key) — like [[denseRank]] plus per-key counts:
     * rank(v) = 1 + Σ count(k < v), a running sum over the distinct relation. */
   def rank(df: DataFrame, key: Column, out: String): DataFrame = {

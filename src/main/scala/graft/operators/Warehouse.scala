@@ -146,30 +146,49 @@ object Warehouse {
       "RFM customer segmentation — the classic value-tiering mart: per " +
         "customer recency (days since last order, exact epoch-day " +
         "BIGINTs), frequency (order count) and monetary (exact cents), " +
-        "each scored into quintiles by ntile(5) over a FULLY tie-broken " +
-        "order (metric, custkey — ntile of integer ranks is exact on " +
-        "both engines once ties can't reorder), then the 5×5×5 segment " +
-        "grid with customer counts and exact money mass. The fact table " +
-        "collapses to customer grain in ONE hash agg before any window; " +
-        "the three ntile windows run over that ~15k-row relation. At " +
-        "1e8+ customers the global ntile windows would single-partition " +
-        "— swap in the q_hist_equidepth 2-pass chunked global rank " +
-        "(same integer bucket formula) without touching the contract.",
+        "each scored into quintiles over a FULLY tie-broken order " +
+        "(metric, custkey — buckets of integer ranks are exact on both " +
+        "engines once ties can't reorder), then the 5×5×5 segment grid " +
+        "with customer counts and exact money mass. The fact table " +
+        "collapses to customer grain in ONE hash agg before any " +
+        "ranking; each quintile is the exact integer ntile bucket " +
+        "formula applied to a GlobalRank.rowNumber2Pass exact global " +
+        "rank (the q_hist_equidepth device: range-repartition + local " +
+        "index + broadcast offsets), so the customer-grain relation " +
+        "moves through three range exchanges and never sorts into one " +
+        "partition — the shape that survives 1e8+ customers. The " +
+        "oracle keeps DuckDB's native ntile; identical integers.",
       (s, dir) => {
+        import graft.operators.GlobalRank.rowNumber2Pass
         val od = datediff(to_date(col("o_orderdate")),
           to_date(lit("1970-01-01"))).cast(LongType)
         val per = table(s, dir, "orders")
           .groupBy(col("o_custkey"))
           .agg(max(od).as("lastd"), count(lit(1)).as("f"),
             sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType)).as("m"))
-        per.crossJoin(broadcast(per.agg(max(col("lastd")).as("maxd"))))
-          .withColumn("r_days", col("maxd") - col("lastd"))
-          .withColumn("r_score", ntile(5)
-            .over(Window.orderBy(col("r_days"), col("o_custkey"))).cast(LongType))
-          .withColumn("f_score", ntile(5)
-            .over(Window.orderBy(col("f").desc, col("o_custkey"))).cast(LongType))
-          .withColumn("m_score", ntile(5)
-            .over(Window.orderBy(col("m").desc, col("o_custkey"))).cast(LongType))
+        val ranked = rowNumber2Pass(rowNumber2Pass(rowNumber2Pass(
+          per.crossJoin(broadcast(per.agg(max(col("lastd")).as("maxd"))))
+            .withColumn("r_days", col("maxd") - col("lastd")),
+          Seq(col("r_days"), col("o_custkey")), "rr"),
+          Seq(col("f").desc, col("o_custkey")), "rf"),
+          Seq(col("m").desc, col("o_custkey")), "rm")
+          .crossJoin(broadcast(per.agg(count(lit(1)).as("nn"))))
+        // exact ntile(5) from the global rank: the first n%5 buckets take
+        // one extra row — the q_hist_equidepth integer bucket formula
+        def score(rk: org.apache.spark.sql.Column) = {
+          val r0 = rk - lit(1L)
+          val q = call_function("div", col("nn"), lit(5L))
+          val rem = col("nn") % lit(5L)
+          val thr = rem * (q + lit(1L))
+          when(r0 < thr, call_function("div", r0, q + lit(1L)) + lit(1L))
+            .otherwise(call_function("div", r0 - thr, greatest(q, lit(1L)))
+              + rem + lit(1L))
+            .cast(LongType)
+        }
+        ranked
+          .withColumn("r_score", score(col("rr")))
+          .withColumn("f_score", score(col("rf")))
+          .withColumn("m_score", score(col("rm")))
           .groupBy("r_score", "f_score", "m_score")
           .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("monetary_cents"))
           .orderBy("r_score", "f_score", "m_score")

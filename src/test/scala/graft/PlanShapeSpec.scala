@@ -327,6 +327,34 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q_vec_rrf / q_vec_mips: exact global ranks with NO window operator") {
+    // both fused-rank queries decompose their global row_numbers through
+    // GlobalRank.rowNumber2Pass — no windowed sort of the corpus anywhere
+    val pr = plan("q_vec_rrf")
+    assert(!pr.contains("windowspecdefinition"), pr)
+    assert(!pr.contains("Exchange SinglePartition"), pr)
+    assert(pr.contains("TakeOrderedAndProject"), pr)
+    val pm = plan("q_vec_mips")
+    assert(!pm.contains("windowspecdefinition"), pm)
+    assert(!pm.contains("Exchange SinglePartition"), pm)
+  }
+
+  test("q_vec_pq_recall / q_vec_binary_hamming: top-10 sets via heap top-k") {
+    for (q <- Seq("q_vec_pq_recall", "q_vec_binary_hamming")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("q_agg_rfm: quintiles from 2-pass ranks — no ntile window, no global sort of customers") {
+    val p = plan("q_agg_rfm")
+    assert(!p.contains("windowspecdefinition"), p)
+    // the only single-partition exchanges feed the two 1-row global
+    // aggregates (max last-day, customer count)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q_join_null_anti plans a null-aware anti join on the nullable branch") {
     val p = plan("q_join_null_anti")
     // BOTH NOT IN branches must run as Spark's null-aware anti join —
