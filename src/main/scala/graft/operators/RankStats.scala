@@ -340,10 +340,9 @@ object RankStats {
            |  FROM daily),
            |np AS (SELECT event_type AS et, max(n) AS nn FROM d GROUP BY 1),
            |grid AS (SELECT np.et, np.nn, CAST(b.range AS BIGINT) AS b,
-           |    CAST(j.range AS BIGINT) AS j
+           |    dj.rn AS j
            |  FROM np CROSS JOIN range(1, 201) b
-           |  CROSS JOIN range(0, 4096) j
-           |  WHERE j.range < np.nn),
+           |  JOIN d dj ON dj.event_type = np.et),
            |g AS (SELECT et, nn, b,
            |    CAST(CAST('0x' || substr(md5(et || '|' || CAST(b AS VARCHAR)
            |      || '|' || CAST(j AS VARCHAR)), 1, 13) AS UBIGINT)
@@ -974,7 +973,9 @@ object RankStats {
     GraftQuery(
       "q_stats_capture_recapture",
       "Chapman capture–recapture population estimate: the first two " +
-        "complete Monday-aligned weeks are the two capture occasions, " +
+        "Monday-aligned calendar weeks OBSERVED in the corpus (min(wk) " +
+        "and min(wk)+1 — the first may be a partial week when the span " +
+        "starts mid-week) are the two capture occasions, " +
         "their user sets the marks, and N̂ = (n1+1)(n2+1)/(m+1) − 1 " +
         "estimates the active population — the ecology/census estimator " +
         "that generalizes to count things a full scan cannot see (here " +

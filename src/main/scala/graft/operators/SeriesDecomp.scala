@@ -425,12 +425,17 @@ object SeriesDecomp {
         // The picks stay HASH-aggregable by construction: min/max(c) need no
         // tie-break at all (only the VALUE is emitted), and first/last order
         // by ONE packed BIGINT — (tsm − bucket_start)·2^28 + event_id, exact
-        // because the in-bucket offset is < 2^35 µs and ids are < 2^28 on
-        // the fixtures (widen the split with the id domain in production).
+        // because the in-bucket offset is < 2^35 µs and ids are < 2^28. The
+        // id-domain precondition is ENFORCED, not assumed: an event_id at or
+        // above 2^28 raises at runtime instead of silently mis-ordering the
+        // first/last picks (widen the multiplier with the id domain then).
         // Any STRUCT-ordered min/max/min_by silently plans a SortAggregate,
         // sorting every group (pinned in PlanShapeSpec).
-        val ord = (col("tsm") - col("bkt") * lit(bw)) * lit(1L << 28) +
-          col("event_id")
+        val ord = when(col("event_id") < lit(1L << 28),
+          (col("tsm") - col("bkt") * lit(bw)) * lit(1L << 28) + col("event_id"))
+          .otherwise(raise_error(lit(
+            "q_ts_m4: event_id >= 2^28 overflows the packed first/last " +
+              "ordering key — widen the multiplier to cover the id domain")))
         e.groupBy("event_type", "bkt")
           .agg(count(lit(1)).as("n"),
             min_by(col("c"), ord).as("first_c"),
@@ -492,7 +497,7 @@ object SeriesDecomp {
         """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
           |    value FROM events),
           |g AS (SELECT user_id, ts, event_id, value, CASE WHEN
-          |  epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+          |  epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
           |  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk
           |  FROM e),
           |s AS (SELECT user_id, ts, value,
