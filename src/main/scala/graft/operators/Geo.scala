@@ -571,6 +571,206 @@ object Geo {
           |   AND a.event_id < b.event_id)
           |SELECT count(*) AS n_pairs, count(DISTINCT ida) AS n_left,
           |  round(min(d2), 9) AS min_d2
-          |FROM pairs WHERE d2 <= 0.25""".stripMargin))
+          |FROM pairs WHERE d2 <= 0.25""".stripMargin)),
+
+    GraftQuery(
+      "q_packet_mice",
+      "Mic-E packet analytics — the dominant real-traffic APRS encoding " +
+        "(latitude digits, N/S, longitude offset and E/W ride the " +
+        "DESTINATION field; longitude and speed/course pack into byte−28 " +
+        "info bytes): per-station report count, position bounding box, and " +
+        "exact speed/course mass. The rendering side ENCODES every event's " +
+        "integer residues through the full Mic-E scheme (all four " +
+        "longitude-degree encoder branches: +190 for 0–9°, plain for " +
+        "10–99°, +180 for 100–109°, offset for 110–179°), the production " +
+        "parser decodes them back, and the oracle computes positions and " +
+        "speed/course DIRECTLY from the integers — encode∘decode pinned as " +
+        "the exact identity over the whole domain. Map-side render+parse, " +
+        "one hash agg on slim (callsign, lat, lon, speed) rows.",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"))
+        def P(c: Column, m: Long) = pmod(c, lit(m))
+        def dv(a: Column, b: Long) = call_function("div", a, lit(b))
+        def ch(c: Column) = call_function("char", c)
+        val latDeg = P(col("event_id"), 90L)
+        val latMinC = P(col("event_id") * 7, 6000L)
+        val lonDeg = P(col("event_id") * 3, 180L)
+        val lonMinC = P(col("event_id") * 13, 6000L)
+        val north = P(col("event_id"), 2L) === 0
+        val west = P(col("event_id"), 3L) =!= 0
+        val spd = P(col("event_id") * 11, 800L)
+        val crs = P(col("event_id") * 17, 400L)
+        // destination: lat digits with message bits (standard set: P–Y) on
+        // chars 1–3, N/S on 4, longitude offset on 5, E/W on 6
+        val off = lonDeg <= 9 || lonDeg >= 100
+        def flagDigit(d: Column, flag: Column) =
+          ch(when(flag, d + 80).otherwise(d + 48))
+        val dest = concat(
+          ch(dv(latDeg, 10L) + 80), ch(P(latDeg, 10L) + 80),
+          ch(dv(latMinC, 1000L) + 80),
+          flagDigit(P(dv(latMinC, 100L), 10L), north),
+          flagDigit(P(dv(latMinC, 10L), 10L), off),
+          flagDigit(P(latMinC, 10L), west))
+        // info bytes: the four lon-degree encoder branches, minutes +60
+        // below 10', hundredths, then speed/course split 10·SP+DC
+        val b1 = when(lonDeg <= 9, lonDeg + 118)
+          .when(lonDeg <= 99, lonDeg + 28)
+          .when(lonDeg <= 109, lonDeg + 8)
+          .otherwise(lonDeg - 72)
+        val lonMin = dv(lonMinC, 100L)
+        val b2 = lonMin + 28 + when(lonMin <= 9, 60).otherwise(0)
+        val b3 = P(lonMinC, 100L) + 28
+        val b4 = dv(spd, 10L) + 28
+        val b5 = P(spd, 10L) * 10 + dv(crs, 100L) + 28
+        val b6 = P(crs, 100L) + 28
+        val raw = concat(
+          lit("U"), col("user_id").cast("string"), lit(">"), dest,
+          lit(",TCPIP*:`"), ch(b1), ch(b2), ch(b3), ch(b4), ch(b5), ch(b6),
+          lit(">/"))
+        graft.streaming.PacketParse
+          .parse(Tables.spread(s, e.select(raw.as("raw"))))
+          .groupBy("callsign")
+          .agg(
+            sum(when(col("packet_type") === "mice", 1L).otherwise(0L)).as("n_mice"),
+            round(min(col("lat")), 6).as("lat_min"),
+            round(max(col("lat")), 6).as("lat_max"),
+            round(min(col("lon")), 6).as("lon_min"),
+            round(max(col("lon")), 6).as("lon_max"),
+            sum(col("mice_speed")).as("speed_sum"),
+            sum(col("mice_course")).as("course_sum"))
+          .orderBy("callsign")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id,
+          |    event_id % 90 AS lat_deg, (event_id * 7) % 6000 AS lat_minc,
+          |    (event_id * 3) % 180 AS lon_deg, (event_id * 13) % 6000 AS lon_minc,
+          |    (event_id * 11) % 800 AS spd, (event_id * 17) % 400 AS crs
+          |  FROM events WHERE event_type = 'purchase'),
+          |p AS (SELECT 'U' || CAST(user_id AS VARCHAR) AS callsign, spd, crs,
+          |    (CAST(lat_deg AS DOUBLE) + CAST(lat_minc AS DOUBLE) / 100.0 / 60.0)
+          |      * (CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE -1.0 END) AS lat,
+          |    (CAST(lon_deg AS DOUBLE) + CAST(lon_minc AS DOUBLE) / 100.0 / 60.0)
+          |      * (CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE -1.0 END) AS lon
+          |  FROM e)
+          |SELECT callsign, count(*) AS n_mice,
+          |  round(min(lat), 6) AS lat_min, round(max(lat), 6) AS lat_max,
+          |  round(min(lon), 6) AS lon_min, round(max(lon), 6) AS lon_max,
+          |  CAST(sum(spd) AS BIGINT) AS speed_sum,
+          |  CAST(sum(crs) AS BIGINT) AS course_sum
+          |FROM p GROUP BY callsign ORDER BY callsign""".stripMargin)),
+
+    GraftQuery(
+      "q_packet_compressed",
+      "Compressed-position packet analytics (base-91 body after `!`): " +
+        "per-station report count and bounding box. The rendering side " +
+        "encodes an integer y/x pair (0…68566680 — the exact in-range " +
+        "domain) into four base-91 characters each, the production parser " +
+        "decodes lat = 90 − y/380926 and lon = −180 + x/190463, and the " +
+        "oracle computes the same IEEE tree directly from the integers — " +
+        "encode∘decode pinned as the identity over the full base-91 " +
+        "alphabet. Map-side render+parse, one hash agg.",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"))
+        def P(c: Column, m: Long) = pmod(c, lit(m))
+        def dv(a: Column, b: Long) = call_function("div", a, lit(b))
+        def ch(c: Column) = call_function("char", c)
+        val lval = P(col("event_id") * 31, 68566681L)
+        val nval = P(col("event_id") * 37, 68566681L)
+        def b91(v: Column) = concat(
+          ch(dv(v, 753571L) + 33), ch(P(dv(v, 8281L), 91L) + 33),
+          ch(P(dv(v, 91L), 91L) + 33), ch(P(v, 91L) + 33))
+        val raw = concat(
+          lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:!/"),
+          b91(lval), b91(nval), lit(">   "))
+        graft.streaming.PacketParse
+          .parse(Tables.spread(s, e.select(raw.as("raw"))))
+          .groupBy("callsign")
+          .agg(
+            sum(when(col("packet_type") === "position", 1L).otherwise(0L)).as("n_pos"),
+            round(min(col("lat")), 6).as("lat_min"),
+            round(max(col("lat")), 6).as("lat_max"),
+            round(min(col("lon")), 6).as("lon_min"),
+            round(max(col("lon")), 6).as("lon_max"))
+          .orderBy("callsign")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id,
+          |    (event_id * 31) % 68566681 AS lval,
+          |    (event_id * 37) % 68566681 AS nval
+          |  FROM events WHERE event_type = 'error'),
+          |p AS (SELECT 'U' || CAST(user_id AS VARCHAR) AS callsign,
+          |    90.0 - CAST(lval AS DOUBLE) / 380926.0 AS lat,
+          |    -180.0 + CAST(nval AS DOUBLE) / 190463.0 AS lon
+          |  FROM e)
+          |SELECT callsign, count(*) AS n_pos,
+          |  round(min(lat), 6) AS lat_min, round(max(lat), 6) AS lat_max,
+          |  round(min(lon), 6) AS lon_min, round(max(lon), 6) AS lon_max
+          |FROM p GROUP BY callsign ORDER BY callsign""".stripMargin)),
+
+    GraftQuery(
+      "q_packet_thirdparty",
+      "Third-party (igate) traffic analytics (`}` payload-in-payload): " +
+        "per-igate relayed-packet count, distinct relayed stations, and the " +
+        "relayed-position bounding box. The rendering side wraps an " +
+        "uncompressed position packet inside a `}` tunnel per event, the " +
+        "production parser re-parses the inner packet ONE level and " +
+        "surfaces its position plus the inner source callsign, and the " +
+        "oracle computes everything directly from the integers — the " +
+        "igate-output family that previously landed in 'other'.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"))
+        val raw = concat(
+          lit("IG"), pmod(col("user_id"), lit(7L)).cast("string"),
+          lit(">APRS,TCPIP*:}U"), col("user_id").cast("string"),
+          lit(">APRS,TCPIP*:!"),
+          format_string("%02d%02d.%02d",
+            pmod(col("event_id"), lit(90L)),
+            (pmod(col("event_id") * 7, lit(6000L)) / lit(100)).cast("long"),
+            pmod(pmod(col("event_id") * 7, lit(6000L)), lit(100L))),
+          when(pmod(col("event_id"), lit(2L)) === 0, "N").otherwise("S"),
+          lit("/"),
+          format_string("%03d%02d.%02d",
+            pmod(col("event_id") * 3, lit(180L)),
+            (pmod(col("event_id") * 13, lit(6000L)) / lit(100)).cast("long"),
+            pmod(pmod(col("event_id") * 13, lit(6000L)), lit(100L))),
+          when(pmod(col("event_id"), lit(3L)) === 0, "E").otherwise("W"),
+          lit("#"))
+        graft.streaming.PacketParse
+          .parse(Tables.spread(s, e.select(raw.as("raw"))))
+          .groupBy("callsign")
+          .agg(
+            sum(when(col("packet_type") === "thirdparty", 1L).otherwise(0L))
+              .as("n_tp"),
+            countDistinct(col("tp_callsign")).as("n_stations"),
+            round(min(col("lat")), 6).as("lat_min"),
+            round(max(col("lat")), 6).as("lat_max"),
+            round(min(col("lon")), 6).as("lon_min"),
+            round(max(col("lon")), 6).as("lon_max"))
+          .orderBy("callsign")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id,
+          |    event_id % 90 AS lat_deg, (event_id * 7) % 6000 AS lat_minc,
+          |    (event_id * 3) % 180 AS lon_deg, (event_id * 13) % 6000 AS lon_minc
+          |  FROM events WHERE event_type = 'signup'),
+          |p AS (SELECT 'IG' || CAST(user_id % 7 AS VARCHAR) AS callsign,
+          |    'U' || CAST(user_id AS VARCHAR) AS tp,
+          |    (CAST(lat_deg AS DOUBLE) + CAST(lat_minc AS DOUBLE) / 100.0 / 60.0)
+          |      * (CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE -1.0 END) AS lat,
+          |    (CAST(lon_deg AS DOUBLE) + CAST(lon_minc AS DOUBLE) / 100.0 / 60.0)
+          |      * (CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE -1.0 END) AS lon
+          |  FROM e)
+          |SELECT callsign, count(*) AS n_tp, count(DISTINCT tp) AS n_stations,
+          |  round(min(lat), 6) AS lat_min, round(max(lat), 6) AS lat_max,
+          |  round(min(lon), 6) AS lon_min, round(max(lon), 6) AS lon_max
+          |FROM p GROUP BY callsign ORDER BY callsign""".stripMargin))
   )
 }

@@ -159,6 +159,15 @@ object EventStream {
   *    digital bits;
   *  - positionless weather (`_ddhhmmmc...s...g...t...`): wind dir/speed,
   *    gust, temperature;
+  *  - COMPRESSED positions (base-91 body after `!` `=` `/` `@` `;`):
+  *    lat = 90 − yyyy/380926, lon = −180 + xxxx/190463;
+  *  - Mic-E (`` ` `` and `'` DTIs): latitude digits, N/S, longitude offset
+  *    and E/W decoded from the DESTINATION field, longitude and
+  *    speed/course from the byte−28 info field (`mice_speed`,
+  *    `mice_course` columns; ambiguity digits K/L/Z zero-fill);
+  *  - third-party tunnels (`}`): the inner TNC2 packet is re-parsed one
+  *    level — inner position/speed surface on the outer row plus the inner
+  *    source callsign as `tp_callsign`;
   *  - a `packet_type` classification column and the Maidenhead grid locator
   *    (6 characters) derived from the parsed position.
   *
@@ -206,6 +215,9 @@ object PacketParse {
       .withColumn("msg_text", col("_pf.msg_text"))
       .withColumn("status_text", col("_pf.status_text"))
       .withColumn("grid", col("_pf.grid"))
+      .withColumn("mice_speed", col("_pf.mice_speed"))
+      .withColumn("mice_course", col("_pf.mice_course"))
+      .withColumn("tp_callsign", col("_pf.tp_callsign"))
       .drop("_pf")
   }
 }

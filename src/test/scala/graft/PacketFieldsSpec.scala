@@ -13,36 +13,14 @@ import org.apache.spark.sql.types.DoubleType
 class PacketFieldsSpec extends SparkSuite {
   import spark.implicits._
 
-  /** The ORIGINAL regex formulation of PacketParse.parse (pre-fusion),
-    * kept as the semantic reference. */
-  private def regexParse(lines: DataFrame, raw: String = "raw"): DataFrame = {
-    val posBody = "([0-9]{4}\\.[0-9]{2})([NS])(.)([0-9]{5}\\.[0-9]{2})([EW])"
-    val barePos = s"^[!=]$posBody"
-    val timedPos = s"^[/@][0-9]{6}[zh/]$posBody"
-    val objPos = s"^;.{9}[*_][0-9]{6}[zh/]$posBody"
-    val telemetryHead = "^T#([0-9]{1,5}),"
-    val telemetry = "^T#([0-9]{1,5}),([0-9.-]+),[0-9.-]+,[0-9.-]+,[0-9.-]+,[0-9.-]+,([01]{8})"
-    val weatherHead = "^_[0-9]{8}"
-    val weather = "^_([0-9]{8})c([0-9. ]{3})s([0-9. ]{3})g([0-9. ]{3})t(-?[0-9. ]{2,3})"
+  import org.apache.spark.sql.Column
 
-    def grp(pattern: String, i: Int) = regexp_extract(col("payload"), pattern, i)
-    def posGrp(i: Int) =
-      when(grp(barePos, i) =!= "", grp(barePos, i))
-        .when(grp(timedPos, i) =!= "", grp(timedPos, i))
-        .otherwise(grp(objPos, i))
-    def toDeg(s: org.apache.spark.sql.Column, degDigits: Int,
-              hemi: org.apache.spark.sql.Column, neg: String): org.apache.spark.sql.Column =
-      when(s === "", lit(null).cast(DoubleType)).otherwise(
-        (substring(s, 1, degDigits).cast(DoubleType) +
-          substring(s, degDigits + 1, 5).cast(DoubleType) / 60.0) *
-          when(hemi === neg, -1.0).otherwise(1.0))
-
-    val lat = toDeg(posGrp(1), 2, posGrp(2), "S")
-    val lon = toDeg(posGrp(4), 3, posGrp(5), "W")
-
-    val adjLon = least(col("lon") + 180.0, lit(359.999999))
-    val adjLat = least(col("lat") + 90.0, lit(179.999999))
-    val gridExpr = concat(
+  /** Maidenhead grid from lat/lon columns — factored so the third-party
+    * override can recompute it after substituting the inner position. */
+  private def gridOf(lat: Column, lon: Column): Column = {
+    val adjLon = least(lon + 180.0, lit(359.999999))
+    val adjLat = least(lat + 90.0, lit(179.999999))
+    concat(
       element_at(split(lit("ABCDEFGHIJKLMNOPQR"), ""), (floor(adjLon / 20) + 1).cast("int")),
       element_at(split(lit("ABCDEFGHIJKLMNOPQR"), ""), (floor(adjLat / 10) + 1).cast("int")),
       floor(pmod(adjLon, lit(20)) / 2).cast("int").cast("string"),
@@ -51,72 +29,202 @@ class PacketFieldsSpec extends SparkSuite {
         (floor(pmod(adjLon, lit(2)) * 12) + 1).cast("int")),
       element_at(split(lit("abcdefghijklmnopqrstuvwx"), ""),
         (floor(pmod(adjLat, lit(1)) * 24) + 1).cast("int")))
+  }
+
+  /** Reference semantics for the third-party tunnel on top of [[regexParse]]:
+    * run the single-level formulation on the outer line, re-run it (prefixed)
+    * on the payload after `}`, and splice the inner position/speed/source in
+    * where the inner header parsed — the same one-level rule as the fused
+    * parser (`allowTp` false on the inner pass: an inner `}` stays 'other'
+    * because the prefixed pass itself has no tunnel branch). */
+  private def refParse(lines: DataFrame, raw: String = "raw"): DataFrame = {
+    val outer = regexParse(lines, raw)
+    val withInner = outer.withColumn("raw2",
+      when(col("dti") === "}", expr("substring(payload, 2)")).otherwise(lit("")))
+    val both = regexParse(withInner, "raw2", "i_")
+    val isTp = col("dti") === "}" && col("callsign") =!= "" &&
+      col("i_callsign") =!= "" && col("i_payload") =!= ""
+    both
+      .withColumn("packet_type", when(isTp, "thirdparty").otherwise(col("packet_type")))
+      .withColumn("tp_callsign", when(isTp, col("i_callsign")))
+      .withColumn("lat", when(isTp, col("i_lat")).otherwise(col("lat")))
+      .withColumn("lon", when(isTp, col("i_lon")).otherwise(col("lon")))
+      .withColumn("mice_speed", when(isTp, col("i_mice_speed")).otherwise(col("mice_speed")))
+      .withColumn("mice_course", when(isTp, col("i_mice_course")).otherwise(col("mice_course")))
+      .withColumn("grid",
+        when(col("lat").isNotNull && col("lon").isNotNull,
+          gridOf(col("lat"), col("lon"))).otherwise(lit(null)))
+  }
+
+  /** The ORIGINAL regex formulation of PacketParse.parse (pre-fusion),
+    * kept as the semantic reference and extended with the same compressed /
+    * Mic-E families the fused parser grew — expression trees only, no code
+    * shared with the production parser. `prefix` names the output columns so
+    * [[refParse]] can run an inner (third-party) pass on the same rows. */
+  private def regexParse(lines: DataFrame, raw: String = "raw",
+      prefix: String = ""): DataFrame = {
+    val posBody = "([0-9]{4}\\.[0-9]{2})([NS])(.)([0-9]{5}\\.[0-9]{2})([EW])"
+    val barePos = s"^[!=]$posBody"
+    val timedPos = s"^[/@][0-9]{6}[zh/]$posBody"
+    val objPos = s"^;.{9}[*_][0-9]{6}[zh/]$posBody"
+    val telemetryHead = "^T#([0-9]{1,5}),"
+    val telemetry = "^T#([0-9]{1,5}),([0-9.-]+),[0-9.-]+,[0-9.-]+,[0-9.-]+,[0-9.-]+,([01]{8})"
+    val weatherHead = "^_[0-9]{8}"
+    val weather = "^_([0-9]{8})c([0-9. ]{3})s([0-9. ]{3})g([0-9. ]{3})t(-?[0-9. ]{2,3})"
+    // compressed body: table, 8 base-91 chars (33–123), symbol (33–126),
+    // cs+T (32–125) — table excludes digits, so disjoint from ddmm.hh
+    val compBody = "([\\/\\\\A-Za-j])([!-{]{8})([!-~])([ -}]{3})"
+    val compBare = s"^[!=]$compBody"
+    val compTimed = s"^[/@][0-9]{6}[zh/]$compBody"
+    val compObj = s"^;.{9}[*_][0-9]{6}[zh/]$compBody"
+
+    val callsignC = regexp_extract(col(raw), "^([A-Za-z0-9-]+)>", 1)
+    val pathC = regexp_extract(col(raw), "^[^>]+>([^:]*):", 1)
+    val payloadC = regexp_extract(col(raw), "^[^:]+:(.*)$", 1)
+    val dtiC = substring(payloadC, 1, 1)
+
+    def grp(pattern: String, i: Int) = regexp_extract(payloadC, pattern, i)
+    def posGrp(i: Int) =
+      when(grp(barePos, i) =!= "", grp(barePos, i))
+        .when(grp(timedPos, i) =!= "", grp(timedPos, i))
+        .otherwise(grp(objPos, i))
+    def toDeg(s: Column, degDigits: Int, hemi: Column, neg: String): Column =
+      when(s === "", lit(null).cast(DoubleType)).otherwise(
+        (substring(s, 1, degDigits).cast(DoubleType) +
+          substring(s, degDigits + 1, 5).cast(DoubleType) / 60.0) *
+          when(hemi === neg, -1.0).otherwise(1.0))
+
+    val uLat = toDeg(posGrp(1), 2, posGrp(2), "S")
+    val uLon = toDeg(posGrp(4), 3, posGrp(5), "W")
+
+    // compressed base-91 decode
+    def compGrp(i: Int) =
+      when(grp(compBare, i) =!= "", grp(compBare, i))
+        .when(grp(compTimed, i) =!= "", grp(compTimed, i))
+        .otherwise(grp(compObj, i))
+    val c8 = compGrp(2)
+    def b91v(i: Int) = ascii(substring(c8, i, 1)) - 33
+    val yv = ((b91v(1).cast("long") * 91 + b91v(2)) * 91 + b91v(3)) * 91 + b91v(4)
+    val xv = ((b91v(5).cast("long") * 91 + b91v(6)) * 91 + b91v(7)) * 91 + b91v(8)
+    val cLat = when(c8 =!= "", lit(90.0) - yv.cast(DoubleType) / 380926.0)
+    val cLon = when(c8 =!= "", lit(-180.0) + xv.cast(DoubleType) / 190463.0)
+
+    // Mic-E: lat digits + flags from the destination (first path component,
+    // SSID stripped), lon + speed/course from byte−28 info field
+    val destCore = regexp_extract(regexp_extract(pathC, "^([^,]*)", 1), "^([^-]*)", 1)
+    val infoOk = (2 to 7).map(i =>
+      ascii(substring(payloadC, i, 1)).between(28, 127)).reduce(_ && _)
+    val miceOk = dtiC.isin("`", "'") && destCore.rlike("^[0-9A-LP-Z]{6}$") &&
+      length(payloadC) >= 9 && infoOk
+    val dd = translate(destCore, "ABCDEFGHIJKLPQRSTUVWXYZ", "01234567890001234567890")
+    def dig(i: Int) = substring(dd, i, 1).cast("int")
+    val north = substring(destCore, 4, 1).rlike("[P-Z]")
+    val offset = substring(destCore, 5, 1).rlike("[P-Z]")
+    val west = substring(destCore, 6, 1).rlike("[P-Z]")
+    val latDeg = dig(1) * 10 + dig(2)
+    val latMinC = dig(3) * 1000 + dig(4) * 100 + dig(5) * 10 + dig(6)
+    val mLat = when(miceOk,
+      (latDeg.cast(DoubleType) + latMinC.cast(DoubleType) / 100.0 / 60.0) *
+        when(north, 1.0).otherwise(-1.0))
+    def ib(i: Int) = ascii(substring(payloadC, i, 1)) // payload char i, 1-based
+    val d0a = ib(2) - 28 + when(offset, 100).otherwise(0)
+    val d0 = when(d0a.between(180, 189), d0a - 80)
+      .when(d0a.between(190, 199), d0a - 190).otherwise(d0a)
+    val m0a = ib(3) - 28
+    val m0 = when(m0a >= 60, m0a - 60).otherwise(m0a)
+    val lonMinC = m0 * 100 + (ib(4) - 28)
+    val mLon = when(miceOk,
+      (d0.cast(DoubleType) + lonMinC.cast(DoubleType) / 100.0 / 60.0) *
+        when(west, -1.0).otherwise(1.0))
+    val spA = (ib(5) - 28).cast("long") * 10 +
+      call_function("div", (ib(6) - 28).cast("long"), lit(10L))
+    val spd = when(spA >= 800, spA - 800).otherwise(spA)
+    val crsA = pmod(ib(6) - 28, lit(10)).cast("long") * 100 + (ib(7) - 28)
+    val crs = when(crsA >= 400, crsA - 400).otherwise(crsA)
+
+    // the three families are disjoint on (dti, first body char)
+    val latAll = coalesce(uLat, cLat, mLat)
+    val lonAll = coalesce(uLon, cLon, mLon)
+    val latG = when(latAll.between(-90.0, 90.0), latAll)
+    val lonG = when(lonAll.between(-180.0, 180.0), lonAll)
+
+    val ptypeC =
+      when(callsignC === "" || payloadC === "", "other")
+        .when(dtiC.isin("!", "="),
+          when(latG.isNotNull && lonG.isNotNull, "position").otherwise("other"))
+        .when(dtiC.isin("/", "@"),
+          when(latG.isNotNull && lonG.isNotNull, "position_ts").otherwise("other"))
+        .when(dtiC === ">", "status")
+        .when(dtiC === ":" &&
+          regexp_extract(payloadC, "^:([^:]{9}):", 1) =!= "", "message")
+        .when(dtiC === ";" &&
+          latG.isNotNull && lonG.isNotNull, "object")
+        .when(dtiC === "T" && payloadC.rlike(telemetryHead), "telemetry")
+        .when(dtiC === "_" && payloadC.rlike(weatherHead), "weather")
+        .when(dtiC.isin("`", "'"),
+          when(latG.isNotNull && lonG.isNotNull, "mice").otherwise("other"))
+        .otherwise("other")
 
     lines
-      .withColumn("callsign", regexp_extract(col(raw), "^([A-Za-z0-9-]+)>", 1))
-      .withColumn("path", regexp_extract(col(raw), "^[^>]+>([^:]*):", 1))
-      .withColumn("payload", regexp_extract(col(raw), "^[^:]+:(.*)$", 1))
-      .withColumn("dti", substring(col("payload"), 1, 1))
-      .withColumn("lat", when(lat.between(-90.0, 90.0), lat))
-      .withColumn("lon", when(lon.between(-180.0, 180.0), lon))
-      .withColumn("packet_type",
-        when(col("callsign") === "" || col("payload") === "", "other")
-          .when(col("dti").isin("!", "="),
-            when(col("lat").isNotNull && col("lon").isNotNull, "position").otherwise("other"))
-          .when(col("dti").isin("/", "@"),
-            when(col("lat").isNotNull && col("lon").isNotNull, "position_ts").otherwise("other"))
-          .when(col("dti") === ">", "status")
-          .when(col("dti") === ":" &&
-            regexp_extract(col("payload"), "^:([^:]{9}):", 1) =!= "", "message")
-          .when(col("dti") === ";" &&
-            col("lat").isNotNull && col("lon").isNotNull, "object")
-          .when(col("dti") === "T" && col("payload").rlike(telemetryHead), "telemetry")
-          .when(col("dti") === "_" && col("payload").rlike(weatherHead), "weather")
-          .otherwise("other"))
-      .withColumn("obj_name",
-        when(col("packet_type") === "object",
-          trim(regexp_extract(col("payload"), "^;(.{9})[*_]", 1))).otherwise(lit(null)))
-      .withColumn("obj_killed",
-        when(col("packet_type") === "object",
-          regexp_extract(col("payload"), "^;.{9}([*_])", 1) === "_").otherwise(lit(null)))
-      .withColumn("tlm_seq",
-        when(col("packet_type") === "telemetry",
-          expr(s"try_cast(regexp_extract(payload, '$telemetryHead', 1) AS INT)"))
+      .withColumn(prefix + "callsign", callsignC)
+      .withColumn(prefix + "path", pathC)
+      .withColumn(prefix + "payload", payloadC)
+      .withColumn(prefix + "dti", dtiC)
+      .withColumn(prefix + "lat", latG)
+      .withColumn(prefix + "lon", lonG)
+      .withColumn(prefix + "packet_type", ptypeC)
+      .withColumn(prefix + "obj_name",
+        when(ptypeC === "object",
+          trim(regexp_extract(payloadC, "^;(.{9})[*_]", 1))).otherwise(lit(null)))
+      .withColumn(prefix + "obj_killed",
+        when(ptypeC === "object",
+          regexp_extract(payloadC, "^;.{9}([*_])", 1) === "_").otherwise(lit(null)))
+      .withColumn(prefix + "tlm_seq",
+        when(ptypeC === "telemetry",
+          expr(s"try_cast(regexp_extract(regexp_extract($raw, '^[^:]+:(.*)$$', 1), " +
+            s"'$telemetryHead', 1) AS INT)"))
           .otherwise(lit(null)))
-      .withColumn("tlm_a1",
-        when(col("packet_type") === "telemetry",
-          expr(s"try_cast(regexp_extract(payload, '$telemetry', 2) AS DOUBLE)"))
+      .withColumn(prefix + "tlm_a1",
+        when(ptypeC === "telemetry" && grp(telemetry, 2) =!= "",
+          expr(s"try_cast(regexp_extract(regexp_extract($raw, '^[^:]+:(.*)$$', 1), " +
+            s"'$telemetry', 2) AS DOUBLE)"))
           .otherwise(lit(null)))
-      .withColumn("tlm_bits",
-        when(col("packet_type") === "telemetry" && grp(telemetry, 3) =!= "",
+      .withColumn(prefix + "tlm_bits",
+        when(ptypeC === "telemetry" && grp(telemetry, 3) =!= "",
           grp(telemetry, 3)).otherwise(lit(null)))
-      .withColumn("wx_wind_dir",
-        when(col("packet_type") === "weather",
-          expr(s"try_cast(regexp_extract(payload, '$weather', 2) AS INT)"))
+      .withColumn(prefix + "wx_wind_dir",
+        when(ptypeC === "weather",
+          expr(s"try_cast(regexp_extract(regexp_extract($raw, '^[^:]+:(.*)$$', 1), " +
+            s"'$weather', 2) AS INT)")).otherwise(lit(null)))
+      .withColumn(prefix + "wx_wind_speed",
+        when(ptypeC === "weather",
+          expr(s"try_cast(regexp_extract(regexp_extract($raw, '^[^:]+:(.*)$$', 1), " +
+            s"'$weather', 3) AS INT)")).otherwise(lit(null)))
+      .withColumn(prefix + "wx_gust",
+        when(ptypeC === "weather",
+          expr(s"try_cast(regexp_extract(regexp_extract($raw, '^[^:]+:(.*)$$', 1), " +
+            s"'$weather', 4) AS INT)")).otherwise(lit(null)))
+      .withColumn(prefix + "wx_temp_f",
+        when(ptypeC === "weather",
+          expr(s"try_cast(regexp_extract(regexp_extract($raw, '^[^:]+:(.*)$$', 1), " +
+            s"'$weather', 5) AS INT)")).otherwise(lit(null)))
+      .withColumn(prefix + "msg_addressee",
+        when(ptypeC === "message",
+          trim(regexp_extract(payloadC, "^:([^:]{9}):", 1))).otherwise(lit(null)))
+      .withColumn(prefix + "msg_text",
+        when(ptypeC === "message",
+          regexp_extract(payloadC, "^:[^:]{9}:(.*)$", 1)).otherwise(lit(null)))
+      .withColumn(prefix + "status_text",
+        when(ptypeC === "status", substring(payloadC, 2, 256))
           .otherwise(lit(null)))
-      .withColumn("wx_wind_speed",
-        when(col("packet_type") === "weather",
-          expr(s"try_cast(regexp_extract(payload, '$weather', 3) AS INT)"))
-          .otherwise(lit(null)))
-      .withColumn("wx_gust",
-        when(col("packet_type") === "weather",
-          expr(s"try_cast(regexp_extract(payload, '$weather', 4) AS INT)"))
-          .otherwise(lit(null)))
-      .withColumn("wx_temp_f",
-        when(col("packet_type") === "weather",
-          expr(s"try_cast(regexp_extract(payload, '$weather', 5) AS INT)"))
-          .otherwise(lit(null)))
-      .withColumn("msg_addressee",
-        when(col("packet_type") === "message",
-          trim(regexp_extract(col("payload"), "^:([^:]{9}):", 1))).otherwise(lit(null)))
-      .withColumn("msg_text",
-        when(col("packet_type") === "message",
-          regexp_extract(col("payload"), "^:[^:]{9}:(.*)$", 1)).otherwise(lit(null)))
-      .withColumn("status_text",
-        when(col("packet_type") === "status", substring(col("payload"), 2, 256))
-          .otherwise(lit(null)))
-      .withColumn("grid",
-        when(col("lat").isNotNull && col("lon").isNotNull, gridExpr).otherwise(lit(null)))
+      .withColumn(prefix + "grid",
+        when(latG.isNotNull && lonG.isNotNull,
+          gridOf(latG, lonG)).otherwise(lit(null)))
+      .withColumn(prefix + "mice_speed",
+        when(ptypeC === "mice", spd).otherwise(lit(null)))
+      .withColumn(prefix + "mice_course",
+        when(ptypeC === "mice", crs).otherwise(lit(null)))
+      .withColumn(prefix + "tp_callsign", lit(null).cast("string"))
   }
 
   /** Adversarial battery: every payload family, every structural break point
@@ -188,15 +296,48 @@ class PacketFieldsSpec extends SparkSuite {
     "A>B:T",                               // telemetry dti alone
     // unicode in payload (code-point dti / status substring)
     "U1>A:>\u00e9tat ok \u4e2d\u6587",
-    "U2>A:\u4e2d4903.50N/07201.75W-")      // multibyte dti → other
+    "U2>A:\u4e2d4903.50N/07201.75W-",      // multibyte dti → other
+    // compressed positions (APRS-spec example coordinates: 49.5N 72.75W)
+    "K1ABC>APRS,TCPIP*:!/5L!!<*e7>7P[comment",
+    "K1ABC>APRS:=/5L!!<*e7>{!! ",
+    "K1ABC>APRS:@092345z/5L!!<*e7>7P[t",    // timed compressed
+    "K1ABC>APRS:;OBJECT123*092345z/5L!!<*e7>7P[o",  // compressed object
+    "K1ABC>APRS:!\\5L!!<*e7>7P[alt table",
+    "K1ABC>APRS:!a5L!!<*e7>7P[overlay a",
+    "K1ABC>APRS:!k5L!!<*e7>7P[k not in a-j",  // bad table char → other
+    "K1ABC>APRS:!/5L !!<*e7>7P[",             // space in base-91 run → other
+    "K1ABC>APRS:!/5L!!<*e7>",                 // truncated (no cs+T) → other
+    "K1ABC>APRS:!/5L!!<*e7>7P",               // 12 of 13 bytes → other
+    "K1ABC>APRS:!/|||||||||||7P[",            // '|' (124) in b91 run → other
+    "K1ABC>APRS:!/!!!!!!!!>!!!x",             // min b91 digits → lat 90, lon -180
+    // Mic-E (dest T7SUPW: lat 47°35.07' N, lon offset, W; info: lon 100°35.50')
+    "W1AW-9>T7SUPW,WIDE1-1:`l?N\u001e\u001cs>/comment",
+    "W1AW-9>T7SUPW:'l?N\u001e\u001cs>/old gps",     // old-style DTI
+    "W1AW>T7SZZZ,TCPIP*:`l?N\u001e\u001cs>/ambiguity zeros",
+    "W1AW>Q7SUPW:`l?N\u001e\u001cs>/Q dest char",   // Q valid (P-Z)
+    "W1AW>N7SUPW:`l?N\u001e\u001cs>/N invalid",     // N not in 0-9A-LP-Z → other
+    "W1AW>T7SUPW:`l?N",                             // info too short → other
+    "W1AW>T7SUPW7,WIDE1-1:`l?N\u001e\u001cs>/7-char dest",  // len != 6 → other
+    "W1AW>T7SUPW:`\u001b?N\u001e\u001cs>/info byte < 28",   // → other
+    "BACKTICK>APRS:`no valid dest here",
+    // third-party tunnels (one level only)
+    "IGATE-1>APRS,TCPIP*:}W1AW-9>APRS,TCPIP*:!4903.50N/07201.75W-inner pos",
+    "IGATE-1>APRS:}W1AW>T7SUPW:`l?N\u001e\u001cs>/inner mice",
+    "IGATE-1>APRS:}K1ABC>APRS:!/5L!!<*e7>7P[inner compressed",
+    "IGATE-1>APRS:}DB0XYZ>APRS:>inner status",      // inner non-position: still thirdparty
+    "IGATE-1>APRS:}garbage no header",              // inner header fails → other
+    "IGATE-1>APRS:}X>Y:}Z>W:!4903.50N/07201.75W-",  // nested tunnel: pos NOT parsed
+    "IGATE-1>APRS:}",                               // empty inner → other
+    "IGATE-1>APRS:}X>:p")                           // inner empty path, has payload
 
   test("fused PacketFields equals the regex formulation on the battery — both eval paths") {
     val df = battery.toDF("raw")
     val cols = Seq("raw", "callsign", "path", "payload", "dti", "lat", "lon",
       "packet_type", "obj_name", "obj_killed", "tlm_seq", "tlm_a1", "tlm_bits",
       "wx_wind_dir", "wx_wind_speed", "wx_gust", "wx_temp_f",
-      "msg_addressee", "msg_text", "status_text", "grid")
-    val expected = regexParse(df).select(cols.map(col): _*)
+      "msg_addressee", "msg_text", "status_text", "grid",
+      "mice_speed", "mice_course", "tp_callsign")
+    val expected = refParse(df).select(cols.map(col): _*)
       .orderBy("raw").collect().toSeq
     Seq(true, false).foreach { cg =>
       val key = "spark.sql.codegen.wholeStage"
@@ -219,13 +360,17 @@ class PacketFieldsSpec extends SparkSuite {
     // chars chosen to hit every structural break point of the char-level
     // parser (deterministic seed — failures reproduce)
     val rnd = new scala.util.Random(42)
-    val heads = Seq("N0CALL>APRS,WIDE1-1:", "a-1>b:", ">x:", "AB:", "", "X>:", "X>Y")
+    val heads = Seq("N0CALL>APRS,WIDE1-1:", "a-1>b:", ">x:", "AB:", "", "X>:", "X>Y",
+      "W1AW>T7SUPW,WIDE1-1:", "W1AW>T7SZZZ:", "IG-1>APRS,TCPIP*:")
     val bodies = Seq(
       "!4903.50N/07201.75W-", "!9999.99N/19999.99W-", "@092345z4903.50N/07201.75W>",
       ";LEADER   *092345z4903.50N/07201.75W>", ":K1ABC-9  :msg", ">status",
       "T#005,199.9,27.0,3.5,12.1,0.0,10110001", "_10090556c220s004g005t077",
-      "T#12,x", "_1009", "!49", ";SHORT*092345z", "")
-    val noise = "!=/@;:>T_#,.-0123456789NSEW zhab"
+      "T#12,x", "_1009", "!49", ";SHORT*092345z", "",
+      "!/5L!!<*e7>7P[", "=\\5L!!<*e7>{!! ", "@092345z/5L!!<*e7>7P[",
+      "`l?Ns>/", "'l?Ns>/", "`l?N",
+      "}W1AW-9>APRS:!4903.50N/07201.75W-", "}X>Y:}Z>W:>s", "}junk")
+    val noise = "!=/@;:>T_#,.-0123456789NSEW zhab`'}\\{[|"
     def randChunk(): String =
       (0 until rnd.nextInt(6)).map(_ => noise(rnd.nextInt(noise.length))).mkString
     val lines = (0 until 400).map { _ =>
@@ -236,8 +381,9 @@ class PacketFieldsSpec extends SparkSuite {
     val cols = Seq("raw", "callsign", "path", "payload", "dti", "lat", "lon",
       "packet_type", "obj_name", "obj_killed", "tlm_seq", "tlm_a1", "tlm_bits",
       "wx_wind_dir", "wx_wind_speed", "wx_gust", "wx_temp_f",
-      "msg_addressee", "msg_text", "status_text", "grid")
-    val expected = regexParse(df).select(cols.map(col): _*)
+      "msg_addressee", "msg_text", "status_text", "grid",
+      "mice_speed", "mice_course", "tp_callsign")
+    val expected = refParse(df).select(cols.map(col): _*)
       .orderBy("raw").collect().toSeq
     Seq(true, false).foreach { cg =>
       val key = "spark.sql.codegen.wholeStage"
