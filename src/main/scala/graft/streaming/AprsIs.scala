@@ -1,0 +1,114 @@
+package graft.streaming
+
+/** APRS-IS application-level protocol: the login/filter handshake a live
+  * APRS-IS connection requires before (or while) the server streams packets.
+  *
+  * Protocol (public APRS-IS spec): the server greets with a `#` comment
+  * banner; the client sends ONE login line
+  * `user CALL pass PASSCODE vers NAME VERSION [filter SPEC]` and the server
+  * answers with a `# logresp CALL verified/unverified, server …` comment.
+  * All subsequent `#` lines are keepalive comments; everything else is a
+  * TNC2 packet line. The passcode is the public 15-bit alternating-byte XOR
+  * hash of the uppercased base callsign.
+  */
+object AprsIs {
+
+  /** APRS-IS passcode for a callsign — the public algorithm: start at
+    * 0x73e2, XOR each even-indexed char of the uppercased, SSID-stripped
+    * callsign into the high byte and each odd-indexed char into the low
+    * byte, mask to 15 bits. (Spot values: N0CALL → 13023, TEST → 29939.) */
+  def passcode(callsign: String): Int = {
+    val base = callsign.toUpperCase.takeWhile(_ != '-')
+    var hash = 0x73e2
+    var i = 0
+    while (i < base.length) {
+      hash ^= base.charAt(i) << 8
+      if (i + 1 < base.length) hash ^= base.charAt(i + 1)
+      i += 2
+    }
+    hash & 0x7fff
+  }
+
+  /** The login line; `filter` is a server-side filter spec such as
+    * `r/49.0/-72.0/100` (range), `p/N0` (prefix), `b/CALL` (budlist). */
+  def loginLine(callsign: String, filter: Option[String]): String = {
+    val base = s"user $callsign pass ${passcode(callsign)} vers graft 1.0"
+    filter.fold(base)(f => s"$base filter $f")
+  }
+}
+
+/** Client-side APRS-IS connection: connects to the server, performs the
+  * [[AprsIs.loginLine]] handshake, records the banner and `# logresp`
+  * acknowledgement, strips `#` comment/keepalive lines, and re-serves the
+  * remaining packet lines on a loopback server socket for Spark's socket
+  * source — the login protocol is connection-level, so it lives beside the
+  * source rather than inside the (receive-only) socket source itself.
+  *
+  * Bounded relay state: packet lines queue up to `capacity` while the Spark
+  * source attaches; overflow drops oldest-first semantics are NOT needed for
+  * a broadcast radio feed — lines beyond capacity are counted in [[dropped]]
+  * and discarded (the socket source is at-most-once already; the drop-dir
+  * source is the durable deployment mode).
+  */
+final class AprsIsRelay(host: String, port: Int, callsign: String,
+    filter: Option[String] = None, capacity: Int = 65536) {
+
+  private val queue = new java.util.concurrent.LinkedBlockingQueue[String](capacity)
+  private val local = new java.net.ServerSocket(0, 1,
+    java.net.InetAddress.getByName("127.0.0.1"))
+  @volatile private var closed = false
+  @volatile var serverBanner: Option[String] = None
+  @volatile var logresp: Option[String] = None
+  @volatile var dropped: Long = 0L
+
+  /** Loopback port the Spark socket source should connect to. */
+  def localPort: Int = local.getLocalPort
+
+  private val reader = new Thread(() => {
+    try {
+      val sock = new java.net.Socket(host, port)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+      // APRS-IS accepts the login at any point before data flows — send it
+      // immediately; the banner comment arrives concurrently
+      out.print(AprsIs.loginLine(callsign, filter) + "\r\n")
+      out.flush()
+      var line = in.readLine()
+      while (line != null && !closed) {
+        if (line.startsWith("#")) {
+          if (serverBanner.isEmpty) serverBanner = Some(line)
+          if (logresp.isEmpty && line.toLowerCase.contains("logresp"))
+            logresp = Some(line)
+        } else if (!queue.offer(line)) dropped += 1
+        line = in.readLine()
+      }
+      sock.close()
+    } catch { case _: Throwable => () }
+  }, "aprsis-reader")
+
+  private val writer = new Thread(() => {
+    try {
+      val cli = local.accept()
+      val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        cli.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+      while (!closed) {
+        val l = queue.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (l != null) { w.println(l); w.flush() }
+      }
+      cli.close()
+    } catch { case _: Throwable => () }
+  }, "aprsis-writer")
+
+  def start(): AprsIsRelay = {
+    reader.setDaemon(true); writer.setDaemon(true)
+    reader.start(); writer.start()
+    this
+  }
+
+  def stop(): Unit = {
+    closed = true
+    try local.close() catch { case _: Throwable => () }
+  }
+}

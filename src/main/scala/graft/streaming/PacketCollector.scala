@@ -8,10 +8,15 @@ import org.apache.spark.sql.streaming.Trigger
   * standalone Structured Streaming app (SURVEY.md §2.10, BASELINE.json north
   * star: "Structured Streaming for APRS packet ingestion + DataFrame writes").
   *
-  * Usage: PacketCollector <inDir> <outDir> <checkpointDir> [--socket host:port]
+  * Usage: PacketCollector <inDir> <outDir> <checkpointDir>
+  *          [--socket host:port | --aprsis host:port:callsign[:filter]]
   *
   * Default source is a drop-dir of text files (one TNC2 packet line each) —
-  * the replayable deployment mode; `--socket` switches to a live APRS-IS feed.
+  * the replayable deployment mode; `--socket` switches to a raw TCP line
+  * feed, and `--aprsis` to a REAL APRS-IS connection: the [[AprsIsRelay]]
+  * performs the `user CALL pass … filter …` login handshake, records the
+  * server banner / `# logresp` acknowledgement, strips keepalive comments,
+  * and re-serves the packet stream to the socket source.
   * Pipeline: readStream text → PacketParse (callsign/path/DTI/position) →
   * ingest timestamp → partitioned parquet (exactly-once via checkpoint).
   *
@@ -65,6 +70,16 @@ object PacketCollector {
         require(hp.length == 2 && hp(1).nonEmpty && hp(1).forall(_.isDigit),
           s"--socket value must be host:port, got '${args(idx + 1)}'")
         Some((hp(0), hp(1).toInt))
+      } else if (args.contains("--aprsis")) {
+        val idx = args.indexOf("--aprsis")
+        require(idx + 1 < args.length,
+          "--aprsis requires a host:port:callsign[:filter] value")
+        val parts = args(idx + 1).split(":", 4)
+        require(parts.length >= 3 && parts(1).nonEmpty && parts(1).forall(_.isDigit),
+          s"--aprsis value must be host:port:callsign[:filter], got '${args(idx + 1)}'")
+        val relay = new AprsIsRelay(parts(0), parts(1).toInt, parts(2),
+          if (parts.length == 4) Some(parts(3)) else None).start()
+        Some(("127.0.0.1", relay.localPort))
       } else None
 
     val query = pipeline(source(spark, inDir, sock)).writeStream

@@ -218,6 +218,86 @@ class StreamingSpec extends SparkSuite {
     assert(viaSocket.count(_.getAs[String]("station_bucket") == "_") == 4)
   }
 
+  test("aprs-is login handshake: passcode, login line, logresp, comment stripping") {
+    import graft.streaming.{AprsIs, AprsIsRelay}
+    // the public passcode algorithm, pinned on hand-computed spot values
+    assert(AprsIs.passcode("N0CALL") == 13023)
+    assert(AprsIs.passcode("n0call-9") == 13023) // case + SSID insensitive
+    assert(AprsIs.passcode("TEST") == 29939)
+    assert(AprsIs.loginLine("TEST", Some("r/49/-72/100")) ==
+      "user TEST pass 29939 vers graft 1.0 filter r/49/-72/100")
+    assert(AprsIs.loginLine("TEST", None) == "user TEST pass 29939 vers graft 1.0")
+
+    // mock APRS-IS server: banner, read + record the login, logresp ack,
+    // then packets with a keepalive comment injected mid-stream
+    val pkt = (0 until 10).map(i =>
+      f"U$i%d>APRS,TCPIP*:!${40 + i}%02d03.50N/072${i}%02d.75W-p$i")
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var seenLogin: String = null
+    val mock = new Thread(() => {
+      try {
+        val s = server.accept()
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+          s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          s.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+        w.println("# aprsc 2.1.15-gC67551A"); w.flush()
+        seenLogin = r.readLine()
+        w.println("# logresp TEST verified, server T2MOCK"); w.flush()
+        pkt.zipWithIndex.foreach { case (l, i) =>
+          if (i == 5) w.println("# keepalive 20260814")
+          w.println(l)
+        }
+        w.flush()
+        while (!server.isClosed) Thread.sleep(50)
+        s.close()
+      } catch { case _: Throwable => () }
+    })
+    mock.setDaemon(true)
+    mock.start()
+
+    val relay = new AprsIsRelay("127.0.0.1", server.getLocalPort,
+      "TEST", Some("r/49/-72/100")).start()
+    val out = Files.createTempDirectory("graft_aprsis_out").toString
+    val ckpt = Files.createTempDirectory("graft_aprsis_ckpt").toString
+    val q = graft.streaming.PacketCollector.pipeline(
+      graft.streaming.PacketCollector.source(
+        spark, "", Some(("127.0.0.1", relay.localPort))))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .partitionBy("station_bucket")
+      .outputMode("append")
+      .start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def committed(): Long =
+        try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+      while (committed() < pkt.size && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      assert(committed() == pkt.size, s"only ${committed()} of ${pkt.size} rows landed")
+    } finally {
+      q.stop()
+      relay.stop()
+      server.close()
+    }
+    // the relay sent a correct login and captured the handshake responses
+    assert(seenLogin == "user TEST pass 29939 vers graft 1.0 filter r/49/-72/100")
+    assert(relay.serverBanner.exists(_.startsWith("# aprsc")))
+    assert(relay.logresp.exists(_.contains("logresp TEST verified")))
+    assert(relay.dropped == 0L)
+    // comment lines never reached the sink; packets parse exactly as batch
+    val parseCols = Seq("raw", "callsign", "packet_type", "lat", "lon", "grid")
+    val viaRelay = spark.read.parquet(out)
+      .select(parseCols.map(col): _*).orderBy("raw").collect().toSeq
+    val viaBatch = graft.streaming.PacketParse.parse(pkt.toDF("raw"))
+      .select(parseCols.map(col): _*).orderBy("raw").collect().toSeq
+    assert(viaRelay == viaBatch)
+    assert(!viaRelay.exists(_.getAs[String]("raw").startsWith("#")))
+  }
+
   test("packet parse: payload families — timestamped position, message, status, grid") {
     val lines = Seq(
       "N0CALL>APRS:@092345z4903.50N/07201.75W>mobile",        // timestamped position
