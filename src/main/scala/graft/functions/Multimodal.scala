@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns (SURVEY.md §2.11 stretch set): media as opaque binary
   * payloads with typed metadata, plus a batched decode/feature-extract stage.
   *
-  * The fixtures carry no real media, so payloads are derived deterministically
-  * from the documents table (UTF-8 bytes of text) and the decode step is a
-  * clearly-marked deterministic STUB — this container has no image/audio
-  * codecs. What IS real, and tested: the schema (binary + metadata struct),
-  * the partition-preserving batched mapPartitions plumbing, and the
-  * aggregation over extracted features. Swapping [[MediaDecode.decodeStub]]
-  * for a JNI/codec call changes nothing else.
+  * The fixtures carry no real media files, so payloads are rendered
+  * deterministically — UTF-8 text bytes for the metadata/dedup/frame
+  * queries, and REAL PNG/BMP/GIF container headers (via [[Multimodal
+  * .attachImage]]) for the decode-feature query, whose dimensions the
+  * decode stage parses out of the actual header bytes. Tested and real:
+  * the schema (binary + metadata struct), the partition-preserving batched
+  * mapPartitions plumbing, the byte-level container sniff + header parse,
+  * and the aggregation over extracted features. A full raster/audio codec
+  * (absent from this container) would slot into [[MediaDecode]]'s
+  * decodeBatch without touching anything else.
   *
   * Scale: decode is a narrow map-side transformation — no shuffle; partition
   * sizing (spark.sql.files.maxPartitionBytes) is the only knob that matters.
@@ -28,6 +31,38 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"))
+
+  /** REAL image-container payloads rendered from document integers via
+    * `unhex`: a valid PNG signature + IHDR, BMP header + BITMAPINFOHEADER,
+    * or GIF89a screen descriptor whose dimensions derive deterministically
+    * from doc_id — so the decode stage has real bytes to parse and the
+    * oracle can compute the same dimensions and byte checksums directly
+    * from the integers (decode∘render pinned as the identity). */
+  def attachImage(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    def dv(a: Column, b: Long) = call_function("div", a, lit(b))
+    val w = lit(1L) + pmod(col("doc_id"), lit(1021L))
+    val h = lit(1L) + pmod(col("doc_id") * 7, lit(763L))
+    val fmt = pmod(col("doc_id"), lit(3L))
+    // PNG: sig(8) len=13(4) 'IHDR'(4) W(be32) H(be32) bit/color/comp/filt/int(5) crc(4)
+    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      format_string("%08x%08x", w, h), lit("080600000000000000"))
+    // BMP: 'BM'(2) size+res(8, zeroed) offset(4) dibsize=40(4) W(le32) H(le32) planes bpp
+    val bmpHex = concat(lit("424D00000000000000003600000028000000"),
+      format_string("%02x%02x0000", pmod(w, lit(256L)), dv(w, 256L)),
+      format_string("%02x%02x0000", pmod(h, lit(256L)), dv(h, 256L)),
+      lit("01001800"))
+    // GIF: 'GIF89a'(6) W(le16) H(le16) flags/bg/ratio + block terminator(4)
+    val gifHex = concat(lit("474946383961"),
+      format_string("%02x%02x", pmod(w, lit(256L)), dv(w, 256L)),
+      format_string("%02x%02x", pmod(h, lit(256L)), dv(h, 256L)),
+      lit("F7000000"))
+    docs.select(
+      col("doc_id"),
+      unhex(when(fmt === 0, pngHex).when(fmt === 1, bmpHex).otherwise(gifHex))
+        .as("payload"),
+      lit("image").as("media_type"))
+  }
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -51,27 +86,39 @@ object Multimodal {
 
     GraftQuery(
       "q_multimodal_features",
-      "Runs the BATCHED mapPartitions decode stage (MediaDecode) under the oracle " +
-        "gate: per media-type feature aggregation. The checksum is a real byte sum " +
-        "(ASCII corpus ⇒ expressible as per-char ascii() in the oracle); width/height " +
-        "are the stub's deterministic byte-length derivations.",
+      "Runs the BATCHED mapPartitions decode stage (MediaDecode) under the " +
+        "oracle gate with REAL container bytes: every document renders a " +
+        "valid PNG / BMP / GIF header (dimensions from doc_id residues, via " +
+        "unhex), the decoder sniffs the format and parses width/height out " +
+        "of the actual big-/little-endian header fields, and the oracle " +
+        "computes the same dimensions, payload lengths, and additive byte " +
+        "checksums (header-constant sums + the dimension bytes) directly " +
+        "from the integers — decode∘render pinned as the identity at the " +
+        "bytes level. No shuffle until the 3-row final aggregation.",
       (s, dir) =>
-        MediaDecode.decode(s, attachBinary(Tables.table(s, dir, "documents")))
+        MediaDecode.decode(s, attachImage(Tables.table(s, dir, "documents")))
           .toDF()
-          .groupBy("media_type")
+          .groupBy("format")
           .agg(
             count(lit(1)).as("n"),
-            sum(col("checksum")).as("total_checksum"),
-            round(avg(col("width")), 4).as("avg_w"),
-            round(avg(col("height")), 4).as("avg_h"))
-          .orderBy("media_type"),
+            sum(col("n_bytes").cast("long")).as("bytes_sum"),
+            sum(col("width").cast("long")).as("width_sum"),
+            sum(col("height").cast("long")).as("height_sum"),
+            sum(col("checksum")).as("checksum_sum"))
+          .orderBy("format"),
       Some(
-        """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        """WITH d AS (SELECT doc_id,
+          |    1 + doc_id % 1021 AS w, 1 + (doc_id * 7) % 763 AS h,
+          |    doc_id % 3 AS fmt
+          |  FROM documents)
+          |SELECT CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
           |  count(*) AS n,
-          |  CAST(sum(list_sum(list_transform(string_split(text,''), x -> ascii(x)))) AS BIGINT) AS total_checksum,
-          |  round(avg(16 + octet_length(encode(text)) % 64), 4) AS avg_w,
-          |  round(avg(16 + (octet_length(encode(text)) // 64) % 64), 4) AS avg_h
-          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+          |  CAST(sum(CASE fmt WHEN 0 THEN 33 WHEN 1 THEN 30 ELSE 14 END) AS BIGINT) AS bytes_sum,
+          |  CAST(sum(w) AS BIGINT) AS width_sum,
+          |  CAST(sum(h) AS BIGINT) AS height_sum,
+          |  CAST(sum(CASE fmt WHEN 0 THEN 747 WHEN 1 THEN 262 ELSE 671 END
+          |    + w % 256 + w // 256 + h % 256 + h // 256) AS BIGINT) AS checksum_sum
+          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GraftQuery(
       "q_multimodal_dedup",
@@ -147,29 +194,49 @@ object Multimodal {
   )
 }
 
-/** Decoded-media feature record produced by the (stubbed) decode stage. */
+/** Decoded-media feature record produced by the decode stage. */
 final case class MediaFeatures(
     doc_id: Long,
     media_type: String,
+    format: String,  // sniffed container format: png / bmp / gif / unknown
     n_bytes: Int,
-    width: Int,      // stub: derived from payload bytes
-    height: Int,     // stub: derived from payload bytes
-    checksum: Long)  // real: additive byte checksum, exercised in tests
+    width: Int,      // parsed from the container header bytes (0 if unknown)
+    height: Int,     // parsed from the container header bytes (0 if unknown)
+    checksum: Long)  // additive byte checksum
 
 /** Batched decode plumbing. The per-batch signature mirrors what a real codec
-  * binding needs (amortize init cost across a batch of payloads). */
+  * binding needs (amortize init cost across a batch of payloads).
+  *
+  * The header decoder is REAL byte-level parsing — PNG signature + IHDR
+  * big-endian dimensions, BMP `BM` + BITMAPINFOHEADER little-endian
+  * dimensions, GIF87a/89a screen-descriptor LE16 dimensions — the format
+  * sniff + dimension fast path every media-curation pipeline runs before
+  * paying full pixel-decode cost (full raster/audio decode would need codec
+  * libraries this container lacks; it would slot into [[decodeBatch]]
+  * without touching the plumbing). */
 object MediaDecode {
 
-  /** STUB decode — deterministic fake in lieu of real codecs (none in this
-    * container). A production build replaces ONLY the body marked below. */
+  /** Container sniff + header dimension parse over raw bytes. */
+  private def sniff(bytes: Array[Byte]): (String, Int, Int) = {
+    @inline def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def lit(i: Int, s: String) = s.indices.forall(k => u8(i + k) == s.charAt(k))
+    if (bytes.length >= 24 && u8(0) == 0x89 && lit(1, "PNG") &&
+      u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+      lit(12, "IHDR")) ("png", be32(16), be32(20))
+    else if (bytes.length >= 26 && lit(0, "BM")) ("bmp", le32(18), le32(22))
+    else if (bytes.length >= 10 && (lit(0, "GIF87a") || lit(0, "GIF89a")))
+      ("gif", le16(6), le16(8))
+    else ("unknown", 0, 0)
+  }
+
   private def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] =
     batch.map { case (id, mt, bytes) =>
-      // --- STUB: real implementation would decode `bytes` with a codec ---
       val checksum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
-      MediaFeatures(id, mt, bytes.length,
-        width = 16 + (bytes.length % 64), height = 16 + ((bytes.length / 64) % 64),
-        checksum = checksum)
-      // -------------------------------------------------------------------
+      val (fmt, w, h) = sniff(bytes)
+      MediaFeatures(id, mt, fmt, bytes.length, w, h, checksum)
     }
 
   /** Partition-preserving batched decode: iterate each partition in fixed-size

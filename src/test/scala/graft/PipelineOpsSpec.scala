@@ -67,7 +67,7 @@ class PipelineOpsSpec extends SparkSuite {
     lsh.foreach(r => assert(r.getAs[Double]("sim") <= bfTop + 1e-9))
   }
 
-  test("multimodal: metadata agg partitions docs; decode stub is narrow + exact") {
+  test("multimodal: metadata agg partitions docs; decode is narrow + exact") {
     val meta = run("q_multimodal_meta").collect()
     assert(meta.map(_.getAs[Long]("n")).sum == Tables.table(spark, sf, "documents").count())
 
@@ -76,10 +76,51 @@ class PipelineOpsSpec extends SparkSuite {
     // no shuffle: decode is a narrow map-side stage
     assert(!decoded.queryExecution.executedPlan.toString.contains("Exchange"))
     assert(decoded.count() == media.count())
-    // checksum is real (not stubbed): verify against a driver-side computation
+    // checksum is real: verify against a driver-side computation
     val one = media.filter(col("doc_id") === 0).select("payload").as[Array[Byte]].head()
     val expect = one.foldLeft(0L)((a, b) => a + (b & 0xff))
     val got = decoded.filter(_.doc_id == 0L).head()
     assert(got.checksum == expect && got.n_bytes == one.length)
+  }
+
+  test("multimodal: container header decode parses real PNG/BMP/GIF bytes") {
+    // hand-built container headers with known dimensions — independent of
+    // the attachImage renderer, so renderer and decoder are pinned separately
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      bb.put(Array(8, 6, 0, 0, 0, 0, 0, 0, 0).map(_.toByte))
+      bb.array()
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(0).putInt(0).putInt(0x36)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      bb.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(14).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+      bb.put(Array(0xf7, 0, 0, 0).map(_.toByte))
+      bb.array()
+    }
+    val rows = Seq(
+      (1L, "image", png(640, 480)), (2L, "image", bmp(1024, 768)),
+      (3L, "image", gif(320, 200)), (4L, "image", "not an image".getBytes))
+    val d = MediaDecode.decode(spark, rows.toDF("doc_id", "media_type", "payload"))
+      .collect().sortBy(_.doc_id)
+    assert(d(0).format == "png" && d(0).width == 640 && d(0).height == 480)
+    assert(d(1).format == "bmp" && d(1).width == 1024 && d(1).height == 768)
+    assert(d(2).format == "gif" && d(2).width == 320 && d(2).height == 200)
+    assert(d(3).format == "unknown" && d(3).width == 0 && d(3).height == 0)
+    // the attachImage renderer round-trips through the same decoder
+    val rendered = MediaDecode.decode(spark,
+      Multimodal.attachImage(Tables.table(spark, sf, "documents"))).collect()
+    rendered.foreach { f =>
+      val (w, h) = (1 + f.doc_id % 1021, 1 + (f.doc_id * 7) % 763)
+      val fmt = Seq("png", "bmp", "gif")((f.doc_id % 3).toInt)
+      assert(f.format == fmt && f.width == w && f.height == h, f.toString)
+    }
   }
 }
