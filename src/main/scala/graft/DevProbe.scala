@@ -74,6 +74,53 @@ object DevProbe {
             col("ida") < col("idb"))
           .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
       }
+      case "@jac_full_shj" => (s, dir) => {
+        // full jaccard with the self-join forced to shuffle-hash (one
+        // reusable exchange instead of a multi-million-entry broadcast)
+        val sh = graft.Tables.spread(s, graft.Tables.table(s, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            explode(graft.functions.VectorExpr.shingleHashes(
+              split(col("text"), " "))).as("g"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val a = sh.select(col("doc_id").as("ida"), col("source").as("srca"), col("g"))
+        val b = sh.select(col("doc_id").as("idb"), col("source").as("srcb"), col("g").as("g2"))
+        val shared = a.hint("shuffle_hash")
+          .join(b.hint("shuffle_hash"), col("g") === col("g2") &&
+            col("srca") === col("srcb") && col("ida") < col("idb"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+        shared
+          .join(broadcast(sizes.select(col("doc_id").as("ida"), col("sz").as("sza"))), "ida")
+          .join(broadcast(sizes.select(col("doc_id").as("idb"), col("sz").as("szb"))), "idb")
+          .select(col("ida"), col("idb"),
+            round(col("shared") / (col("sza") + col("szb") - col("shared")), 6).as("jac"))
+          .orderBy(col("jac").desc, col("ida"), col("idb"))
+          .limit(20)
+      }
+      case "@jac_full_posting" => (s, dir) => {
+        // posting-list pair generation: one (source, g) agg, pairs fan out
+        // map-side from sorted capped lists, then the pair-count agg
+        val sh = graft.Tables.spread(s, graft.Tables.table(s, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            explode(graft.functions.VectorExpr.shingleHashes(
+              split(col("text"), " "))).as("g"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val posts = sh.groupBy("source", "g")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+          .withColumn("ds", slice(col("ds"), 1, 256))
+        val shared = posts
+          .select(posexplode(col("ds")).as(Seq("i", "ida")), col("ds"))
+          .select(col("ida"),
+            explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("idb"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+        shared
+          .join(broadcast(sizes.select(col("doc_id").as("ida"), col("sz").as("sza"))), "ida")
+          .join(broadcast(sizes.select(col("doc_id").as("idb"), col("sz").as("szb"))), "idb")
+          .select(col("ida"), col("idb"),
+            round(col("shared") / (col("sza") + col("szb") - col("shared")), 6).as("jac"))
+          .orderBy(col("jac").desc, col("ida"), col("idb"))
+          .limit(20)
+      }
       case "@geo_parse" => (s, dir) => {
         val e = graft.Tables.table(s, dir, "events")
           .filter(col("event_type") === "click")

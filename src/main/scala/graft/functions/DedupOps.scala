@@ -181,8 +181,18 @@ object DedupOps {
         // generator fan-out (round 3: ~1.8 s vs ~1.45 s — millions of
         // size-one shingle groups make per-group collect overhead exceed the
         // join-side exchanges it saves; the same pattern WINS for simhash,
-        // whose 20 source blocks amortize the collect). At 100 TB the balance
-        // flips: write the shingle relation to storage once and re-scan it.
+        // whose 20 source blocks amortize the collect). Fourth measured
+        // alternative (round 11, DevProbe @jac_full_posting /
+        // @jac_full_shj at sf0.1, 5 passes): sorted capped posting lists
+        // per (source, g) with slice-based ordered pair fan-out — warm
+        // 0.58–0.86 s; forcing the self-join to shuffle-hash (one reused
+        // exchange instead of the broadcast build) — warm 0.68–1.16 s;
+        // this formulation as shipped — warm 0.43–0.61 s. The broadcast
+        // self-join Spark picks IS the fastest at bench scale (the hashed
+        // relation of 8-byte keys fits comfortably); at 100 TB AQE flips
+        // it to the shuffle join automatically once the build side
+        // outgrows the threshold. At 100 TB also write the shingle
+        // relation to storage once and re-scan it.
         // shingles are hashed to 64-bit longs MAP-SIDE, before anything
         // shuffles: the self-join's two exchanges and the per-doc size
         // aggregation ship 8-byte keys instead of ~20-40 byte shingle
