@@ -714,6 +714,69 @@ object Geo {
           |FROM p GROUP BY callsign ORDER BY callsign""".stripMargin)),
 
     GraftQuery(
+      "q_packet_nmea",
+      "NMEA tracker-payload analytics ($GPRMC / $GPGGA): per-station " +
+        "count and position bounding box — the older-tracker family the " +
+        "TNC2 classifier previously routed to 'other'. Rendering " +
+        "alternates both sentence types per event (RMC with status A, GGA " +
+        "with fix quality 1), the production parser extracts the ddmm.mm " +
+        "coordinate fields, and the oracle computes the same positions " +
+        "directly from the integers — both sentence layouts pinned under " +
+        "one gate. Map-side render+parse, one hash agg.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"))
+        val latS = concat(
+          format_string("%02d%02d.%02d",
+            pmod(col("event_id"), lit(90L)),
+            (pmod(col("event_id") * 7, lit(6000L)) / lit(100)).cast("long"),
+            pmod(pmod(col("event_id") * 7, lit(6000L)), lit(100L))),
+          lit(","),
+          when(pmod(col("event_id"), lit(2L)) === 0, "N").otherwise("S"))
+        val lonS = concat(
+          format_string("%03d%02d.%02d",
+            pmod(col("event_id") * 3, lit(180L)),
+            (pmod(col("event_id") * 13, lit(6000L)) / lit(100)).cast("long"),
+            pmod(pmod(col("event_id") * 13, lit(6000L)), lit(100L))),
+          lit(","),
+          when(pmod(col("event_id"), lit(3L)) === 0, "E").otherwise("W"))
+        val time = format_string("%06d", pmod(col("event_id"), lit(235959L)))
+        val sentence = when(pmod(col("event_id"), lit(5L)) < 3,
+          concat(lit("$GPRMC,"), time, lit(",A,"), latS, lit(","), lonS,
+            lit(",000.5,054.7,191194,,*00")))
+          .otherwise(concat(lit("$GPGGA,"), time, lit(","), latS, lit(","),
+            lonS, lit(",1,08,0.9,100.0,M,,M,,*00")))
+        val raw = concat(lit("T"), col("user_id").cast("string"),
+          lit(">APRS,TCPIP*:"), sentence)
+        graft.streaming.PacketParse
+          .parse(Tables.spread(s, e.select(raw.as("raw"))))
+          .groupBy("callsign")
+          .agg(
+            sum(when(col("packet_type") === "nmea", 1L).otherwise(0L)).as("n_nmea"),
+            round(min(col("lat")), 6).as("lat_min"),
+            round(max(col("lat")), 6).as("lat_max"),
+            round(min(col("lon")), 6).as("lon_min"),
+            round(max(col("lon")), 6).as("lon_max"))
+          .orderBy("callsign")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id,
+          |    event_id % 90 AS lat_deg, (event_id * 7) % 6000 AS lat_minc,
+          |    (event_id * 3) % 180 AS lon_deg, (event_id * 13) % 6000 AS lon_minc
+          |  FROM events WHERE event_type = 'view'),
+          |p AS (SELECT 'T' || CAST(user_id AS VARCHAR) AS callsign,
+          |    (CAST(lat_deg AS DOUBLE) + CAST(lat_minc AS DOUBLE) / 100.0 / 60.0)
+          |      * (CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE -1.0 END) AS lat,
+          |    (CAST(lon_deg AS DOUBLE) + CAST(lon_minc AS DOUBLE) / 100.0 / 60.0)
+          |      * (CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE -1.0 END) AS lon
+          |  FROM e)
+          |SELECT callsign, count(*) AS n_nmea,
+          |  round(min(lat), 6) AS lat_min, round(max(lat), 6) AS lat_max,
+          |  round(min(lon), 6) AS lon_min, round(max(lon), 6) AS lon_max
+          |FROM p GROUP BY callsign ORDER BY callsign""".stripMargin)),
+
+    GraftQuery(
       "q_packet_thirdparty",
       "Third-party (igate) traffic analytics (`}` payload-in-payload): " +
         "per-igate relayed-packet count, distinct relayed stations, and the " +

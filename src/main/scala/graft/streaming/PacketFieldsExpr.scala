@@ -122,6 +122,21 @@ object PacketFieldsUtil {
   @inline private def b91(c: Char): Int =
     if (c >= 33 && c <= 123) c - 33 else -1
 
+  // ---- NMEA helpers ($GPRMC / $GPGGA payloads from older trackers) ------
+  /** `ddmm.mm…` / `dddmm.mm…` NMEA coordinate field: `degDigits` integer
+    * degree digits, then minutes with a mandatory decimal point and at
+    * least one decimal digit. */
+  private def nmeaCoordOk(s: String, degDigits: Int): Boolean = {
+    if (s.length < degDigits + 4) return false
+    var i = 0
+    while (i < degDigits + 2) { if (!isDigit(s.charAt(i))) return false; i += 1 }
+    if (s.charAt(degDigits + 2) != '.') return false
+    i = degDigits + 3
+    if (i >= s.length) return false
+    while (i < s.length) { if (!isDigit(s.charAt(i))) return false; i += 1 }
+    true
+  }
+
   // ---- Mic-E helpers (lat digits + flags ride the DESTINATION field) ----
   /** Valid Mic-E destination character ('0'–'9', 'A'–'L', 'P'–'Z'). */
   @inline private def miceValid(c: Char): Boolean =
@@ -325,6 +340,33 @@ object PacketFieldsUtil {
         }
       }
     }
+    // NMEA ($GPRMC with status A / $GPGGA with a nonzero single-digit fix
+    // quality): position from the ddmm.mm… fields — the older-tracker
+    // family. Checksum suffixes are not validated (transport-level).
+    if (d == '$' && (payload.startsWith("$GPRMC,") || payload.startsWith("$GPGGA,"))) {
+      val f = payload.split(",", -1)
+      val rmc = payload.charAt(3) == 'R'
+      val valid =
+        if (rmc) f.length >= 10 && f(2) == "A"
+        else f.length >= 7 && f(6).length == 1 &&
+          f(6).charAt(0) >= '1' && f(6).charAt(0) <= '9'
+      val (latF, nsF, lonF, ewF) =
+        if (!valid) ("", "", "", "")
+        else if (rmc) (f(3), f(4), f(5), f(6))
+        else (f(2), f(3), f(4), f(5))
+      if (valid && nmeaCoordOk(latF, 2) && nmeaCoordOk(lonF, 3) &&
+        (nsF == "N" || nsF == "S") && (ewF == "E" || ewF == "W")) {
+        val lat0 = (java.lang.Double.parseDouble(latF.substring(0, 2)) +
+          java.lang.Double.parseDouble(latF.substring(2)) / 60.0) *
+          (if (nsF == "S") -1.0 else 1.0)
+        val lon0 = (java.lang.Double.parseDouble(lonF.substring(0, 3)) +
+          java.lang.Double.parseDouble(lonF.substring(3)) / 60.0) *
+          (if (ewF == "W") -1.0 else 1.0)
+        if (lat0 >= -90.0 && lat0 <= 90.0) lat = lat0
+        if (lon0 >= -180.0 && lon0 <= 180.0) lon = lon0
+      }
+    }
+
     // THIRD-PARTY tunnel (`}`): the payload after `}` is itself a full TNC2
     // packet (igate output). Re-parse it ONE level (allowTp=false — nested
     // tunnels stay 'other' per the APRS rule) and surface the inner
@@ -374,6 +416,7 @@ object PacketFieldsUtil {
       else if (d == '_') { if (wxHead) "weather" else "other" }
       else if (d == '`' || d == '\'') { if (hasPos) "mice" else "other" }
       else if (d == '}') { if (tpCallsign != null) "thirdparty" else "other" }
+      else if (d == '$') { if (hasPos) "nmea" else "other" }
       else "other"
 
     // ---- packet_type-gated field extraction (mirrors the when() gates) ----

@@ -142,9 +142,32 @@ class PacketFieldsSpec extends SparkSuite {
     val crsA = pmod(ib(6) - 28, lit(10)).cast("long") * 100 + (ib(7) - 28)
     val crs = when(crsA >= 400, crsA - 400).otherwise(crsA)
 
-    // the three families are disjoint on (dti, first body char)
-    val latAll = coalesce(uLat, cLat, mLat)
-    val lonAll = coalesce(uLon, cLon, mLon)
+    // NMEA ($GPRMC status A / $GPGGA fix 1-9): ddmm.mm… coordinate fields
+    val nf = split(payloadC, ",", -1)
+    val isRmc = payloadC.startsWith("$GPRMC,")
+    val isGga = payloadC.startsWith("$GPGGA,")
+    val nmeaValid =
+      (isRmc && size(nf) >= 10 && element_at(nf, 3) === "A") ||
+        (isGga && size(nf) >= 7 && element_at(nf, 7).rlike("^[1-9]$"))
+    val latF = when(isRmc, element_at(nf, 4)).otherwise(element_at(nf, 3))
+    val nsF = when(isRmc, element_at(nf, 5)).otherwise(element_at(nf, 4))
+    val lonF = when(isRmc, element_at(nf, 6)).otherwise(element_at(nf, 5))
+    val ewF = when(isRmc, element_at(nf, 7)).otherwise(element_at(nf, 6))
+    val nmeaOk = dtiC === "$" && (isRmc || isGga) && nmeaValid &&
+      latF.rlike("^[0-9]{4}\\.[0-9]+$") && lonF.rlike("^[0-9]{5}\\.[0-9]+$") &&
+      nsF.isin("N", "S") && ewF.isin("E", "W")
+    val nLat = when(nmeaOk,
+      (substring(latF, 1, 2).cast(DoubleType) +
+        substring(latF, 3, 1000).cast(DoubleType) / 60.0) *
+        when(nsF === "S", -1.0).otherwise(1.0))
+    val nLon = when(nmeaOk,
+      (substring(lonF, 1, 3).cast(DoubleType) +
+        substring(lonF, 4, 1000).cast(DoubleType) / 60.0) *
+        when(ewF === "W", -1.0).otherwise(1.0))
+
+    // the families are disjoint on (dti, first body char)
+    val latAll = coalesce(uLat, cLat, mLat, nLat)
+    val lonAll = coalesce(uLon, cLon, mLon, nLon)
     val latG = when(latAll.between(-90.0, 90.0), latAll)
     val lonG = when(lonAll.between(-180.0, 180.0), lonAll)
 
@@ -163,6 +186,8 @@ class PacketFieldsSpec extends SparkSuite {
         .when(dtiC === "_" && payloadC.rlike(weatherHead), "weather")
         .when(dtiC.isin("`", "'"),
           when(latG.isNotNull && lonG.isNotNull, "mice").otherwise("other"))
+        .when(dtiC === "$",
+          when(latG.isNotNull && lonG.isNotNull, "nmea").otherwise("other"))
         .otherwise("other")
 
     lines
@@ -320,6 +345,16 @@ class PacketFieldsSpec extends SparkSuite {
     "W1AW>T7SUPW7,WIDE1-1:`l?N\u001e\u001cs>/7-char dest",  // len != 6 → other
     "W1AW>T7SUPW:`\u001b?N\u001e\u001cs>/info byte < 28",   // → other
     "BACKTICK>APRS:`no valid dest here",
+    // NMEA payloads (older trackers)
+    "N0TRK>APRS,TCPIP*:$GPRMC,225446,A,4916.45,N,12311.12,W,000.5,054.7,191194,020.3,E*68",
+    "N0TRK>APRS:$GPRMC,225446,V,4916.45,N,12311.12,W,000.5,054.7,191194,,*68", // void fix → other
+    "N0TRK>APRS:$GPGGA,170834,4124.89,N,08151.68,W,1,05,1.5,280.2,M,-34.0,M,,*75",
+    "N0TRK>APRS:$GPGGA,170834,4124.89,N,08151.68,W,0,00,,,M,,M,,*66",  // quality 0 → other
+    "N0TRK>APRS:$GPGGA,170834,4124.89,N,08151.68,W",                   // truncated → other
+    "N0TRK>APRS:$GPRMC,225446,A,4916.45,X,12311.12,W,000.5,054.7,191194,,",  // bad hemi → other
+    "N0TRK>APRS:$GPRMC,225446,A,916.45,N,12311.12,W,000.5,054.7,191194,,",   // 3-digit lat → other
+    "N0TRK>APRS:$GPGLL,4916.45,N,12311.12,W,225444,A",                 // GLL not handled → other
+    "N0TRK>APRS:$GPRMC,225446,A,9916.45,N,12311.12,W,1,2,3,4",         // lat out of range
     // third-party tunnels (one level only)
     "IGATE-1>APRS,TCPIP*:}W1AW-9>APRS,TCPIP*:!4903.50N/07201.75W-inner pos",
     "IGATE-1>APRS:}W1AW>T7SUPW:`l?N\u001e\u001cs>/inner mice",
@@ -369,8 +404,11 @@ class PacketFieldsSpec extends SparkSuite {
       "T#12,x", "_1009", "!49", ";SHORT*092345z", "",
       "!/5L!!<*e7>7P[", "=\\5L!!<*e7>{!! ", "@092345z/5L!!<*e7>7P[",
       "`l?Ns>/", "'l?Ns>/", "`l?N",
-      "}W1AW-9>APRS:!4903.50N/07201.75W-", "}X>Y:}Z>W:>s", "}junk")
-    val noise = "!=/@;:>T_#,.-0123456789NSEW zhab`'}\\{[|"
+      "}W1AW-9>APRS:!4903.50N/07201.75W-", "}X>Y:}Z>W:>s", "}junk",
+      "$GPRMC,225446,A,4916.45,N,12311.12,W,000.5,054.7,191194,,",
+      "$GPGGA,170834,4124.89,N,08151.68,W,1,05,1.5,280.2,M,,M,,",
+      "$GPRMC,2254", "$GPGGA,1,2,3")
+    val noise = "!=/@;:>T_#,.-0123456789NSEW zhab`'}\\{[|$A"
     def randChunk(): String =
       (0 until rnd.nextInt(6)).map(_ => noise(rnd.nextInt(noise.length))).mkString
     val lines = (0 until 400).map { _ =>
