@@ -401,12 +401,12 @@ object VectorOps {
         "divisions + one add on the same tree — so fusion can never " +
         "diverge. Scale shape: one broadcast of the 1-row query side, " +
         "one map pass computing both scores, then TWO exact global " +
-        "ranks via GlobalRank.rowNumber2Pass (the q_hist_equidepth " +
-        "device: range-repartition + local index + broadcast offsets) — " +
-        "the slim (vec_id, score) relation moves through two range " +
-        "exchanges and NEVER sorts into one partition (production " +
-        "additionally fuses top-k lists from the ANN index, not full " +
-        "scans).",
+        "ranks via GlobalRank.rowNumberBanded (monotone score banding: " +
+        "per-band partitioned-window row numbers + broadcast band " +
+        "offsets) — the slim (vec_id, score) relation moves through two " +
+        "band-keyed hash exchanges and NEVER sorts into one partition " +
+        "(production additionally fuses top-k lists from the ANN index, " +
+        "not full scans).",
       (s, dir) => {
         val e = table(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0)
@@ -419,9 +419,11 @@ object VectorOps {
             Exact.dot(col("embedding"), col("qv")).as("dp"))
         def D(c: org.apache.spark.sql.Column) =
           c.cast(org.apache.spark.sql.types.DoubleType)
-        val ranked = graft.operators.GlobalRank.rowNumber2Pass(
-          graft.operators.GlobalRank.rowNumber2Pass(
-            scored, Seq(col("cos").desc, col("vec_id")), "r_cos"),
+        val ranked = graft.operators.GlobalRank.rowNumberBanded(
+          graft.operators.GlobalRank.rowNumberBanded(
+            scored, floor(-col("cos") * 1024).cast("long"),
+            Seq(col("cos").desc, col("vec_id")), "r_cos"),
+          floor(-col("dp") * 64).cast("long"),
           Seq(col("dp").desc, col("vec_id")), "r_dot")
         ranked
           .select(col("vec_id"), col("r_cos"), col("r_dot"),
@@ -555,9 +557,9 @@ object VectorOps {
         "proof of the reduction, not a code comment. Both scores are " +
         "the identical IEEE trees on both engines; ranks are fully " +
         "tie-broken by vec_id and computed as exact global row numbers " +
-        "via GlobalRank.rowNumber2Pass (range-repartition + local " +
-        "index + broadcast offsets), so the corpus-sized score " +
-        "relation never sorts into one partition.",
+        "via GlobalRank.rowNumberBanded (monotone score banding + " +
+        "broadcast band offsets), so the corpus-sized score relation " +
+        "never sorts into one partition.",
       (s, dir) => {
         val e = table(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0)
@@ -572,9 +574,11 @@ object VectorOps {
             // the augmented q keeps ‖q‖; the extra dimension contributes 0
             (Exact.dot(col("embedding"), col("qv")) /
               (col("mx") * Exact.norm(col("qv")))).as("ac"))
-        graft.operators.GlobalRank.rowNumber2Pass(
-          graft.operators.GlobalRank.rowNumber2Pass(
-            scored, Seq(col("dp").desc, col("vec_id")), "r_dot"),
+        graft.operators.GlobalRank.rowNumberBanded(
+          graft.operators.GlobalRank.rowNumberBanded(
+            scored, floor(-col("dp") * 64).cast("long"),
+            Seq(col("dp").desc, col("vec_id")), "r_dot"),
+          floor(-col("ac") * 1024).cast("long"),
           Seq(col("ac").desc, col("vec_id")), "r_aug")
           .filter(col("r_dot") <= 10)
           .select(col("vec_id"), col("r_dot"), col("r_aug"),

@@ -46,33 +46,34 @@ object GlobalRank {
     df.join(broadcast(denseRanks(df, key, out)), key <=> col("__k")).drop("__k")
 
   /** row_number() OVER (ORDER BY sortCols…) over a near-unique key WITHOUT a
-    * single-partition window — the q_hist_equidepth 2-pass device factored
-    * for reuse (the [[denseRanks]] broadcast trick only pays off when the key
-    * collapses; a fully tie-broken score order does not). Range-repartition
-    * on the sort order (one full shuffle through Spark's sampled range
-    * partitioner), sort within partitions, read (partition, local index) off
-    * monotonically_increasing_id over ONE eager materialization, collect the
-    * `parts`-row partition-count relation (a bounded driver fetch — `parts`
-    * rows at any corpus size), and add the exclusive offsets back via a
-    * broadcast join: global row number = partition offset + local index + 1.
-    * The fact relation only ever moves through the range exchange. */
-  def rowNumber2Pass(df: DataFrame, sortCols: Seq[Column], out: String,
-      parts: Int = 16): DataFrame = {
-    val sorted = df.repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(true)
-    val cnts = sorted.groupBy(shiftright(col("__mid"), 33).as("__pid"))
-      .agg(count(lit(1)).as("__cnt")).orderBy("__pid").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val offsets = cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _))
-    val ss = df.sparkSession
-    import ss.implicits._
-    val offDf = offsets.toDF("__pid", "__off")
-    sorted.join(broadcast(offDf), shiftright(col("__mid"), 33) === col("__pid"))
-      .withColumn(out,
-        col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
-      .drop("__mid", "__pid", "__off")
+    * single-partition window — decomposed through a caller-supplied MONOTONE
+    * banding of the sort order (`band` must be non-decreasing along the sort
+    * direction, e.g. `floor(-score * 1024)` for a `score DESC` order):
+    * per-band local row_numbers in a PARTITIONED window, band counts + an
+    * exclusive-offset fold over the tiny band-grain relation, broadcast
+    * back. Fully declarative — no range-partitioner sampling, no driver
+    * fetch, no checkpoint — so the plan stays lazy, the result is identical
+    * at any partitioning (integer arithmetic only), and the fact relation
+    * moves through exactly ONE hash exchange. The q_hist_equidepth
+    * materialize-and-count device solves the same problem when no natural
+    * banding of the key exists; banding wins when one does, which for score
+    * ranks (a monotone float bucketization) is always.
+    *
+    * Band-size skew follows the value distribution — pick the band width so
+    * the densest band stays executor-sized (the densest SCORE bucket, not
+    * the corpus, bounds a partition). */
+  def rowNumberBanded(df: DataFrame, band: Column, sortCols: Seq[Column],
+      out: String): DataFrame = {
+    val b = df.withColumn("__band", band)
+    val wL = Window.partitionBy("__band").orderBy(sortCols: _*)
+    val wB = Window.orderBy("__band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = b.groupBy("__band").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", sum(col("__n")).over(wB) - col("__n"))
+      .select(col("__band").as("__band2"), col("__off"))
+    b.join(broadcast(offs), col("__band") === col("__band2"))
+      .withColumn(out, col("__off") + row_number().over(wL))
+      .drop("__band", "__band2", "__off")
   }
 
   /** rank() OVER (ORDER BY key) — like [[denseRank]] plus per-key counts:

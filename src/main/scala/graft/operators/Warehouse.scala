@@ -152,26 +152,41 @@ object Warehouse {
         "with customer counts and exact money mass. The fact table " +
         "collapses to customer grain in ONE hash agg before any " +
         "ranking; each quintile is the exact integer ntile bucket " +
-        "formula applied to a GlobalRank.rowNumber2Pass exact global " +
-        "rank (the q_hist_equidepth device: range-repartition + local " +
-        "index + broadcast offsets), so the customer-grain relation " +
-        "moves through three range exchanges and never sorts into one " +
-        "partition — the shape that survives 1e8+ customers. The " +
-        "oracle keeps DuckDB's native ntile; identical integers.",
+        "formula applied to a GlobalRank.rowNumberBanded exact global " +
+        "rank (monotone metric banding: per-band partitioned-window " +
+        "row numbers + broadcast band offsets — recency bands on the " +
+        "day itself, frequency on the negated count, monetary on " +
+        "negated $10k cent buckets), so the customer-grain relation " +
+        "moves through three band-keyed hash exchanges and never " +
+        "sorts into one partition — the shape that survives 1e8+ " +
+        "customers. The oracle keeps DuckDB's native ntile; identical " +
+        "integers.",
       (s, dir) => {
-        import graft.operators.GlobalRank.rowNumber2Pass
+        import graft.operators.GlobalRank.rowNumberBanded
         val od = datediff(to_date(col("o_orderdate")),
           to_date(lit("1970-01-01"))).cast(LongType)
         val per = table(s, dir, "orders")
           .groupBy(col("o_custkey"))
           .agg(max(od).as("lastd"), count(lit(1)).as("f"),
             sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType)).as("m"))
-        val ranked = rowNumber2Pass(rowNumber2Pass(rowNumber2Pass(
-          per.crossJoin(broadcast(per.agg(max(col("lastd")).as("maxd"))))
-            .withColumn("r_days", col("maxd") - col("lastd")),
-          Seq(col("r_days"), col("o_custkey")), "rr"),
-          Seq(col("f").desc, col("o_custkey")), "rf"),
+        val base = per
+          .crossJoin(broadcast(per.agg(max(col("lastd")).as("maxd"))))
+          .withColumn("r_days", col("maxd") - col("lastd"))
+        // three independent rank relations over slim (custkey, metric)
+        // projections, joined back on the customer key — no rank's window
+        // input carries another rank's join
+        val rr = rowNumberBanded(base.select(col("o_custkey"), col("r_days")),
+          col("r_days"), Seq(col("r_days"), col("o_custkey")), "rr")
+          .select("o_custkey", "rr")
+        val rf = rowNumberBanded(per.select(col("o_custkey"), col("f")),
+          -col("f"), Seq(col("f").desc, col("o_custkey")), "rf")
+          .select("o_custkey", "rf")
+        val rm = rowNumberBanded(per.select(col("o_custkey"), col("m")),
+          -call_function("div", col("m"), lit(1000000L)),
           Seq(col("m").desc, col("o_custkey")), "rm")
+          .select("o_custkey", "rm")
+        val ranked = base
+          .join(rr, "o_custkey").join(rf, "o_custkey").join(rm, "o_custkey")
           .crossJoin(broadcast(per.agg(count(lit(1)).as("nn"))))
         // exact ntile(5) from the global rank: the first n%5 buckets take
         // one extra row — the q_hist_equidepth integer bucket formula

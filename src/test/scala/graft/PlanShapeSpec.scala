@@ -327,16 +327,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
-  test("q_vec_rrf / q_vec_mips: exact global ranks with NO window operator") {
+  test("q_vec_rrf / q_vec_mips: banded global ranks — every window rides a band") {
     // both fused-rank queries decompose their global row_numbers through
-    // GlobalRank.rowNumber2Pass — no windowed sort of the corpus anywhere
-    val pr = plan("q_vec_rrf")
-    assert(!pr.contains("windowspecdefinition"), pr)
-    assert(!pr.contains("Exchange SinglePartition"), pr)
-    assert(pr.contains("TakeOrderedAndProject"), pr)
-    val pm = plan("q_vec_mips")
-    assert(!pm.contains("windowspecdefinition"), pm)
-    assert(!pm.contains("Exchange SinglePartition"), pm)
+    // GlobalRank.rowNumberBanded: local windows PARTITION by the score band,
+    // and the only partition-less windows (and SinglePartition exchanges)
+    // sit over the tiny band-grain offsets relation
+    for (q <- Seq("q_vec_rrf", "q_vec_mips")) {
+      val p = plan(q)
+      assert("windowspecdefinition\\((?!__band)".r.findFirstIn(p).isEmpty,
+        s"$q has a window not keyed on the score band:\n$p")
+      // remaining SinglePartition exchanges feed band-grain offsets windows,
+      // 1-row scalar aggregates, and the ≤10-row final sort only
+      assert("Exchange SinglePartition".r.findAllIn(p).size <= 6, s"$q:\n$p")
+    }
+    assert(plan("q_vec_rrf").contains("TakeOrderedAndProject"), plan("q_vec_rrf"))
   }
 
   test("q_vec_pq_recall / q_vec_binary_hamming: top-10 sets via heap top-k") {
@@ -347,12 +351,14 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
-  test("q_agg_rfm: quintiles from 2-pass ranks — no ntile window, no global sort of customers") {
+  test("q_agg_rfm: quintiles from banded ranks — no ntile, every window rides a band") {
     val p = plan("q_agg_rfm")
-    assert(!p.contains("windowspecdefinition"), p)
-    // the only single-partition exchanges feed the two 1-row global
-    // aggregates (max last-day, customer count)
-    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("ntile"), p)
+    assert("windowspecdefinition\\((?!__band)".r.findFirstIn(p).isEmpty,
+      s"window not keyed on a metric band:\n$p")
+    // single-partition exchanges feed only the band-grain offsets windows,
+    // the two 1-row global aggregates, and the 125-row final sort
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 7, p)
   }
 
   test("q_join_null_anti plans a null-aware anti join on the nullable branch") {
