@@ -525,9 +525,15 @@ object TextAnalysis {
           .groupBy("w").agg(min(col("doc_id")).as("fd"))
           .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("vnew"))
         def D(c: String) = col(c).cast(DoubleType)
+        // the explicit band repartition is the SHARED exchange both passes
+        // consume (ReuseExchange): the offsets aggregation and the window
+        // cascade read one materialization of the doc-grain relation, and
+        // neither needs a further exchange (agg and windows are both
+        // band-keyed)
         val base = perDoc.join(firstNew, Seq("doc_id"), "left")
           .withColumn("vnew", coalesce(col("vnew"), lit(0L)))
           .withColumn("band", expr("doc_id div 1024"))
+          .repartition(col("band"))
         val wLo = Window.partitionBy("band").orderBy("doc_id")
         val wL = wLo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wBo = Window.orderBy("band")
