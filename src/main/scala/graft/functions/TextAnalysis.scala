@@ -538,7 +538,13 @@ object TextAnalysis {
         val wL = wLo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wBo = Window.orderBy("band")
         val wB = wBo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // pass 1: integer band subtotals -> offsets over the tiny band grain
+        // pass 1: integer band subtotals -> offsets over the tiny band grain.
+        // (This branch re-derives the slim doc-grain projection: column
+        // pruning and the window branch's pushed null filter make the two
+        // band-exchange subtrees non-identical, so ReuseExchange cannot
+        // share them — the token aggregation itself IS shared through its
+        // broadcast, and the residual duplicate is one scan + size(split)
+        // projection, ~0.3 s at sf0.1 and map-side at any scale.)
         val offsets = base.groupBy("band")
           .agg(sum(col("ntok")).as("ts"), sum(col("vnew")).as("vs"),
             count(lit(1)).as("nb"))
