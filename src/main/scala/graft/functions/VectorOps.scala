@@ -419,11 +419,16 @@ object VectorOps {
             Exact.dot(col("embedding"), col("qv")).as("dp"))
         def D(c: org.apache.spark.sql.Column) =
           c.cast(org.apache.spark.sql.types.DoubleType)
+        // NaN guard (a zero-norm corpus vector yields cos = 0/0): NaN sorts
+        // first under DESC, so it bands to Long.MinValue
+        def bandOf(c: org.apache.spark.sql.Column, k: Int) =
+          when(isnan(c), lit(Long.MinValue))
+            .otherwise(floor(-c * k).cast("long"))
         val ranked = graft.operators.GlobalRank.rowNumberBanded(
           graft.operators.GlobalRank.rowNumberBanded(
-            scored, floor(-col("cos") * 1024).cast("long"),
+            scored, bandOf(col("cos"), 1024),
             Seq(col("cos").desc, col("vec_id")), "r_cos"),
-          floor(-col("dp") * 64).cast("long"),
+          bandOf(col("dp"), 64),
           Seq(col("dp").desc, col("vec_id")), "r_dot")
         ranked
           .select(col("vec_id"), col("r_cos"), col("r_dot"),
@@ -574,11 +579,16 @@ object VectorOps {
             // the augmented q keeps ‖q‖; the extra dimension contributes 0
             (Exact.dot(col("embedding"), col("qv")) /
               (col("mx") * Exact.norm(col("qv")))).as("ac"))
+        // NaN guard: a zero max-norm (empty/degenerate corpus) would make
+        // ac = dp/0 NaN; NaN sorts first under DESC → band Long.MinValue
+        def bandOf(c: org.apache.spark.sql.Column, k: Int) =
+          when(isnan(c), lit(Long.MinValue))
+            .otherwise(floor(-c * k).cast("long"))
         graft.operators.GlobalRank.rowNumberBanded(
           graft.operators.GlobalRank.rowNumberBanded(
-            scored, floor(-col("dp") * 64).cast("long"),
+            scored, bandOf(col("dp"), 64),
             Seq(col("dp").desc, col("vec_id")), "r_dot"),
-          floor(-col("ac") * 1024).cast("long"),
+          bandOf(col("ac"), 1024),
           Seq(col("ac").desc, col("vec_id")), "r_aug")
           .filter(col("r_dot") <= 10)
           .select(col("vec_id"), col("r_dot"), col("r_aug"),

@@ -71,7 +71,12 @@ object GlobalRank {
     val offs = b.groupBy("__band").agg(count(lit(1)).as("__n"))
       .withColumn("__off", sum(col("__n")).over(wB) - col("__n"))
       .select(col("__band").as("__band2"), col("__off"))
-    b.join(broadcast(offs), col("__band") === col("__band2"))
+    // null-safe join: a null band must form its own band, not silently drop
+    // its rows. NOTE the band expression owns NaN placement: floor(-NaN·K)
+    // CASTS TO 0, landing NaN mid-order — a caller whose scores can be NaN
+    // must guard explicitly (NaN sorts first under DESC, so band it to
+    // Long.MinValue: `when(isnan(s), Long.MinValue).otherwise(floor(-s*K))`)
+    b.join(broadcast(offs), col("__band") <=> col("__band2"))
       .withColumn(out, col("__off") + row_number().over(wL))
       .drop("__band", "__band2", "__off")
   }

@@ -156,15 +156,21 @@ class Round13Spec extends SparkSuite {
   test("rowNumberBanded equals the bare global row_number window, any band width") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(7)
-    val data = (0 until 500).map(i => (i.toLong, rnd.nextDouble() * 200 - 100))
+    // three NaN scores: floor(-NaN*k) is a NULL band, which must form its
+    // own (first) band — matching NaN-first DESC window order — not drop
+    val data = (0 until 500).map(i => (i.toLong,
+      if (i % 167 == 0) Double.NaN else rnd.nextDouble() * 200 - 100))
       .toDF("id", "score")
     val expect = data
       .withColumn("rk", row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
     for (k <- Seq(1, 8, 1024)) {
+      // the NaN guard the helper's scaladoc prescribes: NaN sorts first
+      // under DESC, so it bands to Long.MinValue
+      val band = when(isnan(col("score")), lit(Long.MinValue))
+        .otherwise(floor(-col("score") * k).cast("long"))
       val got = graft.operators.GlobalRank.rowNumberBanded(
-        data, floor(-col("score") * k).cast("long"),
-        Seq(col("score").desc, col("id")), "rk")
+        data, band, Seq(col("score").desc, col("id")), "rk")
         .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
       assert(got.sameElements(expect), s"band width $k diverged")
     }
