@@ -121,6 +121,62 @@ object DevProbe {
           .orderBy(col("jac").desc, col("ida"), col("idb"))
           .limit(20)
       }
+      case "@rfm_fused" => (s, dir) => {
+        // union-fused RFM: all three banded ranks ride ONE window exchange.
+        // MEASURED round 11 (4 passes, sf0.1, alongside q_agg_rfm): fused
+        // 2.6-4.1 s vs shipped 2.6-3.2 s — the union triples the offsets
+        // branch's recompute of `per` and the pivot adds an exchange, so
+        // the fusion does NOT beat three independent slim ranks; kept as
+        // the recorded alternative (the jaccard-alternatives discipline)
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.LongType
+        val od = datediff(to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01"))).cast(LongType)
+        val per = graft.Tables.table(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(od).as("lastd"), count(lit(1)).as("f"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType)).as("m"))
+        val base = per
+          .crossJoin(broadcast(per.agg(max(col("lastd")).as("maxd"))))
+          .withColumn("r_days", col("maxd") - col("lastd"))
+        val u = base.select(lit(0L).as("mid"), col("r_days").as("band"),
+            col("r_days").as("a"), col("o_custkey"))
+          .unionByName(per.select(lit(1L).as("mid"), (-col("f")).as("band"),
+            (-col("f")).as("a"), col("o_custkey")))
+          .unionByName(per.select(lit(2L).as("mid"),
+            (-call_function("div", col("m"), lit(1000000L))).as("band"),
+            (-col("m")).as("a"), col("o_custkey")))
+        val wLo = Window.partitionBy("mid", "band").orderBy("a", "o_custkey")
+        val wB = Window.partitionBy("mid").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offs = u.groupBy("mid", "band").agg(count(lit(1)).as("n"))
+          .withColumn("off", sum(col("n")).over(wB) - col("n"))
+          .select(col("mid").as("mid2"), col("band").as("band2"), col("off"))
+        val rk3 = u.join(broadcast(offs),
+            col("mid") === col("mid2") && col("band") === col("band2"))
+          .withColumn("rk", col("off") + row_number().over(wLo))
+        val pivot = rk3.groupBy("o_custkey").agg(
+          max(when(col("mid") === 0L, col("rk"))).as("rr"),
+          max(when(col("mid") === 1L, col("rk"))).as("rf"),
+          max(when(col("mid") === 2L, col("rk"))).as("rm"))
+        val nn = per.agg(count(lit(1)).as("nn"))
+        def score(rk: org.apache.spark.sql.Column) = {
+          val r0 = rk - lit(1L)
+          val q = call_function("div", col("nn"), lit(5L))
+          val rem = col("nn") % lit(5L)
+          val thr = rem * (q + lit(1L))
+          when(r0 < thr, call_function("div", r0, q + lit(1L)) + lit(1L))
+            .otherwise(call_function("div", r0 - thr, greatest(q, lit(1L)))
+              + rem + lit(1L)).cast(LongType)
+        }
+        base.join(pivot, "o_custkey").crossJoin(broadcast(nn))
+          .withColumn("r_score", score(col("rr")))
+          .withColumn("f_score", score(col("rf")))
+          .withColumn("m_score", score(col("rm")))
+          .groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("monetary_cents"))
+          .orderBy("r_score", "f_score", "m_score")
+      }
       case "@geo_parse" => (s, dir) => {
         val e = graft.Tables.table(s, dir, "events")
           .filter(col("event_type") === "click")
