@@ -420,16 +420,21 @@ object VectorOps {
         def D(c: org.apache.spark.sql.Column) =
           c.cast(org.apache.spark.sql.types.DoubleType)
         // NaN guard (a zero-norm corpus vector yields cos = 0/0): NaN sorts
-        // first under DESC, so it bands to Long.MinValue
+        // first under DESC, so it bands to Long.MinValue. Each rank runs on
+        // its slim (vec_id, score) projection and joins back on the key —
+        // chaining would nest the first rank's whole plan inside the second
         def bandOf(c: org.apache.spark.sql.Column, k: Int) =
           when(isnan(c), lit(Long.MinValue))
             .otherwise(floor(-c * k).cast("long"))
-        val ranked = graft.operators.GlobalRank.rowNumberBanded(
-          graft.operators.GlobalRank.rowNumberBanded(
-            scored, bandOf(col("cos"), 1024),
-            Seq(col("cos").desc, col("vec_id")), "r_cos"),
-          bandOf(col("dp"), 64),
+        val rc = graft.operators.GlobalRank.rowNumberBanded(
+          scored.select("vec_id", "cos"), bandOf(col("cos"), 1024),
+          Seq(col("cos").desc, col("vec_id")), "r_cos")
+          .select("vec_id", "r_cos")
+        val rd = graft.operators.GlobalRank.rowNumberBanded(
+          scored.select("vec_id", "dp"), bandOf(col("dp"), 64),
           Seq(col("dp").desc, col("vec_id")), "r_dot")
+          .select("vec_id", "r_dot")
+        val ranked = scored.join(rc, "vec_id").join(rd, "vec_id")
         ranked
           .select(col("vec_id"), col("r_cos"), col("r_dot"),
             round(lit(1d) / D(lit(60L) + col("r_cos")) +
@@ -580,16 +585,20 @@ object VectorOps {
             (Exact.dot(col("embedding"), col("qv")) /
               (col("mx") * Exact.norm(col("qv")))).as("ac"))
         // NaN guard: a zero max-norm (empty/degenerate corpus) would make
-        // ac = dp/0 NaN; NaN sorts first under DESC → band Long.MinValue
+        // ac = dp/0 NaN; NaN sorts first under DESC → band Long.MinValue.
+        // Slim per-rank projections joined back on the key (see q_vec_rrf)
         def bandOf(c: org.apache.spark.sql.Column, k: Int) =
           when(isnan(c), lit(Long.MinValue))
             .otherwise(floor(-c * k).cast("long"))
-        graft.operators.GlobalRank.rowNumberBanded(
-          graft.operators.GlobalRank.rowNumberBanded(
-            scored, bandOf(col("dp"), 64),
-            Seq(col("dp").desc, col("vec_id")), "r_dot"),
-          bandOf(col("ac"), 1024),
+        val rd = graft.operators.GlobalRank.rowNumberBanded(
+          scored.select("vec_id", "dp"), bandOf(col("dp"), 64),
+          Seq(col("dp").desc, col("vec_id")), "r_dot")
+          .select("vec_id", "r_dot")
+        val ra = graft.operators.GlobalRank.rowNumberBanded(
+          scored.select("vec_id", "ac"), bandOf(col("ac"), 1024),
           Seq(col("ac").desc, col("vec_id")), "r_aug")
+          .select("vec_id", "r_aug")
+        scored.join(rd, "vec_id").join(ra, "vec_id")
           .filter(col("r_dot") <= 10)
           .select(col("vec_id"), col("r_dot"), col("r_aug"),
             round(col("dp"), 6).as("dot"))

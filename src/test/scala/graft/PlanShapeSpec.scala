@@ -338,7 +338,7 @@ class PlanShapeSpec extends SparkSuite {
         s"$q has a window not keyed on the score band:\n$p")
       // remaining SinglePartition exchanges feed band-grain offsets windows,
       // 1-row scalar aggregates, and the ≤10-row final sort only
-      assert("Exchange SinglePartition".r.findAllIn(p).size <= 6, s"$q:\n$p")
+      assert("Exchange SinglePartition".r.findAllIn(p).size <= 8, s"$q:\n$p")
     }
     assert(plan("q_vec_rrf").contains("TakeOrderedAndProject"), plan("q_vec_rrf"))
   }
