@@ -237,6 +237,87 @@ object DedupOps {
            |ORDER BY jac DESC, ida, idb LIMIT 20""".stripMargin)),
 
     GraftQuery(
+      "q_dedup_substring",
+      "EXACT-SUBSTRING duplication census (the deduplicate-text-datasets " +
+        "operator): any 8-token span that occurs more than once in the " +
+        "corpus is duplicated text; per source the query reports how many " +
+        "documents contain such a span and the EXACT duplicated-token " +
+        "mass — the union length of all repeated 8-token windows per " +
+        "document, computed as an integer interval union (first window " +
+        "pays 8, each next pays min(8, position gap) in one doc-keyed lag " +
+        "window). Scale shape: positional 8-gram HASHES built map-side " +
+        "(8-byte keys through the exchange, never text), occurrence " +
+        "counts as ONE hash-keyed window over the slim (doc, pos, g) " +
+        "relation, then a doc-keyed window+agg and a doc-grain join — " +
+        "corpus tokenized once, two slim exchanges. A 2^-64 hash " +
+        "collision could only overcount one span; the string-keyed " +
+        "oracle pins the masses as identical. Docs shorter than 8 " +
+        "tokens carry no span and are excluded from both sides.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val K = 8
+        val d = Tables.spread(s, table(s, dir, "documents"))
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= K)
+        val sh = d.select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, size(toks) - $K), " +
+              s"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $K))))"))
+            .as(Seq("pos", "g")))
+        val rep = sh
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+          .filter(col("df") >= 2)
+        val wD = Window.partitionBy("doc_id").orderBy("pos")
+        val cov = rep
+          .withColumn("gap", col("pos") - lag(col("pos"), 1).over(wD))
+          .withColumn("covered", when(col("gap").isNull, lit(K.toLong))
+            .otherwise(least(lit(K.toLong), col("gap").cast("long"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_rep_pos"), sum(col("covered")).as("rep_tokens"))
+        d.select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("ntok"))
+          .join(cov, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rep_tokens").isNotNull, 1L).otherwise(0L)).as("docs_with_rep"),
+            sum(coalesce(col("rep_tokens"), lit(0L))).as("rep_tokens"),
+            sum(col("ntok")).as("total_tokens"))
+          .select(col("source"), col("n_docs"), col("docs_with_rep"),
+            col("rep_tokens"), col("total_tokens"),
+            round(col("rep_tokens").cast("double") /
+              col("total_tokens").cast("double"), 6).as("dup_ratio"))
+          .orderBy("source")
+      },
+      Some {
+        val g8 = (0 to 7).map(j => s"toks[i+$j]").mkString("||' '||")
+        s"""WITH d AS (SELECT doc_id, source, string_split(text,' ') AS toks
+           |    FROM documents),
+           |dd AS (SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS ntok
+           |  FROM d WHERE len(toks) >= 8),
+           |sh AS (SELECT doc_id, u.i AS pos, u.g AS g FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+           |      i -> struct_pack(i := i - 1, g := $g8))) AS u
+           |    FROM dd)),
+           |rep AS (SELECT doc_id, pos FROM (
+           |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS df FROM sh)
+           |  WHERE df >= 2),
+           |cov AS (SELECT doc_id, count(*) AS n_rep_pos,
+           |    CAST(sum(CASE WHEN lp IS NULL THEN 8
+           |      ELSE least(8, pos - lp) END) AS BIGINT) AS rep_tokens
+           |  FROM (SELECT doc_id, pos,
+           |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp FROM rep)
+           |  GROUP BY doc_id)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN rep_tokens IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS docs_with_rep,
+           |  CAST(sum(coalesce(rep_tokens, 0)) AS BIGINT) AS rep_tokens,
+           |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           |  round(CAST(sum(coalesce(rep_tokens, 0)) AS DOUBLE)
+           |    / CAST(sum(ntok) AS DOUBLE), 6) AS dup_ratio
+           |FROM dd LEFT JOIN cov USING (doc_id)
+           |GROUP BY source ORDER BY source""".stripMargin
+      }),
+
+    GraftQuery(
       "q_dedup_canonical",
       "Canonical-representative assignment over the MinHash/LSH candidate graph: " +
         "every doc maps to min(doc_id) among its band-collision partners (self if " +

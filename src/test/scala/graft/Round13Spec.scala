@@ -176,6 +176,43 @@ class Round13Spec extends SparkSuite {
     }
   }
 
+  test("q_dedup_substring: interval-union coverage equals a driver-side brute force") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val K = 8
+    // brute force: string 8-gram occurrence counts, repeated positions,
+    // per-doc interval union, per-source rollup
+    val grams = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val perDoc = docs.map { case (id, src, text) =>
+      val toks = text.split(" ", -1)
+      val gs = if (toks.length < K) Array.empty[String]
+        else (0 to toks.length - K).map(i => toks.slice(i, i + K).mkString(" ")).toArray
+      gs.foreach(g => grams(g) += 1)
+      (id, src, toks.length, gs)
+    }.filter(_._4.nonEmpty)
+    val expect = perDoc.groupBy(_._2).map { case (src, ds) =>
+      var nDocs = 0L; var withRep = 0L; var repTok = 0L; var total = 0L
+      ds.foreach { case (_, _, ntok, gs) =>
+        nDocs += 1; total += ntok
+        val pos = gs.zipWithIndex.collect { case (g, p) if grams(g) >= 2 => p }
+        if (pos.nonEmpty) {
+          withRep += 1
+          repTok += K + pos.sliding(2).collect { case Array(a, b) => math.min(K, b - a) }.sum
+        }
+      }
+      src -> (nDocs, withRep, repTok, total)
+    }
+    val got = run("q_dedup_substring").collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (n, w, rep, tot) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("docs_with_rep") == w &&
+        r.getAs[Long]("rep_tokens") == rep && r.getAs[Long]("total_tokens") == tot,
+        r.toString)
+    }
+  }
+
   test("aprs-is passcode: 15-bit range, SSID/case invariance, spot values") {
     import graft.streaming.AprsIs.passcode
     val rnd = new scala.util.Random(11)
