@@ -534,7 +534,7 @@ object DedupOps {
           .join(sh.filter(col("b") < 90).select("g"), Seq("g"), "left_semi")
           .agg(countDistinct(col("doc_id")).as("n_contaminated"))
         d.filter(col("b") >= 95).agg(count(lit(1)).as("n_test"))
-          .crossJoin(contaminated)
+          .crossJoin(broadcast(contaminated))
       },
       Some(
         """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
@@ -571,7 +571,8 @@ object DedupOps {
         val dup = newBatch.select("doc_id", "band")
           .join(corpus, Seq("band"), "left_semi")
           .agg(countDistinct(col("doc_id")).as("n_dup"))
-        newBatch.agg(countDistinct(col("doc_id")).as("n_new")).crossJoin(dup)
+        newBatch.agg(countDistinct(col("doc_id")).as("n_new"))
+          .crossJoin(broadcast(dup))
       },
       Some {
         val mh = (0 until NumHashes)

@@ -816,7 +816,7 @@ object PipelineOps {
         val rm = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
         val cm = cells.groupBy("dow").agg(sum(col("o")).as("ct"))
         val tot = rm.agg(sum(col("rt")).as("n"), count(lit(1)).as("nr"))
-          .crossJoin(cm.agg(count(lit(1)).as("nc")))
+          .crossJoin(broadcast(cm.agg(count(lit(1)).as("nc"))))
         def D(c: Column) = c.cast(DoubleType)
         val e = D(col("rt")) * D(col("ct")) / D(col("n"))
         val contrib = (D(col("o")) - e) * (D(col("o")) - e) / e

@@ -61,6 +61,12 @@ final class AprsIsRelay(host: String, port: Int, callsign: String,
   @volatile var logresp: Option[String] = None
   @volatile var dropped: Long = 0L
 
+  /** Terminal failure of the upstream APRS-IS connection, if any — a refused
+    * or dropped connection used to vanish silently (the reader swallowed
+    * every Throwable), leaving the stream empty with no diagnostic. Callers
+    * (PacketCollector) surface this in their logs. */
+  @volatile var readerError: Option[Throwable] = None
+
   /** Loopback port the Spark socket source should connect to. */
   def localPort: Int = local.getLocalPort
 
@@ -85,20 +91,30 @@ final class AprsIsRelay(host: String, port: Int, callsign: String,
         line = in.readLine()
       }
       sock.close()
-    } catch { case _: Throwable => () }
+    } catch {
+      case t: Throwable =>
+        if (!closed) readerError = Some(t)
+    }
   }, "aprsis-reader")
 
+  // Accept in a loop: Spark's socket source reconnects after a query restart,
+  // and serving exactly one connection left the restarted stream silently
+  // empty. Each accepted client is served until it disconnects or the relay
+  // closes; a write failure (client went away) falls through to re-accept.
   private val writer = new Thread(() => {
-    try {
-      val cli = local.accept()
-      val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-        cli.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
-      while (!closed) {
-        val l = queue.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
-        if (l != null) { w.println(l); w.flush() }
-      }
-      cli.close()
-    } catch { case _: Throwable => () }
+    while (!closed) {
+      try {
+        val cli = local.accept()
+        try {
+          val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+            cli.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+          while (!closed && !w.checkError()) {
+            val l = queue.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+            if (l != null) { w.println(l); w.flush() }
+          }
+        } finally { try cli.close() catch { case _: Throwable => () } }
+      } catch { case _: Throwable => () } // accept() fails only on close()
+    }
   }, "aprsis-writer")
 
   def start(): AprsIsRelay = {

@@ -79,6 +79,21 @@ object PacketCollector {
           s"--aprsis value must be host:port:callsign[:filter], got '${args(idx + 1)}'")
         val relay = new AprsIsRelay(parts(0), parts(1).toInt, parts(2),
           if (parts.length == 4) Some(parts(3)) else None).start()
+        // surface upstream failures + login progress once a minute: a refused
+        // or dropped APRS-IS connection must never read as an empty-but-
+        // healthy feed
+        val monitor = new Thread(() => {
+          while (true) {
+            Thread.sleep(60000)
+            relay.readerError.foreach(e => System.err.println(
+              s"[collector] APRS-IS upstream connection failed: $e"))
+            System.err.println(
+              s"[collector] aprsis banner=${relay.serverBanner.getOrElse("-")} " +
+                s"logresp=${relay.logresp.getOrElse("-")} dropped=${relay.dropped}")
+          }
+        }, "aprsis-monitor")
+        monitor.setDaemon(true)
+        monitor.start()
         Some(("127.0.0.1", relay.localPort))
       } else None
 

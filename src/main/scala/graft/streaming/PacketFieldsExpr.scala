@@ -222,7 +222,7 @@ object PacketFieldsUtil {
     val dti =
       if (plen == 0) ""
       else payload.substring(0, Character.charCount(payload.codePointAt(0)))
-    val d: Char = if (plen == 0) ' ' else payload.charAt(0)
+    val d: Char = if (plen == 0) '\u0000' else payload.charAt(0)
 
     // position flavors (mutually exclusive on the first char):
     //   bare  ^[!=]BODY            timed ^[/@][0-9]{6}[zh/]BODY

@@ -156,8 +156,9 @@ class Round13Spec extends SparkSuite {
   test("rowNumberBanded equals the bare global row_number window, any band width") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(7)
-    // three NaN scores: floor(-NaN*k) is a NULL band, which must form its
-    // own (first) band — matching NaN-first DESC window order — not drop
+    // three NaN scores: floor(-NaN*k) CASTS TO 0 (GlobalRank.scala scaladoc),
+    // which would land NaN mid-order — so every caller must band NaN
+    // explicitly to Long.MinValue, matching NaN-first DESC window order
     val data = (0 until 500).map(i => (i.toLong,
       if (i % 167 == 0) Double.NaN else rnd.nextDouble() * 200 - 100))
       .toDF("id", "score")
