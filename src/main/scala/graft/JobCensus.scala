@@ -1,0 +1,79 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Floor-profiling probe (not part of the contract): per-query job/stage/task
+  * census under the exact Bench execution scheme (memoized plan, timed cloned
+  * execution). The per-query "floor" is scheduling overhead × jobs/stages —
+  * a query running 4+ sequential jobs pays ~4× the ~80 ms/job local floor, so
+  * this census ranks the floor-reduction targets the round-11 verdict asked
+  * for. Usage: CENSUS_QUERIES="q_a,q_b" or default = every non-streaming
+  * query slower than CENSUS_MIN (default 0.45 s) in bench_full.json.
+  */
+object JobCensus {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.warehouse.dir", graft.Scratch.dir("graft_wh"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sc = spark.sparkContext
+
+    val names: Seq[String] = sys.env.get("CENSUS_QUERIES") match {
+      case Some(qs) => qs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      case None =>
+        val minSec = sys.env.getOrElse("CENSUS_MIN", "0.45").toDouble
+        val txt = scala.io.Source.fromFile("bench_full.json").mkString
+        val re = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
+        re.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (n, v) => v >= minSec && !n.startsWith("q_stream_") }
+          .toSeq.sortBy(-_._2).map(_._1).distinct
+    }
+
+    def drain(it: Iterator[org.apache.spark.sql.catalyst.InternalRow]): Long = {
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+    }
+    def runPlan(plan: SparkPlan): Unit = sc.runJob(plan.execute(), drain _)
+
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages += 1; tasks += s.stageInfo.numTasks
+      }
+    })
+
+    val rows = names.flatMap { n =>
+      try {
+        val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
+        runPlan(PlanHonesty.prepareClone(plan)) // warm
+        Thread.sleep(80)
+        jobs = 0; stages = 0; tasks = 0
+        val cloned = PlanHonesty.prepareClone(plan)
+        val t0 = System.nanoTime()
+        runPlan(cloned)
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(120) // drain listener
+        Some((n, sec, jobs, stages, tasks))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[census] $n failed: ${e.getMessage}"); None
+      }
+    }
+    println(f"${"query"}%-28s ${"sec"}%7s ${"jobs"}%5s ${"stages"}%7s ${"tasks"}%6s")
+    rows.sortBy(-_._2).foreach { case (n, s, j, st, t) =>
+      println(f"$n%-28s $s%7.3f $j%5d $st%7d $t%6d")
+    }
+    spark.stop()
+  }
+}

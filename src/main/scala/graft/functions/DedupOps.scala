@@ -248,11 +248,14 @@ object DedupOps {
         "window). Scale shape: positional 8-gram HASHES built map-side " +
         "(8-byte keys through the exchange, never text), occurrence " +
         "counts as ONE hash-keyed window over the slim (doc, pos, g) " +
-        "relation, then a doc-keyed window+agg and a doc-grain join — " +
-        "corpus tokenized once, two slim exchanges. A 2^-64 hash " +
-        "collision could only overcount one span; the string-keyed " +
-        "oracle pins the masses as identical. Docs shorter than 8 " +
-        "tokens carry no span and are excluded from both sides.",
+        "relation — the single-subtree form reads and tokenizes the " +
+        "corpus exactly once, where an aggregate-plus-semi-join pair " +
+        "would re-derive the gram relation in its pruned second branch — " +
+        "then a doc-keyed window+agg and a doc-grain join: two slim " +
+        "exchanges total. A 2^-64 hash collision could only overcount " +
+        "one span; the string-keyed oracle pins the masses as identical. " +
+        "Docs shorter than 8 tokens carry no span and are excluded " +
+        "from both sides.",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val K = 8

@@ -175,22 +175,34 @@ object PipelineOps {
         "relation is ~n_docs/512 rows and the second pass is fully parallel " +
         "per chunk.",
       (s, dir) => {
+        // the explicit chunk repartition is the ONE exchange both passes
+        // share (ReuseExchange): the within-chunk running sums come FIRST,
+        // each chunk's subtotal is its end row's running value, and the
+        // offsets branch reads those band-end rows THROUGH the same window
+        // subtree — an aggregate of the pre-window relation would prune
+        // doc_id out of its exchange copy and break the sharing. <=> keeps
+        // the join from inferring IsNotNull into one branch. The corpus is
+        // tokenized exactly once; the chunk-grain offset window (512x
+        // smaller than docs) stays acceptable single-partition work,
+        // hierarchical at extreme scale.
         val toks = tokCounts(s, dir).withColumn("chunk", expr("doc_id div 512"))
-        // pass 1: chunk subtotals; the window runs over the chunk RELATION
-        // (512x smaller than docs) — acceptable single-partition work here,
-        // hierarchical at extreme scale
-        val offsets = toks.groupBy("chunk").agg(sum(col("n_tok")).as("cs"))
+          .repartition(col("chunk"))
+        val wLo = Window.partitionBy("chunk").orderBy("doc_id")
+        val win = toks
+          .withColumn("run", sum(col("n_tok")).over(
+            wLo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rk_loc", row_number().over(wLo))
+          .withColumn("nc", count(lit(1)).over(Window.partitionBy("chunk")))
+        val offsets = win.filter(col("rk_loc") === col("nc"))
+          .select(col("chunk").as("chunk2"), col("run").as("cs"))
           .withColumn("off",
-            sum(col("cs")).over(Window.orderBy("chunk")
+            sum(col("cs")).over(Window.orderBy("chunk2")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("cs"))
-          .drop("cs")
-        // pass 2: within-chunk running sum, shifted by the chunk offset
-        val cum = toks
-          .join(broadcast(offsets), "chunk")
-          .withColumn("cum",
-            col("off") + sum(col("n_tok")).over(
-              Window.partitionBy("chunk").orderBy("doc_id")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("chunk2"), col("off"))
+        // pass 2: the local running sum shifted by the chunk offset
+        val cum = win
+          .join(broadcast(offsets), col("chunk") <=> col("chunk2"))
+          .withColumn("cum", col("off") + col("run"))
         cum.withColumn("bin", expr("(cum - n_tok) div 2048"))
           .groupBy("bin")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
@@ -755,20 +767,32 @@ object PipelineOps {
         "naive single global window, so the gate proves the decomposition.",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // shared band exchange (ReuseExchange): the within-band rank comes
+        // FIRST and the offsets branch reads one row per band THROUGH the
+        // same window subtree (rk_loc = 1 carries the band's count from a
+        // whole-band count window) — an aggregate of the pre-window
+        // relation would prune doc_id out of its exchange copy and break
+        // the sharing; <=> keeps the join from inferring IsNotNull into
+        // one branch. Tokenize once, both passes read one materialization.
         val toks = tokCounts(s, dir).withColumn("band", expr("n_tok div 64"))
-        // pass 1: rows in each band; offsets = rows in HIGHER bands
-        val offsets = toks.groupBy("band").agg(count(lit(1)).as("bn"))
+          .repartition(col("band"))
+        val wLo = Window.partitionBy("band")
+          .orderBy(col("n_tok").desc, col("doc_id"))
+        val win = toks
+          .withColumn("rk_loc", row_number().over(wLo))
+          .withColumn("bn", count(lit(1)).over(Window.partitionBy("band")))
+        // pass 1: offsets = rows in HIGHER bands
+        val offsets = win.filter(col("rk_loc") === 1)
+          .select(col("band").as("band2"), col("bn").as("bn2"))
           .withColumn("off",
-            coalesce(sum(col("bn")).over(
-              Window.orderBy(col("band").desc)
+            coalesce(sum(col("bn2")).over(
+              Window.orderBy(col("band2").desc)
                 .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("band"), col("off"))
+          .select(col("band2"), col("off"))
         // pass 2: within-band rank, shifted by the band offset
-        val ranked = toks
-          .join(broadcast(offsets), "band")
-          .withColumn("rk",
-            col("off") + row_number().over(
-              Window.partitionBy("band").orderBy(col("n_tok").desc, col("doc_id"))))
+        val ranked = win
+          .join(broadcast(offsets), col("band") <=> col("band2"))
+          .withColumn("rk", col("off") + col("rk_loc"))
         ranked
           .withColumn("shard", (col("rk") - 1) % 8)
           .groupBy("shard")

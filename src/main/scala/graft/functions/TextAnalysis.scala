@@ -538,27 +538,39 @@ object TextAnalysis {
         val wL = wLo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wBo = Window.orderBy("band")
         val wB = wBo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // pass 1: integer band subtotals -> offsets over the tiny band grain.
-        // (This branch re-derives the slim doc-grain projection: column
-        // pruning and the window branch's pushed null filter make the two
-        // band-exchange subtrees non-identical, so ReuseExchange cannot
-        // share them — the token aggregation itself IS shared through its
-        // broadcast, and the residual duplicate is one scan + size(split)
-        // projection, ~0.3 s at sf0.1 and map-side at any scale.)
-        val offsets = base.groupBy("band")
-          .agg(sum(col("ntok")).as("ts"), sum(col("vnew")).as("vs"),
-            count(lit(1)).as("nb"))
-          .withColumn("ct_off", sum(col("ts")).over(wB) - col("ts"))
-          .withColumn("cv_off", sum(col("vs")).over(wB) - col("vs"))
-          .withColumn("rk_off", sum(col("nb")).over(wB) - col("nb"))
-          .select("band", "nb", "ct_off", "cv_off", "rk_off")
-        // pass 2: per-band local prefix sums shifted by the band offsets
-        // give exact global ct/cv/rk at every row; the float OLS folds
-        // stay band-local and only their band-end values survive
-        val ends = base.join(broadcast(offsets), "band")
+        // The band-LOCAL integer prefix sums come first (one in-partition
+        // window pass over the shared exchange); each band's TOTAL is its
+        // end row's running value, so pass 1's offsets read off the
+        // band-end rows instead of a separate aggregation of the pre-window
+        // relation — that aggregation pruned doc_id out of its copy of the
+        // exchange subtree, making the two subtrees non-canonical and
+        // killing the ReuseExchange sharing the repartition exists for.
+        // Both branches now ride through the SAME window subtree (identical
+        // pruning), the offsets join is null-safe (<=>, no inferred
+        // IsNotNull on one side only), and the corpus is scanned and
+        // tokenized exactly once. Cross-band sums are integers
+        // (associative), so the fold tree the oracle mirrors is unchanged.
+        val win = base
           .withColumn("rk_loc", row_number().over(wLo).cast(LongType))
-          .withColumn("ct", col("ct_off") + sum(col("ntok")).over(wL))
-          .withColumn("cv", col("cv_off") + sum(col("vnew")).over(wL))
+          .withColumn("ct_loc", sum(col("ntok")).over(wL))
+          .withColumn("cv_loc", sum(col("vnew")).over(wL))
+          .withColumn("nb", count(lit(1)).over(Window.partitionBy("band")))
+        val wB2 = Window.orderBy("band2")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = win.filter(col("rk_loc") === col("nb"))
+          .select(col("band").as("band2"), col("ct_loc").as("ts"),
+            col("cv_loc").as("vs"), col("nb").as("nbe"))
+          .withColumn("ct_off", sum(col("ts")).over(wB2) - col("ts"))
+          .withColumn("cv_off", sum(col("vs")).over(wB2) - col("vs"))
+          .withColumn("rk_off", sum(col("nbe")).over(wB2) - col("nbe"))
+          .select(col("band2"), col("ct_off"), col("cv_off"), col("rk_off"))
+        // pass 2: the local prefix sums shifted by the band offsets give
+        // exact global ct/cv/rk at every row; the float OLS folds stay
+        // band-local and only their band-end values survive
+        val ends = win.join(broadcast(offsets), col("band") <=> col("band2"))
+          .drop("band2")
+          .withColumn("ct", col("ct_off") + col("ct_loc"))
+          .withColumn("cv", col("cv_off") + col("cv_loc"))
           .withColumn("rk", col("rk_off") + col("rk_loc"))
           .withColumn("x", log(D("ct")))
           .withColumn("y", log(D("cv")))

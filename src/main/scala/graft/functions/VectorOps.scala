@@ -420,21 +420,23 @@ object VectorOps {
         def D(c: org.apache.spark.sql.Column) =
           c.cast(org.apache.spark.sql.types.DoubleType)
         // NaN guard (a zero-norm corpus vector yields cos = 0/0): NaN sorts
-        // first under DESC, so it bands to Long.MinValue. Each rank runs on
-        // its slim (vec_id, score) projection and joins back on the key —
-        // chaining would nest the first rank's whole plan inside the second
+        // first under DESC, so it bands to Long.MinValue. The two ranks
+        // CHAIN: rowNumberBanded shares its band exchange between its own
+        // branches (ReuseExchange), so the corpus dot-product scan runs
+        // once at the bottom and the slim scored relation moves through
+        // two band-keyed exchanges — no joins back on the key. (Chaining
+        // was wrong under the pre-shared-exchange helper, which would have
+        // nested the first rank's whole plan into both branches of the
+        // second.)
         def bandOf(c: org.apache.spark.sql.Column, k: Int) =
           when(isnan(c), lit(Long.MinValue))
             .otherwise(floor(-c * k).cast("long"))
         val rc = graft.operators.GlobalRank.rowNumberBanded(
-          scored.select("vec_id", "cos"), bandOf(col("cos"), 1024),
+          scored, bandOf(col("cos"), 1024),
           Seq(col("cos").desc, col("vec_id")), "r_cos")
-          .select("vec_id", "r_cos")
-        val rd = graft.operators.GlobalRank.rowNumberBanded(
-          scored.select("vec_id", "dp"), bandOf(col("dp"), 64),
+        val ranked = graft.operators.GlobalRank.rowNumberBanded(
+          rc, bandOf(col("dp"), 64),
           Seq(col("dp").desc, col("vec_id")), "r_dot")
-          .select("vec_id", "r_dot")
-        val ranked = scored.join(rc, "vec_id").join(rd, "vec_id")
         ranked
           .select(col("vec_id"), col("r_cos"), col("r_dot"),
             round(lit(1d) / D(lit(60L) + col("r_cos")) +
@@ -586,19 +588,17 @@ object VectorOps {
               (col("mx") * Exact.norm(col("qv")))).as("ac"))
         // NaN guard: a zero max-norm (empty/degenerate corpus) would make
         // ac = dp/0 NaN; NaN sorts first under DESC → band Long.MinValue.
-        // Slim per-rank projections joined back on the key (see q_vec_rrf)
+        // The two ranks CHAIN over the scored relation (see q_vec_rrf):
+        // one corpus scan, two band-keyed exchanges, no joins back.
         def bandOf(c: org.apache.spark.sql.Column, k: Int) =
           when(isnan(c), lit(Long.MinValue))
             .otherwise(floor(-c * k).cast("long"))
         val rd = graft.operators.GlobalRank.rowNumberBanded(
-          scored.select("vec_id", "dp"), bandOf(col("dp"), 64),
+          scored, bandOf(col("dp"), 64),
           Seq(col("dp").desc, col("vec_id")), "r_dot")
-          .select("vec_id", "r_dot")
-        val ra = graft.operators.GlobalRank.rowNumberBanded(
-          scored.select("vec_id", "ac"), bandOf(col("ac"), 1024),
+        graft.operators.GlobalRank.rowNumberBanded(
+          rd, bandOf(col("ac"), 1024),
           Seq(col("ac").desc, col("vec_id")), "r_aug")
-          .select("vec_id", "r_aug")
-        scored.join(rd, "vec_id").join(ra, "vec_id")
           .filter(col("r_dot") <= 10)
           .select(col("vec_id"), col("r_dot"), col("r_aug"),
             round(col("dp"), 6).as("dot"))

@@ -62,23 +62,52 @@ object GlobalRank {
     * Band-size skew follows the value distribution — pick the band width so
     * the densest band stays executor-sized (the densest SCORE bucket, not
     * the corpus, bounds a partition). */
+  /** PRECONDITION: `sortCols` must fully tie-break (end in a unique key) —
+    * every call site's determinism already requires this; here it also
+    * licenses the inert trailing sort keys below.
+    *
+    * One-materialization plan shape: the explicit repartition on the band
+    * is the SHARED exchange both branches consume (ReuseExchange). Without
+    * it the offsets aggregation is a second full computation of `df` — for
+    * rank inputs that are themselves expensive (a corpus-wide dot-product
+    * scan, a fact-table aggregate) that recompute, not the banding
+    * arithmetic, dominates. Exchange reuse demands CANONICALLY IDENTICAL
+    * subtrees, which column pruning breaks unless both branches reference
+    * the same columns; three devices below pin that down:
+    *
+    *  1. the offsets branch rides THROUGH the window (per-band count =
+    *     max of the local row_number) instead of aggregating the
+    *     pre-window relation, so it cannot prune the window away;
+    *  2. every orderable payload column is appended as an INERT trailing
+    *     sort key — order is already fully decided by `sortCols`, so they
+    *     change nothing, but they make both branches' window subtrees
+    *     reference every column (identical pruning);
+    *  3. the offsets join is null-safe (<=>) — besides null-band
+    *     correctness (a null band must form its own band, not drop), a
+    *     plain === would let the optimizer infer an IsNotNull filter into
+    *     one branch's copy of the exchange subtree only.
+    */
   def rowNumberBanded(df: DataFrame, band: Column, sortCols: Seq[Column],
       out: String): DataFrame = {
-    val b = df.withColumn("__band", band)
-    val wL = Window.partitionBy("__band").orderBy(sortCols: _*)
+    val b = df.withColumn("__band", band).repartition(col("__band"))
+    val inert = df.schema.fields
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(f.name).asc)
+    val wL = Window.partitionBy("__band").orderBy(sortCols ++ inert: _*)
     val wB = Window.orderBy("__band")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offs = b.groupBy("__band").agg(count(lit(1)).as("__n"))
+    val win = b.withColumn("__rn", row_number().over(wL))
+    val offs = win.groupBy("__band").agg(max(col("__rn")).as("__n"))
       .withColumn("__off", sum(col("__n")).over(wB) - col("__n"))
       .select(col("__band").as("__band2"), col("__off"))
-    // null-safe join: a null band must form its own band, not silently drop
-    // its rows. NOTE the band expression owns NaN placement: floor(-NaN·K)
-    // CASTS TO 0, landing NaN mid-order — a caller whose scores can be NaN
-    // must guard explicitly (NaN sorts first under DESC, so band it to
+    // NOTE the band expression owns NaN placement: floor(-NaN·K) CASTS TO
+    // 0, landing NaN mid-order — a caller whose scores can be NaN must
+    // guard explicitly (NaN sorts first under DESC, so band it to
     // Long.MinValue: `when(isnan(s), Long.MinValue).otherwise(floor(-s*K))`)
-    b.join(broadcast(offs), col("__band") <=> col("__band2"))
-      .withColumn(out, col("__off") + row_number().over(wL))
-      .drop("__band", "__band2", "__off")
+    win.join(broadcast(offs), col("__band") <=> col("__band2"))
+      .withColumn(out, col("__off") + col("__rn"))
+      .drop("__band", "__band2", "__off", "__rn")
   }
 
   /** rank() OVER (ORDER BY key) — like [[denseRank]] plus per-key counts:

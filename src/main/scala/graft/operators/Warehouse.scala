@@ -169,25 +169,31 @@ object Warehouse {
           .groupBy(col("o_custkey"))
           .agg(max(od).as("lastd"), count(lit(1)).as("f"),
             sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType)).as("m"))
+        // the global last day and the customer count come straight off the
+        // fact table in ONE slim scan + broadcast (max of per-customer
+        // maxes = global max; distinct custkeys = |per|) — no branch
+        // re-derives the customer-grain aggregate
+        val stats = table(s, dir, "orders")
+          .agg(max(od).as("maxd"), countDistinct(col("o_custkey")).as("nn"))
         val base = per
-          .crossJoin(broadcast(per.agg(max(col("lastd")).as("maxd"))))
+          .crossJoin(broadcast(stats))
           .withColumn("r_days", col("maxd") - col("lastd"))
-        // three independent rank relations over slim (custkey, metric)
-        // projections, joined back on the customer key — no rank's window
-        // input carries another rank's join
-        val rr = rowNumberBanded(base.select(col("o_custkey"), col("r_days")),
+        // the three quintile ranks CHAIN over the full-width customer-grain
+        // relation: each rowNumberBanded shares its band exchange between
+        // its own two branches (ReuseExchange), so the orders aggregation
+        // runs ONCE at the bottom of the chain and the relation moves
+        // through exactly three band-keyed exchanges — no per-rank slim
+        // projection, no three joins back on the customer key. (The old
+        // slim-projection-and-join-back shape predates the shared-exchange
+        // rowNumberBanded, which made each rank recompute its input twice.)
+        val t1 = rowNumberBanded(base,
           col("r_days"), Seq(col("r_days"), col("o_custkey")), "rr")
-          .select("o_custkey", "rr")
-        val rf = rowNumberBanded(per.select(col("o_custkey"), col("f")),
+        val t2 = rowNumberBanded(t1,
           -col("f"), Seq(col("f").desc, col("o_custkey")), "rf")
-          .select("o_custkey", "rf")
-        val rm = rowNumberBanded(per.select(col("o_custkey"), col("m")),
+        val t3 = rowNumberBanded(t2,
           -call_function("div", col("m"), lit(1000000L)),
           Seq(col("m").desc, col("o_custkey")), "rm")
-          .select("o_custkey", "rm")
-        val ranked = base
-          .join(rr, "o_custkey").join(rf, "o_custkey").join(rm, "o_custkey")
-          .crossJoin(broadcast(per.agg(count(lit(1)).as("nn"))))
+        val ranked = t3 // nn rode through the chain from the stats broadcast
         // exact ntile(5) from the global rank: the first n%5 buckets take
         // one extra row — the q_hist_equidepth integer bucket formula
         def score(rk: org.apache.spark.sql.Column) = {

@@ -352,13 +352,26 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("q_agg_rfm: quintiles from banded ranks — no ntile, every window rides a band") {
-    val p = plan("q_agg_rfm")
-    assert(!p.contains("ntile"), p)
-    assert("windowspecdefinition\\((?!__band)".r.findFirstIn(p).isEmpty,
-      s"window not keyed on a metric band:\n$p")
-    // single-partition exchanges feed only the band-grain offsets windows,
-    // the two 1-row global aggregates, and the 125-row final sort
-    assert("Exchange SinglePartition".r.findAllIn(p).size <= 7, p)
+    // AQE off for this plan: the chained ranks' offsets branches embed
+    // textual copies of the ranks below them, and only the ReuseExchange
+    // rule (which AQE defers to its runtime stage cache) collapses them in
+    // the printed plan — the assertions pin that collapsed shape.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q_agg_rfm")
+      assert(!p.contains("ntile"), p)
+      assert("windowspecdefinition\\((?!__band)".r.findFirstIn(p).isEmpty,
+        s"window not keyed on a metric band:\n$p")
+      // each rank's offsets branch reads the ONE shared band exchange
+      assert("ReusedExchange".r.findAllIn(p).size == 3, p)
+      // orders is scanned twice only: the customer-grain aggregate and the
+      // 1-row (maxd, nn) stats broadcast
+      assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+      // single-partition exchanges feed only band-grain offsets windows,
+      // the 1-row stats aggregate, and the 125-row final sort
+      assert("Exchange SinglePartition".r.findAllIn(p).size <= 7, p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("q_join_null_anti plans a null-aware anti join on the nullable branch") {
