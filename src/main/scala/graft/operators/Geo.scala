@@ -834,6 +834,218 @@ object Geo {
           |SELECT callsign, count(*) AS n_tp, count(DISTINCT tp) AS n_stations,
           |  round(min(lat), 6) AS lat_min, round(max(lat), 6) AS lat_max,
           |  round(min(lon), 6) AS lon_min, round(max(lon), 6) AS lon_max
-          |FROM p GROUP BY callsign ORDER BY callsign""".stripMargin))
+          |FROM p GROUP BY callsign ORDER BY callsign""".stripMargin)),
+
+    GraftQuery(
+      "q_packet_items",
+      "Item-report analytics (`)` DTI — the portable-object sibling of `;`, " +
+        "the last standard position-bearing data type): per-station item " +
+        "count, killed-item count, distinct item names, and the bounding " +
+        "box. The rendering side encodes variable-length names (4 and 9 " +
+        "chars — both ends of the 3–9 spec range), live `!` and killed `_` " +
+        "terminators, and the standard uncompressed position residues; the " +
+        "production parser classifies, extracts the un-padded name and the " +
+        "killed flag, and decodes the position; the oracle rebuilds " +
+        "everything from the integers — encode∘parse pinned as the " +
+        "identity.",
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        val nm = concat(
+          when(pmod(col("event_id"), lit(2L)) === 0, lit("ITM"))
+            .otherwise(lit("LONGITEM")),
+          pmod(col("event_id"), lit(10L)).cast("string"))
+        val term = when(pmod(col("event_id"), lit(5L)) === 0, lit("_"))
+          .otherwise(lit("!"))
+        val raw = concat(
+          lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:)"),
+          nm, term,
+          format_string("%02d%02d.%02d",
+            pmod(col("event_id"), lit(90L)),
+            (pmod(col("event_id") * 7, lit(6000L)) / lit(100)).cast("long"),
+            pmod(pmod(col("event_id") * 7, lit(6000L)), lit(100L))),
+          when(pmod(col("event_id"), lit(2L)) === 0, "N").otherwise("S"),
+          lit("/"),
+          format_string("%03d%02d.%02d",
+            pmod(col("event_id") * 3, lit(180L)),
+            (pmod(col("event_id") * 13, lit(6000L)) / lit(100)).cast("long"),
+            pmod(pmod(col("event_id") * 13, lit(6000L)), lit(100L))),
+          when(pmod(col("event_id"), lit(3L)) === 0, "E").otherwise("W"),
+          lit(">"))
+        graft.streaming.PacketParse
+          .parse(Tables.spread(s, e.select(raw.as("raw"))))
+          .groupBy("callsign")
+          .agg(
+            sum(when(col("packet_type") === "item", 1L).otherwise(0L))
+              .as("n_items"),
+            sum(when(col("obj_killed"), 1L).otherwise(0L)).as("n_killed"),
+            countDistinct(col("obj_name")).as("n_names"),
+            round(min(col("lat")), 6).as("lat_min"),
+            round(max(col("lat")), 6).as("lat_max"),
+            round(min(col("lon")), 6).as("lon_min"),
+            round(max(col("lon")), 6).as("lon_max"))
+          .orderBy("callsign")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id,
+          |    event_id % 90 AS lat_deg, (event_id * 7) % 6000 AS lat_minc,
+          |    (event_id * 3) % 180 AS lon_deg, (event_id * 13) % 6000 AS lon_minc
+          |  FROM events WHERE event_type = 'click'),
+          |p AS (SELECT 'U' || CAST(user_id AS VARCHAR) AS callsign,
+          |    (CASE WHEN event_id % 2 = 0 THEN 'ITM' ELSE 'LONGITEM' END)
+          |      || CAST(event_id % 10 AS VARCHAR) AS nm,
+          |    CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS killed,
+          |    (CAST(lat_deg AS DOUBLE) + CAST(lat_minc AS DOUBLE) / 100.0 / 60.0)
+          |      * (CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE -1.0 END) AS lat,
+          |    (CAST(lon_deg AS DOUBLE) + CAST(lon_minc AS DOUBLE) / 100.0 / 60.0)
+          |      * (CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE -1.0 END) AS lon
+          |  FROM e)
+          |SELECT callsign, count(*) AS n_items,
+          |  CAST(sum(killed) AS BIGINT) AS n_killed,
+          |  count(DISTINCT nm) AS n_names,
+          |  round(min(lat), 6) AS lat_min, round(max(lat), 6) AS lat_max,
+          |  round(min(lon), 6) AS lon_min, round(max(lon), 6) AS lon_max
+          |FROM p GROUP BY callsign ORDER BY callsign""".stripMargin)),
+
+    GraftQuery(
+      "q_packet_ambiguous",
+      "Position-ambiguity analytics (space-substituted trailing digits in " +
+        "uncompressed positions — the coarsened-position convention real " +
+        "trackers emit, previously rejected to 'other'): per ambiguity " +
+        "level 0–4, report count, distinct stations, and the bounding box " +
+        "of the zero-filled decoded positions. The rendering side spaces " +
+        "out the last `amb` of the four minute digits in BOTH coordinates; " +
+        "the parser classifies the packet as a position, zero-fills the " +
+        "spaced digits and surfaces the level in `pos_ambiguity`; the " +
+        "oracle rebuilds the zero-filled integers directly.",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        val e = table(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"))
+        val amb = pmod(col("event_id"), lit(5L))
+        val lm = format_string("%04d", pmod(col("event_id") * 7, lit(6000L)))
+        val om = format_string("%04d", pmod(col("event_id") * 13, lit(6000L)))
+        def dchar(fmt: Column, i: Int): Column =
+          when(lit(i.toLong) <= lit(4L) - amb, substring(fmt, i, 1))
+            .otherwise(lit(" "))
+        val raw = concat(
+          lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:!"),
+          format_string("%02d", pmod(col("event_id"), lit(90L))),
+          dchar(lm, 1), dchar(lm, 2), lit("."), dchar(lm, 3), dchar(lm, 4),
+          when(pmod(col("event_id"), lit(2L)) === 0, "N").otherwise("S"),
+          lit("/"),
+          format_string("%03d", pmod(col("event_id") * 3, lit(180L))),
+          dchar(om, 1), dchar(om, 2), lit("."), dchar(om, 3), dchar(om, 4),
+          when(pmod(col("event_id"), lit(3L)) === 0, "E").otherwise("W"),
+          lit(">"))
+        graft.streaming.PacketParse
+          .parse(Tables.spread(s, e.select(raw.as("raw"))))
+          .groupBy("pos_ambiguity")
+          .agg(
+            count(lit(1)).as("n_pos"),
+            countDistinct(col("callsign")).as("n_stations"),
+            round(min(col("lat")), 6).as("lat_min"),
+            round(max(col("lat")), 6).as("lat_max"),
+            round(min(col("lon")), 6).as("lon_min"),
+            round(max(col("lon")), 6).as("lon_max"))
+          .orderBy("pos_ambiguity")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id, event_id % 5 AS amb,
+          |    event_id % 90 AS lat_deg, (event_id * 7) % 6000 AS lat_minc,
+          |    (event_id * 3) % 180 AS lon_deg, (event_id * 13) % 6000 AS lon_minc
+          |  FROM events WHERE event_type = 'purchase'),
+          |z AS (SELECT amb, user_id,
+          |    CASE amb WHEN 0 THEN lat_minc WHEN 1 THEN lat_minc // 10 * 10
+          |      WHEN 2 THEN lat_minc // 100 * 100
+          |      WHEN 3 THEN lat_minc // 1000 * 1000 ELSE 0 END AS lm,
+          |    CASE amb WHEN 0 THEN lon_minc WHEN 1 THEN lon_minc // 10 * 10
+          |      WHEN 2 THEN lon_minc // 100 * 100
+          |      WHEN 3 THEN lon_minc // 1000 * 1000 ELSE 0 END AS om,
+          |    lat_deg, lon_deg,
+          |    CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE -1.0 END AS lats,
+          |    CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE -1.0 END AS lons
+          |  FROM e),
+          |p AS (SELECT CAST(amb AS BIGINT) AS pos_ambiguity, user_id,
+          |    (CAST(lat_deg AS DOUBLE) + CAST(lm AS DOUBLE) / 100.0 / 60.0) * lats AS lat,
+          |    (CAST(lon_deg AS DOUBLE) + CAST(om AS DOUBLE) / 100.0 / 60.0) * lons AS lon
+          |  FROM z)
+          |SELECT pos_ambiguity, count(*) AS n_pos,
+          |  count(DISTINCT 'U' || CAST(user_id AS VARCHAR)) AS n_stations,
+          |  round(min(lat), 6) AS lat_min, round(max(lat), 6) AS lat_max,
+          |  round(min(lon), 6) AS lon_min, round(max(lon), 6) AS lon_max
+          |FROM p GROUP BY pos_ambiguity ORDER BY pos_ambiguity""".stripMargin)),
+
+    GraftQuery(
+      "q_packet_telemetry_scaled",
+      "Telemetry METADATA join — the aprsdb-style physical-units rendering: " +
+        "stations ship their scaling equations as EQNS. definition messages " +
+        "addressed to THEMSELVES, and every T# analog reading scales " +
+        "through value = a·v² + b·v + c before display. The data frames " +
+        "and the per-station EQNS message frames render separately, each " +
+        "parses once through the production parser (the metadata relation " +
+        "is station-grain → broadcast side of the join, the 100 TB shape), " +
+        "and the scaled mass is computed in EXACT hundredth-units integer " +
+        "arithmetic (v = vt/10 tenths ⇒ 100·value = a·vt² + 10·b·vt + " +
+        "100·c), so the oracle's direct integer computation is " +
+        "bit-identical. Pins the message-addressee extraction, the EQNS " +
+        "text path, and the telemetry-to-metadata join in one gate.",
+      (s, dir) => {
+        val ed = table(s, dir, "events")
+          .filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"))
+        val v = pmod(col("event_id") * 3, lit(1000L))
+        val rawT = concat(
+          lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:T#"),
+          format_string("%03d", pmod(col("event_id"), lit(1000L))), lit(","),
+          concat(expr("(event_id * 3) % 1000 div 10").cast("string"), lit("."),
+            pmod(v, lit(10L)).cast("string")),
+          lit(",0,0,0,0,"),
+          lpad(conv(pmod(col("event_id"), lit(256L)).cast("string"), 10, 2), 8, "0"))
+        val rawE = concat(
+          lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*::"),
+          rpad(concat(lit("U"), col("user_id").cast("string")), 9, " "),
+          lit(":EQNS."),
+          pmod(col("user_id"), lit(5L)).cast("string"), lit(","),
+          (pmod(col("user_id"), lit(7L)) + 1).cast("string"), lit(","),
+          pmod(col("user_id"), lit(11L)).cast("string"))
+        val tel = graft.streaming.PacketParse
+          .parse(Tables.spread(s, ed.select(rawT.as("raw"))))
+          .filter(col("packet_type") === "telemetry")
+          .select(col("callsign"),
+            round(col("tlm_a1") * 10).cast("long").as("vt"))
+        val eq = graft.streaming.PacketParse
+          .parse(ed.select(col("user_id")).distinct().select(rawE.as("raw")))
+          .filter(col("packet_type") === "message" &&
+            col("msg_addressee") === col("callsign") &&
+            col("msg_text").startsWith("EQNS."))
+          .select(col("callsign").as("eq_callsign"),
+            split(expr("substring(msg_text, 6)"), ",").as("co"))
+          .select(col("eq_callsign"),
+            element_at(col("co"), 1).cast("long").as("a"),
+            element_at(col("co"), 2).cast("long").as("b"),
+            element_at(col("co"), 3).cast("long").as("c"))
+        tel.join(broadcast(eq), col("callsign") === col("eq_callsign"))
+          .groupBy("callsign")
+          .agg(
+            count(lit(1)).as("n_tel"),
+            max(col("a")).as("a"), max(col("b")).as("b"), max(col("c")).as("c"),
+            sum(col("a") * col("vt") * col("vt") + lit(10L) * col("b") * col("vt")
+              + lit(100L) * col("c")).as("sum_scaled_h"))
+          .orderBy("callsign")
+      },
+      Some(
+        """WITH t AS (SELECT 'U' || CAST(user_id AS VARCHAR) AS callsign,
+          |    user_id, (event_id * 3) % 1000 AS vt
+          |  FROM events WHERE event_type = 'view')
+          |SELECT callsign, count(*) AS n_tel,
+          |  CAST(max(user_id % 5) AS BIGINT) AS a,
+          |  CAST(max(user_id % 7 + 1) AS BIGINT) AS b,
+          |  CAST(max(user_id % 11) AS BIGINT) AS c,
+          |  CAST(sum((user_id % 5) * vt * vt + 10 * (user_id % 7 + 1) * vt
+          |    + 100 * (user_id % 11)) AS BIGINT) AS sum_scaled_h
+          |FROM t GROUP BY callsign ORDER BY callsign""".stripMargin))
   )
 }

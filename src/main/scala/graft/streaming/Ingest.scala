@@ -218,6 +218,7 @@ object PacketParse {
       .withColumn("mice_speed", col("_pf.mice_speed"))
       .withColumn("mice_course", col("_pf.mice_course"))
       .withColumn("tp_callsign", col("_pf.tp_callsign"))
+      .withColumn("pos_ambiguity", col("_pf.pos_ambiguity"))
       .drop("_pf")
   }
 }

@@ -56,7 +56,8 @@ object PacketFieldsUtil {
     StructField("grid", StringType, nullable = true),
     StructField("mice_speed", LongType, nullable = true),
     StructField("mice_course", LongType, nullable = true),
-    StructField("tp_callsign", StringType, nullable = true)))
+    StructField("tp_callsign", StringType, nullable = true),
+    StructField("pos_ambiguity", LongType, nullable = true)))
 
   private final val FIELD_LETTERS = "ABCDEFGHIJKLMNOPQR"
   private final val SUB_LETTERS = "abcdefghijklmnopqrstuvwx"
@@ -102,15 +103,48 @@ object PacketFieldsUtil {
     true
   }
 
-  /** Position body `([0-9]{4}\.[0-9]{2})([NS])(.)([0-9]{5}\.[0-9]{2})([EW])`
-    * starting at offset o of p. */
-  @inline private def bodyOk(p: String, o: Int): Boolean =
-    p.length >= o + 18 &&
-      digits(p, o, 4) && p.charAt(o + 4) == '.' && digits(p, o + 5, 2) &&
-      (p.charAt(o + 7) == 'N' || p.charAt(o + 7) == 'S') &&
-      !isTerm(p.charAt(o + 8)) &&
-      digits(p, o + 9, 5) && p.charAt(o + 14) == '.' && digits(p, o + 15, 2) &&
-      (p.charAt(o + 17) == 'E' || p.charAt(o + 17) == 'W')
+  /** Uncompressed position body
+    * `(DD[0-9 ]{2}\.[0-9 ]{2})([NS])(.)(DDD[0-9 ]{2}\.[0-9 ]{2})([EW])`
+    * starting at offset o of p, with APRS POSITION AMBIGUITY admitted:
+    * real trackers space-substitute trailing latitude digits (minutes and
+    * hundredths) to coarsen their reported position, and the longitude
+    * carries the same convention. Degree digits stay strict; within each
+    * coordinate the spaces must be a TRAILING run (`12 .  ` yes, `1 2.34`
+    * no). Returns −1 if the body does not match, else the latitude
+    * ambiguity level 0–4 (count of spaced-out digits); the caller
+    * zero-fills spaced digits — the spec's "somewhere in the box" becomes
+    * the box's low corner, deterministically. */
+  private def bodyAmb(p: String, o: Int): Int = {
+    if (p.length < o + 18) return -1
+    if (!digits(p, o, 2)) return -1
+    if (p.charAt(o + 4) != '.') return -1
+    if (p.charAt(o + 7) != 'N' && p.charAt(o + 7) != 'S') return -1
+    if (isTerm(p.charAt(o + 8))) return -1
+    if (!digits(p, o + 9, 3)) return -1
+    if (p.charAt(o + 14) != '.') return -1
+    if (p.charAt(o + 17) != 'E' && p.charAt(o + 17) != 'W') return -1
+    var amb = 0
+    var sp = false
+    var k = 0
+    while (k < 4) { // lat digit positions in order: o+2, o+3, o+5, o+6
+      val c = p.charAt(if (k < 2) o + 2 + k else o + 3 + k)
+      if (c == ' ') { sp = true; amb += 1 }
+      else if (!isDigit(c) || sp) return -1
+      k += 1
+    }
+    sp = false
+    k = 0
+    while (k < 4) { // lon digit positions: o+12, o+13, o+15, o+16
+      val c = p.charAt(if (k < 2) o + 12 + k else o + 13 + k)
+      if (c == ' ') sp = true
+      else if (!isDigit(c) || sp) return -1
+      k += 1
+    }
+    amb
+  }
+
+  /** Digit value with the ambiguity zero-fill (space → 0). */
+  @inline private def dig0(c: Char): Int = if (isDigit(c)) c - '0' else 0
 
   // ---- compressed-position helpers (APRS base-91 form) -------------------
   /** Symbol-table byte admissible for a compressed body (`/`, `\`, alpha
@@ -163,7 +197,7 @@ object PacketFieldsUtil {
       wxDir: String, wxSpeed: String, wxGust: String, wxTemp: String,
       msgAddr: String, msgText: String, statusText: String, grid: String,
       miceSpeed: java.lang.Long, miceCourse: java.lang.Long,
-      tpCallsign: String)
+      tpCallsign: String, posAmbiguity: java.lang.Long)
 
   def parse(rawU: UTF8String): InternalRow = {
     val p = parseFields(rawU.toString, allowTp = true)
@@ -190,7 +224,8 @@ object PacketFieldsUtil {
       if (p.grid == null) null else UTF8String.fromString(p.grid),
       if (p.miceSpeed == null) null else p.miceSpeed.longValue(),
       if (p.miceCourse == null) null else p.miceCourse.longValue(),
-      if (p.tpCallsign == null) null else UTF8String.fromString(p.tpCallsign))
+      if (p.tpCallsign == null) null else UTF8String.fromString(p.tpCallsign),
+      if (p.posAmbiguity == null) null else p.posAmbiguity.longValue())
   }
 
   def parseFields(raw: String, allowTp: Boolean): Parsed = {
@@ -237,31 +272,57 @@ object PacketFieldsUtil {
       while (j < end) { if (isTerm(payload.charAt(j))) return false; j += 1 }
       true
     }
+    // item report (`)` DTI): 3–9 char name, then '!' (live) or '_' (killed),
+    // then a position body (uncompressed or compressed) — the portable-
+    // object sibling of `;`. The FIRST '!'/'_' must fall at index 4–10
+    // (name length 3–9); an earlier one means the name is too short and an
+    // in-name '!'/'_' can never match because the scan stops at the first.
+    var itemTerm = -1
+    if (d == ')' && plen > 4) {
+      var t = 1
+      while (t < plen && t <= 10 &&
+        payload.charAt(t) != '!' && payload.charAt(t) != '_') t += 1
+      if (t >= 4 && t <= 10 && t < plen) itemTerm = t
+    }
+
     val bodyOff: Int =
       if (d == '!' || d == '=') 1
       else if ((d == '/' || d == '@') && digits(payload, 1, 6) && tsSep(7)) 8
       else if (d == ';' && dotRun(1, 9) && plen > 10 &&
         (payload.charAt(10) == '*' || payload.charAt(10) == '_') &&
         digits(payload, 11, 6) && tsSep(17)) 18
+      else if (d == ')' && itemTerm > 0) itemTerm + 1
       else -1
 
     var lat: java.lang.Double = null
     var lon: java.lang.Double = null
     var miceSpeed: java.lang.Long = null
     var miceCourse: java.lang.Long = null
-    if (bodyOff > 0 && bodyOk(payload, bodyOff)) {
+    var posAmb: java.lang.Long = null
+    val amb = if (bodyOff > 0) bodyAmb(payload, bodyOff) else -1
+    if (bodyOff > 0 && amb >= 0) {
       val o = bodyOff
-      // toDeg: (deg + min/60.0) * sign — identical IEEE op order to the
-      // replaced expression tree (multiply by ±1.0 kept deliberately)
-      val lat0 = (java.lang.Double.parseDouble(payload.substring(o, o + 2)) +
-        java.lang.Double.parseDouble(payload.substring(o + 2, o + 7)) / 60.0) *
+      // toDeg: (deg + minC/100.0/60.0) * sign — minC/100.0 is the correctly
+      // rounded double of the decimal MM.mm, bitwise equal to the previous
+      // Double.parseDouble("MM.mm") of the matched substring, so the IEEE
+      // tree is unchanged for unambiguous bodies; spaced digits read as 0
+      val latMinC = dig0(payload.charAt(o + 2)) * 1000 +
+        dig0(payload.charAt(o + 3)) * 100 +
+        dig0(payload.charAt(o + 5)) * 10 + dig0(payload.charAt(o + 6))
+      val lonMinC = dig0(payload.charAt(o + 12)) * 1000 +
+        dig0(payload.charAt(o + 13)) * 100 +
+        dig0(payload.charAt(o + 15)) * 10 + dig0(payload.charAt(o + 16))
+      val lat0 = ((payload.charAt(o) - '0') * 10 + (payload.charAt(o + 1) - '0')
+        + latMinC.toDouble / 100.0 / 60.0) *
         (if (payload.charAt(o + 7) == 'S') -1.0 else 1.0)
-      val lon0 = (java.lang.Double.parseDouble(payload.substring(o + 9, o + 12)) +
-        java.lang.Double.parseDouble(payload.substring(o + 12, o + 17)) / 60.0) *
+      val lon0 = ((payload.charAt(o + 9) - '0') * 100 +
+        (payload.charAt(o + 10) - '0') * 10 + (payload.charAt(o + 11) - '0')
+        + lonMinC.toDouble / 100.0 / 60.0) *
         (if (payload.charAt(o + 17) == 'W') -1.0 else 1.0)
       // independent range gates, exactly like the original lat/lon columns
       if (lat0 >= -90.0 && lat0 <= 90.0) lat = lat0
       if (lon0 >= -180.0 && lon0 <= 180.0) lon = lon0
+      if (lat != null && lon != null) posAmb = java.lang.Long.valueOf(amb.toLong)
     } else if (bodyOff > 0 && plen >= bodyOff + 13 &&
       compTable(payload.charAt(bodyOff))) {
       // COMPRESSED position body: table, 4 base-91 lat chars, 4 base-91 lon
@@ -381,6 +442,7 @@ object PacketFieldsUtil {
         lon = inner.lon
         miceSpeed = inner.miceSpeed
         miceCourse = inner.miceCourse
+        posAmb = inner.posAmbiguity
       }
     }
     val hasPos = lat != null && lon != null
@@ -412,6 +474,7 @@ object PacketFieldsUtil {
       else if (d == '>') "status"
       else if (d == ':') { if (msgMatch) "message" else "other" }
       else if (d == ';') { if (hasPos) "object" else "other" }
+      else if (d == ')') { if (hasPos) "item" else "other" }
       else if (d == 'T') { if (telemHead) "telemetry" else "other" }
       else if (d == '_') { if (wxHead) "weather" else "other" }
       else if (d == '`' || d == '\'') { if (hasPos) "mice" else "other" }
@@ -425,6 +488,11 @@ object PacketFieldsUtil {
     if (ptype == "object") {
       objName = trimSpaces(payload.substring(1, 10))
       objKilled = java.lang.Boolean.valueOf(payload.charAt(10) == '_')
+    } else if (ptype == "item") {
+      // item names are variable-length (3–9 chars), not space-padded like
+      // the fixed 9-char object field — no trim
+      objName = payload.substring(1, itemTerm)
+      objKilled = java.lang.Boolean.valueOf(payload.charAt(itemTerm) == '_')
     }
 
     var tlmSeq: String = null
@@ -518,7 +586,7 @@ object PacketFieldsUtil {
     Parsed(callsign, path, payload, dti, lat, lon, ptype,
       objName, objKilled, tlmSeq, tlmA1, tlmBits,
       wxDir, wxSpeed, wxGust, wxTemp, msgAddr, msgText, statusText, grid,
-      miceSpeed, miceCourse, tpCallsign)
+      miceSpeed, miceCourse, tpCallsign, posAmb)
   }
 }
 

@@ -450,4 +450,52 @@ class PacketFieldsSpec extends SparkSuite {
     val hits = "graft_packet_fields".r.findAllIn(plan).size
     assert(hits == 1, s"expected exactly one fused parse evaluation, got $hits:\n$plan")
   }
+
+  test("item reports: name bounds, killed flag, compressed body, rejects") {
+    import graft.streaming.PacketFieldsUtil.parseFields
+    def f(payload: String) = parseFields(s"N0CALL>APRS,TCPIP*:$payload", allowTp = true)
+    // live item, minimum 3-char name, uncompressed body
+    val a = f(")AID!4903.50N/07201.75W-first aid")
+    assert(a.ptype == "item" && a.objName == "AID" && a.objKilled == false)
+    assert(a.lat != null && math.abs(a.lat.doubleValue() - (49.0 + 3.50 / 60.0)) < 1e-9)
+    // killed item, maximum 9-char name — '_' both terminates and kills
+    val k = f(")LONGNAME9_4903.50N/07201.75W-")
+    assert(k.ptype == "item" && k.objName == "LONGNAME9" && k.objKilled == true)
+    // compressed body after the terminator
+    val c = f(")ITM!/5L!!<*e7>7P[")
+    assert(c.ptype == "item" && c.lat != null && c.lon != null, c.toString)
+    // 2-char name: first '!' lands at index 3 < 4 — not an item
+    assert(f(")AB!4903.50N/07201.75W-").ptype == "other")
+    // 10-char name: terminator past index 10 — not an item
+    assert(f(")NAMETOOLONG!4903.50N/07201.75W-").ptype == "other")
+    // valid name but malformed body — classified other, no position
+    val m = f(")AID!9999.99X/07201.75W-")
+    assert(m.ptype == "other" && m.lat == null)
+  }
+
+  test("position ambiguity: zero-fill, level surfacing, trailing-run rule") {
+    import graft.streaming.PacketFieldsUtil.parseFields
+    def f(payload: String) = parseFields(s"N0CALL>APRS,TCPIP*:$payload", allowTp = true)
+    // unambiguous: level 0 and the exact position
+    val e = f("!4903.50N/07201.75W-")
+    assert(e.posAmbiguity == 0L && e.ptype == "position")
+    // one spaced hundredth: zero-filled (3.50 -> 3.5_ reads 3.50)
+    val a1 = f("!4903.5 N/07201.7 W-")
+    assert(a1.posAmbiguity == 1L, a1.toString)
+    assert(math.abs(a1.lat.doubleValue() - (49.0 + 3.50 / 60.0)) < 1e-9)
+    assert(math.abs(a1.lon.doubleValue() - (-(72.0 + 1.70 / 60.0))) < 1e-9)
+    // whole minutes spaced: level 4, degrees-only position
+    val a4 = f("!49  .  N/072  .  W-")
+    assert(a4.posAmbiguity == 4L && a4.lat == 49.0 && a4.lon == -72.0, a4.toString)
+    // non-trailing space run is malformed, not ambiguous
+    assert(f("!49 3.50N/07201.75W-").ptype == "other")
+    assert(f("!4903. 5N/07201.75W-").ptype == "other")
+    // spaces never admitted in degree digits
+    assert(f("!4 03.50N/07201.75W-").ptype == "other")
+    // ambiguity surfaces on timed positions and objects too
+    assert(f("@092345z4903.5 N/07201.7 W>").posAmbiguity == 1L)
+    assert(f(";LEADER   *092345z4903.5 N/07201.7 W>").posAmbiguity == 1L)
+    // compressed and Mic-E positions carry no ambiguity level
+    assert(f("!/5L!!<*e7>7P[").posAmbiguity == null)
+  }
 }
