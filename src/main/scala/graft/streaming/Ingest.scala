@@ -59,6 +59,28 @@ object EventStream {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
+  /** APRS-IS 30-second duplicate suppression — the server-side dupe filter
+    * every collector implements: drop a packet whose (callsign, payload)
+    * content was seen under 30 s ago. A kept packet is by definition the
+    * first of a run of same-content packets chained closer than 30 s — i.e.
+    * the START of a 30-second-gap session — so the filter is EXACTLY a
+    * native session window keyed on the content: per session, the first
+    * packet is the kept one and `n − 1` copies were suppressed. (aprsc's
+    * variant restarts the window from the last ACCEPTED packet instead of
+    * the last SEEN one; the seen-based rule is the one expressible as a
+    * session/lag computation on both engines, and the two agree on the
+    * dominant real case — identical copies digipeated within seconds.)
+    * Session state is watermark-bounded like [[sessionCounts]]. */
+  def dupeFilterCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"),
+        concat(lit("U"), col("user_id").cast("string")).as("callsign"),
+        col("event_type").as("payload"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 seconds"),
+        col("callsign"), col("payload"))
+      .agg(count(lit(1)).as("n"))
+
   /** Stream-STATIC enrichment join — the dimension-lookup shape every
     * event pipeline runs (enrich each event with its account/customer/device
     * row, then aggregate): watermarked stream inner-joined to a broadcast

@@ -208,6 +208,61 @@ object StreamQueries {
         "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type")),
 
     GraftQuery(
+      "q_stream_dupe_filter",
+      "APRS-IS 30-second content dedup executed end-to-end on the at-least-" +
+        "once fixture (every event delivered twice): a packet is suppressed " +
+        "when its (callsign, payload) content was seen under 30 s ago, which " +
+        "is exactly a 30-second-gap session window keyed on the content — " +
+        "per session the first packet is kept, the rest are dupes. Result = " +
+        "per-payload kept vs seen counts over the watermark-closed " +
+        "sessions; oracle = the doubled events table through the same " +
+        "gaps-and-islands sessionization + watermark HAVING cut.",
+      (spark, dir) => {
+        val out = graft.Scratch.dir("graft_sq_out")
+        val ckpt = graft.Scratch.dir("graft_sq_ck")
+        reapAtExit.add(out)
+        withStreamShuffle(spark) {
+          EventStream.writeParquet(
+            EventStream.dupeFilterCounts(
+              EventStream.readEvents(spark, duplicatedDropDir(spark, dir))),
+            out, ckpt)
+            .awaitTermination()
+        }
+        deleteRecursively(ckpt)
+        spark.read.parquet(out)
+          .groupBy("payload")
+          .agg(count(lit(1)).as("n_kept"), sum(col("n")).as("n_seen"))
+          .orderBy("payload")
+      },
+      Some(
+        // The doubled multiset makes every event its own dupe. The copy
+        // index `cp` is a LOAD-BEARING tie-breaker: the two copies tie on
+        // (ts, event_id), and the lag pass and the running-sum pass are
+        // separate window sorts whose tie orders need not agree — without
+        // cp the brk=1 copy can land AFTER its brk=0 twin in the second
+        // sort, splitting one session into two (observed: +34 phantom
+        // sessions at sf0.01). Gap boundary >= 30 and the
+        // end <= max(ts) - 2h emission cut follow q_stream_session exactly.
+        """WITH e0 AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+          |    event_id FROM events),
+          |e AS (SELECT *, 0 AS cp FROM e0 UNION ALL SELECT *, 1 AS cp FROM e0),
+          |g AS (SELECT user_id, event_type, ts, event_id, cp, CASE WHEN
+          |  epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id, event_type
+          |    ORDER BY ts, event_id, cp)) >= 30
+          |  OR lag(ts) OVER (PARTITION BY user_id, event_type
+          |    ORDER BY ts, event_id, cp) IS NULL THEN 1 ELSE 0 END AS brk FROM e),
+          |s AS (SELECT user_id, event_type, ts, CAST(sum(brk) OVER (
+          |    PARTITION BY user_id, event_type ORDER BY ts, event_id, cp
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g),
+          |sess AS (SELECT user_id, event_type,
+          |    max(ts) + INTERVAL 30 SECOND AS we, count(*) AS n
+          |  FROM s GROUP BY user_id, event_type, sid)
+          |SELECT event_type AS payload, count(*) AS n_kept,
+          |  CAST(sum(n) AS BIGINT) AS n_seen
+          |FROM sess WHERE we <= (SELECT max(ts) FROM e0) - INTERVAL 2 HOUR
+          |GROUP BY event_type ORDER BY payload""".stripMargin)),
+
+    GraftQuery(
       "q_stream_join",
       "REAL stream-stream self-join under the oracle gate: same-user event pairs " +
         "within ±5 min, both sides watermarked so join state stays bounded. Over " +
