@@ -231,48 +231,36 @@ object Windows {
     GraftQuery(
       "q_hist_equidepth",
       "GLOBAL equi-depth histogram — distributed ntile(8) over a fully " +
-        "tie-broken total order (price, orderkey, linenumber), the rank " +
-        "problem q_win_global_rank_2pass's broadcast trick cannot touch " +
-        "because the sort key is nearly unique. The scalable 2-pass: " +
-        "repartitionByRange (one full shuffle, Spark's sampled range " +
-        "partitioner), sortWithinPartitions, monotonically_increasing_id " +
-        "to get (partition, local-index), an eager localCheckpoint so the " +
-        "16-row partition-count pass and the main pass read ONE " +
-        "materialization, then global rank = partition offset + local " +
-        "index and the exact integer ntile bucket formula (first n%B " +
-        "buckets take one extra row). No single-partition window anywhere " +
-        "— the fact table only ever moves through the range exchange. Per " +
-        "bucket: row count, value bounds, exact money sum; the oracle is " +
-        "DuckDB's native ntile window.",
+        "tie-broken total order (price, orderkey, linenumber). The global " +
+        "rank rides GlobalRank.rowNumberBanded on the PRICE ITSELF as the " +
+        "monotone band (div-100 buckets of a bounded money domain — the " +
+        "same score-banding every rank query uses), so the fact relation " +
+        "moves through exactly ONE shared band exchange and the plan stays " +
+        "fully lazy — this replaces the earlier repartitionByRange + " +
+        "monotonically_increasing_id + eager localCheckpoint + 16-row " +
+        "collect device, whose driver-side materialization also escaped " +
+        "honest per-pass timing. Bucket = the exact integer ntile formula " +
+        "(first n%B buckets take one extra row) against a 1-row broadcast " +
+        "count. Per bucket: row count, value bounds, exact money sum; the " +
+        "oracle is DuckDB's native ntile window.",
       (s, dir) => {
-        val B = 8
-        val sortCols = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        val sorted = table(s, dir, "lineitem")
+        val B = 8L
+        val li = table(s, dir, "lineitem")
           .select("l_extendedprice", "l_orderkey", "l_linenumber")
-          .repartitionByRange(16, sortCols: _*)
-          .sortWithinPartitions(sortCols: _*)
-          .select(col("l_extendedprice").as("v"), monotonically_increasing_id().as("mid"))
-          .localCheckpoint(true)
-        val byPid = sorted
-          .groupBy(shiftright(col("mid"), 33).as("pid"))
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy("pid")
-          .collect()
-        val cnts = byPid.map(r => (r.getLong(0), r.getLong(1))).toSeq
-        val n = cnts.map(_._2).sum
-        // exclusive prefix sums over pid-sorted partition counts
-        val offsets = cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _))
-        val (q, rem) = (n / B, n % B)
-        val thr = rem * (q + 1)
-        val divQ = if (q == 0) 1L else q
-        import s.implicits._
-        val offDf = offsets.toSeq.toDF("pid", "off")
-        val r = col("off") + col("mid").bitwiseAND(lit((1L << 33) - 1))
-        sorted
-          .join(broadcast(offDf), shiftright(col("mid"), 33) === col("pid"))
-          .select(col("v"),
-            when(r < thr, call_function("div", r, lit(q + 1)) + 1)
-              .otherwise(call_function("div", r - thr, lit(divQ)) + rem + 1)
+        val nn = table(s, dir, "lineitem").agg(count(lit(1)).as("nn"))
+        val ranked = GlobalRank.rowNumberBanded(
+          li, floor(col("l_extendedprice") / 100).cast(LongType),
+          Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          "rk")
+        val r = col("rk") - 1
+        val q = call_function("div", col("nn"), lit(B))
+        val rem = col("nn") % lit(B)
+        val thr = rem * (q + lit(1L))
+        ranked.crossJoin(broadcast(nn))
+          .select(col("l_extendedprice").as("v"),
+            when(r < thr, call_function("div", r, q + lit(1L)) + 1)
+              .otherwise(call_function("div", r - thr, greatest(q, lit(1L)))
+                + rem + 1)
               .cast(IntegerType).as("bucket"))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"),

@@ -228,10 +228,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("hashpartitioning(o_custkey"), p)
   }
 
-  test("q_hist_equidepth never plans a single-partition Window") {
+  test("q_hist_equidepth never plans a single-partition Window over the fact grain") {
     val p = plan("q_hist_equidepth")
-    assert(!p.contains("Window"), s"equi-depth fell back to a global window:\n$p")
-    assert(p.contains("BroadcastHashJoin"), p) // 16-row offset join
+    // banded global rank: every window over the fact relation partitions on
+    // the price band (the tiny band-grain offsets window is the only
+    // partition-less one)
+    assert("windowspecdefinition\\((?!__band)".r.findFirstIn(p).isEmpty,
+      s"equi-depth fell back to a global window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p) // band-offset + count joins
   }
 
   test("q_seq_trigram: one user-keyed window, distributed top-10") {
