@@ -216,17 +216,20 @@ object Aggregates {
         table(s, dir, "orders")
           .groupBy("o_orderstatus")
           .agg(
-            expr("percentile(o_totalprice, 0.5)").as("ep50"),
-            expr("percentile(o_totalprice, 0.95)").as("ep95"),
+            // one exact-percentile buffer for both points: two scalar
+            // percentile() aggs each build their own per-group value map —
+            // the array form halves the dominant (exact-audit-leg) cost,
+            // identical interpolation per point
+            expr("percentile(o_totalprice, array(0.5, 0.95))").as("eps"),
             expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)").as("qs"))
           .select(
             col("o_orderstatus"),
-            round(col("ep50"), 4).as("p50"),
-            round(col("ep95"), 4).as("p95"),
-            (abs(element_at(col("qs"), 1) - col("ep50")) / col("ep50") <= 0.05)
-              .as("p50_within_5pct"),
-            (abs(element_at(col("qs"), 2) - col("ep95")) / col("ep95") <= 0.05)
-              .as("p95_within_5pct"))
+            round(element_at(col("eps"), 1), 4).as("p50"),
+            round(element_at(col("eps"), 2), 4).as("p95"),
+            (abs(element_at(col("qs"), 1) - element_at(col("eps"), 1))
+              / element_at(col("eps"), 1) <= 0.05).as("p50_within_5pct"),
+            (abs(element_at(col("qs"), 2) - element_at(col("eps"), 2))
+              / element_at(col("eps"), 2) <= 0.05).as("p95_within_5pct"))
           .orderBy("o_orderstatus"),
       Some(
         "SELECT o_orderstatus, " +

@@ -221,7 +221,11 @@ object StreamQueries {
         val out = graft.Scratch.dir("graft_sq_out")
         val ckpt = graft.Scratch.dir("graft_sq_ck")
         reapAtExit.add(out)
-        withStreamShuffle(spark) {
+        // width 4, not the default 2: the content key is near-event-grain
+        // (~190k sessions vs the other streams' thousands of windows), so
+        // the state store is the widest in the suite (StreamProbe sweep:
+        // 2.86 s @2, 2.34 s @4, 2.50 s @8)
+        withStreamShuffle(spark, 4) {
           EventStream.writeParquet(
             EventStream.dupeFilterCounts(
               EventStream.readEvents(spark, duplicatedDropDir(spark, dir))),
