@@ -11,20 +11,41 @@ import org.apache.spark.sql.execution.SparkPlan
   * exchange with the same canonical form, so shared-exchange plans (the
   * GlobalRank/text-heaps repartition device) stay memoized AND every pass
   * recomputes the shared exchange exactly once, honestly.
+  *
+  * Two traps this implementation exists to dodge (both found by probing —
+  * `graft.ReuseProbe` printed open=33/33 under the naive version):
+  *  1. Replacing the stale node with a fresh `ReusedExchangeExec(out,
+  *     clonedE)` silently no-ops — the cloned exchange is a structural
+  *     clone of the stale one, so the new node is `==` the old and
+  *     `mapChildren`'s `fastEquals` copy-on-write keeps the old child.
+  *     The replacement is therefore the class-distinct
+  *     [[graft.plans.HonestReusedExchangeExec]].
+  *  2. In CHAINED shared-exchange plans (q_agg_rfm's three ranks), the
+  *     outer shared exchange CONTAINS the inner rank's reuse node, so
+  *     rewiring the inner reuse copy-on-writes the outer exchange into a
+  *     new instance — a canonical map built BEFORE the transform would
+  *     retarget the outer reuse at the pre-transform instance, now out of
+  *     tree. The map is therefore built DURING the same `transformUp`:
+  *     post-order visits every (post-rewrite) exchange before any node
+  *     that reuses it, because the kept exchange can never be an ancestor
+  *     of its own reuse (that would be cyclic) and `ReuseExchange` keeps
+  *     the occurrence that precedes its reuses in both orders.
   */
 private[graft] object PlanHonesty {
   import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+  import graft.plans.HonestReusedExchangeExec
 
   def rewireReuse(plan: SparkPlan): SparkPlan = {
     val byCanon = scala.collection.mutable.Map[SparkPlan, Exchange]()
-    plan.foreach {
-      case e: Exchange => byCanon.getOrElseUpdate(e.canonicalized, e)
-      case _ => ()
-    }
     plan.transformUp {
+      case e: Exchange =>
+        byCanon.getOrElseUpdate(e.canonicalized, e); e
       case r @ ReusedExchangeExec(out, child) =>
         byCanon.get(child.canonicalized).fold(r: SparkPlan)(
-          e => ReusedExchangeExec(out, e))
+          e => HonestReusedExchangeExec(out, e))
+      case r @ HonestReusedExchangeExec(out, child) => // idempotent re-rewire
+        byCanon.get(child.canonicalized).fold(r: SparkPlan)(
+          e => HonestReusedExchangeExec(out, e))
     }
   }
 
@@ -37,6 +58,8 @@ private[graft] object PlanHonesty {
     var ok = true
     plan.foreach {
       case ReusedExchangeExec(_, child) => if (!ids.contains(child)) ok = false
+      case HonestReusedExchangeExec(_, child) =>
+        if (!ids.contains(child)) ok = false
       case _ => ()
     }
     ok
@@ -58,10 +81,12 @@ object Bench {
   private def isEager(name: String): Boolean =
     eager(name) || name.startsWith("q_stream_")
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** The bench session config, shared with JobCensus so the census probe
+    * measures under the EXACT scheme the bench times (config drift here
+    * silently invalidates the census's floor ranking). */
+  def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    SparkSession.builder()
       .master(s"local[$cpus]")
       // shuffle partitions sized to the DATA (sf0.1 shuffles are ≤600k rows),
       // not the core count — 32 partitions of tiny shuffles is pure task
@@ -86,6 +111,11 @@ object Bench {
       // span) instead of a cache hit. Size it to hold the whole suite.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = buildSession()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext
 

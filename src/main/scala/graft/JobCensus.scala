@@ -4,24 +4,26 @@ import org.apache.spark.sql.execution.SparkPlan
 
 /** Floor-profiling probe (not part of the contract): per-query job/stage/task
   * census under the exact Bench execution scheme (memoized plan, timed cloned
-  * execution). The per-query "floor" is scheduling overhead × jobs/stages —
-  * a query running 4+ sequential jobs pays ~4× the ~80 ms/job local floor, so
-  * this census ranks the floor-reduction targets the round-11 verdict asked
-  * for. Usage: CENSUS_QUERIES="q_a,q_b" or default = every non-streaming
-  * query slower than CENSUS_MIN (default 0.45 s) in bench_full.json.
+  * execution; same session config via [[Bench.buildSession]] — local[32] only
+  * when CENSUS-specific SPARK_GRAFT_CPUS asks for it). The per-query "floor"
+  * is scheduling overhead × jobs/stages — a query running 4+ sequential jobs
+  * pays ~4× the ~80 ms/job local floor, so this census ranks the
+  * floor-reduction targets the round-11 verdict asked for. Usage:
+  * CENSUS_QUERIES="q_a,q_b" or default = every non-streaming query slower
+  * than CENSUS_MIN (default 0.45 s) in bench_full.json.
+  *
+  * Honesty mirrors Bench exactly: eager queries (q_dedup_components — the
+  * builder RUNS the fixpoint) are re-invoked per run with the builder inside
+  * the timed region; a clone that fails the reuseClosed gate (q_source_dpp's
+  * expression-embedded reuse) re-plans per run rather than stage-skipping
+  * through a cached exchange. Listener counters are read only after the bus
+  * quiesces (count stable across two samples), not after a fixed sleep —
+  * events arrive asynchronously on the listener-bus thread.
   */
 object JobCensus {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.sql.warehouse.dir", graft.Scratch.dir("graft_wh"))
-      .getOrCreate()
+    val spark = Bench.buildSession()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext
 
@@ -52,18 +54,42 @@ object JobCensus {
         stages += 1; tasks += s.stageInfo.numTasks
       }
     })
+    // wait until the async listener bus stops delivering: the counter
+    // triple is unchanged across two consecutive 60 ms samples
+    def quiesce(): Unit = {
+      var prev = (-1, -1, -1)
+      var same = 0
+      while (same < 2) {
+        Thread.sleep(60)
+        val cur = (jobs, stages, tasks)
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+      }
+    }
 
     val rows = names.flatMap { n =>
       try {
-        val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
-        runPlan(PlanHonesty.prepareClone(plan)) // warm
-        Thread.sleep(80)
+        val eager = n == "q_dedup_components" // mirror Bench.isEager (batch)
+        // memoize once for the lazy path; decide rebuild-vs-clone like Bench
+        val plan =
+          if (eager) null
+          else SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
+        def freshRunnable(): SparkPlan =
+          if (eager) SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
+          else {
+            val c = PlanHonesty.prepareClone(plan)
+            if (PlanHonesty.reuseClosed(c)) c
+            else { // Bench's rebuild fallback: full re-plan, never stage-skip
+              SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
+            }
+          }
+        runPlan(freshRunnable()) // warm
+        quiesce()
         jobs = 0; stages = 0; tasks = 0
-        val cloned = PlanHonesty.prepareClone(plan)
         val t0 = System.nanoTime()
-        runPlan(cloned)
+        // for eager queries the BUILDER is the work — time it too, as Bench does
+        runPlan(freshRunnable())
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(120) // drain listener
+        quiesce()
         Some((n, sec, jobs, stages, tasks))
       } catch {
         case e: Throwable =>

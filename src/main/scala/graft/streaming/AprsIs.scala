@@ -101,16 +101,31 @@ final class AprsIsRelay(host: String, port: Int, callsign: String,
   // and serving exactly one connection left the restarted stream silently
   // empty. Each accepted client is served until it disconnects or the relay
   // closes; a write failure (client went away) falls through to re-accept.
+  // The line whose delivery FAILED is carried over and re-sent first to the
+  // next accepted client — PrintWriter swallows the IOException into its
+  // error flag, so without the carry-over the head-of-queue line at every
+  // reconnect would vanish uncounted. (Delivery at the instant of
+  // disconnect is inherently uncertain, so the carried line may reach the
+  // next client as a duplicate: the relay is at-least-once across
+  // reconnects, and the streaming queries dedup on content downstream.)
   private val writer = new Thread(() => {
+    var pending: String = null
     while (!closed) {
       try {
         val cli = local.accept()
         try {
           val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
             cli.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
-          while (!closed && !w.checkError()) {
-            val l = queue.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
-            if (l != null) { w.println(l); w.flush() }
+          var ok = !w.checkError()
+          while (!closed && ok) {
+            val l =
+              if (pending != null) pending
+              else queue.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+            if (l != null) {
+              w.println(l); w.flush()
+              if (w.checkError()) { pending = l; ok = false }
+              else pending = null
+            }
           }
         } finally { try cli.close() catch { case _: Throwable => () } }
       } catch { case _: Throwable => () } // accept() fails only on close()

@@ -110,10 +110,13 @@ object PacketFieldsUtil {
     * hundredths) to coarsen their reported position, and the longitude
     * carries the same convention. Degree digits stay strict; within each
     * coordinate the spaces must be a TRAILING run (`12 .  ` yes, `1 2.34`
-    * no). Returns −1 if the body does not match, else the latitude
-    * ambiguity level 0–4 (count of spaced-out digits); the caller
-    * zero-fills spaced digits — the spec's "somewhere in the box" becomes
-    * the box's low corner, deterministically. */
+    * no). Returns −1 if the body does not match, else the ambiguity level
+    * 0–4 — the MAX of the two coordinates' spaced-digit counts: the spec
+    * ties longitude ambiguity to the latitude's, but real trackers
+    * sometimes space only one side, and reporting the lat count alone
+    * would surface a coarsened (zero-filled) longitude as level 0. The
+    * caller zero-fills spaced digits — the spec's "somewhere in the box"
+    * becomes the box's low corner, deterministically. */
   private def bodyAmb(p: String, o: Int): Int = {
     if (p.length < o + 18) return -1
     if (!digits(p, o, 2)) return -1
@@ -132,15 +135,16 @@ object PacketFieldsUtil {
       else if (!isDigit(c) || sp) return -1
       k += 1
     }
+    var lonAmb = 0
     sp = false
     k = 0
     while (k < 4) { // lon digit positions: o+12, o+13, o+15, o+16
       val c = p.charAt(if (k < 2) o + 12 + k else o + 13 + k)
-      if (c == ' ') sp = true
+      if (c == ' ') { sp = true; lonAmb += 1 }
       else if (!isDigit(c) || sp) return -1
       k += 1
     }
-    amb
+    math.max(amb, lonAmb)
   }
 
   /** Digit value with the ambiguity zero-fill (space → 0). */

@@ -487,6 +487,13 @@ class PacketFieldsSpec extends SparkSuite {
     // whole minutes spaced: level 4, degrees-only position
     val a4 = f("!49  .  N/072  .  W-")
     assert(a4.posAmbiguity == 4L && a4.lat == 49.0 && a4.lon == -72.0, a4.toString)
+    // one-sided spacing surfaces the max of the two coordinates' levels:
+    // a lat-exact / lon-spaced packet must NOT read as level 0 — its lon
+    // was zero-filled (coarsened), and level 0 would present it as exact
+    val lonOnly = f("!4903.50N/07201.7 W-")
+    assert(lonOnly.posAmbiguity == 1L, lonOnly.toString)
+    assert(math.abs(lonOnly.lon.doubleValue() - (-(72.0 + 1.70 / 60.0))) < 1e-9)
+    assert(f("!4903.5 N/07201.75W-").posAmbiguity == 1L) // lat-only, same rule
     // non-trailing space run is malformed, not ambiguous
     assert(f("!49 3.50N/07201.75W-").ptype == "other")
     assert(f("!4903. 5N/07201.75W-").ptype == "other")
