@@ -88,7 +88,19 @@ object GlobalRank {
     *     one branch's copy of the exchange subtree only.
     */
   def rowNumberBanded(df: DataFrame, band: Column, sortCols: Seq[Column],
-      out: String): DataFrame = {
+      out: String): DataFrame =
+    rowNumberBanded(df, band, sortCols, out, null)
+
+  /** As above, and when `totalOut` is non-null every output row also
+    * carries the GLOBAL row count under that name — the total is the sum
+    * of the per-band counts the offsets fold already computes, one more
+    * window expression over the tiny band-grain relation riding the same
+    * broadcast. Callers that need `n` for a bucket formula (equi-depth
+    * histograms, exact ntile quantiles) get it WITHOUT a second scan of
+    * the input or a separate count+crossJoin broadcast — at any scale
+    * that second scan is a full pass over the fact table. */
+  def rowNumberBanded(df: DataFrame, band: Column, sortCols: Seq[Column],
+      out: String, totalOut: String): DataFrame = {
     val b = df.withColumn("__band", band).repartition(col("__band"))
     val inert = df.schema.fields
       .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
@@ -98,9 +110,15 @@ object GlobalRank {
     val wB = Window.orderBy("__band")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val win = b.withColumn("__rn", row_number().over(wL))
-    val offs = win.groupBy("__band").agg(max(col("__rn")).as("__n"))
+    val counts = win.groupBy("__band").agg(max(col("__rn")).as("__n"))
       .withColumn("__off", sum(col("__n")).over(wB) - col("__n"))
-      .select(col("__band").as("__band2"), col("__off"))
+    val offs =
+      if (totalOut == null) counts.select(col("__band").as("__band2"), col("__off"))
+      else counts
+        .withColumn(totalOut, sum(col("__n")).over(
+          Window.orderBy("__band").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("__band").as("__band2"), col("__off"), col(totalOut))
     // NOTE the band expression owns NaN placement: floor(-NaN·K) CASTS TO
     // 0, landing NaN mid-order — a caller whose scores can be NaN must
     // guard explicitly (NaN sorts first under DESC, so band it to

@@ -155,12 +155,15 @@ object Warehouse {
         "formula applied to a GlobalRank.rowNumberBanded exact global " +
         "rank (monotone metric banding: per-band partitioned-window " +
         "row numbers + broadcast band offsets — recency bands on the " +
-        "day itself, frequency on the negated count, monetary on " +
-        "negated $10k cent buckets), so the customer-grain relation " +
-        "moves through three band-keyed hash exchanges and never " +
-        "sorts into one partition — the shape that survives 1e8+ " +
-        "customers. The oracle keeps DuckDB's native ntile; identical " +
-        "integers.",
+        "negated last-order day, which is the same permutation as " +
+        "days-since-last-order without ever computing the global max " +
+        "day; frequency on the negated count; monetary on negated " +
+        "$10k cent buckets), so the customer-grain relation moves " +
+        "through three band-keyed hash exchanges and never sorts " +
+        "into one partition — the shape that survives 1e8+ " +
+        "customers; the quintile formula's customer count rides the " +
+        "first rank's offsets broadcast. The oracle keeps DuckDB's " +
+        "native ntile; identical integers.",
       (s, dir) => {
         import graft.operators.GlobalRank.rowNumberBanded
         val od = datediff(to_date(col("o_orderdate")),
@@ -169,15 +172,6 @@ object Warehouse {
           .groupBy(col("o_custkey"))
           .agg(max(od).as("lastd"), count(lit(1)).as("f"),
             sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType)).as("m"))
-        // the global last day and the customer count come straight off the
-        // fact table in ONE slim scan + broadcast (max of per-customer
-        // maxes = global max; distinct custkeys = |per|) — no branch
-        // re-derives the customer-grain aggregate
-        val stats = table(s, dir, "orders")
-          .agg(max(od).as("maxd"), countDistinct(col("o_custkey")).as("nn"))
-        val base = per
-          .crossJoin(broadcast(stats))
-          .withColumn("r_days", col("maxd") - col("lastd"))
         // the three quintile ranks CHAIN over the full-width customer-grain
         // relation: each rowNumberBanded shares its band exchange between
         // its own two branches (ReuseExchange), so the orders aggregation
@@ -186,14 +180,22 @@ object Warehouse {
         // projection, no three joins back on the customer key. (The old
         // slim-projection-and-join-back shape predates the shared-exchange
         // rowNumberBanded, which made each rank recompute its input twice.)
-        val t1 = rowNumberBanded(base,
-          col("r_days"), Seq(col("r_days"), col("o_custkey")), "rr")
+        // Recency ranks on lastd DESC directly: ORDER BY maxd - lastd,
+        // custkey is the SAME permutation (maxd is a per-relation constant
+        // and x -> maxd - x is strictly decreasing), so the global max day
+        // never needs computing — which retires the old second scan of
+        // orders entirely; the customer count the quintile formula needs
+        // rides the first rank's band-offsets broadcast (totalOut = the
+        // sum of per-band counts) instead of a countDistinct over the
+        // fact table.
+        val t1 = rowNumberBanded(per,
+          -col("lastd"), Seq(col("lastd").desc, col("o_custkey")), "rr", "nn")
         val t2 = rowNumberBanded(t1,
           -col("f"), Seq(col("f").desc, col("o_custkey")), "rf")
         val t3 = rowNumberBanded(t2,
           -call_function("div", col("m"), lit(1000000L)),
           Seq(col("m").desc, col("o_custkey")), "rm")
-        val ranked = t3 // nn rode through the chain from the stats broadcast
+        val ranked = t3 // nn rode through the chain from the t1 offsets broadcast
         // exact ntile(5) from the global rank: the first n%5 buckets take
         // one extra row — the q_hist_equidepth integer bucket formula
         def score(rk: org.apache.spark.sql.Column) = {

@@ -240,23 +240,25 @@ object Windows {
         "monotonically_increasing_id + eager localCheckpoint + 16-row " +
         "collect device, whose driver-side materialization also escaped " +
         "honest per-pass timing. Bucket = the exact integer ntile formula " +
-        "(first n%B buckets take one extra row) against a 1-row broadcast " +
-        "count. Per bucket: row count, value bounds, exact money sum; the " +
-        "oracle is DuckDB's native ntile window.",
+        "(first n%B buckets take one extra row) against the GLOBAL count, " +
+        "which rides the band-offsets broadcast itself (sum of the per-" +
+        "band counts — rowNumberBanded's totalOut) rather than a second " +
+        "full scan of the fact table. Per bucket: row count, value " +
+        "bounds, exact money sum; the oracle is DuckDB's native ntile " +
+        "window.",
       (s, dir) => {
         val B = 8L
         val li = table(s, dir, "lineitem")
           .select("l_extendedprice", "l_orderkey", "l_linenumber")
-        val nn = table(s, dir, "lineitem").agg(count(lit(1)).as("nn"))
         val ranked = GlobalRank.rowNumberBanded(
           li, floor(col("l_extendedprice") / 100).cast(LongType),
           Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
-          "rk")
+          "rk", "nn")
         val r = col("rk") - 1
         val q = call_function("div", col("nn"), lit(B))
         val rem = col("nn") % lit(B)
         val thr = rem * (q + lit(1L))
-        ranked.crossJoin(broadcast(nn))
+        ranked
           .select(col("l_extendedprice").as("v"),
             when(r < thr, call_function("div", r, q + lit(1L)) + 1)
               .otherwise(call_function("div", r - thr, greatest(q, lit(1L)))
