@@ -177,6 +177,38 @@ class Round13Spec extends SparkSuite {
     }
   }
 
+  test("rowNumberBanded: null bands, totalOut, and chained ranks") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // score null every 43rd row: nulls sort FIRST under ASC in Spark SQL,
+    // and the null band must form its own band (the <=> join device), not
+    // drop its rows or collide with band 0
+    val data = (0 until 400).map(i => (i.toLong,
+      if (i % 43 == 0) null else java.lang.Double.valueOf(rnd.nextDouble() * 50),
+      rnd.nextInt(20).toLong))
+      .toDF("id", "score", "f")
+    val expect = data
+      .withColumn("r1", row_number().over(
+        Window.orderBy(col("score").asc, col("id"))).cast("long"))
+      .withColumn("r2", row_number().over(
+        Window.orderBy(col("f").desc, col("id"))).cast("long"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    // null scores band to null (floor(null) = null) — their own band,
+    // ordered first like the window's NULLS FIRST default under ASC
+    val t1 = graft.operators.GlobalRank.rowNumberBanded(
+      data, floor(col("score") * 4).cast("long"),
+      Seq(col("score").asc, col("id")), "r1", "nn")
+    val t2 = graft.operators.GlobalRank.rowNumberBanded(
+      t1, -col("f"), Seq(col("f").desc, col("id")), "r2")
+    val got = t2.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("r1"), r.getAs[Long]("r2")))
+    assert(got.sameElements(expect), "chained banded ranks diverged")
+    // totalOut: every row carries the global count, through the chain
+    val nn = t2.select("nn").distinct().collect().map(_.getLong(0))
+    assert(nn.sameElements(Array(400L)), s"totalOut wrong: ${nn.toSeq}")
+  }
+
   test("q_dedup_substring: interval-union coverage equals a driver-side brute force") {
     val docs = Tables.table(spark, sf, "documents")
       .select("doc_id", "source", "text").collect()
