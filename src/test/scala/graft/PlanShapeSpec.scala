@@ -369,12 +369,31 @@ class PlanShapeSpec extends SparkSuite {
         s"window not keyed on a metric band:\n$p")
       // each rank's offsets branch reads the ONE shared band exchange
       assert("ReusedExchange".r.findAllIn(p).size == 3, p)
-      // orders is scanned twice only: the customer-grain aggregate and the
-      // 1-row (maxd, nn) stats broadcast
-      assert("Scan parquet".r.findAllIn(p).size <= 2, p)
-      // single-partition exchanges feed only band-grain offsets windows,
-      // the 1-row stats aggregate, and the 125-row final sort
+      // orders is scanned ONCE: the recency rank bands on -lastd (the
+      // same permutation as maxd - lastd) and the quintile formula's
+      // customer count rides the first rank's offsets broadcast, so the
+      // old 1-row (maxd, nn) stats branch — a second full scan of the
+      // fact table at any scale — no longer exists
+      assert("Scan parquet".r.findAllIn(p).size == 1, p)
+      // single-partition exchanges feed only band-grain offsets windows
+      // and the 125-row final sort
       assert("Exchange SinglePartition".r.findAllIn(p).size <= 7, p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q_hist_equidepth: one lineitem scan — the count rides the offsets broadcast") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q_hist_equidepth")
+      assert(!p.contains("ntile"), p)
+      // rowNumberBanded's totalOut: the global count is the sum of the
+      // per-band counts, so no second fact-table scan and no separate
+      // 1-row count crossJoin exist in the plan
+      assert("Scan parquet".r.findAllIn(p).size == 1, p)
+      assert("ReusedExchange".r.findAllIn(p).size == 1, p)
+      assert("windowspecdefinition\\((?!__band)".r.findFirstIn(p).isEmpty,
+        s"window not keyed on the price band:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
