@@ -218,6 +218,52 @@ class StreamingSpec extends SparkSuite {
     assert(viaSocket.count(_.getAs[String]("station_bucket") == "_") == 4)
   }
 
+  test("aprs-is relay: client reconnect loses no line (failed write carried over)") {
+    import graft.streaming.AprsIsRelay
+    // mock upstream: banner + 2 packets immediately, 4 more on demand
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val sendRest = new java.util.concurrent.CountDownLatch(1)
+    val lines = (1 to 6).map(i => s"U$i>APRS,TCPIP*:>status $i")
+    val mock = new Thread(() => {
+      try {
+        val s = server.accept()
+        val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          s.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+        w.println("# mock"); lines.take(2).foreach(w.println); w.flush()
+        sendRest.await()
+        lines.drop(2).foreach(w.println); w.flush()
+        while (!server.isClosed) Thread.sleep(50)
+      } catch { case _: Throwable => () }
+    })
+    mock.setDaemon(true); mock.start()
+    val relay = new AprsIsRelay("127.0.0.1", server.getLocalPort, "TEST").start()
+    def connect() = new java.net.Socket("127.0.0.1", relay.localPort)
+    def readLines(s: java.net.Socket, n: Int): Seq[String] = {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+        s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      (1 to n).map(_ => r.readLine()).takeWhile(_ != null)
+    }
+    try {
+      // client 1 consumes the first 2 packets, then dies with an immediate
+      // RST (SO_LINGER 0) so the relay's next write fails rather than
+      // landing in a dead socket buffer
+      val c1 = connect()
+      val got1 = readLines(c1, 2)
+      c1.setSoLinger(true, 0); c1.close()
+      Thread.sleep(300) // let the RST land before more lines flow
+      sendRest.countDown()
+      // client 2 must see EVERY remaining line: the line whose write
+      // failed at the disconnect is carried over, not silently lost
+      val c2 = connect()
+      val got2 = readLines(c2, 4)
+      assert(got1 == lines.take(2), got1.toString)
+      assert(got2.toSet == lines.drop(2).toSet,
+        s"reconnect lost lines: got $got2, want ${lines.drop(2)}")
+      assert(relay.dropped == 0L)
+    } finally { relay.stop(); server.close() }
+  }
+
   test("aprs-is login handshake: passcode, login line, logresp, comment stripping") {
     import graft.streaming.{AprsIs, AprsIsRelay}
     // the public passcode algorithm, pinned on hand-computed spot values
