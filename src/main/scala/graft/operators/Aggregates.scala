@@ -534,7 +534,11 @@ object Aggregates {
         "median is either a data value or the exact midpoint of two. " +
         "Exact percentile buffers a group's values (the q_agg_percentile " +
         "caveat); at 100 TB swap both passes to approx_percentile under " +
-        "the established quality-bound gate.",
+        "the established quality-bound gate. (A one-scan variant hanging " +
+        "both passes off one repartition(o_orderpriority) was measured " +
+        "bench-neutral and REJECTED: repartitioning on a 5-value key caps " +
+        "the percentile buffer BUILD at 5 tasks, surrendering the " +
+        "map-side partial parallelism this shape keeps at scale.)",
       (s, dir) => {
         val o = table(s, dir, "orders").select(col("o_orderpriority"), col("o_totalprice"))
         val med = o.groupBy("o_orderpriority")

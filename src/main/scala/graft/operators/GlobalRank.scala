@@ -87,20 +87,26 @@ object GlobalRank {
     *     plain === would let the optimizer infer an IsNotNull filter into
     *     one branch's copy of the exchange subtree only.
     */
+  /** When `totalOut` is non-null every output row also carries the GLOBAL
+    * row count under that name — the total is the sum of the per-band
+    * counts the offsets fold already computes, one more window expression
+    * over the tiny band-grain relation riding the same broadcast. Callers
+    * that need `n` for a bucket formula (equi-depth histograms, exact
+    * ntile quantiles) get it WITHOUT a second scan of the input or a
+    * separate count+crossJoin broadcast — at any scale that second scan
+    * is a full pass over the fact table.
+    *
+    * NULL BANDS order FIRST (the offsets fold runs __band ASC NULLS
+    * FIRST) — correct when the null rows sort first under `sortCols`,
+    * i.e. an ASC sort on the nullable key itself. For a DESC sort Spark
+    * orders nulls LAST, so a caller ranking a nullable metric descending
+    * must band nulls explicitly to the end (the same caller-owns-
+    * placement rule as the NaN note below); every current caller either
+    * ranks non-null aggregates or guards explicitly. */
   def rowNumberBanded(df: DataFrame, band: Column, sortCols: Seq[Column],
-      out: String): DataFrame =
-    rowNumberBanded(df, band, sortCols, out, null)
-
-  /** As above, and when `totalOut` is non-null every output row also
-    * carries the GLOBAL row count under that name — the total is the sum
-    * of the per-band counts the offsets fold already computes, one more
-    * window expression over the tiny band-grain relation riding the same
-    * broadcast. Callers that need `n` for a bucket formula (equi-depth
-    * histograms, exact ntile quantiles) get it WITHOUT a second scan of
-    * the input or a separate count+crossJoin broadcast — at any scale
-    * that second scan is a full pass over the fact table. */
-  def rowNumberBanded(df: DataFrame, band: Column, sortCols: Seq[Column],
-      out: String, totalOut: String): DataFrame = {
+      out: String, totalOut: String = null): DataFrame = {
+    require(totalOut == null || !df.columns.contains(totalOut),
+      s"totalOut '$totalOut' collides with an input column")
     val b = df.withColumn("__band", band).repartition(col("__band"))
     val inert = df.schema.fields
       .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering

@@ -182,7 +182,9 @@ class Round13Spec extends SparkSuite {
     val rnd = new scala.util.Random(11)
     // score null every 43rd row: nulls sort FIRST under ASC in Spark SQL,
     // and the null band must form its own band (the <=> join device), not
-    // drop its rows or collide with band 0
+    // drop its rows or collide with band 0. ASC only: the offsets fold
+    // always orders the null band first, so a DESC sort on a nullable key
+    // (Spark: NULLS LAST) needs explicit null banding — see the scaladoc.
     val data = (0 until 400).map(i => (i.toLong,
       if (i % 43 == 0) null else java.lang.Double.valueOf(rnd.nextDouble() * 50),
       rnd.nextInt(20).toLong))

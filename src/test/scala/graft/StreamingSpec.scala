@@ -238,11 +238,25 @@ class StreamingSpec extends SparkSuite {
     })
     mock.setDaemon(true); mock.start()
     val relay = new AprsIsRelay("127.0.0.1", server.getLocalPort, "TEST").start()
-    def connect() = new java.net.Socket("127.0.0.1", relay.localPort)
+    def connect() = {
+      val s = new java.net.Socket("127.0.0.1", relay.localPort)
+      s.setSoTimeout(10000) // a lost line must FAIL the assertion, not hang
+      s
+    }
     def readLines(s: java.net.Socket, n: Int): Seq[String] = {
       val r = new java.io.BufferedReader(new java.io.InputStreamReader(
         s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-      (1 to n).map(_ => r.readLine()).takeWhile(_ != null)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      try {
+        var i = 0
+        var l: String = ""
+        while (i < n && l != null) {
+          l = r.readLine(); if (l != null) buf += l; i += 1
+        }
+      } catch {
+        case _: java.net.SocketTimeoutException => buf += "<timeout>"
+      }
+      buf.toSeq
     }
     try {
       // client 1 consumes the first 2 packets, then dies with an immediate
