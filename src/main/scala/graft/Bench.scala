@@ -78,7 +78,9 @@ object Bench {
     * not the operator. */
   private val eager: Set[String] =
     Set("q_dedup_components")
-  private def isEager(name: String): Boolean =
+  /** Shared with [[JobCensus]] so the census's honesty can never drift from
+    * the bench's when a new eager query is added (advisor r12). */
+  private[graft] def isEager(name: String): Boolean =
     eager(name) || name.startsWith("q_stream_")
 
   /** The bench session config, shared with JobCensus so the census probe
@@ -300,9 +302,62 @@ object Bench {
     val artJson = artifactSec.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     System.err.println(s"[bench-artifacts] $artJson")
+    // Same-window DuckDB pairing (r12 verdict #2): replay the exact oracle
+    // set via tools/bench_duckdb.py IMMEDIATELY after the Spark passes, so
+    // the round artifact carries BOTH engines' totals from one window and
+    // the 2× criterion is verifiable from BENCH_rN alone (previously the
+    // pairing lived only in BASELINE.md prose). Sequential on purpose:
+    // running DuckDB concurrently with the timed passes would contend for
+    // the same cores and poison both sides. 4 threads = the methodology of
+    // every recorded BASELINE.md pairing. Best-effort: no python3/duckdb →
+    // "duckdb":null, never a bench failure.
+    val duckLine: Option[String] = try {
+      val tool = java.nio.file.Paths.get(
+        sys.props("user.dir"), "tools", "bench_duckdb.py")
+      if (!java.nio.file.Files.isRegularFile(tool)) None
+      else {
+        def jq(v: String): String = "\"" + v.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        val oracleJson = SparkEntry.oracleSql
+          .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
+        val of = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+        java.nio.file.Files.writeString(of, oracleJson)
+        val pb = new ProcessBuilder(
+          "python3", tool.toString, sfDir, of.toString, "4")
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        // watchdog so a wedged interpreter can never hang the driver's round
+        val killer = new Thread(() => {
+          if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES))
+            p.destroyForcibly()
+        })
+        killer.setDaemon(true); killer.start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        p.waitFor()
+        if (p.exitValue() != 0) None
+        else out.linesIterator.map(_.trim).find(_.startsWith("{"))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] duckdb pairing skipped: ${e.getMessage}")
+      None
+    }
+    val duckJson = duckLine.getOrElse("null")
+    // headline-sized scalar for the driver's 2000-char tail
+    val duckTotal = duckLine
+      .flatMap(l => "\"total\":\\s*([0-9.]+)".r.findFirstMatchIn(l))
+      .map(_.group(1)).getOrElse("null")
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-        s""""failed":$failedJson,"artifacts":$artJson,"sf":"$sfDir"}"""
+        s""""failed":$failedJson,"artifacts":$artJson,"duckdb":$duckJson,""" +
+        s""""sf":"$sfDir"}"""
     // The driver archives only a ~2000-char TAIL of this output and parses a
     // JSON line out of it; the full per-query line outgrew that window in
     // round 2 (parsed: null). Emit, in order:
@@ -322,7 +377,8 @@ object Bench {
     val headline =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,""" +
         s""""n_queries":${results.size},"failed":$failedJson,""" +
-        s""""note":"queries holds slowest 15 of ${results.size}; bench_full.json has all","sf":"$sfDir"}"""
+        s""""duckdb_total":$duckTotal,""" +
+        s""""note":"queries holds slowest 15 of ${results.size}; duckdb_total is the same-window 4-thread oracle replay (full per-query split in bench_full.json)","sf":"$sfDir"}"""
     // silence Spark's shutdown chatter (rpc/netty teardown logs at ERROR),
     // stop the session, and only THEN print the headline: nothing can be
     // written after it before the JVM exits.

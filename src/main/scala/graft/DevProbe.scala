@@ -285,18 +285,100 @@ object DevProbe {
           .agg(count(lit(1)).as("n_pairs"), countDistinct(col("ida")).as("n_left"),
             round(min(d2), 9).as("min_d2"))
       }
+      case "@audit_nospread" => (s, dir) => {
+        import org.apache.spark.sql.types.LongType
+        val day = floor(graft.Ts.epochSec(col("o_orderdate")) / lit(86400d))
+          .cast(LongType)
+        val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+        val h = graft.functions.HashExpr.auditDigest(col("o_orderkey"),
+          col("o_custkey"), cents, day, col("o_orderpriority"))
+        val h16 = graft.functions.HashExpr.hexPrefix16(h)
+        graft.Tables.table(s, dir, "orders")
+          .select(col("o_orderstatus"), h.as("h"), h16.as("h16"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("h16")).as("checksum"),
+            graft.functions.HashExpr.minHex128(col("h")).as("h_min"),
+            graft.functions.HashExpr.maxHex128(col("h")).as("h_max"))
+          .orderBy("o_orderstatus")
+      }
+      case "@spread_count" => (s, dir) =>
+        graft.Tables.spread(s, graft.Tables.table(s, dir, "orders")
+            .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")))
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      case "@audit_scan" => (s, dir) =>
+        // the raw columns the checksum canonicalizes, no hashing
+        graft.Tables.table(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      case "@audit_canon" => (s, dir) => {
+        import org.apache.spark.sql.types.LongType
+        val day = floor(graft.Ts.epochSec(col("o_orderdate")) / lit(86400d))
+          .cast(LongType)
+        val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+        graft.Tables.table(s, dir, "orders")
+          .select(col("o_orderstatus"),
+            concat_ws("|", col("o_orderkey"), col("o_custkey"),
+              cents, day, col("o_orderpriority")).as("canon"))
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"), max("canon").as("mx"))
+      }
+      case "@audit_md5" => (s, dir) => {
+        import org.apache.spark.sql.types.LongType
+        val day = floor(graft.Ts.epochSec(col("o_orderdate")) / lit(86400d))
+          .cast(LongType)
+        val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+        val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          cents, day, col("o_orderpriority"))
+        val h = md5(canon)
+        graft.Tables.table(s, dir, "orders")
+          .select(col("o_orderstatus"), h.as("h"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), min(col("h")).as("h_min"),
+            max(col("h")).as("h_max"))
+      }
+      case "@audit_noconv" => (s, dir) => {
+        import org.apache.spark.sql.types.LongType
+        val day = floor(graft.Ts.epochSec(col("o_orderdate")) / lit(86400d))
+          .cast(LongType)
+        val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+        val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          cents, day, col("o_orderpriority"))
+        val h = md5(canon)
+        // 16-bit prefix without conv(): ascii arithmetic over 4 hex chars
+        def hex(i: Int) = {
+          val c = ascii(substring(h, i, 1))
+          when(c >= 97, c - 87).otherwise(c - 48).cast(LongType)
+        }
+        val h16 = hex(1) * 4096L + hex(2) * 256L + hex(3) * 16L + hex(4)
+        graft.Tables.table(s, dir, "orders")
+          .select(col("o_orderstatus"), h.as("h"), h16.as("h16"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("h16")).as("checksum"),
+            min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+          .orderBy("o_orderstatus")
+      }
       case other => SparkEntry.queries(other)
     }
+    val taskTimeMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val gcTimeMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskInfo != null) taskTimeMs.addAndGet(t.taskInfo.duration)
+        if (t.taskMetrics != null) gcTimeMs.addAndGet(t.taskMetrics.jvmGCTime)
+      }
+    })
     for (pass <- 1 to n; q <- names) {
       if (q.startsWith("show:")) {
         micro(q.stripPrefix("show:"))(spark, sfDir).show(20, truncate = false)
       } else if (q.startsWith("explain:")) {
         micro(q.stripPrefix("explain:"))(spark, sfDir).explain("formatted")
       } else {
+        taskTimeMs.set(0); gcTimeMs.set(0)
         val t0 = System.nanoTime()
         micro(q)(spark, sfDir).write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[probe] pass=$pass $q%-28s $dt%7.3f s")
+        Thread.sleep(80) // listener drain
+        println(f"[probe] pass=$pass $q%-28s $dt%7.3f s  taskTime=${taskTimeMs.get}ms gc=${gcTimeMs.get}ms")
       }
     }
     spark.stop()

@@ -68,13 +68,20 @@ object JobCensus {
 
     val rows = names.flatMap { n =>
       try {
-        val eager = n == "q_dedup_components" // mirror Bench.isEager (batch)
+        val eager = Bench.isEager(n) // the bench's OWN predicate, not a copy
         // memoize once for the lazy path; decide rebuild-vs-clone like Bench
         val plan =
           if (eager) null
           else SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
+        // full re-plan when the plan memoizes subquery futures: clone()
+        // does not clone expression-embedded subquery plans, so a clone
+        // would share the original's cached subquery results and the timed
+        // run would stage-skip that work (Bench's `stateful` condition —
+        // advisor r12 found the census checked only reuseClosed)
+        val stateful = !eager && plan.subqueries.nonEmpty
         def freshRunnable(): SparkPlan =
-          if (eager) SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
+          if (eager || stateful)
+            SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
           else {
             val c = PlanHonesty.prepareClone(plan)
             if (PlanHonesty.reuseClosed(c)) c

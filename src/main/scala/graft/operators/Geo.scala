@@ -993,9 +993,17 @@ object Geo {
         "bit-identical. Pins the message-addressee extraction, the EQNS " +
         "text path, and the telemetry-to-metadata join in one gate.",
       (s, dir) => {
+        // The APRS addressee field is EXACTLY 9 chars, so a station id must
+        // render to ≤8 digits or rpad TRUNCATES it and the self-addressed
+        // EQNS frame silently stops matching its own callsign (advisor r12:
+        // latent production/oracle divergence at large SF). Bound the id
+        // domain ONCE here — identity at every current fixture (ids ≪ 10^8)
+        // — and mirror the same bound in the oracle CTE, so both engines
+        // agree at any scale instead of diverging past 9-digit ids.
         val ed = table(s, dir, "events")
           .filter(col("event_type") === "view")
-          .select(col("event_id"), col("user_id"))
+          .select(col("event_id"),
+            pmod(col("user_id"), lit(100000000L)).as("user_id"))
         val v = pmod(col("event_id") * 3, lit(1000L))
         val rawT = concat(
           lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:T#"),
@@ -1037,9 +1045,11 @@ object Geo {
           .orderBy("callsign")
       },
       Some(
-        """WITH t AS (SELECT 'U' || CAST(user_id AS VARCHAR) AS callsign,
+        """WITH e AS (SELECT event_id, user_id % 100000000 AS user_id
+          |  FROM events WHERE event_type = 'view'),
+          |t AS (SELECT 'U' || CAST(user_id AS VARCHAR) AS callsign,
           |    user_id, (event_id * 3) % 1000 AS vt
-          |  FROM events WHERE event_type = 'view')
+          |  FROM e)
           |SELECT callsign, count(*) AS n_tel,
           |  CAST(max(user_id % 5) AS BIGINT) AS a,
           |  CAST(max(user_id % 7 + 1) AS BIGINT) AS b,

@@ -249,20 +249,38 @@ object Warehouse {
         "any accumulation order gives the same value (a concat-based " +
         "fingerprint would be order-dependent and unusable distributed). " +
         "One map pass + one hash agg; nothing shuffles but (status, " +
-        "digest) slivers.",
+        "digest) slivers. The digest is [[graft.functions.GraftMd5]] (same " +
+        "32-hex contract as built-in md5/DuckDB md5, thread-local " +
+        "MessageDigest — the built-in's per-row getInstance path took ~6 " +
+        "bench passes to JIT-warm, so 3-sample medians timed warm-up: " +
+        "r12 recorded 2.78 s for this one-map-pass shape), and the 16-bit " +
+        "prefix is [[graft.functions.HexPrefix16]] byte arithmetic rather " +
+        "than conv()'s NumberConverter parse.",
       (s, dir) => {
         val day = floor(graft.Ts.epochSec(col("o_orderdate")) / lit(86400d))
           .cast(LongType)
         val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
-        val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
-          cents, day, col("o_orderpriority"))
-        val h = md5(canon)
-        val h16 = conv(substring(h, 1, 4), 16, 10).cast(LongType)
+        val h = graft.functions.HashExpr.auditDigest(col("o_orderkey"),
+          col("o_custkey"), cents, day, col("o_orderpriority"))
+        val h16 = graft.functions.HashExpr.hexPrefix16(h)
+        // NO Tables.spread here: with the digest fused into one ~0.3 µs/row
+        // expression the single-row-group map stage costs ~45 ms, while the
+        // spread's full-row shuffle measured +0.2 s median at sf0.1 (10-pass
+        // interleaved probe: 0.26 s nospread vs 0.47 s spread). At 100 TB
+        // the scan parallelizes natively over row groups — spread only earns
+        // its exchange when per-row work dominates it (Tables.spread
+        // contract), which stopped being true the moment the digest stopped
+        // being concat_ws+DigestUtils.
         table(s, dir, "orders")
           .select(col("o_orderstatus"), h.as("h"), h16.as("h16"))
           .groupBy("o_orderstatus")
+          // min/max over the digest go through MinMax128 (two LONG buffer
+          // halves), NOT min(h)/max(h): a StringType buffer field kicks the
+          // whole aggregate off the HashAggregate fast path into
+          // SortAggregate — two full sorts of the input (the r12 2.78 s)
           .agg(count(lit(1)).as("n"), sum(col("h16")).as("checksum"),
-            min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+            graft.functions.HashExpr.minHex128(col("h")).as("h_min"),
+            graft.functions.HashExpr.maxHex128(col("h")).as("h_max"))
           .orderBy("o_orderstatus")
       },
       Some(

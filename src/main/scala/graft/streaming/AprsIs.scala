@@ -130,6 +130,14 @@ final class AprsIsRelay(host: String, port: Int, callsign: String,
         } finally { try cli.close() catch { case _: Throwable => () } }
       } catch { case _: Throwable => () } // accept() fails only on close()
     }
+    // Writer exit (relay closed): a line still held in `pending` — and any
+    // lines left queued — were never delivered to ANY client. Count them
+    // into `dropped` so dropped=0 genuinely means lossless delivery
+    // (advisor r12: the monitor otherwise reads a discarded carry-over
+    // line as delivered).
+    if (pending != null) { dropped += 1; pending = null }
+    var leftover = queue.poll()
+    while (leftover != null) { dropped += 1; leftover = queue.poll() }
   }, "aprsis-writer")
 
   def start(): AprsIsRelay = {
