@@ -77,21 +77,42 @@ object StreamQueries {
   private def deleteRecursively(path: String): Unit =
     graft.TempReaper.deleteRecursively(path)
 
-  /** Run a streaming pipeline with state partitioning sized to its STATE
+  /** The state-store provider every gated streaming pipeline runs on.
+    * RocksDB, not the HDFS-backed default: the default keeps ALL state as
+    * JVM objects on the executor heap (an unbounded-growth liability at
+    * 100 TB state — docs/SCALE.md), while RocksDB holds it off-heap with
+    * disk spill and changelog/snapshot checkpointing. transformWithState
+    * (StationTrackerTws) already REQUIRES it; r12 verdict #3 promoted it to
+    * the family default so the benched pipelines price the provider a real
+    * deployment would run. */
+  private[graft] val StateStoreProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run a streaming pipeline with (a) state partitioning sized to its STATE
     * (thousands of windows/keys here), not the session's batch shuffle
     * width: every stateful operator plans one state store + sink file per
     * shuffle partition per micro-batch, so 8 oversized partitions pay 4× the
     * per-batch commit overhead of 2 right-sized ones (measured: 2.0 s →
-    * 1.7 s per tumbling pass). A new checkpoint snapshots the conf at query
-    * start, so scoping the override to the run is safe; restore happens
-    * before the read-back query plans. At cluster scale this knob is
+    * 1.7 s per tumbling pass); and (b) the RocksDB state-store provider
+    * ([[StateStoreProvider]]). A new checkpoint snapshots the conf at query
+    * start, so scoping the overrides to the run is safe; restore happens
+    * before the read-back query plans. At cluster scale the width knob is
     * state_bytes / executor-memory-budget, not a constant. */
-  private def withStreamShuffle[A](spark: org.apache.spark.sql.SparkSession,
+  private[graft] def withStreamConf[A](spark: org.apache.spark.sql.SparkSession,
       width: Int = StreamShuffleWidth)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, width.toString)
-    try body finally spark.conf.set(key, prev)
+    val shufKey = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevShuf = spark.conf.get(shufKey)
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(shufKey, width.toString)
+    spark.conf.set(provKey, StateStoreProvider)
+    try body finally {
+      spark.conf.set(shufKey, prevShuf)
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
   }
 
   /** Stream-state shuffle width — default 2 (measured best for these state
@@ -112,7 +133,7 @@ object StreamQueries {
         val out = graft.Scratch.dir("graft_sq_out")
         val ckpt = graft.Scratch.dir("graft_sq_ck")
         reapAtExit.add(out)
-        withStreamShuffle(spark) {
+        withStreamConf(spark) {
           EventStream.writeParquet(
             EventStream.tumblingCounts(EventStream.readEvents(spark, eventsDropDir(spark, dir))),
             out, ckpt)
@@ -146,7 +167,7 @@ object StreamQueries {
         val out = graft.Scratch.dir("graft_sq_out")
         val ckpt = graft.Scratch.dir("graft_sq_ck")
         reapAtExit.add(out)
-        withStreamShuffle(spark) {
+        withStreamConf(spark) {
           EventStream.writeParquet(
             EventStream.sessionCounts(EventStream.readEvents(spark, eventsDropDir(spark, dir))),
             out, ckpt)
@@ -192,7 +213,7 @@ object StreamQueries {
         val out = graft.Scratch.dir("graft_sq_out")
         val ckpt = graft.Scratch.dir("graft_sq_ck")
         reapAtExit.add(out)
-        withStreamShuffle(spark) {
+        withStreamConf(spark) {
           EventStream.writeParquet(
             EventStream.dedup(EventStream.readEvents(spark, duplicatedDropDir(spark, dir))),
             out, ckpt)
@@ -225,7 +246,7 @@ object StreamQueries {
         // (~190k sessions vs the other streams' thousands of windows), so
         // the state store is the widest in the suite (StreamProbe sweep:
         // 2.86 s @2, 2.34 s @4, 2.50 s @8)
-        withStreamShuffle(spark, 4) {
+        withStreamConf(spark, 4) {
           EventStream.writeParquet(
             EventStream.dupeFilterCounts(
               EventStream.readEvents(spark, duplicatedDropDir(spark, dir))),
@@ -280,7 +301,7 @@ object StreamQueries {
         reapAtExit.add(out)
         val drop = cohortDropDir(spark, dir)
         def side = EventStream.readEvents(spark, drop)
-        withStreamShuffle(spark) {
+        withStreamConf(spark) {
           EventStream.writeParquet(
             EventStream.pairCounts(side, side),
             out, ckpt)
@@ -318,7 +339,7 @@ object StreamQueries {
         reapAtExit.add(out)
         val dim = Tables.table(spark, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
-        withStreamShuffle(spark) {
+        withStreamConf(spark) {
           EventStream.writeParquet(
             EventStream.enrichedSegmentCounts(
               EventStream.readEvents(spark, eventsDropDir(spark, dir)), dim),
@@ -356,7 +377,7 @@ object StreamQueries {
         val out = graft.Scratch.dir("graft_sq_out")
         val ckpt = graft.Scratch.dir("graft_sq_ck")
         reapAtExit.add(out)
-        withStreamShuffle(spark) {
+        withStreamConf(spark) {
           EventStream.writeParquet(
             EventStream.userRunningState(
               EventStream.readEvents(spark, eventsDropDir(spark, dir)))
@@ -376,6 +397,35 @@ object StreamQueries {
           |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
           |    AS cents,
           |  CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS first_us,
+          |  CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    GraftQuery(
+      "q_stream_upsert",
+      "foreachBatch MERGE-style upsert into a bucket-partitioned keyed " +
+        "table (UpsertSink) — the reference's packets→relational-DB write " +
+        "path as a lake sink: per-bucket snapshot versions with an atomic " +
+        "_meta commit carrying the batchId, so replayed micro-batches are " +
+        "EXACTLY-ONCE per bucket under any crash point (replay machinery " +
+        "exercised in UpsertSinkSpec). maxFilesPerTrigger=1 forces real " +
+        "multi-batch commits; result = the committed table read back " +
+        "through the per-bucket version pointers; oracle = the same final " +
+        "state as one batch aggregation.",
+      (spark, dir) => {
+        val target = graft.Scratch.dir("graft_ups_tgt")
+        val ckpt = graft.Scratch.dir("graft_ups_ck")
+        reapAtExit.add(target)
+        withStreamConf(spark) {
+          UpsertSink.run(spark, eventsDropDir(spark, dir), target, ckpt)
+            .awaitTermination()
+        }
+        deleteRecursively(ckpt)
+        UpsertSink.readTable(spark, target).orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          |    AS cents,
           |  CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )

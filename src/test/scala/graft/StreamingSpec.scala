@@ -567,4 +567,36 @@ class StreamingSpec extends SparkSuite {
         s"streamed session $pair x$cnt missing from batch result")
     }
   }
+
+  test("gated streaming family runs on the RocksDB state store; conf restored after") {
+    import graft.streaming.StreamQueries
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevShuf = spark.conf.get(shufKey)
+    // inside the wrapper: provider is RocksDB, width is the stream width —
+    // this is the exact code path all seven q_stream_* builders run through
+    val out = Files.createTempDirectory("graft_rdb_out").toString
+    val ckpt = Files.createTempDirectory("graft_rdb_ckpt").toString
+    val lastProgress = StreamQueries.withStreamConf(spark) {
+      assert(spark.conf.get(provKey) == StreamQueries.StateStoreProvider)
+      val q = EventStream.writeParquet(
+        EventStream.tumblingCounts(EventStream.readEvents(spark, dropDir)),
+        out, ckpt)
+      q.awaitTermination()
+      q.lastProgress
+    }
+    // conf scoping: both keys restored on exit
+    assert(spark.conf.getOption(provKey) == prevProv)
+    assert(spark.conf.get(shufKey) == prevShuf)
+    // state-size sanity from the query's own progress: the stateful operator
+    // reported rows in state, and the store's custom metrics are RocksDB's
+    // (the HDFS provider emits loadedMapCache* metrics, never rocksdb*)
+    val ops = lastProgress.stateOperators
+    assert(ops.nonEmpty, lastProgress.prettyJson)
+    assert(ops.exists(_.numRowsTotal > 0), lastProgress.prettyJson)
+    val metricKeys = ops.flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+    assert(metricKeys.exists(_.startsWith("rocksdb")),
+      s"no rocksdb* custom metric in ${metricKeys.mkString(",")}")
+  }
 }
