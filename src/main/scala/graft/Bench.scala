@@ -184,6 +184,7 @@ object Bench {
       ("lsh_bands", () => graft.functions.DedupOps.ensureBands(spark, sfDir)),
       ("dedup_ledger", () => { graft.functions.DedupOps.componentLedger(spark, sfDir); () }),
       ("bucketed_layout", () => { graft.sources.BucketedLayout.ensureTables(spark, sfDir); () }),
+      ("packet_archive", () => { graft.operators.Geo.ensureArchive(spark, sfDir); () }),
       ("format_exports", () => graft.sources.FormatSources.ensureExports(spark, sfDir)),
       ("pca_iterate", () => graft.functions.VectorOps.ensurePcaIterate(spark, sfDir)),
       ("pq_model", () => graft.functions.VectorOps.ensurePqModel(spark, sfDir))

@@ -40,9 +40,14 @@ class PlanShapeSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
   }
 
-  test("q_vec_pair_sim keeps the codegen'd dot product inside the projection") {
+  test("q_vec_pair_sim computes pairs per-block (no pair-materializing join)") {
     val p = plan("q_vec_pair_sim")
-    assert(p.contains("graft_dot"), p)
+    // one collect_list agg per block + the in-place TopPairsWithin loop:
+    // a join here would mean the query went back to copying every candidate
+    // pair's embeddings through UnsafeRows (the measured 1.1 s regression)
+    assert(p.contains("graft_top_pairs"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // global top-20, no sort
   }
 
   test("q_exists_correlated decorrelates to semi + anti joins") {
@@ -466,5 +471,79 @@ class PlanShapeSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size <= 6, p)
     assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") ||
       p.contains("ExistingRDD"), p)
+  }
+
+  test("q_packet_time_pruned: static partition pruning eliminates 714/720 time dirs") {
+    val p = plan("q_packet_time_pruned")
+    // the day+hour predicate must land in PartitionFilters (directory-level
+    // pruning — decided before any file opens), never in PushedFilters or a
+    // post-scan Filter over p_date/p_hour
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.substring(p.indexOf("PartitionFilters"))
+    assert(pf.contains("p_date") && pf.contains("p_hour"), p)
+    // and the scan must actually read the 6 surviving hour-dirs of ONE day
+    val top = run("q_packet_time_pruned").queryExecution.executedPlan
+    val inner = top match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // collect() does not traverse the AQE wrapper
+      case p => p
+    }
+    val scan = inner.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty, p)
+    val all = scan.head.relation.location.listFiles(Nil, Nil)
+    val surviving = scan.head.relation.location.listFiles(
+      scan.head.partitionFilters, scan.head.dataFilters)
+    // at most the 6 requested hour-dirs survive (fewer at tiny SFs, where
+    // not every (day, hour) cell has data and therefore a directory), out
+    // of hundreds of populated time dirs
+    assert(surviving.nonEmpty && surviving.size <= 6,
+      s"expected <=6 surviving (date,hour) partitions, got ${surviving.size}")
+    assert(all.size > 24 && surviving.size < all.size / 10,
+      s"pruning removed too little: ${surviving.size} of ${all.size} dirs")
+  }
+
+  test("AQE skew-join: a runtime-skewed sort-merge join is split (skew=true)") {
+    // SCALE.md's second skew answer (beside the manual salting in
+    // operators/Skew.scala): AQE's runtime skew-join split. This proves the
+    // claim on a REAL executed plan — a join whose left side sends ~90% of
+    // its rows to one key must come out of AQE with the SMJ marked
+    // skew=true, i.e. the hot partition was split into parallel subtasks.
+    // Thresholds are scaled to test data (the production defaults trigger at
+    // 256 MB partitions); factor/advisory semantics are unchanged.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~90% of 300k left rows land on join key 0; right side is uniform
+      val left = spark.range(300000).select(
+        when(pmod(col("id"), lit(10L)) < 9, 0L).otherwise(col("id")).as("k"),
+        concat(lit("payload-payload-payload-"), col("id")).as("pl"))
+      val right = spark.range(20000).select(col("id").as("k"),
+        concat(lit("dim-"), col("id")).as("d"))
+      // a GLOBAL count: the partial agg has no distribution requirement, so
+      // the skew split is legal (a groupBy on the join key would demand hash
+      // distribution and AQE refuses a split that adds a shuffle). collect()
+      // drives THIS dataset's QueryExecution, so the adaptive plan below is
+      // the final executed one (count() would plan a separate query).
+      val joined = left.join(right, "k").agg(count(lit(1)).as("n"))
+      assert(joined.collect().head.getLong(0) > 0)
+      // after execution the adaptive plan is final — the skew split either
+      // fired (SMJ prints "skew=true") or the 100 TB skew story is broken
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }

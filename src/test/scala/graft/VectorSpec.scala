@@ -84,6 +84,48 @@ class VectorSpec extends SparkSuite {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("TopPairsWithin block form == the pair-materializing join form, bitwise") {
+    // the shipped per-block loop against the label-blocked self-join it
+    // replaced — same rounding, same tie order, every row identical
+    import org.apache.spark.sql.functions._
+    val e = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Exact.norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("ida"), col("label").as("la"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("idb"), col("label").as("lb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val viaJoin = a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        round(Exact.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("ida"), col("idb"))
+      .limit(20).collect().toSeq
+    val viaBlocks = run("q_vec_pair_sim").collect().toSeq
+    assert(viaBlocks == viaJoin,
+      s"blocks=${viaBlocks.mkString("\n")}\njoin=${viaJoin.mkString("\n")}")
+  }
+
+  test("TopPairsWithin survives zero-norm vectors (NaN cosine, no throw)") {
+    // 0/0 cosine is NaN; Spark's Round passes NaN/Infinity through, and
+    // round6 must do the same — BigDecimal.valueOf(NaN) would throw and
+    // kill the task on the first degenerate embedding
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq(0f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 0f)),
+      (3L, Seq(1f, 2f, 3f)),
+      (4L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val rows = df
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+      .select(explode(functions.VectorExpr.topPairs(col("vs"), 10)).as("p"))
+      .select(col("p.ida"), col("p.idb"), col("p.sim"))
+      .collect()
+    assert(rows.length == 6) // all C(4,2) pairs kept, k=10 > 6
+    val identical = rows.find(r => r.getLong(0) == 3L && r.getLong(1) == 4L).get
+    assert(identical.getDouble(2) == 1.0)
+    assert(rows.count(_.getDouble(2).isNaN) == 5) // every pair touching a zero vector
+  }
+
   test("dedup is idempotent on fixtures") {
     val docs = Tables.table(spark, sf, "documents")
     val once = docs.dropDuplicates("text")
