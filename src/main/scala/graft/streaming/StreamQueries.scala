@@ -98,20 +98,30 @@ object StreamQueries {
     * start, so scoping the overrides to the run is safe; restore happens
     * before the read-back query plans. At cluster scale the width knob is
     * state_bytes / executor-memory-budget, not a constant. */
+  /** RocksDB tuned the way a production deployment runs it:
+    *  - changelog checkpointing: commit uploads the batch's delta, full
+    *    SST snapshots happen in the background maintenance thread — NOT a
+    *    per-commit zip+upload of the whole store (the default's cost grows
+    *    with STATE size; the changelog's with BATCH size, which is the
+    *    only option that holds at 100 TB state).
+    *  - no per-row count tracking: tracking does a point-get before every
+    *    put/delete just to maintain the numTotalStateRows metric; state
+    *    size observability comes from the sizeBytes metrics instead. */
+  private val RocksDbConf: Seq[(String, String)] = Seq(
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false")
+
   private[graft] def withStreamConf[A](spark: org.apache.spark.sql.SparkSession,
       width: Int = StreamShuffleWidth)(body: => A): A = {
-    val shufKey = "spark.sql.shuffle.partitions"
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevShuf = spark.conf.get(shufKey)
-    val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(shufKey, width.toString)
-    spark.conf.set(provKey, StateStoreProvider)
-    try body finally {
-      spark.conf.set(shufKey, prevShuf)
-      prevProv match {
-        case Some(v) => spark.conf.set(provKey, v)
-        case None => spark.conf.unset(provKey)
-      }
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> width.toString,
+      "spark.sql.streaming.stateStore.providerClass" -> StateStoreProvider) ++
+      RocksDbConf
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
