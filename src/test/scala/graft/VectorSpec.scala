@@ -105,6 +105,56 @@ class VectorSpec extends SparkSuite {
       s"blocks=${viaBlocks.mkString("\n")}\njoin=${viaJoin.mkString("\n")}")
   }
 
+  test("TopPairsWithin property: equals the naive sort on random blocks (k boundary, ties)") {
+    // random blocks sized AROUND the heap boundary (pairs < k, == k, > k) and
+    // drawn from a tiny value alphabet so tied sims are common — the bounded
+    // worst-first heap must agree with "compute all pairs, sort by
+    // (sim desc, ida, idb), take k" on every block
+    import org.apache.spark.sql.functions._
+    val k = 5
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def refTop(block: Seq[(Long, Seq[Float])]): Seq[(Long, Long, Double)] = {
+      def nrm(v: Seq[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+      (for {
+        (a, i) <- block.zipWithIndex
+        b <- block.drop(i + 1)
+        (lo, hi) = if (a._1 < b._1) (a, b) else (b, a)
+      } yield (lo._1, hi._1, round6(referenceDot(lo._2, hi._2) / (nrm(lo._2) * nrm(hi._2)))))
+        .sortBy { case (ia, ib, s) => (-s, ia, ib) }.take(k)
+    }
+    val vecGen = Gen.listOfN(4, Gen.oneOf(1f, 2f, 3f)) // ties galore
+    // block sizes 2..6: C(2,2)=1 < k, C(4,2)=6 > k, C(3,2)=3 < k=5 < 6
+    val blocks = (0 until 30).flatMap { i =>
+      val n = 2 + i % 5
+      val vecs = (0 until n).flatMap(j =>
+        vecGen.apply(Gen.Parameters.default, Seed(i * 100L + j)))
+      if (vecs.size == n) Some(vecs.zipWithIndex.map { case (v, j) => ((i * 10 + j).toLong, v) })
+      else None
+    }
+    assert(blocks.size >= 25)
+    import spark.implicits._
+    val df = blocks.zipWithIndex
+      .flatMap { case (b, bi) => b.map { case (id, v) => (bi, id, v) } }
+      .toDF("blk", "vec_id", "embedding")
+    val got = df.groupBy("blk")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+      .select(col("blk"), explode(functions.VectorExpr.topPairs(col("vs"), k)).as("p"))
+      .select(col("blk"), col("p.ida"), col("p.idb"), col("p.sim"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (blk, rows) =>
+        blk -> rows.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .sortBy { case (ia, ib, s) => (-s, ia, ib) }.toSeq }
+    blocks.zipWithIndex.foreach { case (b, bi) =>
+      assert(got.getOrElse(bi, Nil) == refTop(b), s"block $bi: ${b.mkString(",")}")
+    }
+  }
+
   test("TopPairsWithin survives zero-norm vectors (NaN cosine, no throw)") {
     // 0/0 cosine is NaN; Spark's Round passes NaN/Infinity through, and
     // round6 must do the same — BigDecimal.valueOf(NaN) would throw and
