@@ -208,7 +208,12 @@ object Bench {
         // retargets the clone's reuse references; only plans whose reuse
         // crosses the tree boundary (never observed) or that memoize
         // subquery futures still need the per-pass rebuild.
-        val stateful = plan.subqueries.nonEmpty
+        // subqueriesAll, not subqueries: `subqueries` is NODE-LOCAL (the
+        // root's own expressions only — and the root is typically a
+        // WholeStageCodegenExec with none), so a scalar/IN subquery hanging
+        // off a FilterExec deeper in the tree would pass the clone path and
+        // stage-skip through its memoized relationFuture on every timed pass
+        val stateful = plan.subqueriesAll.nonEmpty
         // a plan with NO exchange nodes holds no cross-pass state at all:
         // there is no shuffle map output to stage-skip and no broadcast
         // future to cache, so re-executing the SAME instance recomputes
@@ -329,6 +334,7 @@ object Bench {
         val oracleJson = SparkEntry.oracleSql
           .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
         val of = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+        of.toFile.deleteOnExit() // one-shot input for the pairing subprocess
         java.nio.file.Files.writeString(of, oracleJson)
         val pb = new ProcessBuilder(
           "python3", tool.toString, sfDir, of.toString, "4")

@@ -78,7 +78,7 @@ object JobCensus {
         // would share the original's cached subquery results and the timed
         // run would stage-skip that work (Bench's `stateful` condition —
         // advisor r12 found the census checked only reuseClosed)
-        val stateful = !eager && plan.subqueries.nonEmpty
+        val stateful = !eager && plan.subqueriesAll.nonEmpty // tree-wide, like Bench
         def freshRunnable(): SparkPlan =
           if (eager || stateful)
             SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan

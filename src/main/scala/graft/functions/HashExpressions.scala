@@ -25,18 +25,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * built-in and as DuckDB's `md5()`, so oracle twins keep using plain md5.
   */
 object HashUtil {
-  private val hexChars: Array[Byte] = "0123456789abcdef".getBytes
+  // the ONE copy of the hex alphabet / thread-local digest / 32-hex encoder:
+  // AuditDigestUtil and HexCodec below share these instead of re-rolling them
+  private[functions] val hexChars: Array[Byte] = "0123456789abcdef".getBytes
   private val digests = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** 32-char lowercase hex MD5 of the string's UTF-8 bytes — byte-identical
-    * to Spark `md5(cast(s as binary))` and DuckDB `md5(s)`. */
-  def md5Hex(s: UTF8String): UTF8String = {
-    val md = digests.get()
-    md.reset()
-    val dig = md.digest(s.getBytes)
+  /** The calling thread's MD5 instance, reset and ready. */
+  private[functions] def md5(): java.security.MessageDigest = {
+    val md = digests.get(); md.reset(); md
+  }
+
+  /** 32-char lowercase hex of a 16-byte digest. */
+  private[functions] def hex32(dig: Array[Byte]): UTF8String = {
     val out = new Array[Byte](32)
     var i = 0
     while (i < 16) {
@@ -47,6 +50,10 @@ object HashUtil {
     }
     UTF8String.fromBytes(out)
   }
+
+  /** 32-char lowercase hex MD5 of the string's UTF-8 bytes — byte-identical
+    * to Spark `md5(cast(s as binary))` and DuckDB `md5(s)`. */
+  def md5Hex(s: UTF8String): UTF8String = hex32(md5().digest(s.getBytes))
 
   /** Value of the first 4 lowercase-hex chars — the 16-bit digest prefix the
     * associative audit checksum sums. Equivalent to
@@ -116,22 +123,19 @@ case class HexPrefix16(child: Expression) extends UnaryExpression {
   * a 3-sample median therefore timed warm-up, not the operator — r12:
   * 2.78 s for a one-map-pass checksum over 150k rows). */
 object AuditDigestUtil {
-  private val hexChars: Array[Byte] = "0123456789abcdef".getBytes
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
   private val bufs = new ThreadLocal[Array[Byte]] {
     override def initialValue(): Array[Byte] = new Array[Byte](256)
   }
 
   private def writeLong(buf: Array[Byte], at: Int, v: Long): Int = {
     var pos = at
-    var x = v
-    if (x < 0) { buf(pos) = '-'; pos += 1; x = -x } // fixture ids are ≥ 0;
-    // negative path kept for totalprice-derived values on adversarial input
+    // digits are produced in NEGATIVE space: -|v| exists for every long, so
+    // Long.MinValue renders its true decimal form (the naive `x = -x` wraps
+    // MinValue onto itself and `x % 10` then emits bytes below '0' — a
+    // silent divergence from the md5(concat_ws) twin on adversarial input)
+    var x = if (v < 0) { buf(pos) = '-'; pos += 1; v } else -v
     val start = pos
-    do { buf(pos) = ('0' + (x % 10)).toByte; x /= 10; pos += 1 } while (x != 0)
+    do { buf(pos) = ('0' - (x % 10)).toByte; x /= 10; pos += 1 } while (x != 0)
     // digits were written little-endian; reverse in place
     var i = start; var j = pos - 1
     while (i < j) { val t = buf(i); buf(i) = buf(j); buf(j) = t; i += 1; j -= 1 }
@@ -152,19 +156,9 @@ object AuditDigestUtil {
     buf(pos) = '|'; pos += 1
     p.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
     pos += pn
-    val md = digests.get()
-    md.reset()
+    val md = HashUtil.md5()
     md.update(buf, 0, pos)
-    val dig = md.digest()
-    val out = new Array[Byte](32)
-    var i = 0
-    while (i < 16) {
-      val b = dig(i) & 0xff
-      out(2 * i) = hexChars(b >>> 4)
-      out(2 * i + 1) = hexChars(b & 0xf)
-      i += 1
-    }
-    UTF8String.fromBytes(out)
+    HashUtil.hex32(md.digest())
   }
 }
 
@@ -217,7 +211,7 @@ case class AuditDigest(children: Seq[Expression]) extends Expression {
 
 /** Static bodies for the 128-bit digest codec expressions. */
 object HexCodec {
-  private val hexChars: Array[Byte] = "0123456789abcdef".getBytes
+  import HashUtil.hexChars
 
   /** Bits of hex chars [from, from+16) as a long (unsigned bit pattern). */
   def hexToLong(h: UTF8String, from: Int): Long = {

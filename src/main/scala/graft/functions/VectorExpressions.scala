@@ -334,17 +334,28 @@ object TopPairsUtil {
       norms(i) = math.sqrt(s)
       i += 1
     }
-    // bounded worst-first heap: root = the weakest kept pair
+    // bounded worst-first heap: root = the weakest kept pair.
+    // sim compares via Double.compare — the TOTAL order Spark's DoubleType
+    // sort uses (NaN above +Inf, NaN ties NaN), so a zero-norm vector's NaN
+    // cosine ranks exactly where the join+orderBy form ranks it (first),
+    // instead of the naive `>`/`==` pair under which NaN compares false
+    // both ways and the comparator goes intransitive
     case class P(ida: Long, idb: Long, sim: Double)
-    def better(a: P, b: P): Boolean = // a strictly precedes b in output order
-      a.sim > b.sim || (a.sim == b.sim &&
+    def better(a: P, b: P): Boolean = { // a strictly precedes b in output order
+      val c = java.lang.Double.compare(a.sim, b.sim)
+      c > 0 || (c == 0 &&
         (a.ida < b.ida || (a.ida == b.ida && a.idb < b.idb)))
+    }
     val heap = new java.util.PriorityQueue[P](k + 1,
       (x: P, y: P) => if (better(x, y)) 1 else if (better(y, x)) -1 else 0)
     i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
+        // the join form's predicate is the STRICT ida < idb on ID VALUES:
+        // two rows sharing a vec_id produce no pair there, so none here
+        if (ids(i) == ids(j)) { j += 1 }
+        else {
         val (lo, hi) = if (ids(i) < ids(j)) (i, j) else (j, i)
         val a = vecs(lo); val b = vecs(hi)
         var s = 0.0
@@ -355,6 +366,7 @@ object TopPairsUtil {
         if (heap.size < k) heap.add(p)
         else if (better(p, heap.peek())) { heap.poll(); heap.add(p) }
         j += 1
+        }
       }
       i += 1
     }
@@ -388,11 +400,7 @@ object TopPairsUtil {
 case class TopPairsWithin(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StructType(fs), _)
-        if fs.length == 2 && fs(0).dataType == LongType &&
-          fs(1).dataType == ArrayType(FloatType, false) =>
-      TypeCheckResult.TypeCheckSuccess
-    case ArrayType(StructType(fs), _)
+    case ArrayType(StructType(fs), _) // any containsNull: elements are dense
         if fs.length == 2 && fs(0).dataType == LongType &&
           fs(1).dataType.isInstanceOf[ArrayType] &&
           fs(1).dataType.asInstanceOf[ArrayType].elementType == FloatType =>

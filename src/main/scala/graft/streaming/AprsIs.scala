@@ -59,7 +59,19 @@ final class AprsIsRelay(host: String, port: Int, callsign: String,
   @volatile private var closed = false
   @volatile var serverBanner: Option[String] = None
   @volatile var logresp: Option[String] = None
-  @volatile var dropped: Long = 0L
+  // AtomicLong, not a @volatile var: the reader (offer failure) and the
+  // writer (discarded carry-over on exit) both increment, and a volatile
+  // read-modify-write can lose one of the two increments
+  private val droppedCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Lines that can no longer reach any client. After close this INCLUDES
+    * whatever is still sitting in the queue — counted at read time rather
+    * than by a writer-side drain, because the reader may legally enqueue a
+    * final line AFTER any drain loop finishes (it checks `closed` before
+    * `offer`, not atomically with it); a drain would leave that line
+    * forever uncounted, and dropped=0 would read as lossless delivery. */
+  def dropped: Long =
+    droppedCount.get() + (if (closed) queue.size().toLong else 0L)
 
   /** Terminal failure of the upstream APRS-IS connection, if any — a refused
     * or dropped connection used to vanish silently (the reader swallowed
@@ -87,7 +99,7 @@ final class AprsIsRelay(host: String, port: Int, callsign: String,
           if (serverBanner.isEmpty) serverBanner = Some(line)
           if (logresp.isEmpty && line.toLowerCase.contains("logresp"))
             logresp = Some(line)
-        } else if (!queue.offer(line)) dropped += 1
+        } else if (!queue.offer(line)) droppedCount.incrementAndGet()
         line = in.readLine()
       }
       sock.close()
@@ -130,14 +142,13 @@ final class AprsIsRelay(host: String, port: Int, callsign: String,
         } finally { try cli.close() catch { case _: Throwable => () } }
       } catch { case _: Throwable => () } // accept() fails only on close()
     }
-    // Writer exit (relay closed): a line still held in `pending` — and any
-    // lines left queued — were never delivered to ANY client. Count them
-    // into `dropped` so dropped=0 genuinely means lossless delivery
-    // (advisor r12: the monitor otherwise reads a discarded carry-over
-    // line as delivered).
-    if (pending != null) { dropped += 1; pending = null }
-    var leftover = queue.poll()
-    while (leftover != null) { dropped += 1; leftover = queue.poll() }
+    // Writer exit (relay closed): a line still held in `pending` was never
+    // delivered to ANY client — count it (advisor r12: the monitor otherwise
+    // reads a discarded carry-over line as delivered). Lines left IN THE
+    // QUEUE are deliberately NOT drained here: the reader can still enqueue
+    // after this point, so the residue is accounted at read time by the
+    // `dropped` accessor instead.
+    if (pending != null) { droppedCount.incrementAndGet(); pending = null }
   }, "aprsis-writer")
 
   def start(): AprsIsRelay = {

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -56,7 +57,11 @@ object UpsertSink {
         max(col("us")).as("last_us"))
       .withColumn("bucket", pmod(col("user_id"), lit(buckets.toLong)))
 
-  private case class Meta(v: Long, batchId: Long)
+  private case class Meta(v: Long, batchId: Long, token: String)
+
+  /** Token for direct (non-streaming) upsertBatch callers — one logical
+    * write stream, so the plain batchId guard applies across their calls. */
+  val AdhocToken = "adhoc"
 
   private def metaPath(target: String, bucket: Long) =
     Paths.get(target, s"bucket=$bucket", "_meta")
@@ -66,8 +71,9 @@ object UpsertSink {
     if (!Files.isRegularFile(p)) None
     else {
       val s = Files.readString(p)
-      val re = """\{"v":(\d+),"batchId":(-?\d+)\}""".r
-      re.findFirstMatchIn(s).map(m => Meta(m.group(1).toLong, m.group(2).toLong))
+      val re = """\{"v":(\d+),"batchId":(-?\d+),"token":"([^"]*)"\}""".r
+      re.findFirstMatchIn(s).map(m =>
+        Meta(m.group(1).toLong, m.group(2).toLong, m.group(3)))
     }
   }
 
@@ -76,7 +82,8 @@ object UpsertSink {
     val p = metaPath(target, bucket)
     Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling(s"._meta.tmp${System.nanoTime()}")
-    Files.writeString(tmp, s"""{"v":${m.v},"batchId":${m.batchId}}""")
+    Files.writeString(tmp,
+      s"""{"v":${m.v},"batchId":${m.batchId},"token":"${m.token}"}""")
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -90,8 +97,18 @@ object UpsertSink {
     }
 
   /** Apply ONE micro-batch to the target — public so the replay spec can
-    * re-deliver batches directly against arbitrarily pre-crashed targets. */
-  def upsertBatch(spark: SparkSession, target: String, buckets: Int)(
+    * re-deliver batches directly against arbitrarily pre-crashed targets.
+    *
+    * `token` scopes the batchId replay guard to ONE logical stream run
+    * (Spark batchIds restart at 0 under a fresh checkpoint): replays
+    * within the same run are skipped idempotently, while a DIFFERENT
+    * run writing into an existing target fails loudly — the bare
+    * `batchId >= B` guard would classify every new batch as "already
+    * committed" and silently drop all new data forever. Resuming from
+    * the original checkpoint (same token) is the supported restart path;
+    * anything else must vacuum/rebuild the target explicitly. */
+  def upsertBatch(spark: SparkSession, target: String, buckets: Int,
+      token: String = AdhocToken)(
       batch: DataFrame, batchId: Long): Unit = {
     val grain = toStateGrain(batch, buckets)
       // a micro-batch is small by definition; materializing it once keeps
@@ -102,6 +119,14 @@ object UpsertSink {
         .collect().map(_.getLong(0)).sorted // bucket IDs only — ≤ `buckets` rows
       touched.foreach { b =>
         val meta = readMeta(target, b)
+        meta.filter(_.token != token).foreach { m =>
+          throw new IllegalStateException(
+            s"target $target bucket=$b was committed by stream run " +
+              s"'${m.token}' (batchId=${m.batchId}); refusing to apply " +
+              s"batches from run '$token' — its batchIds restart at 0, so " +
+              "the replay guard cannot distinguish replays from new data. " +
+              "Resume from the original checkpoint or rebuild the target.")
+        }
         // idempotent-replay guard: this bucket already committed this batch
         if (!meta.exists(_.batchId >= batchId)) {
           val batchSide = grain.filter(col("bucket") === b).drop("bucket")
@@ -115,7 +140,7 @@ object UpsertSink {
           val nextV = meta.map(_.v + 1).getOrElse(0L)
           val vDir = Paths.get(target, s"bucket=$b", s"v=$nextV").toString
           merged.write.mode("overwrite").parquet(vDir)
-          commitMeta(target, b, Meta(nextV, batchId)) // the atomic commit point
+          commitMeta(target, b, Meta(nextV, batchId, token)) // atomic commit point
         }
       }
     } finally grain.unpersist()
@@ -164,10 +189,24 @@ object UpsertSink {
     finally bs.close()
   }
 
-  private implicit class IterOps[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
+  /** The stream run's identity, persisted NEXT TO the checkpoint it lives
+    * and dies with: created on the first run, re-read on every restart from
+    * the same checkpoint — so restarts keep the token (replay guard works)
+    * while a fresh checkpoint mints a new one (mismatch fails loudly in
+    * [[upsertBatch]] instead of silently dropping data). */
+  private def checkpointToken(checkpoint: String): String = {
+    val p = Paths.get(checkpoint, "_graft_run_token")
+    if (Files.isRegularFile(p)) Files.readString(p).trim
+    else {
+      Files.createDirectories(p.getParent)
+      val t = java.util.UUID.randomUUID().toString
+      val tmp = p.resolveSibling(s"._token.tmp${System.nanoTime()}")
+      Files.writeString(tmp, t)
+      try { Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE); t }
+      catch { // lost a concurrent-create race: the winner's token is THE token
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); Files.readString(p).trim
+      }
     }
   }
 
@@ -182,7 +221,8 @@ object UpsertSink {
       .option("maxFilesPerTrigger", "1")
       .parquet(dropDir)
       .writeStream
-      .foreachBatch(upsertBatch(spark, target, buckets) _)
+      .foreachBatch(upsertBatch(spark, target, buckets,
+        checkpointToken(checkpoint)) _)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()

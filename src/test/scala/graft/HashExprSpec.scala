@@ -22,6 +22,10 @@ class HashExprSpec extends SparkSuite {
     (6000000L, 449999L, 10453502L, 9131L, "3-MEDIUM"),
     (-7L, -1L, -123456789L, -9999L, "edge|with|pipes"),
     (Long.MaxValue, Long.MinValue + 1, 42L, 7L, "ünïcode-ÿ €"),
+    // Long.MinValue IN EVERY SLOT: -x overflows onto itself, so a digit loop
+    // written in positive space emits garbage bytes for it (r13 review
+    // finding — writeLong now renders in negative space)
+    (Long.MinValue, Long.MinValue, Long.MinValue, Long.MinValue, "min"),
     (123L, 456L, 789L, 101112L, "5-LOW")
   )
 

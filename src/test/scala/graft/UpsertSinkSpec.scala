@@ -84,6 +84,27 @@ class UpsertSinkSpec extends SparkSuite {
     assert(tableSet(target) == before, "vacuum touched a live version")
   }
 
+  test("a DIFFERENT stream run against an existing target fails loudly, never silent-drops") {
+    // fresh checkpoint ⇒ batchIds restart at 0 ⇒ the bare `batchId >= B`
+    // guard would classify every new batch as already-committed and drop
+    // all new data forever with no signal (r13 review finding). The run
+    // token scopes the guard: same run replays idempotently, a foreign
+    // run throws instead of no-op'ing.
+    val target = Files.createTempDirectory("graft_ups_t6").toString
+    val ev = Tables.table(spark, sf, "events")
+    UpsertSink.upsertBatch(spark, target, buckets, token = "run-A")(ev, 3L)
+    val after = tableSet(target)
+    // same run, replayed batch: idempotent skip, no error
+    UpsertSink.upsertBatch(spark, target, buckets, token = "run-A")(ev, 3L)
+    assert(tableSet(target) == after)
+    // different run, batchId restarted at 0: must throw, not silently skip
+    val e = intercept[IllegalStateException] {
+      UpsertSink.upsertBatch(spark, target, buckets, token = "run-B")(ev, 0L)
+    }
+    assert(e.getMessage.contains("run-A"), e.getMessage)
+    assert(tableSet(target) == after, "foreign run mutated the target")
+  }
+
   test("restarting the stream with the same checkpoint adds nothing; new files apply incrementally") {
     val target = Files.createTempDirectory("graft_ups_t5").toString
     val ckpt = Files.createTempDirectory("graft_ups_c5").toString

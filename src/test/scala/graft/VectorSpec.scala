@@ -176,6 +176,53 @@ class VectorSpec extends SparkSuite {
     assert(rows.count(_.getDouble(2).isNaN) == 5) // every pair touching a zero vector
   }
 
+  test("TopPairsWithin: NaN pairs rank first under heap EVICTION (Spark double order)") {
+    // k < #pairs with zero-norm vectors in the block: the heap must evict
+    // under the same total order Spark's sim-desc sort uses, where NaN is
+    // the LARGEST double (java.lang.Double.compare) — the naive `>`/`==`
+    // comparator saw NaN as tied with everything and dropped NaN pairs
+    // whenever the heap was already full (r13 review finding)
+    import org.apache.spark.sql.functions._
+    val df = Seq( // 3 zero-norm + 3 normal vectors → 12 NaN pairs, 3 real
+      (1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)), (3L, Seq(0f, 0f)),
+      (4L, Seq(1f, 0f)), (5L, Seq(1f, 1f)), (6L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val k = 4
+    val got = df
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+      .select(explode(functions.VectorExpr.topPairs(col("vs"), k)).as("p"))
+      .select(col("p.ida"), col("p.idb"), col("p.sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // NaN sims sort ABOVE 1.0; ties broken by (ida, idb) ascending — so the
+    // top 4 of the 12 NaN pairs by id order, none of the finite ones
+    val expected = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    assert(got.map(p => (p._1, p._2)) == expected, got.mkString(","))
+    assert(got.forall(_._3.isNaN))
+    // and Spark's own sim-desc sort puts NaN ABOVE every finite value —
+    // the ordering the heap comparator must reproduce (literal NaNs here:
+    // the join-form division would trip ANSI DIVIDE_BY_ZERO on zero norms)
+    val viaSort = Seq((1L, Double.NaN), (2L, 1.0), (3L, Double.NaN))
+      .toDF("id", "sim").orderBy(col("sim").desc, col("id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSort == Seq(1L, 3L, 2L), viaSort.mkString(","))
+  }
+
+  test("TopPairsWithin: duplicate vec_ids emit no (id,id) pair (join form's strict <)") {
+    // the join form's predicate is ida < idb on ID VALUES, so two rows
+    // sharing a vec_id pair with everything else but never with each other
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (7L, Seq(1f, 0f)), (7L, Seq(0f, 1f)), (9L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = df
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+      .select(explode(functions.VectorExpr.topPairs(col("vs"), 10)).as("p"))
+      .select(col("p.ida"), col("p.idb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.forall { case (a, b) => a < b }, got.mkString(","))
+    assert(got.sorted == Seq((7L, 9L), (7L, 9L))) // each 7-row pairs with 9
+  }
+
   test("dedup is idempotent on fixtures") {
     val docs = Tables.table(spark, sf, "documents")
     val once = docs.dropDuplicates("text")
