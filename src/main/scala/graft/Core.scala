@@ -318,4 +318,19 @@ object Exact {
 
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${squaredNormSql(a)}) * sqrt(${squaredNormSql(b)})))"
+
+  /** Pearson r from exact BIGINT sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx², Σy²) — the ONE closed IEEE tree the daily-series correlation
+    * family (q_ts_autocorr/acf/ccf, q_stats_spearman) shares:
+    * (n·sxy − sx·sy) / (√(n·sxx − sx²) · √(n·syy − sy²)), every operand
+    * cast to double FIRST so both engines run the identical operation
+    * order. Previously copy-pasted per query; the tree shape is the
+    * cross-engine contract, so it must live in exactly one place. */
+  def pearson(n: Column, sx: Column, sy: Column, sxy: Column,
+      sxx: Column, syy: Column): Column = {
+    def D(c: Column) = c.cast(org.apache.spark.sql.types.DoubleType)
+    (D(n) * D(sxy) - D(sx) * D(sy)) /
+      (sqrt(D(n) * D(sxx) - D(sx) * D(sx)) *
+        sqrt(D(n) * D(syy) - D(sy) * D(sy)))
+  }
 }

@@ -863,7 +863,7 @@ object PipelineOps {
       },
       Some(
         """WITH ev AS (SELECT event_type,
-          |    (CAST(floor(epoch(ts) / 86400.0) AS BIGINT) + 3) % 7 AS dow
+          |    (((CAST(floor(epoch(ts) / 86400.0) AS BIGINT) + 3) % 7) + 7) % 7 AS dow
           |  FROM events),
           |cells AS (SELECT event_type, dow, count(*) AS o FROM ev GROUP BY 1, 2),
           |rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
@@ -1180,7 +1180,7 @@ object PipelineOps {
       },
       Some(
         """WITH ev AS (SELECT event_type,
-          |    (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7 AS dow
+          |    (((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7) + 7) % 7 AS dow
           |  FROM events),
           |cells AS (SELECT event_type, dow, count(*) AS o FROM ev GROUP BY 1, 2),
           |m AS (SELECT event_type, dow, o,
@@ -1364,7 +1364,7 @@ object PipelineOps {
         """WITH d AS (SELECT event_type,
           |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS x
           |  FROM events GROUP BY 1, 2),
-          |g AS (SELECT event_type, (day + 3) % 7 AS dow, x FROM d),
+          |g AS (SELECT event_type, (((day + 3) % 7) + 7) % 7 AS dow, x FROM d),
           |cells AS (SELECT event_type, dow, count(*) AS c,
           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
           |  FROM g GROUP BY 1, 2),
@@ -1560,7 +1560,7 @@ object PipelineOps {
         """WITH d AS (SELECT event_type,
           |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS x
           |  FROM events GROUP BY 1, 2),
-          |g AS (SELECT event_type, day, (day + 3) % 7 AS dow, x FROM d),
+          |g AS (SELECT event_type, day, (((day + 3) % 7) + 7) % 7 AS dow, x FROM d),
           |r AS (SELECT event_type, dow, x,
           |    CAST(row_number() OVER (PARTITION BY event_type, dow
           |      ORDER BY x, day) AS BIGINT) AS rk,

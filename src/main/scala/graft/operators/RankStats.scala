@@ -30,8 +30,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object RankStats {
   import Tables.table
 
-  /** Day-grain count series per event type: the shared slim input. */
-  private def daily(s: org.apache.spark.sql.SparkSession, dir: String) =
+  /** Day-grain count series per event type: the shared slim input of the
+    * daily-series family here AND in TimeSeries (one copy of the relation
+    * both files previously inlined per query). */
+  private[operators] def daily(s: org.apache.spark.sql.SparkSession, dir: String) =
     table(s, dir, "events")
       .groupBy(col("event_type"),
         floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
@@ -77,10 +79,8 @@ object RankStats {
         def halfRank(v: String): org.apache.spark.sql.Column =
           rank().over(Window.orderBy(col(v))).cast(LongType) * 2 +
             count(lit(1)).over(Window.partitionBy(col(v))).cast(LongType) - 1
-        def D(c: String) = col(c).cast(DoubleType)
-        val num = D("n") * D("sxy") - D("sx") * D("sy")
-        val den = sqrt(D("n") * D("sxx") - D("sx") * D("sx")) *
-          sqrt(D("n") * D("syy") - D("sy") * D("sy"))
+        val r = graft.Exact.pearson(col("n"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"), col("syy"))
         pairedDays(s, dir)
           .select(halfRank("x").as("rx"), halfRank("y").as("ry"))
           .agg(count(lit(1)).as("n"),
@@ -88,7 +88,7 @@ object RankStats {
             sum(col("rx") * col("ry")).as("sxy"),
             sum(col("rx") * col("rx")).as("sxx"),
             sum(col("ry") * col("ry")).as("syy"))
-          .select(col("n"), round(num / den, 6).as("rho"))
+          .select(col("n"), round(r, 6).as("rho"))
       },
       Some(
         s"""WITH $pairedSql,
@@ -262,7 +262,7 @@ object RankStats {
       Some(
         s"""WITH $dailySql,
            |d AS (SELECT event_type, day, x,
-           |    CASE WHEN (day + 3) % 7 >= 5 THEN 1 ELSE 0 END AS wknd
+           |    CASE WHEN (((day + 3) % 7) + 7) % 7 >= 5 THEN 1 ELSE 0 END AS wknd
            |  FROM daily),
            |obs AS (SELECT event_type AS et, count(*) AS n,
            |    CAST(sum(wknd) AS BIGINT) AS na,
@@ -523,7 +523,7 @@ object RankStats {
       },
       Some(
         """WITH cells AS (SELECT event_type,
-          |    (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7 AS dow,
+          |    (((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7) + 7) % 7 AS dow,
           |    count(*) AS o
           |  FROM events GROUP BY 1, 2),
           |m AS (SELECT event_type, dow, o,
@@ -693,7 +693,7 @@ object RankStats {
       Some(
         s"""WITH $dailySql,
            |d AS (SELECT event_type, day, x,
-           |    (day + 3) // 7 AS wk, (day + 3) % 7 AS dow
+           |    (day + 3) // 7 AS wk, (((day + 3) % 7) + 7) % 7 AS dow
            |  FROM daily),
            |f AS (SELECT event_type, wk, dow, x,
            |    CAST(count(*) OVER (PARTITION BY event_type, wk) AS BIGINT) AS fullc

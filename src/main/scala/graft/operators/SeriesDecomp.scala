@@ -74,7 +74,7 @@ object SeriesDecomp {
            |  FROM daily
            |  WINDOW w AS (PARTITION BY event_type ORDER BY day
            |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-           |f AS (SELECT event_type, (day + 3) % 7 AS dow, x, s7
+           |f AS (SELECT event_type, (((day + 3) % 7) + 7) % 7 AS dow, x, s7
            |  FROM t WHERE c7 = 7 AND span = 6),
            |a AS (SELECT event_type, dow, count(*) AS n_days,
            |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(s7) AS BIGINT) AS ss7
@@ -800,11 +800,11 @@ object SeriesDecomp {
       Some(
         """WITH e AS (SELECT event_type,
           |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-          |    (epoch_us(ts) // 3600000000) % 24 AS hr
+          |    (((epoch_us(ts) // 3600000000) % 24) + 24) % 24 AS hr
           |  FROM events),
           |cells AS (SELECT event_type, hr,
-          |    CAST(sum(CASE WHEN (day + 3) % 7 >= 5 THEN 0 ELSE 1 END) AS BIGINT) AS a,
-          |    CAST(sum(CASE WHEN (day + 3) % 7 >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS b
+          |    CAST(sum(CASE WHEN (((day + 3) % 7) + 7) % 7 >= 5 THEN 0 ELSE 1 END) AS BIGINT) AS a,
+          |    CAST(sum(CASE WHEN (((day + 3) % 7) + 7) % 7 >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS b
           |  FROM e GROUP BY 1, 2),
           |t AS (SELECT event_type, hr, a, b,
           |    CAST(sum(a) OVER (PARTITION BY event_type) AS BIGINT) AS na,

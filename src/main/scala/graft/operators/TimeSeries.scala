@@ -201,7 +201,6 @@ object TimeSeries {
         "previous shape — three chained agg+broadcast jobs — was " +
         "latency-bound at 3 sequential stage barriers; this is one.",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("user_id")
         val e = table(s, dir, "events")
           .filter(col("event_type").isin("view", "click", "purchase"))
@@ -259,8 +258,14 @@ object TimeSeries {
           (col("n") - 1).cast("double")
         val z = (col("c").cast("double") - mean) / sqrt(varExpr)
         h.crossJoin(broadcast(st))
-          .select(col("w"), col("c"), round(z, 6).as("z"))
-          .filter(abs(col("z")) > 2.0)
+          // filter on the RAW z, round only for output: the oracle's WHERE
+          // resolves z to the unrounded CTE column (the alias is shadowed),
+          // so filtering the rounded alias here would drop a boundary hour
+          // whose raw |z| ∈ (2, 2.0000005) that DuckDB keeps — the raw
+          // double tree is engine-identical, so the raw decision is too
+          .select(col("w"), col("c"), z.as("zraw"))
+          .filter(abs(col("zraw")) > 2.0)
+          .select(col("w"), col("c"), round(col("zraw"), 6).as("z"))
           .orderBy("w")
       },
       Some(
@@ -747,8 +752,8 @@ object TimeSeries {
           .orderBy("dow", "hod")
       },
       Some(
-        """SELECT (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7 AS dow,
-          |  CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+        """SELECT (((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7) + 7) % 7 AS dow,
+          |  ((CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24) + 24) % 24 AS hod,
           |  count(*) AS n,
           |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
@@ -766,18 +771,13 @@ object TimeSeries {
         "(≤ types × days rows regardless of corpus size); the corpus " +
         "touches only the first count.",
       (s, dir) => {
-        val daily = table(s, dir, "events")
-          .groupBy(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType).as("day"))
-          .agg(count(lit(1)).as("x"))
+        val daily = RankStats.daily(s, dir)
         val w = Window.partitionBy("event_type").orderBy("day")
         val pairs = daily
           .withColumn("y", lead(col("x"), 1).over(w))
           .filter(col("y").isNotNull)
-        def D(c: String) = col(c).cast(DoubleType)
-        val num = D("n") * D("sxy") - D("sx") * D("sy")
-        val den = sqrt(D("n") * D("sxx") - D("sx") * D("sx")) *
-          sqrt(D("n") * D("syy") - D("sy") * D("sy"))
+        val r = graft.Exact.pearson(col("n"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"), col("syy"))
         pairs.groupBy("event_type")
           .agg(
             count(lit(1)).as("n"),
@@ -785,7 +785,7 @@ object TimeSeries {
             sum(col("x") * col("y")).as("sxy"),
             sum(col("x") * col("x")).as("sxx"),
             sum(col("y") * col("y")).as("syy"))
-          .select(col("event_type"), col("n"), round(num / den, 6).as("r1"))
+          .select(col("event_type"), col("n"), round(r, 6).as("r1"))
           .orderBy("event_type")
       },
       Some(
@@ -825,11 +825,7 @@ object TimeSeries {
         "q_seq_paths discipline) indexed at ⌈n/2⌉. All-BIGINT; only " +
         "complete 7-day windows report.",
       (s, dir) => {
-        val daily = table(s, dir, "events")
-          .groupBy(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
-              .as("day"))
-          .agg(count(lit(1)).as("x"))
+        val daily = RankStats.daily(s, dir)
         val a = daily.select(col("event_type"), col("day"), col("x"))
         val b = daily.select(col("event_type").as("et2"), col("day").as("d2"),
           col("x").as("x2"))
@@ -869,19 +865,13 @@ object TimeSeries {
         "sufficient statistics with Pearson r as the closed-form double " +
         "tree. Day-grain only; the corpus is touched by one count.",
       (s, dir) => {
-        val daily = table(s, dir, "events")
-          .groupBy(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
-              .as("day"))
-          .agg(count(lit(1)).as("n"))
+        val daily = RankStats.daily(s, dir).withColumnRenamed("x", "n")
         val da = daily.filter(col("event_type") === "click")
           .select(col("day"), col("n").as("x"))
         val db = daily.filter(col("event_type") === "purchase")
           .select(col("day").as("dayb"), col("n").as("y"))
-        def D(c: String) = col(c).cast(DoubleType)
-        val num = D("np") * D("sxy") - D("sx") * D("sy")
-        val den = sqrt(D("np") * D("sxx") - D("sx") * D("sx")) *
-          sqrt(D("np") * D("syy") - D("sy") * D("sy"))
+        val r = graft.Exact.pearson(col("np"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"), col("syy"))
         da
           .withColumn("lag_k", explode(array((-3 to 3).map(k => lit(k.toLong)): _*)))
           .join(db, col("day") + col("lag_k") === col("dayb"))
@@ -891,7 +881,7 @@ object TimeSeries {
             sum(col("x") * col("y")).as("sxy"),
             sum(col("x") * col("x")).as("sxx"),
             sum(col("y") * col("y")).as("syy"))
-          .select(col("lag_k"), col("np"), round(num / den, 6).as("r"))
+          .select(col("lag_k"), col("np"), round(r, 6).as("r"))
           .orderBy("lag_k")
       },
       Some(
@@ -934,11 +924,7 @@ object TimeSeries {
         "ever a grouping key — ordering by identically-computed doubles " +
         "is safe where hashing them is not.",
       (s, dir) => {
-        val daily = table(s, dir, "events")
-          .groupBy(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
-              .as("day"))
-          .agg(count(lit(1)).as("x"))
+        val daily = RankStats.daily(s, dir)
         val a = daily.select(col("event_type"), col("day").as("d1"), col("x").as("x1"))
         val b = daily.select(col("event_type").as("et2"), col("day").as("d2"),
           col("x").as("x2"))
@@ -988,11 +974,7 @@ object TimeSeries {
         "double tree (the q_agg_regression discipline — native corr() " +
         "folds floats in partition order). Day-grain relation only.",
       (s, dir) => {
-        val daily = table(s, dir, "events")
-          .groupBy(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
-              .as("day"))
-          .agg(count(lit(1)).as("x"))
+        val daily = RankStats.daily(s, dir)
         val w = Window.partitionBy("event_type").orderBy("day")
         val withLeads = (1 to 7).foldLeft(daily) { (d, k) =>
           d.withColumn(s"y$k", lead(col("x"), k).over(w))
@@ -1002,10 +984,8 @@ object TimeSeries {
             (1 to 7).map(k => s"${k}L, y$k").mkString(", ") +
             ") AS (lag_k, y)"))
           .filter(col("y").isNotNull)
-        def D(c: String) = col(c).cast(DoubleType)
-        val num = D("n") * D("sxy") - D("sx") * D("sy")
-        val den = sqrt(D("n") * D("sxx") - D("sx") * D("sx")) *
-          sqrt(D("n") * D("syy") - D("sy") * D("sy"))
+        val r = graft.Exact.pearson(col("n"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"), col("syy"))
         stacked.groupBy("event_type", "lag_k")
           .agg(count(lit(1)).as("n"),
             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -1013,7 +993,7 @@ object TimeSeries {
             sum(col("x") * col("x")).as("sxx"),
             sum(col("y") * col("y")).as("syy"))
           .select(col("event_type"), col("lag_k"), col("n"),
-            round(num / den, 6).as("r"))
+            round(r, 6).as("r"))
           .orderBy("event_type", "lag_k")
       },
       Some(
@@ -1229,11 +1209,13 @@ object TimeSeries {
         "across the user's click/view touches in the trailing 7 days " +
         "(no touch → 'direct') — the marketing/consent-tracing ledger " +
         "where the money column must CONSERVE exactly. The split is " +
-        "EXACT INTEGER cents: each touch gets cents div k and the " +
-        "remainder r = cents mod k goes one cent each to the r earliest " +
+        "EXACT INTEGER cents: each touch gets the FLOOR quotient " +
+        "(cents − pmod(cents,k)) div k and the non-negative remainder " +
+        "r = pmod(cents,k) ∈ [0,k) goes one cent each to the r earliest " +
         "touches by (ts, event_id) — no per-touch float division whose " +
-        "re-sum drifts (cents = base·k + r by construction, so the " +
-        "channel ledger sums to the purchase ledger bitwise). The range " +
+        "re-sum drifts (cents = base·k + r by construction, INCLUDING " +
+        "negative refund amounts, so the channel ledger sums to the " +
+        "purchase ledger bitwise). The range " +
         "join runs as the band-join decomposition: touches key by epoch " +
         "day, purchases fan out to their 8 candidate days (O(8n), " +
         "co-partitioned by (user, day)) and the exact micros predicate " +
@@ -1266,14 +1248,26 @@ object TimeSeries {
         // channel) rollup left-joins back onto purchases, so the no-touch
         // 'direct' case falls out of the same join as the attributed case —
         // no second computation of the join subtree for an anti-join pid set
+        // FLOOR division + non-negative remainder, spelled out on BOTH
+        // engines: base = (cents - pmod(cents,k)) div k is exact (the
+        // numerator is divisible by k, so truncating div == floor div) and
+        // r = pmod ∈ [0,k) is always distributable — base·k + r = cents
+        // holds for NEGATIVE cents too (refund rows). The previous
+        // div(cents,k) + pmod pair mixed truncating division with a
+        // non-negative remainder (sum = cents + k for cents < 0), and the
+        // oracle's `//` + `%` pair truncates with a NEGATIVE remainder that
+        // `rk <= r` never distributes — three different ledgers on any
+        // negative amount (r13 review; fixtures are all ≥ 0, so the gate
+        // alone could not see it).
+        val pm = pmod(col("cents"), col("k"))
         val perPidCh = joined
           .withColumn("k", count(lit(1)).over(w))
           .withColumn("rk",
             row_number().over(w.orderBy("tts", "tid")).cast(LongType))
           .groupBy("pid", "channel")
           .agg(count(lit(1)).as("cnt"),
-            sum(call_function("div", col("cents"), col("k")) +
-              when(col("rk") <= pmod(col("cents"), col("k")), 1L).otherwise(0L))
+            sum(call_function("div", col("cents") - pm, col("k")) +
+              when(col("rk") <= pm, 1L).otherwise(0L))
               .as("ac"))
         p.join(perPidCh, Seq("pid"), "left")
           .select(coalesce(col("channel"), lit("direct")).as("channel"),
@@ -1302,7 +1296,8 @@ object TimeSeries {
           |      AS BIGINT) AS rk
           |  FROM j),
           |a AS (SELECT channel, pid,
-          |    cents // k + CASE WHEN rk <= cents % k THEN 1 ELSE 0 END AS ac
+          |    (cents - ((cents % k) + k) % k) // k
+          |      + CASE WHEN rk <= ((cents % k) + k) % k THEN 1 ELSE 0 END AS ac
           |  FROM r
           |  UNION ALL
           |  SELECT 'direct', pid, cents FROM p
@@ -1379,11 +1374,7 @@ object TimeSeries {
         "Errors are exact BIGINT |n − f| sums; MAE and WAPE are single " +
         "IEEE divisions of exact integers.",
       (s, dir) => {
-        val daily = table(s, dir, "events")
-          .groupBy(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
-              .as("day"))
-          .agg(count(lit(1)).as("n"))
+        val daily = RankStats.daily(s, dir).withColumnRenamed("x", "n")
         val w = Window.partitionBy("event_type").orderBy("day")
           .rangeBetween(-7, -7)
         def D(c: String) = col(c).cast(DoubleType)
@@ -1474,11 +1465,7 @@ object TimeSeries {
         "top share the one sort, and the corpus is touched only by the " +
         "first count.",
       (s, dir) => {
-        val daily = table(s, dir, "events")
-          .groupBy(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
-              .as("day"))
-          .agg(count(lit(1)).as("n"))
+        val daily = RankStats.daily(s, dir).withColumnRenamed("x", "n")
         val run = Window.partitionBy("event_type").orderBy("day")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         daily
@@ -1522,11 +1509,7 @@ object TimeSeries {
         "keyed window sort shared by lag, lead, and the partition top; " +
         "day-grain relation only.",
       (s, dir) => {
-        val daily = table(s, dir, "events")
-          .groupBy(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
-              .as("day"))
-          .agg(count(lit(1)).as("n"))
+        val daily = RankStats.daily(s, dir).withColumnRenamed("x", "n")
         val w = Window.partitionBy("event_type").orderBy("day")
         val flagged = daily
           .withColumn("pv", lag(col("n"), 1).over(w))
@@ -1585,11 +1568,7 @@ object TimeSeries {
         "window sort shared by row_number, the prefix sum, and the " +
         "partition stats; day-grain relation only.",
       (s, dir) => {
-        val daily = table(s, dir, "events")
-          .groupBy(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
-              .as("day"))
-          .agg(count(lit(1)).as("n"))
+        val daily = RankStats.daily(s, dir).withColumnRenamed("x", "n")
         val ord = Window.partitionBy("event_type").orderBy("day")
         val part = Window.partitionBy("event_type")
         def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
@@ -1664,11 +1643,7 @@ object TimeSeries {
         "Only complete 7-day windows score. One keyed window over the " +
         "day-grain relation; Σx, Σx², and the frame count share one sort.",
       (s, dir) => {
-        val daily = table(s, dir, "events")
-          .groupBy(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
-              .as("day"))
-          .agg(count(lit(1)).as("n"))
+        val daily = RankStats.daily(s, dir).withColumnRenamed("x", "n")
         val fr = Window.partitionBy("event_type").orderBy("day")
           .rangeBetween(-6, 0)
         def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)

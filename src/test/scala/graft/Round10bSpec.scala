@@ -136,7 +136,11 @@ class Round10bSpec extends SparkSuite {
       } else {
         val k = inWin.length
         inWin.zipWithIndex.foreach { case (t, i) =>
-          val ac = cents / k + (if (i + 1 <= cents % k) 1L else 0L)
+          // FLOOR split (Math.floorDiv/floorMod == the query's pmod form):
+          // identical to truncating / and % on the all-positive fixture,
+          // and the form that conserves negative refund cents too
+          val ac = Math.floorDiv(cents, k) +
+            (if (i + 1 <= Math.floorMod(cents, k)) 1L else 0L)
           val (n, ps, c) = ledger(t._4)
           ledger(t._4) = (n + 1, ps + pid, c + ac)
         }
@@ -149,6 +153,35 @@ class Round10bSpec extends SparkSuite {
     assert(got == want.toMap)
     // conservation: channel ledger sums to the purchase ledger bitwise
     assert(got.values.map(_._3).sum == purchases.map(_._5).sum)
+  }
+
+  test("attribution conserves NEGATIVE (refund) cents — floor split, both forms agree") {
+    // refund purchases make cents < 0: the pre-r13 div+pmod mix summed to
+    // cents + k and the oracle's truncating //+% never distributed its
+    // negative remainder — three different ledgers. The floor split must
+    // conserve exactly for any sign (the fixture is all-positive, so only
+    // a synthetic table can gate this).
+    import java.sql.Timestamp
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_neg").toString
+    Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 00:00:00"), "click", 0.0),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 01:00:00"), "view", 0.0),
+      (3L, 1L, Timestamp.valueOf("2024-01-01 02:00:00"), "purchase", -0.07),
+      (4L, 2L, Timestamp.valueOf("2024-01-02 00:00:00"), "purchase", -1.23),
+      (5L, 3L, Timestamp.valueOf("2024-01-03 00:00:00"), "click", 0.0),
+      (6L, 3L, Timestamp.valueOf("2024-01-03 01:00:00"), "click", 0.0),
+      (7L, 3L, Timestamp.valueOf("2024-01-03 02:00:00"), "view", 0.0),
+      (8L, 3L, Timestamp.valueOf("2024-01-03 03:00:00"), "purchase", 1.00))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_ts_attribution")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // user1: cents=-7, k=2 → floorDiv=-4, floorMod=1 → click −3, view −4
+    // user3: cents=100, k=3 → 34/33/33 by touch order (click, click, view)
+    // user2: no touches → direct −123
+    assert(got == Map("click" -> 64L, "view" -> 29L, "direct" -> -123L), got)
+    assert(got.values.sum == -7L + -123L + 100L) // conservation, bitwise
   }
 
   test("throttle: equals brute-force sequential replay per user") {
