@@ -1343,14 +1343,14 @@ object PipelineOps {
             sum(col("x") * col("x")).as("sxx"))
         val wt = Window.partitionBy("event_type")
         val ordw = Window.partitionBy("event_type").orderBy("dow")
-        val ssb = col("bcum") - D(col("s") * col("s")) / D(col("n"))
-        val sst = D(col("sxx_t")) - D(col("s") * col("s")) / D(col("n"))
+        val ssb = col("bcum") - D(col("s")) * D(col("s")) / D(col("n"))
+        val sst = D(col("sxx_t")) - D(col("s")) * D(col("s")) / D(col("n"))
         cells
           .withColumn("n", sum(col("c")).over(wt))
           .withColumn("s", sum(col("sx")).over(wt))
           .withColumn("sxx_t", sum(col("sxx")).over(wt))
           .withColumn("k", count(lit(1)).over(wt))
-          .withColumn("bcum", sum(D(col("sx") * col("sx")) / D(col("c")))
+          .withColumn("bcum", sum(D(col("sx")) * D(col("sx")) / D(col("c")))
             .over(ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("rk", row_number().over(ordw).cast(LongType))
           .filter(col("rk") === col("k"))
@@ -1540,14 +1540,14 @@ object PipelineOps {
             sum(col("z") * col("z")).as("szz"))
         val wt = Window.partitionBy("event_type")
         val ordw = Window.partitionBy("event_type").orderBy("dow")
-        val ssb = col("bcum") - D(col("st") * col("st")) / D(col("n"))
-        val sst = D(col("szz_t")) - D(col("st") * col("st")) / D(col("n"))
+        val ssb = col("bcum") - D(col("st")) * D(col("st")) / D(col("n"))
+        val sst = D(col("szz_t")) - D(col("st")) * D(col("st")) / D(col("n"))
         cells
           .withColumn("n", sum(col("c")).over(wt))
           .withColumn("st", sum(col("sz")).over(wt))
           .withColumn("szz_t", sum(col("szz")).over(wt))
           .withColumn("k", count(lit(1)).over(wt))
-          .withColumn("bcum", sum(D(col("sz") * col("sz")) / D(col("c")))
+          .withColumn("bcum", sum(D(col("sz")) * D(col("sz")) / D(col("c")))
             .over(ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("rk", row_number().over(ordw).cast(LongType))
           .filter(col("rk") === col("k"))

@@ -40,7 +40,7 @@ object RankStats {
           .as("day"))
       .agg(count(lit(1)).as("x"))
 
-  private val dailySql =
+  private[operators] val dailySql =
     """daily AS (
       |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    count(*) AS x
@@ -666,8 +666,13 @@ object RankStats {
       (s, dir) => {
         def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
         val d = daily(s, dir)
-          .withColumn("wk", call_function("div", col("day") + 3, lit(7L)))
+          // FLOOR week index (numerator made divisible by subtracting the
+          // pmod dow, so truncating div == floor div): a truncating
+          // (day+3)//7 next to a pmod dow would give pre-1970 "week 0" a
+          // 13-day span with duplicate dows inside one Friedman block
           .withColumn("dow", pmod(col("day") + lit(3L), lit(7L)))
+          .withColumn("wk", call_function("div",
+            col("day") + 3 - col("dow"), lit(7L)))
           .withColumn("full", count(lit(1)).over(
             Window.partitionBy("event_type", "wk")))
           .filter(col("full") === 7L)
@@ -693,7 +698,8 @@ object RankStats {
       Some(
         s"""WITH $dailySql,
            |d AS (SELECT event_type, day, x,
-           |    (day + 3) // 7 AS wk, (((day + 3) % 7) + 7) % 7 AS dow
+           |    ((day + 3) - (((day + 3) % 7) + 7) % 7) // 7 AS wk,
+           |    (((day + 3) % 7) + 7) % 7 AS dow
            |  FROM daily),
            |f AS (SELECT event_type, wk, dow, x,
            |    CAST(count(*) OVER (PARTITION BY event_type, wk) AS BIGINT) AS fullc

@@ -20,18 +20,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object SeriesDecomp {
   import Tables.table
 
+  // the shared day-grain relation (one copy for the whole daily-series
+  // family; this file previously carried a byte-identical private pair)
   private def daily(s: org.apache.spark.sql.SparkSession, dir: String) =
-    table(s, dir, "events")
-      .groupBy(col("event_type"),
-        floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
-          .as("day"))
-      .agg(count(lit(1)).as("x"))
-
-  private val dailySql =
-    """daily AS (
-      |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-      |    count(*) AS x
-      |  FROM events GROUP BY 1, 2)""".stripMargin
+    RankStats.daily(s, dir)
+  private val dailySql = RankStats.dailySql
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -751,8 +744,9 @@ object SeriesDecomp {
         "hour-of-day profiles per type — the distribution-shift reading " +
         "for BEHAVIORAL shape (does weekend traffic redistribute across " +
         "the day, not just shrink?). Both profiles are exact 24-cell " +
-        "count vectors; every ln argument is a ratio of exact BIGINTs " +
-        "(2·p/(p+q) written cross-multiplied over counts), and the one " +
+        "count vectors; every ln argument is a ratio of cross-multiplied " +
+        "counts with each factor cast to double FIRST (exact below 2^53 " +
+        "per product, and no 2^63 wrap/overflow at any scale), and the one " +
         "sum OF float terms rides the hour-ordered window per type. " +
         "JS is symmetric and bounded by ln 2 — reported alongside its " +
         "normalized [0,1] form.",
@@ -762,9 +756,8 @@ object SeriesDecomp {
           .select(col("event_type"),
             floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
               .as("day"),
-            pmod(call_function("div",
-              graft.Ts.epochMicros(col("ts")), lit(3600000000L)), lit(24L))
-              .as("hr"))
+            pmod(floor(graft.Ts.epochSec(col("ts")) / lit(3600d))
+              .cast(LongType), lit(24L)).as("hr"))
           .withColumn("wknd", (pmod(col("day") + 3, lit(7L)) >= 5L)
             .cast(LongType))
           .groupBy("event_type", "hr")
@@ -779,11 +772,13 @@ object SeriesDecomp {
         val p = D(col("a")) / D(col("na"))
         val q = D(col("b")) / D(col("nb"))
         val termA = when(col("a") > 0,
-          p * log(lit(2d) * D(col("a") * col("nb")) /
-            D(col("a") * col("nb") + col("b") * col("na")))).otherwise(lit(0d))
+          p * log(lit(2d) * (D(col("a")) * D(col("nb"))) /
+            (D(col("a")) * D(col("nb")) + D(col("b")) * D(col("na")))))
+          .otherwise(lit(0d))
         val termB = when(col("b") > 0,
-          q * log(lit(2d) * D(col("b") * col("na")) /
-            D(col("a") * col("nb") + col("b") * col("na")))).otherwise(lit(0d))
+          q * log(lit(2d) * (D(col("b")) * D(col("na"))) /
+            (D(col("a")) * D(col("nb")) + D(col("b")) * D(col("na")))))
+          .otherwise(lit(0d))
         cells
           .withColumn("na", sum(col("a")).over(wt))
           .withColumn("nb", sum(col("b")).over(wt))
@@ -800,7 +795,7 @@ object SeriesDecomp {
       Some(
         """WITH e AS (SELECT event_type,
           |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-          |    (((epoch_us(ts) // 3600000000) % 24) + 24) % 24 AS hr
+          |    ((CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24) + 24) % 24 AS hr
           |  FROM events),
           |cells AS (SELECT event_type, hr,
           |    CAST(sum(CASE WHEN (((day + 3) % 7) + 7) % 7 >= 5 THEN 0 ELSE 1 END) AS BIGINT) AS a,
@@ -813,11 +808,13 @@ object SeriesDecomp {
           |  FROM cells),
           |f AS (SELECT event_type, na, nb, cells,
           |    sum(((CASE WHEN a > 0 THEN (CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
-          |        * ln(2.0 * CAST(a * nb AS DOUBLE)
-          |          / CAST(a * nb + b * na AS DOUBLE)) ELSE 0.0 END)
+          |        * ln(2.0 * (CAST(a AS DOUBLE) * CAST(nb AS DOUBLE))
+          |          / (CAST(a AS DOUBLE) * CAST(nb AS DOUBLE)
+          |            + CAST(b AS DOUBLE) * CAST(na AS DOUBLE))) ELSE 0.0 END)
           |      + (CASE WHEN b > 0 THEN (CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))
-          |        * ln(2.0 * CAST(b * na AS DOUBLE)
-          |          / CAST(a * nb + b * na AS DOUBLE)) ELSE 0.0 END)) / 2.0)
+          |        * ln(2.0 * (CAST(b AS DOUBLE) * CAST(na AS DOUBLE))
+          |          / (CAST(a AS DOUBLE) * CAST(nb AS DOUBLE)
+          |            + CAST(b AS DOUBLE) * CAST(na AS DOUBLE))) ELSE 0.0 END)) / 2.0)
           |      OVER (PARTITION BY event_type ORDER BY hr
           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS js,
           |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
