@@ -38,9 +38,15 @@ object Geo {
     * deterministic, partitioning-independent order) and truncated to its
     * first `cap` points BEFORE pair enumeration, so one pathological
     * station can never go n². Inert on the fixtures (tracks are O(100)
-    * points at sf0.1 vs cap 8192 ≈ 67M pairs ≈ tens of ms); at 100 TB
-    * you'd additionally bound tracks per time bucket upstream, and this
-    * is the in-plan backstop. */
+    * points at sf0.1 vs cap 8192 ≈ 67M pairs ≈ tens of ms), and MIRRORED
+    * in the oracle (trk_rn <= 8192 over the same (lat, lon) order — any
+    * tie split differs only among identical points, so the pair distances
+    * are unaffected; r13 review: an unmirrored cap is a latent hash
+    * divergence the moment a track crosses it). Note the cap bounds the
+    * PAIR stage only — collect_list still buffers the full track before
+    * the slice, so at 100 TB you additionally bound tracks per time
+    * bucket upstream of the collect; this is the in-plan compute
+    * backstop, not a memory bound. */
   private[graft] val TrackCap = 8192
   private[graft] def boundedTrack(xs: org.apache.spark.sql.Column,
       cap: Int = TrackCap): org.apache.spark.sql.Column =
@@ -53,17 +59,20 @@ object Geo {
     * row filter sits between spread and the consumer aggregation/window
     * (PushDownPredicates would drag the parse back into the single-split
     * stage — see q_geo_positions' scaladoc). */
-  private def parsedClicks(s: org.apache.spark.sql.SparkSession, dir: String)
+  /** The TNC2 bare-position line rendered from the event_id residues —
+    * TNC2 line: CALL>APRS,TCPIP*:!ddmm.hhN/dddmm.hhE#. THE one copy of
+    * the position encoding: the live-parse queries and the archive build
+    * parse this exact rendering, so it must not fork (r13 review: the
+    * block existed verbatim in both and a one-sided format change would
+    * silently desynchronize the archive from the oracles). */
+  private def withPositionRaw(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val e = table(s, dir, "events")
-      .filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"))
+    val r = e
       .withColumn("lat_deg", pmod(col("event_id"), lit(90L)))
       .withColumn("lat_minc", pmod(col("event_id") * 7, lit(6000L)))
       .withColumn("lon_deg", pmod(col("event_id") * 3, lit(180L)))
       .withColumn("lon_minc", pmod(col("event_id") * 13, lit(6000L)))
-    // TNC2 line: CALL>APRS,TCPIP*:!ddmm.hhN/dddmm.hhE#  (bare position)
-    val raw = concat(
+    r.withColumn("raw", concat(
       lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:!"),
       format_string("%02d%02d.%02d",
         col("lat_deg"), (col("lat_minc") / lit(100)).cast("long"),
@@ -74,9 +83,32 @@ object Geo {
         col("lon_deg"), (col("lon_minc") / lit(100)).cast("long"),
         pmod(col("lon_minc"), lit(100L))),
       when(pmod(col("event_id"), lit(3L)) === 0, "E").otherwise("W"),
-      lit("#"))
+      lit("#")))
+  }
+
+
+  /** The T# telemetry line rendered from the event_id residues (seq %03d,
+    * a1 as d.d tenths, four zero channels, 8-bit binary pad) — shared by
+    * q_packet_telemetry and q_packet_telemetry_scaled so the frame format
+    * cannot fork between the two parse-identity gates (r13 review). */
+  private def telemetryRaw: org.apache.spark.sql.Column = {
+    val v = pmod(col("event_id") * 3, lit(1000L))
+    concat(
+      lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:T#"),
+      format_string("%03d", pmod(col("event_id"), lit(1000L))), lit(","),
+      concat(expr("(event_id * 3) % 1000 div 10").cast("string"), lit("."),
+        pmod(v, lit(10L)).cast("string")),
+      lit(",0,0,0,0,"),
+      lpad(conv(pmod(col("event_id"), lit(256L)).cast("string"), 10, 2), 8, "0"))
+  }
+
+  private def parsedClicks(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = withPositionRaw(table(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id")))
     graft.streaming.PacketParse
-      .parse(Tables.spread(s, e.select(col("event_id"), raw.as("raw"))))
+      .parse(Tables.spread(s, e.select(col("event_id"), col("raw"))))
       .select(col("event_id"), col("callsign"), col("packet_type"),
         col("lat"), col("lon"), col("grid"))
   }
@@ -99,27 +131,11 @@ object Geo {
     archiveDirs.computeIfAbsent((Tables.sessionId(s), dir), _ => {
       val out = graft.Scratch.dir("graft_pkt_arch")
       graft.TempReaper.add(out)
-      val e = table(s, dir, "events")
+      val e = withPositionRaw(table(s, dir, "events")
         .filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .withColumn("lat_deg", pmod(col("event_id"), lit(90L)))
-        .withColumn("lat_minc", pmod(col("event_id") * 7, lit(6000L)))
-        .withColumn("lon_deg", pmod(col("event_id") * 3, lit(180L)))
-        .withColumn("lon_minc", pmod(col("event_id") * 13, lit(6000L)))
-      val raw = concat(
-        lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:!"),
-        format_string("%02d%02d.%02d",
-          col("lat_deg"), (col("lat_minc") / lit(100)).cast("long"),
-          pmod(col("lat_minc"), lit(100L))),
-        when(pmod(col("event_id"), lit(2L)) === 0, "N").otherwise("S"),
-        lit("/"),
-        format_string("%03d%02d.%02d",
-          col("lon_deg"), (col("lon_minc") / lit(100)).cast("long"),
-          pmod(col("lon_minc"), lit(100L))),
-        when(pmod(col("event_id"), lit(3L)) === 0, "E").otherwise("W"),
-        lit("#"))
+        .select(col("event_id"), col("user_id"), col("ts")))
       graft.streaming.PacketParse
-        .parse(Tables.spread(s, e.select(col("event_id"), col("ts"), raw.as("raw"))))
+        .parse(Tables.spread(s, e.select(col("event_id"), col("ts"), col("raw"))))
         .select(col("event_id"), col("ts"), col("callsign"),
           col("packet_type"), col("lat"), col("lon"))
         .withColumn("p_date", to_date(col("ts")))
@@ -221,9 +237,14 @@ object Geo {
           |    round(min(lat), 6) AS lat_min, round(max(lat), 6) AS lat_max,
           |    round(min(lon), 6) AS lon_min, round(max(lon), 6) AS lon_max
           |  FROM p GROUP BY callsign),
+          |pc AS (SELECT callsign, event_id, lat, lon,
+          |    row_number() OVER (PARTITION BY callsign ORDER BY lat, lon)
+          |      AS trk_rn
+          |  FROM p),
           |disp AS (SELECT a.callsign, max((a.lat - b.lat) * (a.lat - b.lat) +
           |      (a.lon - b.lon) * (a.lon - b.lon)) AS md2
-          |  FROM p a JOIN p b ON a.callsign = b.callsign AND a.event_id < b.event_id
+          |  FROM pc a JOIN pc b ON a.callsign = b.callsign AND a.event_id < b.event_id
+          |  WHERE a.trk_rn <= 8192 AND b.trk_rn <= 8192
           |  GROUP BY a.callsign)
           |SELECT bbox.callsign, n_pos, lat_min, lat_max, lon_min, lon_max,
           |  round(coalesce(md2, 0.0), 6) AS max_disp2
@@ -331,14 +352,7 @@ object Geo {
         val e = table(s, dir, "events")
           .filter(col("event_type") === "error")
           .select(col("event_id"), col("user_id"))
-        val v = pmod(col("event_id") * 3, lit(1000L))
-        val raw = concat(
-          lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:T#"),
-          format_string("%03d", pmod(col("event_id"), lit(1000L))), lit(","),
-          concat(expr("(event_id * 3) % 1000 div 10").cast("string"), lit("."),
-            pmod(v, lit(10L)).cast("string")),
-          lit(",0,0,0,0,"),
-          lpad(conv(pmod(col("event_id"), lit(256L)).cast("string"), 10, 2), 8, "0"))
+        val raw = telemetryRaw
         graft.streaming.PacketParse
           .parse(Tables.spread(s, e.select(raw.as("raw"))))
           .groupBy("callsign")
@@ -1100,14 +1114,7 @@ object Geo {
           .filter(col("event_type") === "view")
           .select(col("event_id"),
             pmod(col("user_id"), lit(100000000L)).as("user_id"))
-        val v = pmod(col("event_id") * 3, lit(1000L))
-        val rawT = concat(
-          lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*:T#"),
-          format_string("%03d", pmod(col("event_id"), lit(1000L))), lit(","),
-          concat(expr("(event_id * 3) % 1000 div 10").cast("string"), lit("."),
-            pmod(v, lit(10L)).cast("string")),
-          lit(",0,0,0,0,"),
-          lpad(conv(pmod(col("event_id"), lit(256L)).cast("string"), 10, 2), 8, "0"))
+        val rawT = telemetryRaw
         val rawE = concat(
           lit("U"), col("user_id").cast("string"), lit(">APRS,TCPIP*::"),
           rpad(concat(lit("U"), col("user_id").cast("string")), 9, " "),

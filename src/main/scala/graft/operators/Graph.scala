@@ -124,6 +124,30 @@ object Graph {
       .unionAll(l.select(col("node"), col("lbl")))
       .groupBy("node").agg(min(col("lbl")).as("lbl"))
 
+
+  /** Oriented-wedge triangle enumeration over the kNN affinity artifact,
+    * reduced to per-node participation counts — THE one copy of the
+    * orientation/tie-breaking logic (q_graph_triangles and
+    * q_graph_clustercoef previously carried it verbatim each; a one-sided
+    * fix would have made their triangle counts disagree — r13 review).
+    * Both joins broadcast here (edge list is O(8·nodes)) and become
+    * src-keyed shuffle joins beyond broadcast range. */
+  private def trianglesPerNode(oe: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wedges = oe.as("x")
+      .join(broadcast(oe.as("y")),
+        col("x.src") === col("y.src") && col("x.rdst") < col("y.rdst"))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    val tri = wedges
+      .join(broadcast(oe.as("z")),
+        col("b") === col("z.src") && col("c") === col("z.dst"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_graph_pagerank",
@@ -246,17 +270,8 @@ object Graph {
         "src-keyed shuffle joins beyond broadcast range.",
       (s, dir) => {
         val oe = affinityGraph(s, dir)
-        val wedges = oe.as("x")
-          .join(broadcast(oe.as("y")), col("x.src") === col("y.src") && col("x.rdst") < col("y.rdst"))
-          .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
-        val tri = wedges
-          .join(broadcast(oe.as("z")), col("b") === col("z.src") && col("c") === col("z.dst"))
-          .select(col("a"), col("b"), col("c"))
-        tri.select(col("a").as("node"))
-          .unionAll(tri.select(col("b").as("node")))
-          .unionAll(tri.select(col("c").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
-          .select(col("node").as("supp_key"), col("tri_cnt"))
+        trianglesPerNode(oe)
+          .select(col("node").as("supp_key"), col("t").as("tri_cnt"))
           .orderBy(col("tri_cnt").desc, col("supp_key"))
           .limit(20)
       },
@@ -684,9 +699,8 @@ object Graph {
         val (edges, _) = orderGraph(s, dir)
         val seeds = edges.select(col("src")).distinct()
           .orderBy("src").limit(4).collect().map(_.getLong(0))
-        var visited = s.createDataFrame(
-            seeds.toSeq.map(Tuple3(_, 0, 0)))
-          .toDF("seed", "node", "d")
+        var visited = s.createDataFrame(seeds.toSeq.map(Tuple1(_)))
+          .toDF("seed")
           .select(col("seed"), col("seed").as("node"), lit(0).as("d"))
           .localCheckpoint(true)
         var frontier = visited
@@ -836,18 +850,7 @@ object Graph {
         "below), fully tie-broken.",
       (s, dir) => {
         val oe = affinityGraph(s, dir)
-        val wedges = oe.as("x")
-          .join(broadcast(oe.as("y")),
-            col("x.src") === col("y.src") && col("x.rdst") < col("y.rdst"))
-          .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
-        val tri = wedges
-          .join(broadcast(oe.as("z")),
-            col("b") === col("z.src") && col("c") === col("z.dst"))
-          .select(col("a"), col("b"), col("c"))
-        val triPer = tri.select(col("a").as("node"))
-          .unionAll(tri.select(col("b").as("node")))
-          .unionAll(tri.select(col("c").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("t"))
+        val triPer = trianglesPerNode(oe)
         val base = oe.select(col("src"), col("dst"))
         val deg = base.select(col("src").as("node"))
           .unionAll(base.select(col("dst").as("node")))
@@ -909,9 +912,7 @@ object Graph {
         "edge artifact; the edge relation moves at most once per " +
         "half-step. Top-10 authorities, fully tie-broken.",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val sc = lit(1048576L)
-        val wAll = Window.partitionBy(lit(1))
         // the bipartite relation is the customer→supplier half of the
         // write-once orderGraph artifact (even src = 2·custkey, odd dst =
         // 2·suppkey+1) — reuse it instead of re-running the fact-fact
@@ -919,8 +920,12 @@ object Graph {
         val be = orderGraph(s, dir)._1
           .filter(pmod(col("src"), lit(2L)) === 0)
           .select(expr("src div 2").as("c"), expr("(dst - 1) div 2").as("sk"))
+        // max-normalize via a 1-row agg broadcast back over the relation —
+        // NOT a Window.partitionBy(lit(1)), which funnels the node-sized
+        // score relation through a single partition four times per query
+        // (the q_graph_modularity device; r13 review)
         def norm(df: org.apache.spark.sql.DataFrame, key: String, v: String) =
-          df.withColumn("mx", max(col(v)).over(wAll))
+          df.crossJoin(broadcast(df.agg(max(col(v)).as("mx"))))
             .select(col(key),
               floor(col(v).cast("double") / col("mx").cast("double") *
                 sc.cast("double") + lit(0.5d)).cast("long").as("score"))
