@@ -48,10 +48,38 @@ object Tables {
     id
   }
 
-  /** Release a retired session's memoized plans (multi-session hosts). */
+  /** Session-scoped memo registry: every module-level cache keyed by
+    * (sessionId, ...) tuples registers itself here so [[dropMemo]] retires
+    * it with the session — an unregistered cache (signature tables, ANN
+    * indexes, drop dirs, archives) would keep strong references to the
+    * retired session's checkpointed plans forever (r13 review found six
+    * such caches outside this hook). */
+  private val sessionScoped = new java.util.concurrent.CopyOnWriteArrayList[
+    java.util.concurrent.ConcurrentHashMap[_ <: Product, _]]()
+  private[graft] def registerSessionScoped[K <: Product, V](
+      m: java.util.concurrent.ConcurrentHashMap[K, V])
+      : java.util.concurrent.ConcurrentHashMap[K, V] = {
+    sessionScoped.add(m); m
+  }
+
+  /** Release a retired session's memoized plans and artifacts
+    * (multi-session hosts). */
   def dropMemo(spark: SparkSession): Unit = {
     val id = sessionId(spark)
     memo.keySet.removeIf(_._1 == id)
+    sessionScoped.forEach(m =>
+      m.keySet.removeIf(k => k.productElement(0) == id))
+  }
+
+  /** Entries still held for a session across ALL registered caches —
+    * the retirement test's observable. */
+  private[graft] def sessionScopedEntries(spark: SparkSession): Int = {
+    val id = sessionId(spark)
+    var n = 0
+    memo.keySet.forEach(k => if (k._1 == id) n += 1)
+    sessionScoped.forEach(m =>
+      m.keySet.forEach(k => if (k.productElement(0) == id) n += 1))
+    n
   }
 
   /** events.ts is physically TIMESTAMP(NANOS), which Spark's parquet reader

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.{Exact, GraftQuery, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for training-data pipelines, beyond exact dedup
@@ -29,6 +29,18 @@ object DedupOps {
   private val shingleSql =
     "list_distinct(list_transform(range(1, len(toks)-1), i -> " +
       "toks[i]||' '||toks[i+1]||' '||toks[i+2]))"
+
+  /** DuckDB-side minhash signature columns (m0..m7) and the banded key
+    * list — THE one copy of the sketch derivation shared by every
+    * minhash-family oracle (previously pasted verbatim into seven oracle
+    * templates; a banding-scheme change had to hit all seven — r13
+    * review). Must stay in lock-step with the Spark-side signature in
+    * [[signatures]]. */
+  private lazy val mh: String = (0 until NumHashes)
+    .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k").mkString(", ")
+  private lazy val bandList: String = (0 until NumHashes / BandSize)
+    .map(b => s"'$b|' || " + (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(" || "))
+    .mkString(", ")
 
   /** 3-gram shingles as a RELATION (doc_id, source, g), one row per shingle
     * occurrence: the codegen-era StringShingles expression (one compiled eval
@@ -58,7 +70,7 @@ object DedupOps {
     * reports the build under artifacts.lsh_bands; every oracle twin still
     * re-derives the bands inline, so the gate pins the derivation math. */
   private val sigMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), DataFrame]()
+    graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[(Long, String), DataFrame]())
 
   private[graft] def ensureBands(s: SparkSession, dir: String): Unit = {
     minhashSig(s, dir); ()
@@ -98,7 +110,11 @@ object DedupOps {
       .select(col("doc_id"), col("doc_id").as("lbl"))
       .localCheckpoint()
     var prevSum = Long.MinValue
-    var curSum = labels.agg(sum("lbl")).head.getLong(0)
+    // coalesce: sum over ZERO rows is NULL and getLong would NPE on an
+    // empty documents table (the oracle twin returns its empty relation fine)
+    def lblSum(): Long =
+      labels.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+    var curSum = lblSum()
     var rounds = 0
     while (curSum != prevSum) {
       val nbrMin = edges.join(labels, col("ida") === col("doc_id"))
@@ -108,7 +124,7 @@ object DedupOps {
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       prevSum = curSum
-      curSum = labels.agg(sum("lbl")).head.getLong(0)
+      curSum = lblSum()
       rounds += 1
     }
     System.err.println(s"[components] converged in $rounds rounds")
@@ -124,11 +140,35 @@ object DedupOps {
     * itself); only secondary consumers read the ledger. Bench reports the
     * build under artifacts.dedup_ledger; oracle twins re-derive inline. */
   private val ledgerMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), DataFrame]()
+    graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[(Long, String), DataFrame]())
 
   private[graft] def componentLedger(s: SparkSession, dir: String): DataFrame =
     ledgerMemo.computeIfAbsent((Tables.sessionId(s), dir),
       _ => labelFixpoint(s, dir))
+
+
+  /** Source-blocked exact shingle-overlap pairs with per-doc sizes —
+    * (ida, idb, shared, sza, szb) — THE shared pipeline of
+    * q_dedup_ngram_jaccard and q_dedup_containment (only the final
+    * normalizer differs; the block previously existed verbatim in both —
+    * r13 review). Per-doc sizes are one row per doc — broadcastable at
+    * bench scale; at 100 TB the size joins become shuffle joins on the
+    * (already-partitioned) doc_id key, still never touching text. */
+  private def sharedShinglePairs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = Tables.spread(s, table(s, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        explode(VectorExpr.shingleHashes(split(col("text"), " "))).as("g"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("ida"), col("source").as("srca"), col("g"))
+    val b = sh.select(col("doc_id").as("idb"), col("source").as("srcb"), col("g").as("g2"))
+    val shared = a.join(b, col("g") === col("g2") && col("srca") === col("srcb") &&
+        col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("doc_id").as("ida"), col("sz").as("sza"))), "ida")
+      .join(broadcast(sizes.select(col("doc_id").as("idb"), col("sz").as("szb"))), "idb")
+  }
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -150,11 +190,6 @@ object DedupOps {
           .agg(count(lit(1)).as("n_pairs"))
       },
       Some {
-        val mh = (0 until NumHashes)
-          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k").mkString(", ")
-        val bandList = (0 until NumHashes / BandSize)
-          .map(b => s"'$b|' || " + (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(" || "))
-          .mkString(", ")
         s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
            |sh AS (SELECT doc_id, $shingleSql AS sh FROM (SELECT doc_id, toks FROM d WHERE len(toks) >= 3) t),
            |sig AS (SELECT doc_id, $mh FROM sh),
@@ -204,21 +239,7 @@ object DedupOps {
         // identical), and hashes in ONE compiled pass — the previous
         // xxhash64∘explode∘array_distinct∘shingles chain materialized the
         // shingle-string array twice per regeneration.
-        val sh = Tables.spread(s, table(s, dir, "documents"))
-          .select(col("doc_id"), col("source"),
-            explode(VectorExpr.shingleHashes(split(col("text"), " "))).as("g"))
-        // per-doc sizes: one row per doc — broadcastable at bench scale; at
-        // 100 TB this becomes a shuffle join on the (already-partitioned)
-        // doc_id key, still never touching text
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val a = sh.select(col("doc_id").as("ida"), col("source").as("srca"), col("g"))
-        val b = sh.select(col("doc_id").as("idb"), col("source").as("srcb"), col("g").as("g2"))
-        val shared = a.join(b, col("g") === col("g2") && col("srca") === col("srcb") &&
-            col("ida") < col("idb"))
-          .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
-        shared
-          .join(broadcast(sizes.select(col("doc_id").as("ida"), col("sz").as("sza"))), "ida")
-          .join(broadcast(sizes.select(col("doc_id").as("idb"), col("sz").as("szb"))), "idb")
+        sharedShinglePairs(s, dir)
           .select(col("ida"), col("idb"),
             round(col("shared") / (col("sza") + col("szb") - col("shared")), 6).as("jac"))
           .orderBy(col("jac").desc, col("ida"), col("idb"))
@@ -276,7 +297,7 @@ object DedupOps {
           .withColumn("covered", when(col("gap").isNull, lit(K.toLong))
             .otherwise(least(lit(K.toLong), col("gap").cast("long"))))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_rep_pos"), sum(col("covered")).as("rep_tokens"))
+          .agg(sum(col("covered")).as("rep_tokens"))
         d.select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("ntok"))
           .join(cov, Seq("doc_id"), "left")
           .groupBy("source")
@@ -303,7 +324,7 @@ object DedupOps {
            |rep AS (SELECT doc_id, pos FROM (
            |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS df FROM sh)
            |  WHERE df >= 2),
-           |cov AS (SELECT doc_id, count(*) AS n_rep_pos,
+           |cov AS (SELECT doc_id,
            |    CAST(sum(CASE WHEN lp IS NULL THEN 8
            |      ELSE least(8, pos - lp) END) AS BIGINT) AS rep_tokens
            |  FROM (SELECT doc_id, pos,
@@ -344,11 +365,6 @@ object DedupOps {
             countDistinct(col("canonical")).as("n_canon"))
       },
       Some {
-        val mh = (0 until NumHashes)
-          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k").mkString(", ")
-        val bandList = (0 until NumHashes / BandSize)
-          .map(b => s"'$b|' || " + (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(" || "))
-          .mkString(", ")
         s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
            |shl AS (SELECT doc_id, $shingleSql AS sh FROM (SELECT doc_id, toks FROM d WHERE len(toks) >= 3) t),
            |sig AS (SELECT doc_id, $mh FROM shl),
@@ -390,11 +406,6 @@ object DedupOps {
             (sum(col("sz")) - count(lit(1))).cast("long").as("n_merged"))
       },
       Some {
-        val mh = (0 until NumHashes)
-          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k").mkString(", ")
-        val bandList = (0 until NumHashes / BandSize)
-          .map(b => s"'$b|' || " + (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(" || "))
-          .mkString(", ")
         s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
            |shl AS (SELECT doc_id, $shingleSql AS sh FROM (SELECT doc_id, toks FROM d WHERE len(toks) >= 3) t),
            |sig AS (SELECT doc_id, $mh FROM shl),
@@ -432,11 +443,6 @@ object DedupOps {
           .orderBy("sz")
       },
       Some {
-        val mh = (0 until NumHashes)
-          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k").mkString(", ")
-        val bandList = (0 until NumHashes / BandSize)
-          .map(b => s"'$b|' || " + (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(" || "))
-          .mkString(", ")
         s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
            |shl AS (SELECT doc_id, $shingleSql AS sh FROM (SELECT doc_id, toks FROM d WHERE len(toks) >= 3) t),
            |sig AS (SELECT doc_id, $mh FROM shl),
@@ -578,11 +584,6 @@ object DedupOps {
           .crossJoin(broadcast(dup))
       },
       Some {
-        val mh = (0 until NumHashes)
-          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k").mkString(", ")
-        val bandList = (0 until NumHashes / BandSize)
-          .map(b => s"'$b|' || " + (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(" || "))
-          .mkString(", ")
         s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
            |shl AS (SELECT doc_id, $shingleSql AS sh FROM (SELECT doc_id, toks FROM d WHERE len(toks) >= 3) t),
            |sig AS (SELECT doc_id, $mh FROM shl),
@@ -626,11 +627,6 @@ object DedupOps {
           .limit(20)
       },
       Some {
-        val mh = (0 until NumHashes)
-          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k").mkString(", ")
-        val bandList = (0 until NumHashes / BandSize)
-          .map(b => s"'$b|' || " + (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(" || "))
-          .mkString(", ")
         s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
            |shl AS (SELECT doc_id, $shingleSql AS sh FROM (SELECT doc_id, toks FROM d WHERE len(toks) >= 3) t),
            |sig AS (SELECT doc_id, $mh FROM shl),
@@ -755,7 +751,7 @@ object DedupOps {
           .reduce(_ + _)
         val est = sigA.join(broadcast(pairs), col("sa") === col("ida"))
           .join(sigB, col("sb") === col("idb"))
-          .select(col("ida"), col("idb"), (agree.cast("double") / 8.0).as("est_sim"))
+          .select(col("ida"), col("idb"), (agree.cast("double") / NumHashes.toDouble).as("est_sim"))
         val sh3 = Tables.spread(s, table(s, dir, "documents"))
           .select(col("doc_id"), explode(VectorExpr.shingleHashes(split(col("text"), " "))).as("h"))
         val sizes = sh3.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -777,11 +773,6 @@ object DedupOps {
           .orderBy("ida", "idb")
       },
       Some {
-        val mh = (0 until NumHashes)
-          .map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS m$k").mkString(", ")
-        val bandList = (0 until NumHashes / BandSize)
-          .map(b => s"'$b|' || " + (0 until BandSize).map(j => s"m${b * BandSize + j}").mkString(" || "))
-          .mkString(", ")
         val agree = (0 until NumHashes)
           .map(k => s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END").mkString(" + ")
         s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
@@ -791,7 +782,7 @@ object DedupOps {
            |bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sig),
            |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
            |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-           |est AS (SELECT p.ida, p.idb, ($agree) / 8.0 AS est_sim
+           |est AS (SELECT p.ida, p.idb, ($agree) / $NumHashes.0 AS est_sim
            |  FROM pairs p JOIN sig sa ON p.ida = sa.doc_id JOIN sig sb ON p.idb = sb.doc_id),
            |ex AS (SELECT p.ida, p.idb,
            |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -816,18 +807,7 @@ object DedupOps {
         "min instead of union — so the measured alternatives documented " +
         "there carry over verbatim.",
       (s, dir) => {
-        val sh = Tables.spread(s, table(s, dir, "documents"))
-          .select(col("doc_id"), col("source"),
-            explode(VectorExpr.shingleHashes(split(col("text"), " "))).as("g"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val a = sh.select(col("doc_id").as("ida"), col("source").as("srca"), col("g"))
-        val b = sh.select(col("doc_id").as("idb"), col("source").as("srcb"), col("g").as("g2"))
-        val shared = a.join(b, col("g") === col("g2") && col("srca") === col("srcb") &&
-            col("ida") < col("idb"))
-          .groupBy("ida", "idb").agg(count(lit(1)).as("shared"))
-        shared
-          .join(broadcast(sizes.select(col("doc_id").as("ida"), col("sz").as("sza"))), "ida")
-          .join(broadcast(sizes.select(col("doc_id").as("idb"), col("sz").as("szb"))), "idb")
+        sharedShinglePairs(s, dir)
           .select(col("ida"), col("idb"),
             round(col("shared") / least(col("sza"), col("szb")), 6).as("containment"))
           .orderBy(col("containment").desc, col("ida"), col("idb"))

@@ -4,7 +4,6 @@ import graft.{Exact, GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Approximate-nearest-neighbor search over the embedding column
   * (SURVEY.md §2.11 stretch set). q_vec_knn is the brute-force baseline;
@@ -115,7 +114,7 @@ object Similarity {
     * localCheckpoint is a parquet write of (cid, vec_id, embedding) lists.
     * Checkpointed size here: 2 000 rows × 64 floats ≈ 0.5 MB + 8 centroids. */
   private val indexMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), (DataFrame, DataFrame)]()
+    graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[(Long, String), (DataFrame, DataFrame)]())
   private def trainedIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     indexMemo.computeIfAbsent((Tables.sessionId(s), dir), _ => {
       val (asg, c2) = trainedCells(s, dir)
@@ -129,7 +128,7 @@ object Similarity {
     * q_ann_ivf / q_ann_ivf_multiprobe re-derive it inline, so the centroid
     * math stays under the gate every round. */
   private val labelCentMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), DataFrame]()
+    graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[(Long, String), DataFrame]())
   private def labelCentroids(s: SparkSession, dir: String): DataFrame =
     labelCentMemo.computeIfAbsent((Tables.sessionId(s), dir), _ =>
       centroidAgg(table(s, dir, "embeddings"), "label")
@@ -186,6 +185,25 @@ object Similarity {
     .map { case (p, k) => s"CASE WHEN ${dotPlaneSql("embedding", p)} > 0 THEN ${1 << k} ELSE 0 END" }
     .mkString(" + ")
 
+
+  /** DuckDB-side label-centroid IVF quantizer derivation (centroids, the
+    * vec_id=0 query row, and the `cell` routing CTE probing the top
+    * `probes` cells) — THE one copy shared by the q_ann_ivf /
+    * q_ann_filtered / q_ann_ivf_multiprobe oracles (previously stated
+    * verbatim per query — r13 review; the kmeansCtes helper below was
+    * already the precedent for the trained variant). */
+  private def labelIvfCtes(probes: Int): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |exp AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM e),
+       |avgs AS (SELECT label, pos, avg(v) AS c FROM exp GROUP BY label, pos),
+       |cent AS (SELECT label, list_transform(list(c ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
+       |         FROM avgs GROUP BY label),
+       |q AS (SELECT embedding AS qv, sqrt(${Exact.squaredNormSql("embedding")}) AS qn
+       |      FROM e WHERE vec_id = 0),
+       |cell AS (SELECT label FROM cent, q
+       |  ORDER BY ${Exact.dotSql("centroid", "qv")} / (sqrt(${Exact.squaredNormSql("centroid")}) * qn) DESC, label
+       |  LIMIT PROBES)""".stripMargin.replace("PROBES", probes.toString)
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_ann_ivf",
@@ -214,16 +232,7 @@ object Similarity {
           .limit(10)
       },
       Some(
-        s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-           |exp AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM e),
-           |avgs AS (SELECT label, pos, avg(v) AS c FROM exp GROUP BY label, pos),
-           |cent AS (SELECT label, list_transform(list(c ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
-           |         FROM avgs GROUP BY label),
-           |q AS (SELECT embedding AS qv, sqrt(${Exact.squaredNormSql("embedding")}) AS qn
-           |      FROM e WHERE vec_id = 0),
-           |cell AS (SELECT label FROM cent, q
-           |  ORDER BY ${Exact.dotSql("centroid", "qv")} / (sqrt(${Exact.squaredNormSql("centroid")}) * qn) DESC, label
-           |  LIMIT 1)
+        s"""${labelIvfCtes(1)}
            |SELECT e.vec_id, round(${Exact.dotSql("e.embedding", "q.qv")} /
            |    (sqrt(${Exact.squaredNormSql("e.embedding")}) * q.qn), 6) AS sim
            |FROM e, q, cell WHERE e.label = cell.label AND e.vec_id <> 0
@@ -263,16 +272,7 @@ object Similarity {
           .limit(10)
       },
       Some(
-        s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-           |exp AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM e),
-           |avgs AS (SELECT label, pos, avg(v) AS c FROM exp GROUP BY label, pos),
-           |cent AS (SELECT label, list_transform(list(c ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
-           |         FROM avgs GROUP BY label),
-           |q AS (SELECT embedding AS qv, sqrt(${Exact.squaredNormSql("embedding")}) AS qn
-           |      FROM e WHERE vec_id = 0),
-           |cell AS (SELECT label FROM cent, q
-           |  ORDER BY ${Exact.dotSql("centroid", "qv")} / (sqrt(${Exact.squaredNormSql("centroid")}) * qn) DESC, label
-           |  LIMIT 1)
+        s"""${labelIvfCtes(1)}
            |SELECT e.vec_id, round(${Exact.dotSql("e.embedding", "q.qv")} /
            |    (sqrt(${Exact.squaredNormSql("e.embedding")}) * q.qn), 6) AS sim
            |FROM e, q, cell WHERE e.label = cell.label AND e.vec_id <> 0 AND e.vec_id % 2 = 0
@@ -307,16 +307,7 @@ object Similarity {
           .limit(10)
       },
       Some(
-        s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-           |exp AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM e),
-           |avgs AS (SELECT label, pos, avg(v) AS c FROM exp GROUP BY label, pos),
-           |cent AS (SELECT label, list_transform(list(c ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
-           |         FROM avgs GROUP BY label),
-           |q AS (SELECT embedding AS qv, sqrt(${Exact.squaredNormSql("embedding")}) AS qn
-           |      FROM e WHERE vec_id = 0),
-           |cell AS (SELECT label FROM cent, q
-           |  ORDER BY ${Exact.dotSql("centroid", "qv")} / (sqrt(${Exact.squaredNormSql("centroid")}) * qn) DESC, label
-           |  LIMIT 2)
+        s"""${labelIvfCtes(2)}
            |SELECT e.vec_id, round(${Exact.dotSql("e.embedding", "q.qv")} /
            |    (sqrt(${Exact.squaredNormSql("e.embedding")}) * q.qn), 6) AS sim
            |FROM e, q WHERE e.label IN (SELECT label FROM cell) AND e.vec_id <> 0

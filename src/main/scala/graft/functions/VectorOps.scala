@@ -69,9 +69,9 @@ object VectorOps {
     * offline job, consumed by every projection/loading query; the oracle
     * twins re-derive the full iteration inline, so the correctness gate
     * still pins the training math. */
-  private val pcaMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val pcaMemo = graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[
     (Long, String),
-    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]())
 
   private[graft] def pcaArtifacts(s: org.apache.spark.sql.SparkSession,
                                   dir: String) =
@@ -92,10 +92,10 @@ object VectorOps {
     * artifact discipline — at scale this is the nightly training job and
     * queries pay lookups, not retraining); both oracles re-derive the
     * training inline so the gate still pins the Lloyd math. */
-  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val pqMemo = graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[
     (Long, String),
     (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-     org.apache.spark.sql.DataFrame)]()
+     org.apache.spark.sql.DataFrame)]())
 
   private[graft] def pqModel(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
@@ -376,6 +376,10 @@ object VectorOps {
         "64-float arrays through UnsafeRows for ~20 ms of arithmetic.",
       (s, dir) => {
         val blocks = table(s, dir, "embeddings")
+          // NULL labels form no block: the oracle's a.label = b.label
+          // equi-join never pairs them, but groupBy would (the same guard
+          // q_dedup_simhash carries on source — r13 review)
+          .filter(col("label").isNotNull)
           .groupBy("label")
           .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
         blocks
@@ -431,8 +435,7 @@ object VectorOps {
         // nested the first rank's whole plan into both branches of the
         // second.)
         def bandOf(c: org.apache.spark.sql.Column, k: Int) =
-          when(isnan(c), lit(Long.MinValue))
-            .otherwise(floor(-c * k).cast("long"))
+          graft.operators.GlobalRank.nanGuardedDescBand(c, k)
         val rc = graft.operators.GlobalRank.rowNumberBanded(
           scored, bandOf(col("cos"), 1024),
           Seq(col("cos").desc, col("vec_id")), "r_cos")
@@ -593,8 +596,7 @@ object VectorOps {
         // The two ranks CHAIN over the scored relation (see q_vec_rrf):
         // one corpus scan, two band-keyed exchanges, no joins back.
         def bandOf(c: org.apache.spark.sql.Column, k: Int) =
-          when(isnan(c), lit(Long.MinValue))
-            .otherwise(floor(-c * k).cast("long"))
+          graft.operators.GlobalRank.nanGuardedDescBand(c, k)
         val rd = graft.operators.GlobalRank.rowNumberBanded(
           scored, bandOf(col("dp"), 64),
           Seq(col("dp").desc, col("vec_id")), "r_dot")
@@ -674,7 +676,6 @@ object VectorOps {
         "beyond the final recall division. Query = vec_id 0, fully " +
         "tie-broken top-10s.",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val (qrel8, c2, a3) = pqModel(s, dir)
         // ADC lookup table: query subvector vs every centroid
         val lut = qrel8.filter(col("vec_id") === 0)
@@ -742,7 +743,6 @@ object VectorOps {
         "corpus scale that is the write-once signature artifact and the " +
         "query side pays one broadcast row.",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val e = table(s, dir, "embeddings")
         val words = e
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("k", "x")))

@@ -124,7 +124,7 @@ object Geo {
     * which is what keeps the layout viable at 100 TB (a day-hour dir just
     * holds more files). */
   private val archiveDirs =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), String]()
+    graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[(Long, String), String]())
 
   private[graft] def ensureArchive(s: org.apache.spark.sql.SparkSession,
       dir: String): String =

@@ -127,8 +127,7 @@ object GlobalRank {
         .select(col("__band").as("__band2"), col("__off"), col(totalOut))
     // NOTE the band expression owns NaN placement: floor(-NaN·K) CASTS TO
     // 0, landing NaN mid-order — a caller whose scores can be NaN must
-    // guard explicitly (NaN sorts first under DESC, so band it to
-    // Long.MinValue: `when(isnan(s), Long.MinValue).otherwise(floor(-s*K))`)
+    // guard explicitly; [[nanGuardedDescBand]] is the canonical guard.
     win.join(broadcast(offs), col("__band") <=> col("__band2"))
       .withColumn(out, col("__off") + col("__rn"))
       .drop("__band", "__band2", "__off", "__rn")
@@ -143,4 +142,14 @@ object GlobalRank {
       .drop("__n")
     df.join(broadcast(ranks), key <=> col("__k")).drop("__k")
   }
+
+  /** Band expression for a SCORE-DESCENDING banded rank whose score can be
+    * NaN: NaN sorts FIRST under DESC (Spark double total order), so it
+    * must band to Long.MinValue — the naive floor(-NaN·K) casts to 0 and
+    * lands NaN mid-order, silently corrupting every rank below it. The
+    * canonical guard for rowNumberBanded callers (q_vec_rrf and q_vec_mips
+    * each hand-rolled it before — r13 review). */
+  def nanGuardedDescBand(score: Column, k: Int): Column =
+    when(isnan(score), lit(Long.MinValue))
+      .otherwise(floor(-score * k).cast("long"))
 }

@@ -36,7 +36,7 @@ object Graph {
     * artifact every graph query starts from. Oracle twins re-derive it
     * inline, so the gate pins the ingest math too. */
   private val graphMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), (DataFrame, DataFrame)]()
+    graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[(Long, String), (DataFrame, DataFrame)]())
 
   private[graft] def orderGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     graphMemo.computeIfAbsent((Tables.sessionId(s), dir), _ => {
@@ -75,7 +75,7 @@ object Graph {
     * exploding on hub nodes — the standard triangle-count discipline.
     */
   private val affinityMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), DataFrame]()
+    graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[(Long, String), DataFrame]())
 
   private[graft] def affinityGraph(s: SparkSession, dir: String): DataFrame =
     affinityMemo.computeIfAbsent((Tables.sessionId(s), dir), _ => {

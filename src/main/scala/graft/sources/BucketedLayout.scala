@@ -31,7 +31,7 @@ object BucketedLayout {
   val Buckets = 16
 
   private val built =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), String]()
+    graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[(Long, String), String]())
 
   /** Returns the table-name suffix for this (session, dir), writing the
     * bucketed copies on first use. private[graft]: Bench times this as a

@@ -30,7 +30,7 @@ object FormatSources {
   /** One export per (session, dir, format) — memoized like the streaming
     * drop-dir so bench samples time the read, not a redundant re-export. */
   private val exports =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String, String), String]()
+    graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[(Long, String, String), String]())
 
   private def exportDir(s: SparkSession, dir: String, fmt: String): String =
     exports.computeIfAbsent((Tables.sessionId(s), dir, fmt), _ => {

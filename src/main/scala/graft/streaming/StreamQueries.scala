@@ -22,7 +22,7 @@ object StreamQueries {
     * the copy is made once, not on every Verify/Bench invocation, and the
     * timed bench run measures the stream, not a redundant table copy. */
   private val dropDirs =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), String]()
+    graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[(Long, String), String]())
 
   private def eventsDropDir(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     dropDirs.computeIfAbsent((Tables.sessionId(spark), dir), _ => {
@@ -42,7 +42,7 @@ object StreamQueries {
     * join semantics and the oracle (whose CTE applies the same predicate to
     * events) are unchanged — the measured object is the join machinery. */
   private val cohortDropDirs =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), String]()
+    graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[(Long, String), String]())
 
   private def cohortDropDir(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     cohortDropDirs.computeIfAbsent((Tables.sessionId(spark), dir), _ => {
@@ -57,7 +57,7 @@ object StreamQueries {
   /** Drop-dir with every event delivered TWICE (two appended copies) — the
     * at-least-once re-delivery fixture for the streaming dedup gate. */
   private val dupDropDirs =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), String]()
+    graft.Tables.registerSessionScoped(new java.util.concurrent.ConcurrentHashMap[(Long, String), String]())
 
   private def duplicatedDropDir(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     dupDropDirs.computeIfAbsent((Tables.sessionId(spark), dir), _ => {

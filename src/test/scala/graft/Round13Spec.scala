@@ -248,6 +248,22 @@ class Round13Spec extends SparkSuite {
     }
   }
 
+  test("dropMemo retires every session-scoped cache, not just the table memo") {
+    // populate the table memo AND a module-level artifact cache (the LSH
+    // band index), then retire the session: r13 review found six module
+    // caches outside the dropMemo hook keeping the retired session's
+    // checkpointed plans reachable forever. The caches are pure latency
+    // memos, so clearing them mid-run only forces recomputation.
+    Tables.table(spark, sf, "orders")
+    graft.functions.DedupOps.ensureBands(spark, sf)
+    assert(Tables.sessionScopedEntries(spark) > 0)
+    Tables.dropMemo(spark)
+    assert(Tables.sessionScopedEntries(spark) == 0)
+    // and the caches simply refill on next use
+    Tables.table(spark, sf, "orders")
+    assert(Tables.sessionScopedEntries(spark) > 0)
+  }
+
   test("aprs-is passcode: 15-bit range, SSID/case invariance, spot values") {
     import graft.streaming.AprsIs.passcode
     val rnd = new scala.util.Random(11)
