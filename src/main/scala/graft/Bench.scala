@@ -77,7 +77,10 @@ object Bench {
     * the returned DataFrame would time a read of already-computed results,
     * not the operator. */
   private val eager: Set[String] =
-    Set("q_dedup_components")
+    Set("q_dedup_components",
+      // HITS materializes each half-step via localCheckpoint (superstep
+      // discipline) — its builder performs work, so re-invoke per pass
+      "q_graph_hits")
   /** Shared with [[JobCensus]] so the census's honesty can never drift from
     * the bench's when a new eager query is added (advisor r12). */
   private[graft] def isEager(name: String): Boolean =
