@@ -171,8 +171,10 @@ object Multimodal {
           // sequence(0, -1) — which Spark evaluates as a DESCENDING [0, -1],
           // emitting bogus negative frames instead of none
           .filter(col("len") > 0)
+          // integer div, spelled like the oracle's `//`: Column./ promotes
+          // to DOUBLE and only matched by luck of the 1/500 granularity
           .withColumn("n_frames",
-            least(lit(8L), lit(1) + (col("len") - 1) / lit(500)).cast("int"))
+            least(lit(8L), lit(1) + expr("(len - 1) div 500")).cast("int"))
           .select(col("doc_id"), col("payload"),
             explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
           .select(
@@ -226,7 +228,13 @@ object MediaDecode {
     if (bytes.length >= 24 && u8(0) == 0x89 && lit(1, "PNG") &&
       u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
       lit(12, "IHDR")) ("png", be32(16), be32(20))
-    else if (bytes.length >= 26 && lit(0, "BM")) ("bmp", le32(18), le32(22))
+    // BMP dimensions live at DIB-header-specific offsets: gate on the
+    // BITMAPINFOHEADER size field (40) so a BITMAPCOREHEADER file (16-bit
+    // dims at other offsets) reads as unknown instead of garbage, and
+    // abs() the height — negative means top-down row order, same pixels
+    // (r13 review)
+    else if (bytes.length >= 26 && lit(0, "BM") && le32(14) == 40)
+      ("bmp", le32(18), math.abs(le32(22)))
     else if (bytes.length >= 10 && (lit(0, "GIF87a") || lit(0, "GIF89a")))
       ("gif", le16(6), le16(8))
     else ("unknown", 0, 0)

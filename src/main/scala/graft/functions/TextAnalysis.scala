@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation (SURVEY.md §2.11
@@ -24,6 +25,60 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "un", "les"),
     "zh" -> Seq("的", "是", "不", "了", "在", "有"))
 
+
+  /** (lang, pred) confusion cells from the marker-argmax language-ID pass —
+    * THE one copy of the scoring pipeline shared by q_text_lang_id and
+    * q_text_lang_metrics ("the identical marker-argmax"; each previously
+    * carried it verbatim — r13 review). Explodes the codegen'd TokenCounts
+    * pre-reduction (~7x fewer rows than raw tokens; multiplicity preserved
+    * by the c weight) and ties break by the fixed marker priority order —
+    * the same CASE chain as [[langPredSql]]. NULL text is excluded
+    * SYMMETRICALLY with the oracle: Spark's explode drops a NULL-token doc
+    * silently while DuckDB's CASE would classify it 'und' — the filter
+    * makes both engines agree by contract instead of by fixture luck. */
+  private def langCells(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val scoreAggs = markers.map { case (l, ws) =>
+      sum(when(col("w").isin(ws: _*), col("c")).otherwise(0L)).as(s"sc_$l")
+    }
+    val scored = graft.Tables.spread(s, table(s, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
+      .select(col("doc_id"), col("lang"), col("kv.w").as("w"), col("kv.c").as("c"))
+      .groupBy("doc_id", "lang")
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+    val best = greatest(markers.map { case (l, _) => col(s"sc_$l") }: _*)
+    val chain = markers.foldRight(lit("und")) { case ((lang, _), els) =>
+      when(col(s"sc_$lang") === best && best > 0, lang).otherwise(els)
+    }
+    scored.withColumn("pred", chain)
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB twin of [[langCells]]: the d/sc/p CTE prefix ending in the
+    * per-(lang, pred) relation `p`. */
+  private lazy val langPredSql: String = {
+    val scoreCols = markers.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($inList))) AS sc_$lang"
+    }.mkString(", ")
+    val bestExpr = "greatest(" + markers.map { case (l, _) => s"sc_$l" }.mkString(", ") + ")"
+    val chain = markers.map { case (lang, _) =>
+      s"WHEN sc_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""d AS (SELECT lang, string_split(text,' ') AS toks FROM documents
+       |       WHERE text IS NOT NULL),
+       |sc AS (SELECT lang, $scoreCols FROM d),
+       |p AS (SELECT lang, CASE $chain ELSE 'und' END AS pred
+       |      FROM (SELECT *, $bestExpr AS best FROM sc) t)""".stripMargin
+  }
+
+  /** q_text_zipf's rank-window size — the ONE copy (previously hardcoded
+    * in six places across both engines; a one-sided tune would silently
+    * mis-scale the OLS slope — r13 review, same class as the minhash 8.0). */
+  private val ZipfK = 20
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_text_lang_id",
@@ -37,40 +92,11 @@ object TextAnalysis {
         // single codegen'd aggregation — multiplicity preserved by the c
         // weight, so counts equal the raw-explode form exactly. Every doc has
         // ≥1 token, so the groupBy loses no documents.
-        val scoreAggs = markers.map { case (l, ws) =>
-          sum(when(col("w").isin(ws: _*), col("c")).otherwise(0L)).as(s"sc_$l")
-        }
-        val scored = graft.Tables.spread(s, table(s, dir, "documents"))
-          .select(col("doc_id"), col("lang"),
-            explode(VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
-          .select(col("doc_id"), col("lang"), col("kv.w").as("w"), col("kv.c").as("c"))
-          .groupBy("doc_id", "lang")
-          .agg(scoreAggs.head, scoreAggs.tail: _*)
-        val best = greatest(markers.map { case (l, _) => col(s"sc_$l") }: _*)
-        // first language in fixed priority order whose score equals the max
-        // wins ties — same CASE chain as the oracle SQL
-        val chain = markers.foldRight(lit("und")) { case ((lang, _), els) =>
-          when(col(s"sc_$lang") === best && best > 0, lang).otherwise(els)
-        }
-        scored.withColumn("pred", chain)
-          .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
-          .orderBy("lang", "pred")
+        langCells(s, dir).orderBy("lang", "pred")
       },
-      Some {
-        val scoreCols = markers.map { case (lang, ws) =>
-          val inList = ws.map(w => s"'$w'").mkString(", ")
-          s"len(list_filter(toks, t -> t IN ($inList))) AS sc_$lang"
-        }.mkString(", ")
-        val bestExpr = "greatest(" + markers.map { case (l, _) => s"sc_$l" }.mkString(", ") + ")"
-        val chain = markers.map { case (lang, _) =>
-          s"WHEN sc_$lang = best AND best > 0 THEN '$lang'"
-        }.mkString(" ")
-        s"""WITH d AS (SELECT lang, string_split(text,' ') AS toks FROM documents),
-           |sc AS (SELECT lang, $scoreCols FROM d),
-           |p AS (SELECT lang, CASE $chain ELSE 'und' END AS pred
-           |      FROM (SELECT *, $bestExpr AS best FROM sc) t)
-           |SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
-      }),
+      Some(
+        s"""WITH $langPredSql
+           |SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)),
 
     GraftQuery(
       "q_text_quality",
@@ -78,6 +104,9 @@ object TextAnalysis {
         "deterministic low/med/high buckets with per-bucket stats.",
       (s, dir) => {
         val d = table(s, dir, "documents")
+          // symmetric NULL-text exclusion: Spark's size(NULL) is -1 (legacy
+          // default) → garbage ttr, while the oracle propagates NULL scores
+          .filter(col("text").isNotNull)
           .withColumn("toks", split(col("text"), " "))
           .withColumn("n_tok", size(col("toks")).cast("double"))
           .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("double"))
@@ -89,24 +118,48 @@ object TextAnalysis {
               least(col("avg_len") / lit(8.0), lit(1.0)) * 0.2)
           .withColumn("bucket",
             when(col("score") >= 0.7, "high").when(col("score") >= 0.5, "med").otherwise("low"))
-        d.groupBy("bucket")
-          .agg(count(lit(1)).as("n"), round(avg(col("ttr")), 4).as("avg_ttr"),
-            round(avg(col("n_tok")), 4).as("avg_tokens"))
+        // avg(ttr) rides the doc_id-ordered cumulative fold (the zipf/entropy
+        // device), NOT a hash aggregate: ttr is a non-dyadic double per doc,
+        // so a partition-order merge differs in the last ulps run-to-run and
+        // from DuckDB's own order — the one order-dependent float fold this
+        // family had left (r13 review). avg(n_tok) stays a plain avg: token
+        // counts are integral doubles whose sums are exact in any order.
+        val wb = Window.partitionBy("bucket").orderBy("doc_id")
+        d.withColumn("sttr", sum(col("ttr")).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rn", row_number().over(wb))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("bucket")))
+          .withColumn("avg_tokens", avg(col("n_tok")).over(Window.partitionBy("bucket")))
+          .filter(col("rn") === col("n"))
+          .select(col("bucket"), col("n"),
+            round(col("sttr") / col("n").cast("double"), 4).as("avg_ttr"),
+            round(col("avg_tokens"), 4).as("avg_tokens"))
           .orderBy("bucket")
       },
       Some(
-        """WITH d AS (SELECT n_chars, string_split(text,' ') AS toks FROM documents),
-          |m AS (SELECT CAST(len(toks) AS DOUBLE) AS n_tok,
+        """WITH d AS (SELECT doc_id, n_chars, string_split(text,' ') AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          |m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_tok,
           |             CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
           |             n_chars FROM d),
-          |sc AS (SELECT n_tok, n_uniq / n_tok AS ttr,
+          |sc AS (SELECT doc_id, n_tok, n_uniq / n_tok AS ttr,
           |              (n_chars - (n_tok - 1)) / n_tok AS avg_len FROM m),
-          |b AS (SELECT n_tok, ttr,
+          |b AS (SELECT doc_id, n_tok, ttr,
           |  ttr * 0.5 + least(n_tok / 100.0, 1.0) * 0.3 + least(avg_len / 8.0, 1.0) * 0.2 AS score
-          |  FROM sc)
-          |SELECT CASE WHEN score >= 0.7 THEN 'high' WHEN score >= 0.5 THEN 'med' ELSE 'low' END AS bucket,
-          |       count(*) AS n, round(avg(ttr), 4) AS avg_ttr, round(avg(n_tok), 4) AS avg_tokens
-          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+          |  FROM sc),
+          |bk AS (SELECT doc_id, n_tok, ttr,
+          |  CASE WHEN score >= 0.7 THEN 'high' WHEN score >= 0.5 THEN 'med' ELSE 'low' END AS bucket
+          |  FROM b),
+          |f AS (SELECT bucket,
+          |    sum(ttr) OVER (PARTITION BY bucket ORDER BY doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS sttr,
+          |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY bucket) AS n,
+          |    avg(n_tok) OVER (PARTITION BY bucket) AS avg_tokens
+          |  FROM bk)
+          |SELECT bucket, n, round(sttr / CAST(n AS DOUBLE), 4) AS avg_ttr,
+          |       round(avg_tokens, 4) AS avg_tokens
+          |FROM f WHERE rn = n ORDER BY bucket""".stripMargin)),
 
     GraftQuery(
       "q_text_bpe_tokens",
@@ -259,7 +312,7 @@ object TextAnalysis {
         val cf = Tables.spread(s, table(s, dir, "documents"))
           .select(explode(VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
           .groupBy(col("kv.w").as("w")).agg(sum(col("kv.c")).as("cf"))
-        val ranked = cf.orderBy(col("cf").desc, col("w")).limit(20)
+        val ranked = cf.orderBy(col("cf").desc, col("w")).limit(ZipfK)
           .withColumn("rk",
             row_number().over(Window.orderBy(col("cf").desc, col("w"))).cast("long"))
           .select(col("rk"), log(col("rk").cast("double")).as("x"),
@@ -271,16 +324,17 @@ object TextAnalysis {
           .withColumn("sy", sum(col("y")).over(w100))
           .withColumn("sxy", sum(col("x") * col("y")).over(w100))
           .withColumn("sxx", sum(col("x") * col("x")).over(w100))
-          .filter(col("rk") === 20L)
+          .filter(col("rk") === ZipfK.toLong)
           .select(col("rk").as("n_terms"),
-            round((lit(20d) * col("sxy") - col("sx") * col("sy"))
-              / (lit(20d) * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+            round((lit(ZipfK.toDouble) * col("sxy") - col("sx") * col("sy"))
+              / (lit(ZipfK.toDouble) * col("sxx") - col("sx") * col("sx")), 6)
+              .as("zipf_slope"))
       },
       Some(
-        """WITH tf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM (
+        s"""WITH tf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM (
           |    SELECT unnest(string_split(text,' ')) AS w FROM documents)
           |  GROUP BY w),
-          |top AS (SELECT w, cf FROM tf ORDER BY cf DESC, w LIMIT 20),
+          |top AS (SELECT w, cf FROM tf ORDER BY cf DESC, w LIMIT $ZipfK),
           |r AS (SELECT CAST(row_number() OVER (ORDER BY cf DESC, w) AS BIGINT) AS rk,
           |    ln(CAST(row_number() OVER (ORDER BY cf DESC, w) AS DOUBLE)) AS x,
           |    ln(CAST(cf AS DOUBLE)) AS y
@@ -290,8 +344,8 @@ object TextAnalysis {
           |    sum(x * y) OVER win AS sxy, sum(x * x) OVER win AS sxx
           |  FROM r WINDOW win AS (ORDER BY rk ROWS UNBOUNDED PRECEDING))
           |SELECT rk AS n_terms,
-          |  round((20.0 * sxy - sx * sy) / (20.0 * sxx - sx * sx), 6) AS zipf_slope
-          |FROM c WHERE rk = 20""".stripMargin)),
+          |  round(($ZipfK.0 * sxy - sx * sy) / ($ZipfK.0 * sxx - sx * sx), 6) AS zipf_slope
+          |FROM c WHERE rk = $ZipfK""".stripMargin)),
 
     GraftQuery(
       "q_text_entropy",
@@ -721,22 +775,7 @@ object TextAnalysis {
       (s, dir) => {
         import org.apache.spark.sql.types.DoubleType
         def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
-        val scoreAggs = markers.map { case (l, ws) =>
-          sum(when(col("w").isin(ws: _*), col("c")).otherwise(0L)).as(s"sc_$l")
-        }
-        val scored = graft.Tables.spread(s, table(s, dir, "documents"))
-          .select(col("doc_id"), col("lang"),
-            explode(VectorExpr.tokenCounts(split(col("text"), " "))).as("kv"))
-          .select(col("doc_id"), col("lang"), col("kv.w").as("w"),
-            col("kv.c").as("c"))
-          .groupBy("doc_id", "lang")
-          .agg(scoreAggs.head, scoreAggs.tail: _*)
-        val best = greatest(markers.map { case (l, _) => col(s"sc_$l") }: _*)
-        val chain = markers.foldRight(lit("und")) { case ((lang, _), els) =>
-          when(col(s"sc_$lang") === best && best > 0, lang).otherwise(els)
-        }
-        val cells = scored.withColumn("pred", chain)
-          .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        val cells = langCells(s, dir)
         val classes = cells.select(col("lang").as("cls")).distinct()
         val m = classes
           .join(cells, col("cls") === col("lang") || col("cls") === col("pred"),
@@ -761,19 +800,7 @@ object TextAnalysis {
           .orderBy("lang")
       },
       Some {
-        val scoreCols = markers.map { case (lang, ws) =>
-          val inList = ws.map(w => s"'$w'").mkString(", ")
-          s"len(list_filter(toks, t -> t IN ($inList))) AS sc_$lang"
-        }.mkString(", ")
-        val bestExpr = "greatest(" +
-          markers.map { case (l, _) => s"sc_$l" }.mkString(", ") + ")"
-        val chain = markers.map { case (lang, _) =>
-          s"WHEN sc_$lang = best AND best > 0 THEN '$lang'"
-        }.mkString(" ")
-        s"""WITH d AS (SELECT lang, string_split(text,' ') AS toks FROM documents),
-           |sc AS (SELECT lang, $scoreCols FROM d),
-           |p AS (SELECT lang, CASE $chain ELSE 'und' END AS pred
-           |      FROM (SELECT *, $bestExpr AS best FROM sc) t),
+        s"""WITH $langPredSql,
            |cells AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),
            |cls AS (SELECT DISTINCT lang AS cls FROM cells),
            |m AS (SELECT cls,

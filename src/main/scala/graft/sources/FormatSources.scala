@@ -185,11 +185,17 @@ object FormatSources {
     * lesson). */
   private def langStats(docs: org.apache.spark.sql.DataFrame) =
     docs.groupBy("lang")
-      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        // TEXT-derived aggregate: without it the round-trip gate never read
+        // the one column with escaping/trimming hazards, so a reader that
+        // sheared or trimmed text while preserving rows and n_chars passed
+        // as "value-exact" (r13 review)
+        sum(length(col("text"))).as("text_chars"))
       .orderBy("lang")
 
   private val langStatsSql =
-    "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars " +
+    "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars, " +
+      "CAST(sum(length(text)) AS BIGINT) AS text_chars " +
       "FROM documents GROUP BY lang ORDER BY lang"
 
   val all: Seq[GraftQuery] = Seq(

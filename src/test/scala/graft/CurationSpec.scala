@@ -152,7 +152,8 @@ class CurationSpec extends SparkSuite {
   test("ORC round-trip equals the direct parquet aggregation") {
     val orc = run("q_source_orc").collect().toSeq
     val direct = docs.groupBy("lang")
-      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        sum(length(col("text"))).as("text_chars")) // the r13 fidelity column
       .orderBy("lang").collect().toSeq
     assert(orc == direct)
   }

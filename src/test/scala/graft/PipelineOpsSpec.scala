@@ -105,15 +105,27 @@ class PipelineOpsSpec extends SparkSuite {
       bb.put(Array(0xf7, 0, 0, 0).map(_.toByte))
       bb.array()
     }
+    // BITMAPCOREHEADER (dibSize=12, 16-bit dims at OTHER offsets): parsing
+    // it at INFOHEADER offsets yields garbage — must classify as unknown
+    def bmpCore(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(0).putInt(0).putInt(0x1a)
+      bb.putInt(12).putShort(w.toShort).putShort(h.toShort).putShort(1).putShort(24)
+      bb.array()
+    }
     val rows = Seq(
       (1L, "image", png(640, 480)), (2L, "image", bmp(1024, 768)),
-      (3L, "image", gif(320, 200)), (4L, "image", "not an image".getBytes))
+      (3L, "image", gif(320, 200)), (4L, "image", "not an image".getBytes),
+      (5L, "image", bmp(800, -600)), // top-down BMP: negative height field
+      (6L, "image", bmpCore(64, 48)))
     val d = MediaDecode.decode(spark, rows.toDF("doc_id", "media_type", "payload"))
       .collect().sortBy(_.doc_id)
     assert(d(0).format == "png" && d(0).width == 640 && d(0).height == 480)
     assert(d(1).format == "bmp" && d(1).width == 1024 && d(1).height == 768)
     assert(d(2).format == "gif" && d(2).width == 320 && d(2).height == 200)
     assert(d(3).format == "unknown" && d(3).width == 0 && d(3).height == 0)
+    assert(d(4).format == "bmp" && d(4).width == 800 && d(4).height == 600)
+    assert(d(5).format == "unknown" && d(5).width == 0 && d(5).height == 0)
     // the attachImage renderer round-trips through the same decoder
     val rendered = MediaDecode.decode(spark,
       Multimodal.attachImage(Tables.table(spark, sf, "documents"))).collect()
