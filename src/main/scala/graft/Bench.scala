@@ -80,7 +80,11 @@ object Bench {
     Set("q_dedup_components",
       // HITS materializes each half-step via localCheckpoint (superstep
       // discipline) — its builder performs work, so re-invoke per pass
-      "q_graph_hits")
+      "q_graph_hits",
+      // basket relation localCheckpoint'd for its three consumers — the
+      // memoized-clone path would stage-skip the dominant basket shuffle
+      // on every timed pass (r13 review)
+      "q_assoc_lift")
   /** Shared with [[JobCensus]] so the census's honesty can never drift from
     * the bench's when a new eager query is added (advisor r12). */
   private[graft] def isEager(name: String): Boolean =

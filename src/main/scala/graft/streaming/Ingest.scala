@@ -55,9 +55,15 @@ object EventStream {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
 
-  /** Streaming dedup on the event id, state bounded by the watermark. */
+  /** Streaming dedup on the event id, state bounded by the watermark.
+    * The WATERMARKED ts column must be part of the dedup keys: without it
+    * Spark keeps every id's state forever (the guide's "stores the data
+    * from all the past records" case) and the watermark evicts nothing —
+    * the exact unbounded-growth liability the RocksDB move exists to
+    * avoid (r13 review). Re-deliveries are exact copies sharing ts, so
+    * the keyed results are unchanged. */
   def dedup(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
 
   /** APRS-IS 30-second duplicate suppression — the server-side dupe filter
     * every collector implements: drop a packet whose (callsign, payload)
@@ -127,7 +133,9 @@ object EventStream {
     * boundaries and in-batch row order are not deterministic, so any
     * order-sensitive fold here would be a run-to-run hash hazard. One row
     * per (user, batch) is appended; fields are monotone, so the read-back
-    * max/min per user IS the final state — no "last row" ordering needed. */
+    * count is strictly monotone across emits, so the read-back picks the
+    * final state via max_by(_, n) — never max() of the running sum, which
+    * is only monotone for non-negative values. */
   def userRunningState(events: DataFrame)
       : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

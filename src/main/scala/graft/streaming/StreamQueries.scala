@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.functions._
 
@@ -129,10 +128,16 @@ object StreamQueries {
     * sizes), overridable via SPROBE_SHUFFLE so StreamProbe's sweep knob
     * tunes the SAME setting the gated stream queries run with (previously
     * the hard-coded 2 silently overrode the probe's session-level set). */
-  private lazy val StreamShuffleWidth: Int =
+  private lazy val StreamShuffleWidth: Int = widthOr(2)
+
+  /** SPROBE_SHUFFLE wins over any per-query default — a hard-coded width
+    * would silently no-op the probe's sweep, the exact bug this knob was
+    * introduced to fix (r13 review caught the dupe filter's literal 4
+    * reintroducing it). */
+  private def widthOr(default: Int): Int =
     sys.env.get("SPROBE_SHUFFLE")
       .flatMap(s => scala.util.Try(s.toInt).toOption)
-      .getOrElse(2)
+      .getOrElse(default)
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -256,7 +261,7 @@ object StreamQueries {
         // (~190k sessions vs the other streams' thousands of windows), so
         // the state store is the widest in the suite (StreamProbe sweep:
         // 2.86 s @2, 2.34 s @4, 2.50 s @8)
-        withStreamConf(spark, 4) {
+        withStreamConf(spark, widthOr(4)) {
           EventStream.writeParquet(
             EventStream.dupeFilterCounts(
               EventStream.readEvents(spark, duplicatedDropDir(spark, dir))),
@@ -379,8 +384,10 @@ object StreamQueries {
         "micros) state, one appended row per (user, micro-batch). Every " +
         "state field is order-insensitive by design (associative count/" +
         "sum, commutative min/max — micro-batch boundaries and in-batch " +
-        "order are nondeterministic on a real stream), so the fields are " +
-        "monotone and the read-back max/min per user IS the final state. " +
+        "order are nondeterministic on a real stream); the read-back " +
+        "selects each user's LAST emitted row via max_by on the strictly " +
+        "monotone count (the running SUM is only monotone while values " +
+        "are non-negative, so it must not self-select by max). " +
         "State is one 4-long tuple per live user — bytes per key, " +
         "watermark-free.",
       (spark, dir) => {
@@ -398,7 +405,13 @@ object StreamQueries {
         deleteRecursively(ckpt)
         spark.read.parquet(out)
           .groupBy("user_id")
-          .agg(max(col("n")).as("n"), max(col("cents")).as("cents"),
+          // the final state row is the one with the LARGEST n (count is
+          // strictly monotone across batch emits); cents rides max_by on it
+          // rather than its own max(), which is only correct while every
+          // value is non-negative — a refund-shaped event would make the
+          // running sum non-monotone and max() would silently overshoot
+          // under a multi-batch split (r13 review)
+          .agg(max(col("n")).as("n"), expr("max_by(cents, n)").as("cents"),
             min(col("first_us")).as("first_us"), max(col("last_us")).as("last_us"))
           .orderBy("user_id")
       },
