@@ -35,15 +35,23 @@ object GlobalRank {
     * filter) while the rank DOMAIN stays the full input. Joining ranks derived
     * from a filtered subset would renumber whenever a key value vanished from
     * it — always build the ranks from the unfiltered relation. */
-  def denseRanks(df: DataFrame, key: Column, out: String): DataFrame =
+  def denseRanks(df: DataFrame, key: Column, out: String): DataFrame = {
+    require(out != "__k", "output name collides with the internal key column")
     df.select(key.as("__k")).distinct()
       .withColumn(out, dense_rank().over(Window.orderBy(col("__k"))))
+  }
 
   /** dense_rank() OVER (ORDER BY key) without a global shuffle of `df`.
     * Null-safe join (<=>): the window form ranks null keys (first), so the
     * rewrite must not drop them — plain === would. */
-  def denseRank(df: DataFrame, key: Column, out: String): DataFrame =
+  def denseRank(df: DataFrame, key: Column, out: String): DataFrame = {
+    // a pre-existing `out` column would survive the join and make every
+    // later col(out) AMBIGUOUS_REFERENCE (same hazard the totalOut guard
+    // below covers; r13 review found it guarded only half-way)
+    require(!df.columns.contains(out) && !df.columns.contains("__k"),
+      s"input already has a column named '$out' or '__k'")
     df.join(broadcast(denseRanks(df, key, out)), key <=> col("__k")).drop("__k")
+  }
 
   /** row_number() OVER (ORDER BY sortCols…) over a near-unique key WITHOUT a
     * single-partition window — decomposed through a caller-supplied MONOTONE
@@ -105,6 +113,10 @@ object GlobalRank {
     * ranks non-null aggregates or guards explicitly. */
   def rowNumberBanded(df: DataFrame, band: Column, sortCols: Seq[Column],
       out: String, totalOut: String = null): DataFrame = {
+    require(!df.columns.contains(out) &&
+      Seq("__band", "__rn", "__n", "__off", "__band2").forall(c => !df.columns.contains(c)),
+      s"input already has '$out' or an internal __band/__rn/__n/__off column" +
+        " — rowNumberBanded would silently overwrite it")
     require(totalOut == null || !df.columns.contains(totalOut),
       s"totalOut '$totalOut' collides with an input column")
     val b = df.withColumn("__band", band).repartition(col("__band"))

@@ -82,30 +82,45 @@ final class AprsIsRelay(host: String, port: Int, callsign: String,
   /** Loopback port the Spark socket source should connect to. */
   def localPort: Int = local.getLocalPort
 
+  // RECONNECT loop with capped exponential backoff: APRS-IS servers
+  // routinely rotate/drop TCP connections after hours, and a reader that
+  // exits on the first IOException silently halts ingestion forever while
+  // the Spark query keeps completing empty batches (r13 review). Each
+  // attempt's failure is surfaced through readerError (cleared on a
+  // successful reconnect); the monitor prints it once a minute.
   private val reader = new Thread(() => {
-    try {
-      val sock = new java.net.Socket(host, port)
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-        sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-      val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-        sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
-      // APRS-IS accepts the login at any point before data flows — send it
-      // immediately; the banner comment arrives concurrently
-      out.print(AprsIs.loginLine(callsign, filter) + "\r\n")
-      out.flush()
-      var line = in.readLine()
-      while (line != null && !closed) {
-        if (line.startsWith("#")) {
-          if (serverBanner.isEmpty) serverBanner = Some(line)
-          if (logresp.isEmpty && line.toLowerCase.contains("logresp"))
-            logresp = Some(line)
-        } else if (!queue.offer(line)) droppedCount.incrementAndGet()
-        line = in.readLine()
+    var backoffMs = 1000L
+    while (!closed) {
+      try {
+        val sock = new java.net.Socket(host, port)
+        try {
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+          val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+            sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+          // APRS-IS accepts the login at any point before data flows — send
+          // it immediately; the banner comment arrives concurrently
+          out.print(AprsIs.loginLine(callsign, filter) + "\r\n")
+          out.flush()
+          readerError = None
+          backoffMs = 1000L // healthy connection resets the backoff
+          var line = in.readLine()
+          while (line != null && !closed) {
+            if (line.startsWith("#")) {
+              if (serverBanner.isEmpty) serverBanner = Some(line)
+              if (logresp.isEmpty && line.toLowerCase.contains("logresp"))
+                logresp = Some(line)
+            } else if (!queue.offer(line)) droppedCount.incrementAndGet()
+            line = in.readLine()
+          }
+        } finally { try sock.close() catch { case _: Throwable => () } }
+      } catch {
+        case t: Throwable => if (!closed) readerError = Some(t)
       }
-      sock.close()
-    } catch {
-      case t: Throwable =>
-        if (!closed) readerError = Some(t)
+      if (!closed) { // EOF or error: back off, then redial (cap 60 s)
+        try Thread.sleep(backoffMs) catch { case _: InterruptedException => () }
+        backoffMs = math.min(backoffMs * 2, 60000L)
+      }
     }
   }, "aprsis-reader")
 

@@ -54,9 +54,20 @@ object PacketCollector {
           .otherwise(upper(substring(col("callsign"), 1, 1))))
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3,
-      "usage: PacketCollector <inDir> <outDir> <checkpointDir> [--socket host:port]")
+    require(args.length >= 3 && !args.take(3).exists(_.startsWith("--")),
+      "usage: PacketCollector <inDir> <outDir> <checkpointDir> " +
+        "[--socket host:port | --aprsis host:port:callsign[:filter]]")
     val Array(inDir, outDir, ckptDir) = args.take(3)
+
+    // bounded ASCII port parse: Char.isDigit admits Unicode digits and a
+    // bare forall admits 11-digit strings whose toInt then throws a raw
+    // NumberFormatException past the friendly require (r13 review)
+    def parsePort(v: String, what: String): Int = {
+      require(v.nonEmpty && v.length <= 5 && v.forall(c => c >= '0' && c <= '9')
+          && v.toInt <= 65535,
+        s"$what port must be 0-65535, got '$v'")
+      v.toInt
+    }
     val spark = SparkSession.builder()
       .appName("graft-packet-collector")
       .config("spark.sql.session.timeZone", "UTC")
@@ -67,17 +78,17 @@ object PacketCollector {
         val idx = args.indexOf("--socket")
         require(idx + 1 < args.length, "--socket requires a host:port value")
         val hp = args(idx + 1).split(":", 2)
-        require(hp.length == 2 && hp(1).nonEmpty && hp(1).forall(_.isDigit),
+        require(hp.length == 2,
           s"--socket value must be host:port, got '${args(idx + 1)}'")
-        Some((hp(0), hp(1).toInt))
+        Some((hp(0), parsePort(hp(1), "--socket")))
       } else if (args.contains("--aprsis")) {
         val idx = args.indexOf("--aprsis")
         require(idx + 1 < args.length,
           "--aprsis requires a host:port:callsign[:filter] value")
         val parts = args(idx + 1).split(":", 4)
-        require(parts.length >= 3 && parts(1).nonEmpty && parts(1).forall(_.isDigit),
+        require(parts.length >= 3,
           s"--aprsis value must be host:port:callsign[:filter], got '${args(idx + 1)}'")
-        val relay = new AprsIsRelay(parts(0), parts(1).toInt, parts(2),
+        val relay = new AprsIsRelay(parts(0), parsePort(parts(1), "--aprsis"), parts(2),
           if (parts.length == 4) Some(parts(3)) else None).start()
         // surface upstream failures + login progress once a minute: a refused
         // or dropped APRS-IS connection must never read as an empty-but-
@@ -97,7 +108,14 @@ object PacketCollector {
         Some(("127.0.0.1", relay.localPort))
       } else None
 
-    val query = pipeline(source(spark, inDir, sock)).writeStream
+    // own each station_bucket in ONE task per micro-batch before the
+    // partitioned write: without the repartition every task fans out
+    // across all ~38 bucket dirs, and at a 10 s trigger that is hundreds
+    // of thousands of tiny files a day (the Geo archive writer's lesson,
+    // applied to the live sink — r13 review)
+    val query = pipeline(source(spark, inDir, sock))
+      .repartition(col("station_bucket"))
+      .writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", ckptDir)
