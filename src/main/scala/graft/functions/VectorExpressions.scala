@@ -314,14 +314,20 @@ object TopPairsUtil {
     * and the same sqrt/divide tree as the join form — bitwise-identical
     * sims. */
   def topPairs(block: ArrayData, k: Int): ArrayData = {
-    val n = block.numElements()
-    val ids = new Array[Long](n)
-    val vecs = new Array[Array[Float]](n)
+    val total = block.numElements()
+    val ids = new Array[Long](total)
+    val vecs = new Array[Array[Float]](total)
+    var n = 0 // entries kept: NULL embeddings are skipped, not NPE'd —
+    // callers filter them out symmetrically with the oracle, this is the
+    // defensive backstop (advisor r13)
     var i = 0
-    while (i < n) {
+    while (i < total) {
       val row = block.getStruct(i, 2)
-      ids(i) = row.getLong(0)
-      vecs(i) = row.getArray(1).toFloatArray()
+      if (!row.isNullAt(1)) {
+        ids(n) = row.getLong(0)
+        vecs(n) = row.getArray(1).toFloatArray()
+        n += 1
+      }
       i += 1
     }
     val norms = new Array[Double](n)

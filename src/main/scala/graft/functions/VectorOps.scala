@@ -378,8 +378,11 @@ object VectorOps {
         val blocks = table(s, dir, "embeddings")
           // NULL labels form no block: the oracle's a.label = b.label
           // equi-join never pairs them, but groupBy would (the same guard
-          // q_dedup_simhash carries on source — r13 review)
-          .filter(col("label").isNotNull)
+          // q_dedup_simhash carries on source — r13 review). NULL embeddings
+          // are excluded symmetrically (oracle CTE mirrors): the join form
+          // yields a NULL sim for them while TopPairsWithin would NPE —
+          // the exclusion is the explicit cross-engine contract (advisor r13)
+          .filter(col("label").isNotNull && col("embedding").isNotNull)
           .groupBy("label")
           .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
         blocks
@@ -390,9 +393,10 @@ object VectorOps {
           .limit(20)
       },
       Some(
-        "SELECT a.vec_id AS ida, b.vec_id AS idb, " +
+        "WITH e AS (SELECT * FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL) " +
+          "SELECT a.vec_id AS ida, b.vec_id AS idb, " +
           "round(" + Exact.cosineSql("a.embedding", "b.embedding") + ",6) AS sim " +
-          "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+          "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
           "ORDER BY sim DESC, ida, idb LIMIT 20")),
 
     GraftQuery(

@@ -272,6 +272,16 @@ object Warehouse {
         // contract), which stopped being true the moment the digest stopped
         // being concat_ws+DigestUtils.
         table(s, dir, "orders")
+          // The canon columns are contractually non-null for the audit:
+          // AuditDigest is null-intolerant (NULL row → NULL digest) while
+          // DuckDB's concat_ws SKIPS a NULL argument and hashes the shorter
+          // string — a row with a NULL o_orderpriority would count into n
+          // but diverge in checksum/min/max. The explicit symmetric filter
+          // (mirrored in the oracle WHERE) makes the exclusion the contract
+          // rather than a latent divergence (advisor r13).
+          .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull &&
+            col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+            col("o_orderpriority").isNotNull)
           .select(col("o_orderstatus"), h.as("h"), h16.as("h16"))
           .groupBy("o_orderstatus")
           // min/max over the digest go through MinMax128 (two LONG buffer
@@ -290,7 +300,10 @@ object Warehouse {
           |      CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
           |      CAST(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS VARCHAR),
           |      o_orderpriority)) AS h
-          |  FROM orders),
+          |  FROM orders
+          |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+          |    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+          |    AND o_orderpriority IS NOT NULL),
           |v AS (SELECT o_orderstatus, h,
           |    4096 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
           |    + 256 * (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)

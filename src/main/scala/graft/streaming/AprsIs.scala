@@ -82,6 +82,12 @@ final class AprsIsRelay(host: String, port: Int, callsign: String,
   /** Loopback port the Spark socket source should connect to. */
   def localPort: Int = local.getLocalPort
 
+  // The live upstream socket, held so stop() can close it: a reader blocked
+  // in readLine() on an idle APRS-IS connection (or sleeping in backoff)
+  // would otherwise keep the TCP connection and thread alive indefinitely
+  // after stop() (advisor r13).
+  @volatile private var upstream: java.net.Socket = null
+
   // RECONNECT loop with capped exponential backoff: APRS-IS servers
   // routinely rotate/drop TCP connections after hours, and a reader that
   // exits on the first IOException silently halts ingestion forever while
@@ -93,6 +99,7 @@ final class AprsIsRelay(host: String, port: Int, callsign: String,
     while (!closed) {
       try {
         val sock = new java.net.Socket(host, port)
+        upstream = sock
         try {
           val in = new java.io.BufferedReader(new java.io.InputStreamReader(
             sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
@@ -113,7 +120,10 @@ final class AprsIsRelay(host: String, port: Int, callsign: String,
             } else if (!queue.offer(line)) droppedCount.incrementAndGet()
             line = in.readLine()
           }
-        } finally { try sock.close() catch { case _: Throwable => () } }
+        } finally {
+          upstream = null
+          try sock.close() catch { case _: Throwable => () }
+        }
       } catch {
         case t: Throwable => if (!closed) readerError = Some(t)
       }
@@ -175,5 +185,11 @@ final class AprsIsRelay(host: String, port: Int, callsign: String,
   def stop(): Unit = {
     closed = true
     try local.close() catch { case _: Throwable => () }
+    // Unblock a reader parked in readLine() (close its socket) or in the
+    // backoff sleep (interrupt) so the thread exits promptly, not at the
+    // next upstream keepalive.
+    val up = upstream
+    if (up != null) { try up.close() catch { case _: Throwable => () } }
+    reader.interrupt()
   }
 }

@@ -63,9 +63,12 @@ object PacketCollector {
     // bare forall admits 11-digit strings whose toInt then throws a raw
     // NumberFormatException past the friendly require (r13 review)
     def parsePort(v: String, what: String): Int = {
+      // lower bound 1: both --socket and --aprsis ports are CONNECT targets,
+      // and port 0 (bind-time "any") only fails later with an obscure
+      // connect error (advisor r13)
       require(v.nonEmpty && v.length <= 5 && v.forall(c => c >= '0' && c <= '9')
-          && v.toInt <= 65535,
-        s"$what port must be 0-65535, got '$v'")
+          && v.toInt >= 1 && v.toInt <= 65535,
+        s"$what port must be 1-65535, got '$v'")
       v.toInt
     }
     val spark = SparkSession.builder()

@@ -79,7 +79,13 @@ class UpsertSinkSpec extends SparkSuite {
         lit(0L).as("cents"), lit(0L).as("last_us"))
       .write.parquet(s"$target/bucket=0/v=99")
     assert(tableSet(target) == before, "uncommitted version leaked into reads")
+    // default min-age guard: a FRESH orphan could be an in-flight commit
+    // racing this vacuum (written before its _meta swap) — it must survive
     UpsertSink.vacuum(target)
+    assert(Files.isDirectory(java.nio.file.Paths.get(s"$target/bucket=0/v=99")),
+      "vacuum reclaimed a version dir younger than the min-age guard")
+    // offline contract (no live writer): age 0 reclaims the orphan
+    UpsertSink.vacuum(target, minAgeMs = 0L)
     assert(!Files.isDirectory(java.nio.file.Paths.get(s"$target/bucket=0/v=99")))
     assert(tableSet(target) == before, "vacuum touched a live version")
   }
