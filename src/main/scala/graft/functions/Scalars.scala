@@ -29,8 +29,12 @@ object Scalars {
             concat(col("c_name"), lit("#"), col("c_mktsegment")).as("cc"),
             replace(col("c_mktsegment"), lit("A"), lit("_")).as("rep")),
       Some(
+        // '||' not concat(): DuckDB concat() SKIPS NULL arguments while
+        // Spark concat() returns NULL when any argument is — '||' propagates
+        // NULL on both engines (r14 sweep; same class as the audit-checksum
+        // concat_ws fix)
         "SELECT upper(c_name) AS u, CAST(length(c_name) AS INT) AS l, substr(c_name, 1, 8) AS s, " +
-          "concat(c_name, '#', c_mktsegment) AS cc, replace(c_mktsegment,'A','_') AS rep " +
+          "c_name || '#' || c_mktsegment AS cc, replace(c_mktsegment,'A','_') AS rep " +
           "FROM customer ORDER BY c_custkey LIMIT 500")),
 
     GraftQuery(
@@ -52,7 +56,16 @@ object Scalars {
 
     GraftQuery(
       "q_math_funcs",
-      "sqrt/ln/ceil/floor/abs + epsilon compare. Per-row IEEE double ops are engine-identical.",
+      "sqrt/ln/ceil/floor/abs + epsilon compare. Quantization is " +
+        "floor(x*10^n) — one IEEE multiply + exact floor, identical given " +
+        "identical doubles — NOT round(x, n): Spark's Round HALF_UP-rounds " +
+        "the SHORTEST-DECIMAL representation while DuckDB rounds the scaled " +
+        "binary double, so they disagree on every halfway shortest-repr " +
+        "(round(0.285, 2) = 0.29 Spark vs 0.28 DuckDB — r14 sweep). sqrt is " +
+        "IEEE-correctly-rounded (identical bits both engines); ln is not " +
+        "formally so (JVM Math.log vs libm may differ 1 ulp) — a residual " +
+        "measure-zero boundary-straddle risk this quantization shares with " +
+        "every float comparison, accepted and documented here.",
       (s, dir) =>
         table(s, dir, "lineitem")
           .orderBy("l_orderkey", "l_linenumber")
@@ -60,14 +73,14 @@ object Scalars {
           .select(
             col("l_orderkey"),
             col("l_linenumber"),
-            round(sqrt(col("l_extendedprice")), 4).as("sq"),
-            round(log(col("l_extendedprice")), 6).as("lg"),
+            floor(sqrt(col("l_extendedprice")) * 1e4).as("sq"),
+            floor(log(col("l_extendedprice")) * 1e6).as("lg"),
             ceil(col("l_quantity")).as("c"),
             floor(col("l_tax") * 100).as("f"),
             (abs(col("l_discount") - 0.05) < 1e-12).as("near5")),
       Some(
-        "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice),4) AS sq, " +
-          "round(ln(l_extendedprice),6) AS lg, CAST(ceil(l_quantity) AS BIGINT) AS c, " +
+        "SELECT l_orderkey, l_linenumber, CAST(floor(sqrt(l_extendedprice)*1e4) AS BIGINT) AS sq, " +
+          "CAST(floor(ln(l_extendedprice)*1e6) AS BIGINT) AS lg, CAST(ceil(l_quantity) AS BIGINT) AS c, " +
           "CAST(floor(l_tax*100) AS BIGINT) AS f, abs(l_discount-0.05) < 1e-12 AS near5 " +
           "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000")),
 
@@ -114,16 +127,28 @@ object Scalars {
 
     GraftQuery(
       "q_json_extract",
-      "Extract an int field from a JSON string column (get_json_object — no JSON logical type).",
-      (s, dir) =>
+      "Extract an int field from a JSON string column (get_json_object — no " +
+        "JSON logical type). The integer contract is an EXPLICIT regex guard " +
+        "([+-]?digits, ≤9 so INT can't overflow) on both engines: a bare " +
+        "CAST of the extracted string would CRASH the Spark job under ANSI " +
+        "on any non-integer k where DuckDB's CAST silently ROUNDS ('3.7' → " +
+        "4 — even TRY_CAST rounds there), and DuckDB's json_extract_string " +
+        "ERRORS on malformed JSON where get_json_object yields NULL — so " +
+        "every out-of-contract shape maps to NULL symmetrically instead " +
+        "(r14 sweep).",
+      (s, dir) => {
+        val ks = get_json_object(col("props"), "$.k")
         table(s, dir, "events")
           .orderBy("event_id")
           .limit(1000)
           .select(
             col("event_id"),
-            get_json_object(col("props"), "$.k").cast(IntegerType).as("k")),
+            when(ks.rlike("^[+-]?[0-9]{1,9}$"), ks.cast(IntegerType)).as("k"))
+      },
       Some(
-        "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k " +
+        "SELECT event_id, CASE WHEN json_valid(props) THEN " +
+          "CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^[+-]?[0-9]{1,9}$') " +
+          "THEN CAST(json_extract_string(props, '$.k') AS INT) END END AS k " +
           "FROM events ORDER BY event_id LIMIT 1000")),
 
     GraftQuery(
@@ -187,19 +212,36 @@ object Scalars {
 
     GraftQuery(
       "q_map_funcs",
-      "MapType surface: from_json into map<string,int>, key cardinality + lookup.",
-      (s, dir) =>
+      "MapType surface: from_json into map<string,int>, key cardinality + " +
+        "lookup. The parse domain is an EXPLICIT shared regex (flat object, " +
+        "integer values ≤9 digits): outside it the two engines genuinely " +
+        "disagree — Spark's from_json nulls the WHOLE map when any value " +
+        "fails the int schema ({\"k\": 3.7} → NULL map) while DuckDB " +
+        "answers per-key (json_keys = 1, value rounds to 4), and a valid " +
+        "non-object ('[1,2]') is NULL map vs len 0 — so both engines " +
+        "answer NULL for every out-of-contract row instead (r14 sweep).",
+      (s, dir) => {
+        val pat = "^\\{\\s*\\}$|^\\{\\s*\"[^\"]*\"\\s*:\\s*-?[0-9]{1,9}\\s*" +
+          "(,\\s*\"[^\"]*\"\\s*:\\s*-?[0-9]{1,9}\\s*)*\\}$"
+        val valid = col("props").rlike(pat)
+        val m = from_json(col("props"), MapType(StringType, IntegerType))
         table(s, dir, "events")
           .orderBy("event_id")
           .limit(1000)
           .select(
             col("event_id"),
-            size(map_keys(from_json(col("props"), MapType(StringType, IntegerType)))).as("n_keys"),
-            element_at(from_json(col("props"), MapType(StringType, IntegerType)), "k").as("k")),
-      Some(
-        "SELECT event_id, CAST(len(json_keys(props)) AS INT) AS n_keys, " +
-          "CAST(json_extract(props, '$.k') AS INT) AS k " +
-          "FROM events ORDER BY event_id LIMIT 1000")),
+            when(valid, size(map_keys(m))).as("n_keys"),
+            when(valid, element_at(m, "k")).as("k"))
+      },
+      Some {
+        val pat = "^\\{\\s*\\}$|^\\{\\s*\"[^\"]*\"\\s*:\\s*-?[0-9]{1,9}\\s*" +
+          "(,\\s*\"[^\"]*\"\\s*:\\s*-?[0-9]{1,9}\\s*)*\\}$"
+        s"SELECT event_id, CASE WHEN regexp_matches(props, '$pat') THEN " +
+          "CAST(len(json_keys(props)) AS INT) END AS n_keys, " +
+          s"CASE WHEN regexp_matches(props, '$pat') THEN " +
+          "TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k " +
+          "FROM events ORDER BY event_id LIMIT 1000"
+      }),
 
     GraftQuery(
       "q_str_split_tokens",
@@ -247,6 +289,12 @@ object Scalars {
       (s, dir) => {
         val toks = split(col("text"), " ")
         table(s, dir, "documents")
+          // NULL text is excluded symmetrically (oracle WHERE mirrors):
+          // Spark's aggregate(NULL, 0, ...) folds to NULL while the
+          // oracle's list_concat([0], NULL) swallows the NULL list into
+          // [0] and folds to 0 — the exclusion is the explicit
+          // cross-engine contract (r14 sweep, NULL-symmetry discipline)
+          .filter(col("text").isNotNull)
           .select(col("doc_id"),
             size(filter(toks, t => length(t) > 5)).cast(LongType)
               .as("n_long"),
@@ -272,6 +320,7 @@ object Scalars {
           |  CAST(list_max(list_transform(string_split(text, ' '),
           |    t -> len(t))) AS BIGINT) AS max_len,
           |  list_sort(string_split(text, ' '))[1] AS first_tok
-          |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin))
+          |FROM documents WHERE text IS NOT NULL
+          |ORDER BY doc_id LIMIT 500""".stripMargin))
   )
 }
