@@ -154,6 +154,19 @@ object Ts {
     * value — so the result equals the oracle's naive timestamp either way. */
   def fromEpochSec(sec: Column, like: org.apache.spark.sql.types.DataType): Column =
     timestamp_seconds(sec).cast(like)
+
+  /** Day ordinal — floor(epoch-seconds / 86400) as LONG, the shared
+    * day-bucket device of the daily-series queries. [[dayBucketSql]] is its
+    * DuckDB twin: the tree shape (floor of a true division, NOT a
+    * truncating integer div — they disagree pre-1970) is the cross-engine
+    * contract, so it lives in exactly one place (r14 sweep; the same
+    * single-home rule as Exact.pearson). */
+  def dayBucket(c: Column): Column =
+    floor(epochSec(c) / lit(86400d)).cast(LongType)
+
+  /** The oracle twin of [[dayBucket]] over a DuckDB timestamp expression. */
+  def dayBucketSql(e: String): String =
+    s"CAST(floor(epoch($e) / 86400) AS BIGINT)"
 }
 
 /** Scratch-directory factory: prefers the RAM-backed tmpfs (`/dev/shm`) over

@@ -287,8 +287,7 @@ object DevProbe {
       }
       case "@audit_nospread" => (s, dir) => {
         import org.apache.spark.sql.types.LongType
-        val day = floor(graft.Ts.epochSec(col("o_orderdate")) / lit(86400d))
-          .cast(LongType)
+        val day = graft.Ts.dayBucket(col("o_orderdate"))
         val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
         val h = graft.functions.HashExpr.auditDigest(col("o_orderkey"),
           col("o_custkey"), cents, day, col("o_orderpriority"))
@@ -313,8 +312,7 @@ object DevProbe {
             col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
       case "@audit_canon" => (s, dir) => {
         import org.apache.spark.sql.types.LongType
-        val day = floor(graft.Ts.epochSec(col("o_orderdate")) / lit(86400d))
-          .cast(LongType)
+        val day = graft.Ts.dayBucket(col("o_orderdate"))
         val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
         graft.Tables.table(s, dir, "orders")
           .select(col("o_orderstatus"),
@@ -324,8 +322,7 @@ object DevProbe {
       }
       case "@audit_md5" => (s, dir) => {
         import org.apache.spark.sql.types.LongType
-        val day = floor(graft.Ts.epochSec(col("o_orderdate")) / lit(86400d))
-          .cast(LongType)
+        val day = graft.Ts.dayBucket(col("o_orderdate"))
         val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
         val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
           cents, day, col("o_orderpriority"))
@@ -338,8 +335,7 @@ object DevProbe {
       }
       case "@audit_noconv" => (s, dir) => {
         import org.apache.spark.sql.types.LongType
-        val day = floor(graft.Ts.epochSec(col("o_orderdate")) / lit(86400d))
-          .cast(LongType)
+        val day = graft.Ts.dayBucket(col("o_orderdate"))
         val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
         val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
           cents, day, col("o_orderpriority"))

@@ -834,7 +834,7 @@ object PipelineOps {
         import org.apache.spark.sql.types.{DoubleType, LongType}
         val cells = table(s, dir, "events")
           .select(col("event_type"),
-            pmod(floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+            pmod(graft.Ts.dayBucket(col("ts"))
               + lit(3L), lit(7L)).as("dow"))
           .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
         val rm = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
@@ -1156,8 +1156,7 @@ object PipelineOps {
         def D(c: String) = col(c).cast(DoubleType)
         val cells = table(s, dir, "events")
           .groupBy(col("event_type"),
-            pmod(floor(graft.Ts.epochSec(col("ts")) / lit(86400d))
-              .cast(LongType) + lit(3L), lit(7L)).as("dow"))
+            pmod(graft.Ts.dayBucket(col("ts")) + lit(3L), lit(7L)).as("dow"))
           .agg(count(lit(1)).as("o"))
         val term = D("o") / D("n") *
           log(D("o") * D("n") / (D("rt") * D("ct")))
@@ -1334,7 +1333,7 @@ object PipelineOps {
         def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
         val daily = table(s, dir, "events")
           .groupBy(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+            graft.Ts.dayBucket(col("ts"))
               .as("day"))
           .agg(count(lit(1)).as("x"))
           .withColumn("dow", pmod(col("day") + lit(3L), lit(7L)))
@@ -1521,7 +1520,7 @@ object PipelineOps {
         def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
         val daily = table(s, dir, "events")
           .groupBy(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+            graft.Ts.dayBucket(col("ts"))
               .as("day"))
           .agg(count(lit(1)).as("x"))
           .withColumn("dow", pmod(col("day") + lit(3L), lit(7L)))

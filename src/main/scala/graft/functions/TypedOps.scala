@@ -33,6 +33,12 @@ object TypedOps {
       (s, dir) => {
         import s.implicits._
         table(s, dir, "events")
+          // explicit symmetric non-null contract (oracle WHERE mirrors):
+          // the typed decoder's (Long, Int) fields are primitive, so a NULL
+          // ts/user_id CRASHES the Spark path where the relational twin
+          // would answer — the one bug class the relational queries in this
+          // suite don't have (r14 sweep, NULL-symmetry discipline)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .select(col("user_id"),
             datediff(col("ts").cast(DateType),
               lit(java.sql.Date.valueOf("2024-01-01"))).as("d"))
@@ -57,7 +63,8 @@ object TypedOps {
           .limit(200)
       },
       Some(
-        """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
           |r AS (SELECT user_id, day,
           |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d),
           |i AS (SELECT user_id, day - CAST(rn AS INTEGER) AS grp, count(*) AS len
@@ -86,6 +93,10 @@ object TypedOps {
       (s, dir) => {
         import s.implicits._
         table(s, dir, "events")
+          // same explicit non-null contract as q_typed_streak: primitive
+          // tuple decode crashes on NULL where the oracle answers
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_id").isNotNull)
           .select(col("user_id"), graft.Ts.epochMicros(col("ts")).as("us"),
             col("event_id"))
           .as[(Long, Long, Long)]
@@ -109,7 +120,9 @@ object TypedOps {
           |  SELECT user_id, epoch_us(ts) AS us, event_id,
           |    CAST(row_number() OVER (PARTITION BY user_id
           |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rk
-          |  FROM events),
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |    AND event_id IS NOT NULL),
           |step AS (
           |  SELECT user_id, rk, us AS last_us, CAST(1 AS BIGINT) AS kept
           |  FROM base WHERE rk = 1
@@ -144,8 +157,13 @@ object TypedOps {
       (s, dir) => {
         import s.implicits._
         table(s, dir, "events")
+          // ts: primitive `day` decode crashes on NULL (see q_typed_streak);
+          // event_type: Spark's groupByKey KEEPS a null-key group and emits
+          // its row while the oracle's recursion join on event_type DROPS
+          // NULL rows — both excluded explicitly on both engines
+          .filter(col("event_type").isNotNull && col("ts").isNotNull)
           .groupBy(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast("long")
+            graft.Ts.dayBucket(col("ts"))
               .as("day"))
           .agg(count(lit(1)).as("x"))
           .select(col("event_type"), col("day"), col("x"))
@@ -178,7 +196,8 @@ object TypedOps {
         """WITH RECURSIVE base AS (
           |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
           |    count(*) AS x
-          |  FROM events GROUP BY 1, 2),
+          |  FROM events
+          |  WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
           |rk AS (SELECT event_type, CAST(x AS DOUBLE) AS x,
           |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
           |      AS BIGINT) AS rk

@@ -458,7 +458,7 @@ object Aggregates {
         "alternative is one self-join per distinct column. Day derived by " +
         "epoch-day arithmetic (engine-portable; see q_ts_calendar).",
       (s, dir) => {
-        val day = floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+        val day = graft.Ts.dayBucket(col("ts"))
         table(s, dir, "events")
           .select(col("event_type"), col("user_id"), day.as("day"))
           .groupBy("event_type")

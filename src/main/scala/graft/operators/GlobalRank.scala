@@ -113,12 +113,20 @@ object GlobalRank {
     * ranks non-null aggregates or guards explicitly. */
   def rowNumberBanded(df: DataFrame, band: Column, sortCols: Seq[Column],
       out: String, totalOut: String = null): DataFrame = {
+    val internal = Seq("__band", "__rn", "__n", "__off", "__band2")
     require(!df.columns.contains(out) &&
-      Seq("__band", "__rn", "__n", "__off", "__band2").forall(c => !df.columns.contains(c)),
+      internal.forall(c => !df.columns.contains(c)),
       s"input already has '$out' or an internal __band/__rn/__n/__off column" +
         " — rowNumberBanded would silently overwrite it")
-    require(totalOut == null || !df.columns.contains(totalOut),
-      s"totalOut '$totalOut' collides with an input column")
+    // out/totalOut must also avoid the INTERNAL names (r14 sweep): out =
+    // "__rn" would pass the input-side guards, then the final
+    // drop(__band,__band2,__off,__rn) deletes the just-computed rank column
+    require(!internal.contains(out),
+      s"output name '$out' collides with an internal column")
+    require(totalOut == null ||
+      (!df.columns.contains(totalOut) && !internal.contains(totalOut) &&
+        totalOut != out),
+      s"totalOut '$totalOut' collides with an input, internal, or output column")
     val b = df.withColumn("__band", band).repartition(col("__band"))
     val inert = df.schema.fields
       .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
@@ -148,6 +156,15 @@ object GlobalRank {
   /** rank() OVER (ORDER BY key) — like [[denseRank]] plus per-key counts:
     * rank(v) = 1 + Σ count(k < v), a running sum over the distinct relation. */
   def rank(df: DataFrame, key: Column, out: String): DataFrame = {
+    // same guards as denseRank/rowNumberBanded (r14 sweep: this sibling was
+    // missed in the r13 hardening): out = "__k" would overwrite the grouped
+    // key and join rank values against rank numbers (silently near-empty
+    // output); out = "__n" would collide with the count column; a
+    // pre-existing out/__k makes every later col(out) AMBIGUOUS_REFERENCE
+    require(out != "__k" && out != "__n" &&
+      !df.columns.contains(out) && !df.columns.contains("__k"),
+      s"output name '$out' collides with an input column or an internal" +
+        " __k/__n column")
     val w = Window.orderBy(col("__k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranks = df.groupBy(key.as("__k")).agg(count(lit(1)).as("__n"))
       .withColumn(out, (sum(col("__n")).over(w) - col("__n") + 1).cast("int"))

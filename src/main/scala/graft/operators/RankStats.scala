@@ -36,7 +36,7 @@ object RankStats {
   private[operators] def daily(s: org.apache.spark.sql.SparkSession, dir: String) =
     table(s, dir, "events")
       .groupBy(col("event_type"),
-        floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+        graft.Ts.dayBucket(col("ts"))
           .as("day"))
       .agg(count(lit(1)).as("x"))
 
@@ -436,7 +436,7 @@ object RankStats {
         def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
         val ud = table(s, dir, "events")
           .select(col("user_id"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+            graft.Ts.dayBucket(col("ts"))
               .as("day"))
           .distinct()
         val mid = ud.agg((call_function("div",
@@ -494,8 +494,7 @@ object RankStats {
         def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
         val cells = table(s, dir, "events")
           .select(col("event_type"),
-            pmod(floor(graft.Ts.epochSec(col("ts")) / lit(86400d))
-              .cast(LongType) + 3, lit(7L)).as("dow"))
+            pmod(graft.Ts.dayBucket(col("ts")) + 3, lit(7L)).as("dow"))
           .groupBy("event_type", "dow")
           .agg(count(lit(1)).as("o"))
         val tot = Window.partitionBy(lit(1))
@@ -992,7 +991,7 @@ object RankStats {
         def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
         val ud = table(s, dir, "events")
           .select(col("user_id"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+            graft.Ts.dayBucket(col("ts"))
               .as("day"))
           .distinct()
           .withColumn("wk", call_function("div", col("day") + 3, lit(7L)))

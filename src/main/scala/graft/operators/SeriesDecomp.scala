@@ -94,7 +94,7 @@ object SeriesDecomp {
       (s, dir) => {
         val ud = table(s, dir, "events")
           .select(col("user_id"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+            graft.Ts.dayBucket(col("ts"))
               .as("day"))
           .distinct()
         val maxd = ud.agg(max(col("day")).as("maxday"))
@@ -637,7 +637,7 @@ object SeriesDecomp {
         def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
         val e = table(s, dir, "events")
           .select(col("user_id"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+            graft.Ts.dayBucket(col("ts"))
               .as("day"),
             floor(col("value") * 100 + lit(0.5d)).cast(LongType).as("cents"))
           .withColumn("d0", min(col("day")).over(
@@ -691,7 +691,7 @@ object SeriesDecomp {
           .orderBy(col("tsm"), col("event_id"))
         val gaps = table(s, dir, "events")
           .select(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+            graft.Ts.dayBucket(col("ts"))
               .as("day"),
             graft.Ts.epochMicros(col("ts")).as("tsm"), col("event_id"))
           .withColumn("prev", lag(col("tsm"), 1).over(wd))
@@ -754,7 +754,7 @@ object SeriesDecomp {
         def D(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
         val cells = table(s, dir, "events")
           .select(col("event_type"),
-            floor(graft.Ts.epochSec(col("ts")) / lit(86400d)).cast(LongType)
+            graft.Ts.dayBucket(col("ts"))
               .as("day"),
             pmod(floor(graft.Ts.epochSec(col("ts")) / lit(3600d))
               .cast(LongType), lit(24L)).as("hr"))

@@ -257,8 +257,7 @@ object Warehouse {
         "prefix is [[graft.functions.HexPrefix16]] byte arithmetic rather " +
         "than conv()'s NumberConverter parse.",
       (s, dir) => {
-        val day = floor(graft.Ts.epochSec(col("o_orderdate")) / lit(86400d))
-          .cast(LongType)
+        val day = graft.Ts.dayBucket(col("o_orderdate"))
         val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
         val h = graft.functions.HashExpr.auditDigest(col("o_orderkey"),
           col("o_custkey"), cents, day, col("o_orderpriority"))
