@@ -84,7 +84,14 @@ object Bench {
       // basket relation localCheckpoint'd for its three consumers — the
       // memoized-clone path would stage-skip the dominant basket shuffle
       // on every timed pass (r13 review)
-      "q_assoc_lift")
+      "q_assoc_lift",
+      // sketch/bloom/bitmap builders run eager driver-side collects (the
+      // sketch build, the bloom bitset, the bitmap domain + dim bitset):
+      // memoized clones would embed those results as literals and never
+      // time the build pass, while each DuckDB twin recomputes its sketch
+      // CTE inline per run (r14 sweep — same class as q_assoc_lift)
+      "q_agg_countmin", "q_join_bloom", "q_agg_bitmap_and",
+      "q_agg_bitmap_distinct")
   /** Shared with [[JobCensus]] so the census's honesty can never drift from
     * the bench's when a new eager query is added (advisor r12). */
   private[graft] def isEager(name: String): Boolean =

@@ -34,8 +34,14 @@ class MisraGries(m: Int) extends Aggregator[Long, Map[Long, Long], Map[Long, Lon
       case Some(c) => b.updated(k, c + 1)
       case None if b.size < m => b.updated(k, 1L)
       case None =>
-        // classic MG step: a full summary + unseen key decrements everyone
-        b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+        // classic MG step: a full summary + unseen key decrements everyone.
+        // Single-pass builder, not view.mapValues.filter.toMap — this is
+        // the hot path for every row whose key is outside the summary, and
+        // the chained form walked the 64-entry map three times per such
+        // row (r14 sweep)
+        val bld = Map.newBuilder[Long, Long]
+        b.foreach { case (key, c) => if (c > 1) bld += key -> (c - 1) }
+        bld.result()
     }
 
   override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
@@ -76,7 +82,16 @@ class TopKHeap(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], S
   override def zero: Seq[(Double, Long)] = Seq.empty
 
   override def reduce(b: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] =
-    ((b :+ v).sorted(ord)).take(k)
+    // the buffer is sorted by construction: a full row's overwhelmingly
+    // common case (v doesn't beat the current k-th) is ONE comparison, and
+    // a qualifying row is an insertion — not the append + O(k log k)
+    // re-sort this replaces (r14 sweep). `span` with <= keeps equal
+    // incumbents ahead of v, exactly like the stable sort of (b :+ v).
+    if (b.length >= k && ord.compare(v, b.last) >= 0) b
+    else {
+      val (pre, post) = b.span(e => ord.compare(e, v) <= 0)
+      ((pre :+ v) ++ post).take(k)
+    }
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     ((a ++ b).sorted(ord)).take(k)
@@ -175,22 +190,21 @@ class OrBitset(nbits: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
 class CountMinSketch(d: Int, w: Int) extends Aggregator[String, Array[Long], Array[Long]] {
   require(d <= 4, "md5 yields four disjoint 8-hex-char hash windows")
 
-  @transient private lazy val md5 =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
   override def zero: Array[Long] = new Array[Long](d * w)
 
   override def reduce(b: Array[Long], k: String): Array[Long] = {
-    val dig = md5.get()
-    dig.reset()
-    val hex = dig.digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // an 8-hex-char window of the digest string IS the big-endian 4-byte
+    // int at the same offset — extracted as byte arithmetic, value-identical
+    // to parseLong(hex.substring(8i, 8i+8), 16) but with zero string work
+    // on the per-row hot path (the formatting chain HashUtil's scaladoc
+    // measured as dominant; r14 sweep). The digest itself comes from
+    // HashUtil's shared ThreadLocal instead of a re-rolled one.
+    val dig = HashUtil.md5().digest(k.getBytes("UTF-8"))
     var i = 0
     while (i < d) {
-      val pos = (java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % w).toInt
-      b(i * w + pos) += 1
+      val v = ((dig(4 * i) & 0xffL) << 24) | ((dig(4 * i + 1) & 0xffL) << 16) |
+        ((dig(4 * i + 2) & 0xffL) << 8) | (dig(4 * i + 3) & 0xffL)
+      b(i * w + (v % w).toInt) += 1
       i += 1
     }
     b
@@ -297,7 +311,13 @@ object SketchAggregates {
         "shuffle-free plan. At a 2^31 id domain the production variant is " +
         "the compressed (roaring) bitmap with identical algebra.",
       (s, dir) => {
-        val bits = udaf(new BitsetDistinct(1 << 18))
+        // domain from the DATA, like q_agg_bitmap_and — a hardcoded 2^18
+        // crashed at sf >= 2 where o_custkey (150k x SF) outgrows it on a
+        // query whose whole point is the 100 TB posture (r14 sweep). The
+        // max() probe is an eager builder step: Bench.isEager prices it.
+        val dom = table(s, dir, "orders")
+          .agg(max(col("o_custkey"))).head.getLong(0).toInt + 1
+        val bits = udaf(new BitsetDistinct(dom))
         table(s, dir, "orders")
           .groupBy("o_orderpriority")
           .agg(bits(col("o_custkey")).as("n_users"), count(lit(1)).as("n_orders"))

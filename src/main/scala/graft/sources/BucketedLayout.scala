@@ -40,8 +40,14 @@ object BucketedLayout {
     built.computeIfAbsent((Tables.sessionId(s), dir), _ => {
       // sessionId in the table name, matching the memo key: without it a
       // second session on the same SparkContext would mode("overwrite") the
-      // files underneath a first session's in-flight scan
-      val suffix = s"${Tables.sessionId(s)}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // files underneath a first session's in-flight scan. The dir hash
+      // disambiguates dirs that sanitize to the same text (all punctuation
+      // maps to '_', so 'sf0.1' and 'sf0_1' collided and the second
+      // ensureTables overwrote the first dir's tables — r14 sweep)
+      val dirHash = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir))
+      val suffix = s"${Tables.sessionId(s)}_${dirHash}_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
       Tables.table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
         .write.mode("overwrite")
         .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
