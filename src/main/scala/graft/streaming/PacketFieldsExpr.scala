@@ -66,6 +66,27 @@ object PacketFieldsUtil {
   // java.util.regex default-mode line terminators (what `.` excludes)
   @inline private def isTerm(c: Char): Boolean =
     c == '\n' || c == '\r' || c == 0x85.toChar || c == 0x2028.toChar || c == 0x2029.toChar
+  @inline private def isTermCp(c: Int): Boolean =
+    c == '\n'.toInt || c == '\r'.toInt || c == 0x85 || c == 0x2028 || c == 0x2029
+
+  /** End UNIT index after consuming `count` CODE POINTS from `from`, none a
+    * line terminator — regex `.{count}` semantics (java.util.regex counts
+    * code points, so an astral char spans two UTF-16 units; r14 sweep: the
+    * unit-counting scan this replaces mis-classified any packet with an
+    * astral char in a fixed-width dot field). Returns -1 on no-match. */
+  private def dotRunCp(p: String, from: Int, count: Int): Int = {
+    var j = from
+    var cp = 0
+    val n = p.length
+    while (cp < count) {
+      if (j >= n) return -1
+      val c = p.codePointAt(j)
+      if (isTermCp(c)) return -1
+      j += Character.charCount(c)
+      cp += 1
+    }
+    j
+  }
   @inline private def isCallChar(c: Char): Boolean =
     (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || isDigit(c) || c == '-'
   @inline private def isTelChar(c: Char): Boolean = isDigit(c) || c == '.' || c == '-'
@@ -116,16 +137,27 @@ object PacketFieldsUtil {
     * sometimes space only one side, and reporting the lat count alone
     * would surface a coarsened (zero-filled) longitude as level 0. The
     * caller zero-fills spaced digits — the spec's "somewhere in the box"
-    * becomes the box's low corner, deterministically. */
+    * becomes the box's low corner, deterministically.
+    *
+    * The symbol-table group between the coordinates is `(.)` — ONE CODE
+    * POINT under java.util.regex, so an astral symbol char spans two
+    * UTF-16 units and shifts the longitude (r14 sweep: the previous
+    * fixed o+9 longitude offset assumed one unit and rejected such
+    * bodies where the regex reference parses them). The symbol width − 1
+    * rides the HIGH byte of the return value: level = r & 0xff,
+    * longitude starts at o + 9 + (r >> 8). */
   private def bodyAmb(p: String, o: Int): Int = {
-    if (p.length < o + 18) return -1
+    if (p.length < o + 9) return -1
     if (!digits(p, o, 2)) return -1
     if (p.charAt(o + 4) != '.') return -1
     if (p.charAt(o + 7) != 'N' && p.charAt(o + 7) != 'S') return -1
     if (isTerm(p.charAt(o + 8))) return -1
-    if (!digits(p, o + 9, 3)) return -1
-    if (p.charAt(o + 14) != '.') return -1
-    if (p.charAt(o + 17) != 'E' && p.charAt(o + 17) != 'W') return -1
+    val symW = Character.charCount(p.codePointAt(o + 8))
+    val q = o + 8 + symW // longitude field start
+    if (p.length < q + 9) return -1
+    if (!digits(p, q, 3)) return -1
+    if (p.charAt(q + 5) != '.') return -1
+    if (p.charAt(q + 8) != 'E' && p.charAt(q + 8) != 'W') return -1
     var amb = 0
     var sp = false
     var k = 0
@@ -138,13 +170,13 @@ object PacketFieldsUtil {
     var lonAmb = 0
     sp = false
     k = 0
-    while (k < 4) { // lon digit positions: o+12, o+13, o+15, o+16
-      val c = p.charAt(if (k < 2) o + 12 + k else o + 13 + k)
+    while (k < 4) { // lon digit positions: q+3, q+4, q+6, q+7
+      val c = p.charAt(if (k < 2) q + 3 + k else q + 4 + k)
       if (c == ' ') { sp = true; lonAmb += 1 }
       else if (!isDigit(c) || sp) return -1
       k += 1
     }
-    math.max(amb, lonAmb)
+    math.max(amb, lonAmb) | ((symW - 1) << 8)
   }
 
   /** Digit value with the ambiguity zero-fill (space → 0). */
@@ -269,13 +301,9 @@ object PacketFieldsUtil {
     @inline def tsSep(idx: Int): Boolean = plen > idx && {
       val c = payload.charAt(idx); c == 'z' || c == 'h' || c == '/'
     }
-    @inline def dotRun(from: Int, count: Int): Boolean = {
-      if (from + count > plen) return false
-      var j = from
-      val end = from + count
-      while (j < end) { if (isTerm(payload.charAt(j))) return false; j += 1 }
-      true
-    }
+    // object name: ^;(.{9})[*_] — `.{9}` counts CODE POINTS (r14 sweep);
+    // objEnd is the unit index just past the 9-point name, -1 on no-match
+    val objEnd = if (d == ';') dotRunCp(payload, 1, 9) else -1
     // item report (`)` DTI): 3–9 char name, then '!' (live) or '_' (killed),
     // then a position body (uncompressed or compressed) — the portable-
     // object sibling of `;`. The FIRST '!'/'_' must fall at index 4–10
@@ -292,9 +320,9 @@ object PacketFieldsUtil {
     val bodyOff: Int =
       if (d == '!' || d == '=') 1
       else if ((d == '/' || d == '@') && digits(payload, 1, 6) && tsSep(7)) 8
-      else if (d == ';' && dotRun(1, 9) && plen > 10 &&
-        (payload.charAt(10) == '*' || payload.charAt(10) == '_') &&
-        digits(payload, 11, 6) && tsSep(17)) 18
+      else if (d == ';' && objEnd > 0 && plen > objEnd &&
+        (payload.charAt(objEnd) == '*' || payload.charAt(objEnd) == '_') &&
+        digits(payload, objEnd + 1, 6) && tsSep(objEnd + 7)) objEnd + 8
       else if (d == ')' && itemTerm > 0) itemTerm + 1
       else -1
 
@@ -303,9 +331,11 @@ object PacketFieldsUtil {
     var miceSpeed: java.lang.Long = null
     var miceCourse: java.lang.Long = null
     var posAmb: java.lang.Long = null
-    val amb = if (bodyOff > 0) bodyAmb(payload, bodyOff) else -1
+    val ambR = if (bodyOff > 0) bodyAmb(payload, bodyOff) else -1
+    val amb = if (ambR < 0) -1 else ambR & 0xff
     if (bodyOff > 0 && amb >= 0) {
       val o = bodyOff
+      val q = o + 9 + (ambR >> 8) // longitude start (symbol width in high byte)
       // toDeg: (deg + minC/100.0/60.0) * sign — minC/100.0 is the correctly
       // rounded double of the decimal MM.mm, bitwise equal to the previous
       // Double.parseDouble("MM.mm") of the matched substring, so the IEEE
@@ -313,16 +343,16 @@ object PacketFieldsUtil {
       val latMinC = dig0(payload.charAt(o + 2)) * 1000 +
         dig0(payload.charAt(o + 3)) * 100 +
         dig0(payload.charAt(o + 5)) * 10 + dig0(payload.charAt(o + 6))
-      val lonMinC = dig0(payload.charAt(o + 12)) * 1000 +
-        dig0(payload.charAt(o + 13)) * 100 +
-        dig0(payload.charAt(o + 15)) * 10 + dig0(payload.charAt(o + 16))
+      val lonMinC = dig0(payload.charAt(q + 3)) * 1000 +
+        dig0(payload.charAt(q + 4)) * 100 +
+        dig0(payload.charAt(q + 6)) * 10 + dig0(payload.charAt(q + 7))
       val lat0 = ((payload.charAt(o) - '0') * 10 + (payload.charAt(o + 1) - '0')
         + latMinC.toDouble / 100.0 / 60.0) *
         (if (payload.charAt(o + 7) == 'S') -1.0 else 1.0)
-      val lon0 = ((payload.charAt(o + 9) - '0') * 100 +
-        (payload.charAt(o + 10) - '0') * 10 + (payload.charAt(o + 11) - '0')
+      val lon0 = ((payload.charAt(q) - '0') * 100 +
+        (payload.charAt(q + 1) - '0') * 10 + (payload.charAt(q + 2) - '0')
         + lonMinC.toDouble / 100.0 / 60.0) *
-        (if (payload.charAt(o + 17) == 'W') -1.0 else 1.0)
+        (if (payload.charAt(q + 8) == 'W') -1.0 else 1.0)
       // independent range gates, exactly like the original lat/lon columns
       if (lat0 >= -90.0 && lat0 <= 90.0) lat = lat0
       if (lon0 >= -180.0 && lon0 <= 180.0) lon = lon0
@@ -365,7 +395,11 @@ object PacketFieldsUtil {
       while (pe < pl && path.charAt(pe) != ',') pe += 1
       var de = 0
       while (de < pe && path.charAt(de) != '-') de += 1
-      if (de == 6 && plen >= 9) {
+      // length(payload) >= 9 counts CODE POINTS like the reference's
+      // length() (r14 sweep); plen >= 18 short-circuits the count — an
+      // astral char is at most 2 units, so 18 units is always >= 9 points
+      if (de == 6 && plen >= 9 &&
+        (plen >= 18 || payload.codePointCount(0, plen) >= 9)) {
         var ok = true
         var k = 0
         while (k < 6 && ok) { if (!miceValid(path.charAt(k))) ok = false; k += 1 }
@@ -451,12 +485,24 @@ object PacketFieldsUtil {
     }
     val hasPos = lat != null && lon != null
 
-    // message head: ^:([^:]{9}):  — [^:] admits line terminators (negated class)
-    val msgMatch = d == ':' && plen >= 11 && {
+    // message head: ^:([^:]{9}):  — [^:] admits line terminators (negated
+    // class) and {9} counts CODE POINTS (r14 sweep); msgAddrEnd is the unit
+    // index of the closing ':' on match
+    var msgAddrEnd = -1
+    val msgMatch = d == ':' && {
       var ok = true
       var j = 1
-      while (j <= 9 && ok) { if (payload.charAt(j) == ':') ok = false; j += 1 }
-      ok && payload.charAt(10) == ':'
+      var cp = 0
+      while (cp < 9 && ok) {
+        if (j >= plen) ok = false
+        else {
+          val c = payload.codePointAt(j)
+          if (c == ':'.toInt) ok = false
+          else { j += Character.charCount(c); cp += 1 }
+        }
+      }
+      if (ok && j < plen && payload.charAt(j) == ':') { msgAddrEnd = j; true }
+      else false
     }
 
     // telemetry head: ^T#([0-9]{1,5}),  — greedy run; >5 digits never matches
@@ -490,8 +536,8 @@ object PacketFieldsUtil {
     var objName: String = null
     var objKilled: java.lang.Boolean = null
     if (ptype == "object") {
-      objName = trimSpaces(payload.substring(1, 10))
-      objKilled = java.lang.Boolean.valueOf(payload.charAt(10) == '_')
+      objName = trimSpaces(payload.substring(1, objEnd))
+      objKilled = java.lang.Boolean.valueOf(payload.charAt(objEnd) == '_')
     } else if (ptype == "item") {
       // item names are variable-length (3–9 chars), not space-padded like
       // the fixed 9-char object field — no trim
@@ -556,9 +602,9 @@ object PacketFieldsUtil {
     var msgAddr: String = null
     var msgText: String = null
     if (ptype == "message") {
-      msgAddr = trimSpaces(payload.substring(1, 10))
+      msgAddr = trimSpaces(payload.substring(1, msgAddrEnd))
       // ^:[^:]{9}:(.*)$ — no-match extracts "" (regexp_extract), not null
-      val t = dotStarDollar(payload.substring(11))
+      val t = dotStarDollar(payload.substring(msgAddrEnd + 1))
       msgText = if (t == null) "" else t
     }
 
@@ -570,6 +616,20 @@ object PacketFieldsUtil {
       val en = if (cpLen <= 257) plen else payload.offsetByCodePoints(0, 257)
       statusText = payload.substring(st, en)
     }
+
+    // family-typed outputs are packet_type-gated like every other family
+    // (r14 sweep: mice_speed/mice_course and pos_ambiguity leaked onto
+    // 'other' rows whose body decoded but whose callsign was broken — the
+    // reference gates mice_speed/course on ptype = 'mice', and
+    // pos_ambiguity follows the file's own gating rule; 'thirdparty'
+    // carries the INNER parse's values, themselves gated by the inner
+    // classification). lat/lon/grid stay intentionally ungated in both
+    // formulations.
+    if (ptype != "mice" && ptype != "thirdparty") {
+      miceSpeed = null; miceCourse = null
+    }
+    if (ptype != "position" && ptype != "position_ts" && ptype != "object" &&
+      ptype != "item" && ptype != "thirdparty") posAmb = null
 
     var grid: String = null
     if (hasPos) {

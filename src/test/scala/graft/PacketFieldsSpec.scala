@@ -322,6 +322,14 @@ class PacketFieldsSpec extends SparkSuite {
     // unicode in payload (code-point dti / status substring)
     "U1>A:>\u00e9tat ok \u4e2d\u6587",
     "U2>A:\u4e2d4903.50N/07201.75W-",      // multibyte dti → other
+    // astral (non-BMP) chars in fixed-width dot/negated-class fields: the
+    // regex counts CODE POINTS, a surrogate pair is one point / two units
+    // (r14 sweep — each of these previously flipped classification)
+    "U3>A::ABCDEFGH\uD83D\uDE00:hi",       // 9-point addressee (10 units) → message
+    "U4>A::\uD83D\uDE00ABCDEFG:x",         // 8 points before ':' at unit 10 → other
+    "U5>A:!4903.50N\uD83D\uDE0007201.75W-",  // astral symbol-table char → position
+    "U6>A:;AAAAAAAA\uD83D\uDE00*092345z4903.50N/07201.75W-", // 9-point obj name → object
+    "U7>T7SUPW:`abcdef\uD83D\uDE00",       // 9 units, 8 points → other (mice len gate)
     // compressed positions (APRS-spec example coordinates: 49.5N 72.75W)
     "K1ABC>APRS,TCPIP*:!/5L!!<*e7>7P[comment",
     "K1ABC>APRS:=/5L!!<*e7>{!! ",
@@ -345,6 +353,9 @@ class PacketFieldsSpec extends SparkSuite {
     "W1AW>T7SUPW7,WIDE1-1:`l?N\u001e\u001cs>/7-char dest",  // len != 6 → other
     "W1AW>T7SUPW:`\u001b?N\u001e\u001cs>/info byte < 28",   // → other
     "BACKTICK>APRS:`no valid dest here",
+    // broken callsign + valid Mic-E body: ptype 'other' must carry NULL
+    // mice_speed/mice_course (family gating — r14 sweep)
+    "*>T7SUPW:`l?Ns>/x",
     // NMEA payloads (older trackers)
     "N0TRK>APRS,TCPIP*:$GPRMC,225446,A,4916.45,N,12311.12,W,000.5,054.7,191194,020.3,E*68",
     "N0TRK>APRS:$GPRMC,225446,V,4916.45,N,12311.12,W,000.5,054.7,191194,,*68", // void fix → other
