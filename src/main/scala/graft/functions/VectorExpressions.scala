@@ -137,6 +137,10 @@ case class FloatDotConst(child: Expression, plane: Seq[Double])
   */
 case class StringShingles(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
+  // at construction, not eval: n <= 0 would NegativeArraySizeException every
+  // executor task (n < 0) or silently emit len+1 empty shingles (n = 0) —
+  // the SQL builder and the Column API both route here (r14 sweep)
+  require(n >= 1, s"$prettyName shingle width n must be >= 1, got $n")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -702,6 +706,8 @@ object ShingleHashUtil {
   * q_dedup_ngram_jaccard's scaladoc): cheaper regeneration compounds.
   */
 case class DistinctShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  // same construction-time guard as StringShingles (r14 sweep)
+  require(n >= 1, s"$prettyName shingle width n must be >= 1, got $n")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

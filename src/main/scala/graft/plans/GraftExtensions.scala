@@ -23,78 +23,52 @@ import graft.functions.{DistinctShingleHashes, FloatDotProduct, MaxPairDist2,
   * with nothing to fix.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** One registration: name + the class (for ExpressionInfo) + usage text
+    * for the arity error + the builder over the arity-checked children.
+    * (r14 sweep: nine verbatim injectFunction blocks collapsed to this.) */
+  private def register(e: SparkSessionExtensions, name: String, clazz: Class[_],
+      arity: Int, usage: String)(build: Seq[Expression] => Expression): Unit =
+    e.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == arity, s"$name$usage takes $arity arguments")
+        build(children)
+      }))
+
+  /** The shingle width argument: an INT literal >= 1 (the expressions
+    * re-assert the bound at construction; this is the friendly SQL-side
+    * message — r14 sweep: an unbounded n crashed executors with a raw
+    * NegativeArraySizeException). */
+  private def intLiteral(name: String, ex: Expression): Int = ex match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)
+        if v >= 1 => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+      sys.error(s"$name n must be >= 1, got $v")
+    case other => sys.error(s"$name n must be an INT literal, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_dot(arrayFloat, arrayFloat) takes 2 arguments")
-        FloatDotProduct(children.head, children(1))
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_shingles"),
-      new ExpressionInfo(classOf[StringShingles].getName, "graft_shingles"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_shingles(arrayString, n) takes 2 arguments")
-        val n = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => sys.error(s"graft_shingles n must be an INT literal, got $other")
-        }
-        StringShingles(children.head, n)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_simhash16"),
-      new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "graft_simhash16(arrayString) takes 1 argument")
-        SimHash16(children.head)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_rolling_fp"),
-      new ExpressionInfo(classOf[TokenRollingHash].getName, "graft_rolling_fp"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "graft_rolling_fp(arrayString) takes 1 argument")
-        TokenRollingHash(children.head)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_token_counts"),
-      new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "graft_token_counts(arrayString) takes 1 argument")
-        TokenCounts(children.head)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_token_stats"),
-      new ExpressionInfo(classOf[TokenStats].getName, "graft_token_stats"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "graft_token_stats(arrayString) takes 1 argument")
-        TokenStats(children.head)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_max_pair_dist2"),
-      new ExpressionInfo(classOf[MaxPairDist2].getName, "graft_max_pair_dist2"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1,
-          "graft_max_pair_dist2(arrayStruct(lat,lon)) takes 1 argument")
-        MaxPairDist2(children.head)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_shingle_hashes"),
-      new ExpressionInfo(classOf[DistinctShingleHashes].getName, "graft_shingle_hashes"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_shingle_hashes(arrayString, n) takes 2 arguments")
-        val n = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => sys.error(s"graft_shingle_hashes n must be an INT literal, got $other")
-        }
-        DistinctShingleHashes(children.head, n)
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_packet_fields"),
-      new ExpressionInfo(classOf[graft.streaming.PacketFields].getName, "graft_packet_fields"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "graft_packet_fields(rawLine) takes 1 argument")
-        graft.streaming.PacketFields(children.head)
-      }))
+    register(e, "graft_dot", classOf[FloatDotProduct], 2,
+      "(arrayFloat, arrayFloat)")(c => FloatDotProduct(c.head, c(1)))
+    register(e, "graft_shingles", classOf[StringShingles], 2,
+      "(arrayString, n)")(c =>
+      StringShingles(c.head, intLiteral("graft_shingles", c(1))))
+    register(e, "graft_simhash16", classOf[SimHash16], 1,
+      "(arrayString)")(c => SimHash16(c.head))
+    register(e, "graft_rolling_fp", classOf[TokenRollingHash], 1,
+      "(arrayString)")(c => TokenRollingHash(c.head))
+    register(e, "graft_token_counts", classOf[TokenCounts], 1,
+      "(arrayString)")(c => TokenCounts(c.head))
+    register(e, "graft_token_stats", classOf[TokenStats], 1,
+      "(arrayString)")(c => TokenStats(c.head))
+    register(e, "graft_max_pair_dist2", classOf[MaxPairDist2], 1,
+      "(arrayStruct(lat,lon))")(c => MaxPairDist2(c.head))
+    register(e, "graft_shingle_hashes", classOf[DistinctShingleHashes], 2,
+      "(arrayString, n)")(c =>
+      DistinctShingleHashes(c.head, intLiteral("graft_shingle_hashes", c(1))))
+    register(e, "graft_packet_fields", classOf[graft.streaming.PacketFields], 1,
+      "(rawLine)")(c => graft.streaming.PacketFields(c.head))
   }
 }

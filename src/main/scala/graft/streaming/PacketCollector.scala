@@ -76,6 +76,11 @@ object PacketCollector {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
 
+    // the usage string documents the modes as mutually exclusive; without
+    // this guard --socket silently won and the --aprsis spec (including its
+    // login callsign/filter) was ignored unvalidated (r14 sweep)
+    require(!(args.contains("--socket") && args.contains("--aprsis")),
+      "--socket and --aprsis are mutually exclusive")
     val sock =
       if (args.contains("--socket")) {
         val idx = args.indexOf("--socket")

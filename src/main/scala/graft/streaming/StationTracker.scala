@@ -34,7 +34,7 @@ object StationTracker {
     * with ProcessingTimeTimeout, FlatMapGroupsWithStateExec reports
     * shouldRunAnotherBatch=true on every batch, so a Trigger.AvailableNow
     * refresh never terminates (observed as a livelock in StreamingSpec). */
-  private val IdleTimeoutMs: Long = 60 * 60 * 1000L
+  private[streaming] val IdleTimeoutMs: Long = 60 * 60 * 1000L
 
   private[streaming] def haversineKm(
       lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
@@ -43,11 +43,56 @@ object StationTracker {
     val a = math.pow(math.sin(dLat / 2), 2) +
       math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
         math.pow(math.sin(dLon / 2), 2)
-    2 * EarthRadiusKm * math.asin(math.sqrt(a))
+    // clamp: rounding on a near-antipodal pair can push a one ulp past 1,
+    // and asin(>1) = NaN would POISON the cumulative km for the station's
+    // whole remaining lifetime (r14 sweep — the classic haversine edge)
+    2 * EarthRadiusKm * math.asin(math.min(1.0, math.sqrt(a)))
   }
 
-  /** (lastLat, lastLon, cumulativeKm, nFixes, lastTsMillis) */
-  private type TrackState = (Double, Double, Double, Long, Long)
+  /** (lastLat, lastLon, cumulativeKm, nFixes, lastTsMicros) */
+  private[streaming] type TrackState = (Double, Double, Double, Long, Long)
+
+  private[streaming] val zeroState: TrackState =
+    (Double.NaN, Double.NaN, 0.0, 0L, Long.MinValue)
+
+  /** Event-time MICROSECONDS of a fix — the grain of the sort key and the
+    * cross-batch replay bound. `ts.getTime` alone is millisecond-truncated:
+    * a genuinely newer fix in the same millisecond as the last folded one
+    * compared equal to the bound and was silently dropped as a replay
+    * (r14 sweep). floorDiv keeps pre-1970 timestamps exact. */
+  private[streaming] def fixMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
+  /** The deterministic per-batch fold, shared VERBATIM by both tracker
+    * implementations (StationTracker / StationTrackerTws) so their
+    * documented semantic identity is structural, not copy-paste (r14
+    * sweep): total (micros, lat, lon) sort, exact duplicates dropped,
+    * strict replay bound only across batches (prev state's lastTsMicros).
+    * Returns the folded state; callers compare nFixes to detect an
+    * empty/all-late batch. */
+  private[streaming] def foldBatch(
+      batch: Iterator[PacketFix], prev: TrackState): TrackState = {
+    // micro-batch iterators carry no order guarantee — order by a TOTAL key
+    // (micros, lat, lon) so tied-timestamp fixes fold in a deterministic
+    // order and are all counted within a batch. ACROSS batches the bound
+    // stays strict: a fix at or before the last folded event time is
+    // indistinguishable from an at-least-once redelivery and is dropped
+    // (folding it in arrival order would count backtrack distance twice);
+    // a tied fix split across two batches is therefore collapsed — the
+    // price of replay safety. Exact within-batch duplicates (same ts AND
+    // position) are redeliveries, dropped via the distinct pass.
+    val fixesSorted = batch.toSeq.sortBy(f => (fixMicros(f.ts), f.lat, f.lon)).distinct
+    var (lat, lon, km, n, lastUs) = prev
+    val stateBound = lastUs // pre-batch bound: strict only across batches
+    fixesSorted.foreach { f =>
+      val us = fixMicros(f.ts)
+      if (us > stateBound) {
+        if (!lat.isNaN) km += haversineKm(lat, lon, f.lat, f.lon)
+        lat = f.lat; lon = f.lon; n += 1; lastUs = us
+      }
+    }
+    (lat, lon, km, n, lastUs)
+  }
 
   def track(fixes: Dataset[PacketFix]): Dataset[StationStat] = {
     implicit val stateEnc: Encoder[TrackState] =
@@ -66,38 +111,20 @@ object StationTracker {
             state.remove()
             Iterator.empty
           } else {
-            // micro-batch iterators carry no order guarantee — order by a
-            // TOTAL key (ts, lat, lon) so tied-timestamp fixes fold in a
-            // deterministic order and are all counted within a batch. ACROSS
-            // batches the bound stays strict: a fix at or before the last
-            // folded event time is indistinguishable from an at-least-once
-            // redelivery and is dropped (folding it in arrival order would
-            // count backtrack distance twice); a tied fix split across two
-            // batches is therefore collapsed — the price of replay safety.
-            // exact within-batch duplicates (same ts AND position) are
-            // redeliveries, dropped via the distinct pass after the sort
-            val fixesSorted =
-              batch.toSeq.sortBy(f => (f.ts.getTime, f.lat, f.lon)).distinct
-            var (lat, lon, km, n, lastTs) =
-              state.getOption.getOrElse((Double.NaN, Double.NaN, 0.0, 0L, Long.MinValue))
-            val nBefore = n
-            val stateBound = lastTs // pre-batch bound: strict only across batches
-            fixesSorted.foreach { f =>
-              if (f.ts.getTime > stateBound) {
-                if (!lat.isNaN) km += haversineKm(lat, lon, f.lat, f.lon)
-                lat = f.lat; lon = f.lon; n += 1; lastTs = f.ts.getTime
-              }
-            }
-            if (n == nBefore) Iterator.empty // nothing new folded (empty or all-late batch)
+            val prev = state.getOption.getOrElse(zeroState)
+            val next = foldBatch(batch, prev)
+            if (next._4 == prev._4) Iterator.empty // nothing new folded (empty or all-late batch)
             else {
-              state.update((lat, lon, km, n, lastTs))
+              state.update(next)
               // expire when the watermark passes lastTs + idle window; the
               // timestamp must sit strictly past the current watermark or
               // Spark rejects it (an already-idle station registers the
-              // earliest legal expiry instead)
+              // earliest legal expiry instead). lastTs is MICROS, timeouts
+              // are millis.
               state.setTimeoutTimestamp(
-                math.max(lastTs + IdleTimeoutMs, state.getCurrentWatermarkMs() + 1))
-              Iterator(StationStat(callsign, n, km))
+                math.max(Math.floorDiv(next._5, 1000L) + IdleTimeoutMs,
+                  state.getCurrentWatermarkMs() + 1))
+              Iterator(StationStat(callsign, next._4, next._3))
             }
           }
       }

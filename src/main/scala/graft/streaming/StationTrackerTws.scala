@@ -27,52 +27,43 @@ import org.apache.spark.sql.streaming.{
   */
 object StationTrackerTws {
 
-  private val IdleTimeoutMs: Long = 60 * 60 * 1000L
-
-  /** (lastLat, lastLon, cumulativeKm, nFixes, lastTsMillis) */
-  private type TrackState = (Double, Double, Double, Long, Long)
+  import StationTracker.{foldBatch, zeroState, IdleTimeoutMs, TrackState}
 
   private class Processor
       extends StatefulProcessor[String, PacketFix, StationStat] {
 
     @transient private var track: ValueState[TrackState] = _
-    @transient private var armed: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val stateEnc: Encoder[TrackState] =
         Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
           Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong)
       track = getHandle.getValueState[TrackState]("track", stateEnc, TTLConfig.NONE)
-      armed = getHandle.getValueState[Long]("armedTimer", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(
         callsign: String,
         rows: Iterator[PacketFix],
         timerValues: TimerValues): Iterator[StationStat] = {
-      // identical fold to StationTracker: total (ts, lat, lon) sort, exact
-      // duplicates dropped, strict bound only across batches
-      val fixesSorted = rows.toSeq.sortBy(f => (f.ts.getTime, f.lat, f.lon)).distinct
-      var (lat, lon, km, n, lastTs) =
-        if (track.exists()) track.get()
-        else (Double.NaN, Double.NaN, 0.0, 0L, Long.MinValue)
-      val nBefore = n
-      val stateBound = lastTs
-      fixesSorted.foreach { f =>
-        if (f.ts.getTime > stateBound) {
-          if (!lat.isNaN) km += StationTracker.haversineKm(lat, lon, f.lat, f.lon)
-          lat = f.lat; lon = f.lon; n += 1; lastTs = f.ts.getTime
-        }
-      }
-      if (n == nBefore) Iterator.empty
+      // StationTracker.foldBatch is the ONE copy of the fold, so the
+      // documented semantic identity of the two trackers is structural
+      // (r14 sweep: the previous verbatim copy was a latent-divergence
+      // hazard — a fix to one twin silently skipped the other)
+      val prev = if (track.exists()) track.get() else zeroState
+      val next = foldBatch(rows, prev)
+      if (next._4 == prev._4) Iterator.empty
       else {
-        track.update((lat, lon, km, n, lastTs))
-        if (armed.exists()) getHandle.deleteTimer(armed.get())
-        val expiry =
-          math.max(lastTs + IdleTimeoutMs, timerValues.getCurrentWatermarkInMs() + 1)
+        track.update(next)
+        // re-arm the idle timer through the handle's OWN timer registry —
+        // the previous dedicated 'armedTimer' ValueState duplicated it and
+        // paid an extra RocksDB read+write per station per batch (r14
+        // sweep). lastTs is MICROS, timers are millis.
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        val expiry = math.max(
+          Math.floorDiv(next._5, 1000L) + IdleTimeoutMs,
+          timerValues.getCurrentWatermarkInMs() + 1)
         getHandle.registerTimer(expiry)
-        armed.update(expiry)
-        Iterator(StationStat(callsign, n, km))
+        Iterator(StationStat(callsign, next._4, next._3))
       }
     }
 
@@ -83,7 +74,6 @@ object StationTrackerTws {
       // station idle past the event-time window: release its state; a later
       // fix restarts the track at 0 km, exactly like StationTracker's timeout
       track.clear()
-      armed.clear()
       Iterator.empty
     }
   }
