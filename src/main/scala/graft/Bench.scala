@@ -395,11 +395,15 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] full-copy write failed: $e") }
     val top = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // artifacts_total in the PARSED headline (r13 verdict #7): the driver
+    // artifact alone now shows queries + artifacts + duckdb from one window
+    val artTotal = artifactSec.map(_._2).sum
     val headline =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,""" +
         s""""n_queries":${results.size},"failed":$failedJson,""" +
         s""""duckdb_total":$duckTotal,""" +
-        s""""note":"queries holds slowest 15 of ${results.size}; duckdb_total is the same-window 4-thread oracle replay (full per-query split in bench_full.json)","sf":"$sfDir"}"""
+        s""""artifacts_total":${r3(artTotal)},"n_artifacts":${artifactSec.size},""" +
+        s""""note":"queries holds slowest 15 of ${results.size}; duckdb_total is the same-window 4-thread oracle replay; artifacts_total sums the ${artifactSec.size} write-once artifact builds (per-query and per-artifact splits in bench_full.json)","sf":"$sfDir"}"""
     // silence Spark's shutdown chatter (rpc/netty teardown logs at ERROR),
     // stop the session, and only THEN print the headline: nothing can be
     // written after it before the JVM exits.

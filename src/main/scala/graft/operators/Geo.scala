@@ -1101,7 +1101,16 @@ object Geo {
         "arithmetic (v = vt/10 tenths ⇒ 100·value = a·vt² + 10·b·vt + " +
         "100·c), so the oracle's direct integer computation is " +
         "bit-identical. Pins the message-addressee extraction, the EQNS " +
-        "text path, and the telemetry-to-metadata join in one gate.",
+        "text path, and the telemetry-to-metadata join in one gate. " +
+        "PRICED MACHINERY (r14, closing the per-round outlier " +
+        "adjudication): the production parser round-trip IS the product " +
+        "here — two relations render TNC2 frames and parse them back " +
+        "through PacketFields before the join — while the DuckDB twin " +
+        "computes the integers directly with no render/parse at all " +
+        "(0.008 s). r14 JobCensus at sf0.1: 0.66 s = 3 jobs / 7 stages / " +
+        "66 tasks — two render→parse passes over 150k-row relations plus " +
+        "the broadcast build; the same fair-pricing treatment as the " +
+        "streaming family's source→state-store→sink machinery.",
       (s, dir) => {
         // The APRS addressee field is EXACTLY 9 chars, so a station id must
         // render to ≤8 digits or rpad TRUNCATES it and the self-addressed

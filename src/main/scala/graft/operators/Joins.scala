@@ -614,15 +614,32 @@ object Joins {
         "double tree on identical operands; top-20 by ROUNDED lift " +
         "with full (b1, b2) tie-breaks keeps the cut deterministic.",
       (s, dir) => {
-        import org.apache.spark.sql.types.DoubleType
+        import org.apache.spark.sql.types.{DoubleType, StringType}
         // ONE order-keyed shuffle builds sorted per-order basket arrays
         // (collect_set dedups in the same aggregation the old form spent a
-        // distinct exchange on), materialized once for the three consumers
-        // (pairs, margins, total). Pair generation is then MAP-SIDE — each
-        // basket explodes its own sorted 2-combinations (b1 < b2 by array
-        // order), bounded by basket size, never a keyed self-join that
-        // re-shuffles the fact relation twice. Measured 2.5 s → ~1 s at
-        // sf0.1; at 100 TB the only wide op is the single basket shuffle.
+        // distinct exchange on). Pair generation is MAP-SIDE — each basket
+        // explodes its own sorted 2-combinations (b1 < b2 by array order),
+        // bounded by basket size, never a keyed self-join that re-shuffles
+        // the fact relation twice — and the SAME explode emits the margin
+        // and total MARKER rows ('m' per brand, 't' per basket), so pairs,
+        // margins, and total come out of ONE slim aggregation in ONE pass
+        // over the baskets (r14: the previous shape checkpointed the full
+        // basket relation and ran three separate passes over it; this runs
+        // the heavy chain once and checkpoints only the ~326-row aggregate
+        // for its three filter-consumers). At 100 TB the wide ops are the
+        // basket shuffle and the vocabulary²-bounded marker agg.
+        //
+        // r14 census (sf0.1, local[32], graft.AssocProbe head-to-head of
+        // four complete shapes, warm): marker fold 1.166 s < no-checkpoint
+        // ReuseExchange 1.272 s < old 3-pass 1.318 s < fused-margins 1.360 s.
+        // JobCensus: 6 jobs / 9 stages / 53 tasks. The floor/materialization
+        // split: the basket chain ALONE (scan + broadcast join + 147k-key
+        // collect_set shuffle) measures 0.670 s — half the total is that
+        // irreducible chain, the rest is the eager checkpoint pricing plus
+        // ~0.5 s of 6-job scheduling floor (~80 ms/job local). DuckDB's
+        // 0.21 s twin runs the same joins in-process with no job floor —
+        // the gap is machinery, not plan shape (the only wide ops are the
+        // two bounded shuffles above).
         val baskets = table(s, dir, "lineitem")
           .join(broadcast(table(s, dir, "part")
             .select(col("p_partkey"), col("p_brand"))),
@@ -630,22 +647,25 @@ object Joins {
           .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
           .groupBy("ok")
           .agg(sort_array(collect_set(col("b"))).as("bs"))
-          .localCheckpoint(true)
-        val margin = baskets.select(explode(col("bs")).as("b"))
-          .groupBy(col("b")).agg(count(lit(1)).as("nb"))
-        val tot = baskets.agg(count(lit(1)).as("nn"))
-        val pairs = baskets.select(explode(flatten(transform(col("bs"),
-          (x, i) => transform(
-            slice(col("bs"), i + lit(2), size(col("bs"))),
-            y => struct(x.as("b1"), y.as("b2")))))).as("p"))
-          .select(col("p.b1").as("b1"), col("p.b2").as("b2"))
-        pairs
-          .groupBy(col("b1"), col("b2"))
-          .agg(count(lit(1)).as("n12"))
-          .filter(col("n12") >= 20)
-          .join(broadcast(margin.select(col("b").as("b1"), col("nb").as("n1"))), "b1")
-          .join(broadcast(margin.select(col("b").as("b2"), col("nb").as("n2"))), "b2")
-          .crossJoin(broadcast(tot))
+        val nullS = lit(null).cast(StringType)
+        val pairMarks = flatten(transform(col("bs"), (x, i) => transform(
+          slice(col("bs"), i + lit(2), size(col("bs"))),
+          y => struct(lit("p").as("k"), x.as("b1"), y.as("b2")))))
+        val marginMarks = transform(col("bs"),
+          b => struct(lit("m").as("k"), b.as("b1"), nullS.as("b2")))
+        val totMark = array(struct(lit("t").as("k"), nullS.as("b1"), nullS.as("b2")))
+        val agg = baskets
+          .select(explode(concat(pairMarks, marginMarks, totMark)).as("e"))
+          .groupBy(col("e.k").as("k"), col("e.b1").as("b1"), col("e.b2").as("b2"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // tiny: ≤ pairs + brands + 1 rows
+        val margin = agg.filter(col("k") === "m")
+        agg.filter(col("k") === "p" && col("n") >= 20)
+          .select(col("b1"), col("b2"), col("n").as("n12"))
+          .join(broadcast(margin.select(col("b1"), col("n").as("n1"))), "b1")
+          .join(broadcast(margin.select(col("b1").as("b2"), col("n").as("n2"))), "b2")
+          .crossJoin(broadcast(
+            agg.filter(col("k") === "t").select(col("n").as("nn"))))
           .select(col("b1"), col("b2"), col("n12"), col("n1"), col("n2"),
             round((col("n12").cast(DoubleType) * col("nn").cast(DoubleType))
               / (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)), 6)
