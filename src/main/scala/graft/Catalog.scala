@@ -61,7 +61,9 @@ object Catalog {
         sb.append(s"- **`${q.name}`**$oracle — $head\n")
       }
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    val outPath = java.nio.file.Paths.get(out).toAbsolutePath
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.writeString(outPath, sb.toString)
     println(s"[catalog] wrote $out ($total operators)")
   }
 }

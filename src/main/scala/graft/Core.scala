@@ -216,12 +216,25 @@ object TempReaper {
   def deleteRecursively(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root) // closed below: leaks a dir fd per call otherwise
+      try walk.iterator().asScala.toSeq.reverseIterator
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
-  sys.addShutdownHook { paths.forEach(p => deleteRecursively(p)) }
+  // per-path isolation in the hook: Spark's own shutdown hooks run
+  // CONCURRENTLY with this one, so a state-store maintenance thread can
+  // write into a dir between the walk snapshot and the delete
+  // (DirectoryNotEmptyException) — one racy dir must not abort the hook
+  // and leak every later-registered dir on the RAM-backed tmpfs
+  // (r14 harness sweep)
+  sys.addShutdownHook {
+    paths.forEach { p =>
+      try deleteRecursively(p) catch { case _: Throwable => () }
+    }
+  }
 }
 
 /** Determinism helpers.

@@ -19,12 +19,21 @@ object PlanSweep {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // eager queries (streaming pipelines, localCheckpoint superstep
+    // builders) EXECUTE inside the builder and return a read-back whose
+    // plan is a bare scan the needle can never appear in — planning them
+    // would run minutes of checkpointed pipelines for zero detection value
+    // (r14 harness sweep); mirror Bench's own eager predicate and skip
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(Bench.isEager)
     var hits = 0
     names.foreach { n =>
       try {
         val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
-        val found = plan.collect {
+        // collectWithSubqueries, not collect: a SortAggregate hiding in a
+        // scalar-subquery branch is exactly the regression this sweep
+        // hunts, and node-local traversal never descends into it (the same
+        // subqueriesAll lesson Bench learned in r12 — r14 harness sweep)
+        val found = plan.collectWithSubqueries {
           case p if p.getClass.getSimpleName.contains(needle) => p
         }
         if (found.nonEmpty) {
@@ -32,10 +41,13 @@ object PlanSweep {
           println(s"[sweep] $n: ${found.size}x $needle")
         }
       } catch {
-        case e: Throwable => println(s"[sweep] $n: PLAN-ERROR ${e.getMessage.take(120)}")
+        // String.valueOf: a message-less Throwable (bare NPE, SOE) would
+        // otherwise NPE the catch handler itself and abort the whole sweep
+        case e: Throwable =>
+          println(s"[sweep] $n: PLAN-ERROR ${String.valueOf(e.getMessage).take(120)}")
       }
     }
-    println(s"[sweep] done: $hits/${names.size} plans contain $needle")
+    println(s"[sweep] done: $hits/${names.size} non-eager plans contain $needle")
     spark.stop()
   }
 }

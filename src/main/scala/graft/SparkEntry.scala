@@ -40,6 +40,14 @@ object SparkEntry {
       sources.BucketedLayout.all ++ // §2.1/§4 bucketed storage layout under the gate
       streaming.StreamQueries.all   // §2.10 streaming executed under the oracle gate
 
+  // duplicate-name guard: queries.toMap would silently DROP one of two
+  // same-named registrations (the shadowed query never executes or gates),
+  // and Catalog's Set-based drift guard cannot see it (r14 harness sweep)
+  require(registry.map(_.name).distinct.size == registry.size, {
+    val dups = registry.groupBy(_.name).filter(_._2.size > 1).keys
+    s"duplicate query name(s) in the registry: ${dups.mkString(", ")}"
+  })
+
   /** Flagship query on sf=0.001 (TPC-H Q1); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     operators.Aggregates.tpchQ1(spark, "/root/testdata/sf0.001")

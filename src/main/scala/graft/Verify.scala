@@ -10,6 +10,10 @@ object Verify {
     // Optional trailing query names restrict the dump (fast dev iteration on
     // a single operator); the driver always runs the full, unfiltered form.
     val only: Set[String] = args.drop(2).toSet
+    // a typo'd name would otherwise silently filter out everything and exit
+    // 0 with an empty (or stale) outDir (r14 harness sweep)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,6 +33,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a REUSED outDir would otherwise keep the previous run's parquet
+        // for this query, and the DuckDB compare would silently validate
+        // the stale result as correct (r14 harness sweep) — a failed query
+        // must leave NO result so the compare reports it missing
+        try TempReaper.deleteRecursively(s"$outDir/$name")
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
