@@ -164,7 +164,12 @@ object Ts {
   def dayBucket(c: Column): Column =
     floor(epochSec(c) / lit(86400d)).cast(LongType)
 
-  /** The oracle twin of [[dayBucket]] over a DuckDB timestamp expression. */
+  /** The oracle twin of [[dayBucket]] over a DuckDB timestamp expression.
+    * The ~35 existing oracle literals inline this spelling (converting the
+    * stripMargin literals to interpolation was judged churn-over-value);
+    * instead AlgebraSpec pins that EVERY `/ 86400` in every registered
+    * oracle matches this canonical form, so the inline copies cannot drift
+    * from it — new oracles should call this helper directly. */
   def dayBucketSql(e: String): String =
     s"CAST(floor(epoch($e) / 86400) AS BIGINT)"
 }

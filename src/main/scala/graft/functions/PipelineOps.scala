@@ -863,7 +863,7 @@ object PipelineOps {
       },
       Some(
         """WITH ev AS (SELECT event_type,
-          |    (((CAST(floor(epoch(ts) / 86400.0) AS BIGINT) + 3) % 7) + 7) % 7 AS dow
+          |    (((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7) + 7) % 7 AS dow
           |  FROM events),
           |cells AS (SELECT event_type, dow, count(*) AS o FROM ev GROUP BY 1, 2),
           |rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt

@@ -143,11 +143,14 @@ object Scalars {
           .limit(1000)
           .select(
             col("event_id"),
-            when(ks.rlike("^[+-]?[0-9]{1,9}$"), ks.cast(IntegerType)).as("k"))
+            // \A..\z, not ^..$: Java's $ tolerates one FINAL line terminator
+            // ('12\n' would match and ANSI-cast to 12) while RE2's $ is
+            // end-of-text — \A/\z mean end-of-text in BOTH engines
+            when(ks.rlike("\\A[+-]?[0-9]{1,9}\\z"), ks.cast(IntegerType)).as("k"))
       },
       Some(
         "SELECT event_id, CASE WHEN json_valid(props) THEN " +
-          "CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^[+-]?[0-9]{1,9}$') " +
+          "CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '\\A[+-]?[0-9]{1,9}\\z') " +
           "THEN CAST(json_extract_string(props, '$.k') AS INT) END END AS k " +
           "FROM events ORDER BY event_id LIMIT 1000")),
 
@@ -221,8 +224,14 @@ object Scalars {
         "non-object ('[1,2]') is NULL map vs len 0 — so both engines " +
         "answer NULL for every out-of-contract row instead (r14 sweep).",
       (s, dir) => {
-        val pat = "^\\{\\s*\\}$|^\\{\\s*\"[^\"]*\"\\s*:\\s*-?[0-9]{1,9}\\s*" +
-          "(,\\s*\"[^\"]*\"\\s*:\\s*-?[0-9]{1,9}\\s*)*\\}$"
+        // \A/\z anchors (end-of-text in BOTH regex engines — Java's $
+        // tolerates a final '\n' that RE2's does not, r14 diff review).
+        // The regex is the SHARED contract; the oracle additionally nests
+        // json_valid because a regex-passing-but-invalid shape (leading-zero
+        // int '007': Spark's from_json nulls the map) would ERROR DuckDB's
+        // json_keys instead of answering NULL.
+        val pat = "\\A\\{\\s*\\}\\z|\\A\\{\\s*\"[^\"]*\"\\s*:\\s*-?[0-9]{1,9}\\s*" +
+          "(,\\s*\"[^\"]*\"\\s*:\\s*-?[0-9]{1,9}\\s*)*\\}\\z"
         val valid = col("props").rlike(pat)
         val m = from_json(col("props"), MapType(StringType, IntegerType))
         table(s, dir, "events")
@@ -234,12 +243,12 @@ object Scalars {
             when(valid, element_at(m, "k")).as("k"))
       },
       Some {
-        val pat = "^\\{\\s*\\}$|^\\{\\s*\"[^\"]*\"\\s*:\\s*-?[0-9]{1,9}\\s*" +
-          "(,\\s*\"[^\"]*\"\\s*:\\s*-?[0-9]{1,9}\\s*)*\\}$"
+        val pat = "\\A\\{\\s*\\}\\z|\\A\\{\\s*\"[^\"]*\"\\s*:\\s*-?[0-9]{1,9}\\s*" +
+          "(,\\s*\"[^\"]*\"\\s*:\\s*-?[0-9]{1,9}\\s*)*\\}\\z"
         s"SELECT event_id, CASE WHEN regexp_matches(props, '$pat') THEN " +
-          "CAST(len(json_keys(props)) AS INT) END AS n_keys, " +
+          "CASE WHEN json_valid(props) THEN CAST(len(json_keys(props)) AS INT) END END AS n_keys, " +
           s"CASE WHEN regexp_matches(props, '$pat') THEN " +
-          "TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k " +
+          "CASE WHEN json_valid(props) THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END END AS k " +
           "FROM events ORDER BY event_id LIMIT 1000"
       }),
 

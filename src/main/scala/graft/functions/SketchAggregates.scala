@@ -232,6 +232,23 @@ object SketchAggregates {
     * margin at every sf (the render is scale-free). */
   val MgCapacity = 64
 
+  /** Dense-bitset domain from a data-derived max key: NULL-safe (an empty
+    * relation yields max = NULL → domain 1, the empty bitset) and bounded
+    * (past ~2^31 keys `.toInt + 1` would wrap NEGATIVE and the allocation
+    * would throw NegativeArraySizeException on every task — the clear error
+    * here names the roaring-bitmap production path instead; r14 diff
+    * review). */
+  private def bitsetDomain(maxKey: org.apache.spark.sql.Row): Int = {
+    if (maxKey.isNullAt(0)) 1
+    else {
+      val m = maxKey.getLong(0)
+      require(m >= 0 && m < Int.MaxValue - 63,
+        s"key domain [0, $m] too large for a dense bitset — use the " +
+          "compressed (roaring) variant the scaladoc describes")
+      m.toInt + 1
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_agg_heavy_hitters",
@@ -315,8 +332,7 @@ object SketchAggregates {
         // crashed at sf >= 2 where o_custkey (150k x SF) outgrows it on a
         // query whose whole point is the 100 TB posture (r14 sweep). The
         // max() probe is an eager builder step: Bench.isEager prices it.
-        val dom = table(s, dir, "orders")
-          .agg(max(col("o_custkey"))).head.getLong(0).toInt + 1
+        val dom = bitsetDomain(table(s, dir, "orders").agg(max(col("o_custkey"))).head)
         val bits = udaf(new BitsetDistinct(dom))
         table(s, dir, "orders")
           .groupBy("o_orderpriority")
@@ -470,7 +486,7 @@ object SketchAggregates {
         "associative/commutative/idempotent and AND distributes over it.",
       (s, dir) => {
         val cust = table(s, dir, "customer")
-        val dom = cust.agg(max(col("c_custkey"))).head.getLong(0).toInt + 1
+        val dom = bitsetDomain(cust.agg(max(col("c_custkey"))).head)
         val orBits = udaf(new OrBitset(dom))
         val dimBits = typedLit(
           cust.filter(col("c_mktsegment") === "BUILDING")

@@ -101,6 +101,13 @@ final class AprsIsRelay(host: String, port: Int, callsign: String,
         val sock = new java.net.Socket(host, port)
         upstream = sock
         try {
+          // re-check AFTER publishing: a stop() that ran while the connect
+          // was in flight saw upstream == null and closed nothing — without
+          // this the fresh socket would block in readLine() until the
+          // server's next keepalive, the exact leak stop() exists to
+          // prevent (r14 diff review; the finally below closes the socket)
+          if (closed)
+            throw new java.io.IOException("relay stopped during connect")
           val in = new java.io.BufferedReader(new java.io.InputStreamReader(
             sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
           val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(

@@ -49,11 +49,21 @@ object StationTracker {
     2 * EarthRadiusKm * math.asin(math.min(1.0, math.sqrt(a)))
   }
 
-  /** (lastLat, lastLon, cumulativeKm, nFixes, lastTsMicros) */
-  private[streaming] type TrackState = (Double, Double, Double, Long, Long)
+  /** (lastLat, lastLon, cumulativeKm, nFixes, lastTsMicros, grain).
+    *
+    * The trailing `grain` field exists to make the r14 millis→micros unit
+    * change a SCHEMA change: a checkpoint written by the millis build holds
+    * a 5-field tuple, and Spark's state-schema compatibility check fails a
+    * restart LOUDLY instead of silently reinterpreting stored millis as
+    * micros — which would put the replay bound decades in the past and
+    * double-count every redelivered fix (r14 diff review). */
+  private[streaming] type TrackState = (Double, Double, Double, Long, Long, Long)
+
+  /** lastTs unit marker: micros. */
+  private[streaming] val GrainMicros = 1000000L
 
   private[streaming] val zeroState: TrackState =
-    (Double.NaN, Double.NaN, 0.0, 0L, Long.MinValue)
+    (Double.NaN, Double.NaN, 0.0, 0L, Long.MinValue, GrainMicros)
 
   /** Event-time MICROSECONDS of a fix — the grain of the sort key and the
     * cross-batch replay bound. `ts.getTime` alone is millisecond-truncated:
@@ -82,7 +92,7 @@ object StationTracker {
     // price of replay safety. Exact within-batch duplicates (same ts AND
     // position) are redeliveries, dropped via the distinct pass.
     val fixesSorted = batch.toSeq.sortBy(f => (fixMicros(f.ts), f.lat, f.lon)).distinct
-    var (lat, lon, km, n, lastUs) = prev
+    var (lat, lon, km, n, lastUs, _) = prev
     val stateBound = lastUs // pre-batch bound: strict only across batches
     fixesSorted.foreach { f =>
       val us = fixMicros(f.ts)
@@ -91,13 +101,12 @@ object StationTracker {
         lat = f.lat; lon = f.lon; n += 1; lastUs = us
       }
     }
-    (lat, lon, km, n, lastUs)
+    (lat, lon, km, n, lastUs, GrainMicros)
   }
 
   def track(fixes: Dataset[PacketFix]): Dataset[StationStat] = {
     implicit val stateEnc: Encoder[TrackState] =
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
-        Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong)
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TrackState]()
     implicit val outEnc: Encoder[StationStat] = Encoders.product[StationStat]
     implicit val keyEnc: Encoder[String] = Encoders.STRING
 

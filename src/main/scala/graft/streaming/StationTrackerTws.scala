@@ -36,8 +36,7 @@ object StationTrackerTws {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val stateEnc: Encoder[TrackState] =
-        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
-          Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong)
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TrackState]()
       track = getHandle.getValueState[TrackState]("track", stateEnc, TTLConfig.NONE)
     }
 

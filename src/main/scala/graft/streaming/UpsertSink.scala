@@ -161,10 +161,18 @@ object UpsertSink {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(touched.length, 8))
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        try Await.result( // Await rethrows the first bucket failure as-is
-          Future.sequence(touched.toSeq.map(b => Future(commitBucket(b)))),
-          Duration.Inf)
-        finally pool.shutdown()
+        // every commit is awaited to COMPLETION (Try-wrapped) before the
+        // first failure is rethrown: a fail-fast Await would return with
+        // sibling commits still writing in the background, and the caller's
+        // restart/replay path could then run a second writer against the
+        // same v-dir concurrently with the orphan (r14 diff review)
+        val outcomes =
+          try Await.result(
+            Future.sequence(touched.toSeq.map(b =>
+              Future(commitBucket(b)).transform(scala.util.Success(_)))),
+            Duration.Inf)
+          finally pool.shutdown()
+        outcomes.collectFirst { case scala.util.Failure(e) => throw e }
       }
     } finally grain.unpersist()
   }

@@ -157,4 +157,24 @@ class AlgebraSpec extends SparkSuite {
         "CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000003)").as("ref")).collect()
     both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
+  test("every oracle day-bucket spells Ts.dayBucketSql's canonical tree") {
+    // the Spark half of the day-bucket contract is single-homed in
+    // Ts.dayBucket; the DuckDB half lives inline in ~35 oracle literals.
+    // This pin keeps the two from drifting: every '/ 86400' in every
+    // registered oracle must be the EXACT canonical spelling
+    // CAST(floor(epoch(<expr>) / 86400) AS BIGINT) — a truncating integer
+    // div or an unfloored division would diverge pre-1970 (bug class #7).
+    val canonical = """CAST\(floor\(epoch\([^()]*(\([^()]*\)[^()]*)*\) / 86400\) AS BIGINT\)""".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val occurrences = "/ 86400".r.findAllIn(sql).size
+      val canonicalHits = canonical.findAllIn(sql).size
+      assert(occurrences == canonicalHits,
+        s"$name: ${occurrences - canonicalHits} day-bucket division(s) not in " +
+          s"the canonical Ts.dayBucketSql form")
+    }
+    // and the helper itself IS that spelling (construction can't drift)
+    assert(canonical.findFirstIn(graft.Ts.dayBucketSql("ts")).contains(
+      graft.Ts.dayBucketSql("ts")))
+  }
+
 }
