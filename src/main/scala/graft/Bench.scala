@@ -204,9 +204,14 @@ object Bench {
       ("pq_model", () => graft.functions.VectorOps.ensurePqModel(spark, sfDir))
     ).map { case (n, f) =>
       val t0 = System.nanoTime()
-      try f() catch { case e: Throwable =>
-        System.err.println(s"[bench] artifact $n failed: ${e.getMessage}") }
-      n -> (System.nanoTime() - t0) / 1e9
+      // a FAILED build records -1 (the per-query convention), never its
+      // time-to-failure — which read exactly like a successful fast build
+      // in artifacts_total and cross-round comparisons (r14 bench review)
+      try { f(); n -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact $n failed: ${e.getMessage}")
+        n -> -1.0
+      }
     }
 
     // Warmup pass 2 — lazy queries at the BENCHED dir: plan once (memoized),
@@ -350,8 +355,16 @@ object Bench {
         val of = java.nio.file.Files.createTempFile("oracle_sql", ".json")
         of.toFile.deleteOnExit() // one-shot input for the pairing subprocess
         java.nio.file.Files.writeString(of, oracleJson)
+        // arg 4: Spark-side FAILED query names — the replay still runs them
+        // (full per-query split) but excludes them from its "total", so the
+        // headline's value/duckdb_total ratio always compares the SAME query
+        // set; a Spark failure previously shrank only the Spark side and the
+        // ratio read better the more queries broke (r14 bench review).
+        // Threads stay pinned at 4 (the methodology of every recorded
+        // pairing); the Spark core count is recorded in the JSON lines.
         val pb = new ProcessBuilder(
-          "python3", tool.toString, sfDir, of.toString, "4")
+          "python3", tool.toString, sfDir, of.toString, "4",
+          if (failed.isEmpty) "-" else failed.mkString(","))
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val p = pb.start()
         // watchdog so a wedged interpreter can never hang the driver's round
@@ -375,10 +388,11 @@ object Bench {
     val duckTotal = duckLine
       .flatMap(l => "\"total\":\\s*([0-9.]+)".r.findFirstMatchIn(l))
       .map(_.group(1)).getOrElse("null")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"artifacts":$artJson,"duckdb":$duckJson,""" +
-        s""""sf":"$sfDir"}"""
+        s""""cpus":$cpus,"sf":"$sfDir"}"""
     // The driver archives only a ~2000-char TAIL of this output and parses a
     // JSON line out of it; the full per-query line outgrew that window in
     // round 2 (parsed: null). Emit, in order:
@@ -397,13 +411,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // artifacts_total in the PARSED headline (r13 verdict #7): the driver
     // artifact alone now shows queries + artifacts + duckdb from one window
-    val artTotal = artifactSec.map(_._2).sum
+    val artTotal = artifactSec.map(_._2).filter(_ >= 0).sum
     val headline =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,""" +
         s""""n_queries":${results.size},"failed":$failedJson,""" +
         s""""duckdb_total":$duckTotal,""" +
         s""""artifacts_total":${r3(artTotal)},"n_artifacts":${artifactSec.size},""" +
-        s""""note":"queries holds slowest 15 of ${results.size}; duckdb_total is the same-window 4-thread oracle replay; artifacts_total sums the ${artifactSec.size} write-once artifact builds (per-query and per-artifact splits in bench_full.json)","sf":"$sfDir"}"""
+        s""""cpus":$cpus,""" +
+        s""""note":"queries holds slowest 15 of ${results.size}; duckdb_total is the same-window 4-thread oracle replay over the non-failed query set; artifacts_total sums the ${artifactSec.size} write-once artifact builds, failures as -1 (splits in bench_full.json)","sf":"$sfDir"}"""
     // silence Spark's shutdown chatter (rpc/netty teardown logs at ERROR),
     // stop the session, and only THEN print the headline: nothing can be
     // written after it before the JVM exits.

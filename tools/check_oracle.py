@@ -12,8 +12,7 @@ import sys, json, glob, math
 import duckdb
 import pandas as pd
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+from graft_tables import create_views
 
 def normalize(df):
     df = df[sorted(df.columns)]
@@ -25,19 +24,37 @@ def cells_equal(a, b):
     # of datetime but NaT == NaT is False — the date branch below would
     # spuriously fail nullable date columns without this)
     try:
-        if pd.isna(a) and pd.isna(b):
-            return True
+        na, nb = pd.isna(a), pd.isna(b)
+        if isinstance(na, bool) and isinstance(nb, bool):
+            if na and nb:
+                return True
+            if na != nb:
+                return False
     except (TypeError, ValueError):
         pass
-    if a is None and b is None:
-        return True
+    # array-likes element-wise: a bare a == b on numpy arrays yields an
+    # array whose truth value RAISES, killing the whole checker from inside
+    # the comparison loop (r14 bench review) — recurse instead
+    import numpy as np
+    arrayish = (list, tuple, np.ndarray)
+    if isinstance(a, arrayish) or isinstance(b, arrayish):
+        if not (isinstance(a, arrayish) and isinstance(b, arrayish)):
+            return False
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(
+            cells_equal(x, y) for x, y in zip(la, lb))
     # Timestamp vs datetime.date of the same instant: oracle DATE columns
     # fetch as datetime64 while Spark parquet DATE reads as object-of-date;
     # the driver hash-matched these in r1, so treat them equal here too.
+    # pd.Timestamp can raise OutOfBoundsDatetime on sentinel dates
+    # (9999-12-31) — fall through to plain equality there.
     import datetime
     if isinstance(a, (datetime.date, datetime.datetime)) and \
        isinstance(b, (datetime.date, datetime.datetime)):
-        return pd.Timestamp(a) == pd.Timestamp(b)
+        try:
+            return pd.Timestamp(a) == pd.Timestamp(b)
+        except (ValueError, OverflowError, pd.errors.OutOfBoundsDatetime):
+            pass
     try:
         if isinstance(a, float) or isinstance(b, float):
             if a is None or b is None:
@@ -47,72 +64,65 @@ def cells_equal(a, b):
             return float(a) == float(b)
     except (TypeError, ValueError):
         pass
-    return a == b
+    return bool(a == b)
+
+def check_one(con, oracle_sql, out_dir, name):
+    """Returns (None, nrows) on pass, (failure message, 0) on fail. May
+    raise — the caller prices an exception as a FAIL for this query only."""
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        return "no spark result parquet", 0
+    want = normalize(con.execute(oracle_sql).fetchdf())
+    # Read the Spark side with pandas/pyarrow, NOT through DuckDB:
+    # the driver hashes the pandas frames, so type divergences the
+    # DuckDB round-trip would mask (e.g. oracle HUGEINT -> float vs
+    # Spark BIGINT -> int64) must fail here too.
+    got = normalize(pd.concat(
+        [pd.read_parquet(f) for f in sorted(files)], ignore_index=True))
+    if list(want.columns) != list(got.columns):
+        return f"columns want={list(want.columns)} got={list(got.columns)}", 0
+    # Numeric-kind divergence is the class that hash-fails in the driver
+    # (e.g. HUGEINT -> float/object vs BIGINT -> int64). Date columns
+    # legitimately differ in dtype (datetime64 vs object-of-date) yet
+    # hash-match there, so only numeric kinds are checked.
+    NUM = frozenset("iuf")
+    kind_bad = [
+        (c, want[c].dtype, got[c].dtype) for c in want.columns
+        if want[c].dtype.kind != got[c].dtype.kind
+        and (want[c].dtype.kind in NUM or got[c].dtype.kind in NUM)]
+    if kind_bad:
+        c, wd, gd = kind_bad[0]
+        return (f"dtype kind col={c} oracle={wd} spark={gd} "
+                f"(driver hashes typed values — cast the oracle to match)"), 0
+    if len(want) != len(got):
+        return f"rows want={len(want)} got={len(got)}", 0
+    for c in want.columns:
+        wv, gv = want[c].tolist(), got[c].tolist()
+        for i, (a, b) in enumerate(zip(wv, gv)):
+            if not cells_equal(a, b):
+                return f"col={c} row={i} want={a!r} got={b!r}", 0
+    return None, len(want)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    create_views(con, sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark result parquet")
-            n_fail += 1
-            continue
+        # the WHOLE per-query check sits under the try: an exotic cell that
+        # makes the compare itself raise must fail THIS query, not kill the
+        # checker and leave the rest unchecked (r14 bench review)
         try:
-            want = normalize(con.execute(oracle[name]).fetchdf())
-            # Read the Spark side with pandas/pyarrow, NOT through DuckDB:
-            # the driver hashes the pandas frames, so type divergences the
-            # DuckDB round-trip would mask (e.g. oracle HUGEINT -> float vs
-            # Spark BIGINT -> int64) must fail here too.
-            got = normalize(pd.concat(
-                [pd.read_parquet(f) for f in sorted(files)], ignore_index=True))
+            msg, nrows = check_one(con, oracle[name], out_dir, name)
         except Exception as e:
-            print(f"FAIL {name}: {e}")
-            n_fail += 1
-            continue
-        if list(want.columns) != list(got.columns):
-            print(f"FAIL {name}: columns want={list(want.columns)} got={list(got.columns)}")
-            n_fail += 1
-            continue
-        # Numeric-kind divergence is the class that hash-fails in the driver
-        # (e.g. HUGEINT -> float/object vs BIGINT -> int64). Date columns
-        # legitimately differ in dtype (datetime64 vs object-of-date) yet
-        # hash-match there, so only numeric kinds are checked.
-        NUM = frozenset("iuf")
-        kind_bad = [
-            (c, want[c].dtype, got[c].dtype) for c in want.columns
-            if want[c].dtype.kind != got[c].dtype.kind
-            and (want[c].dtype.kind in NUM or got[c].dtype.kind in NUM)]
-        if kind_bad:
-            c, wd, gd = kind_bad[0]
-            print(f"FAIL {name}: dtype kind col={c} oracle={wd} spark={gd} "
-                  f"(driver hashes typed values — cast the oracle to match)")
-            n_fail += 1
-            continue
-        if len(want) != len(got):
-            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
-            n_fail += 1
-            continue
-        bad = None
-        for c in want.columns:
-            wv, gv = want[c].tolist(), got[c].tolist()
-            for i, (a, b) in enumerate(zip(wv, gv)):
-                if not cells_equal(a, b):
-                    bad = (c, i, a, b)
-                    break
-            if bad:
-                break
-        if bad:
-            c, i, a, b = bad
-            print(f"FAIL {name}: col={c} row={i} want={a!r} got={b!r}")
-            n_fail += 1
-        else:
-            print(f"ok   {name} ({len(want)} rows)")
+            msg, nrows = str(e), 0
+        if msg is None:
+            print(f"ok   {name} ({nrows} rows)")
             n_pass += 1
+        else:
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
