@@ -90,6 +90,34 @@ class UpsertSinkSpec extends SparkSuite {
     assert(tableSet(target) == before, "vacuum touched a live version")
   }
 
+  test("a failing bucket commit fails the batch without corrupting siblings; replay completes") {
+    // the r14 parallel commit awaits EVERY bucket to completion before
+    // rethrowing the first failure — this injects a failure into one
+    // bucket (its _meta path is made a DIRECTORY, so readMeta's
+    // readString throws) and proves (a) the batch fails loudly, (b) the
+    // sibling buckets are each either fully committed or untouched, and
+    // (c) replaying after repair converges to exactly-once truth
+    val target = Files.createTempDirectory("graft_ups_t7").toString
+    val ev = Tables.table(spark, sf, "events")
+    val poisoned = java.nio.file.Paths.get(s"$target/bucket=2/_meta")
+    Files.createDirectories(poisoned) // _meta as a DIR: readString throws
+    intercept[Exception] {
+      UpsertSink.upsertBatch(spark, target, buckets)(ev, 0L)
+    }
+    // siblings must be consistent: any committed bucket's table slice
+    // equals the batch truth for exactly that bucket's keys
+    val committed = UpsertSink.readTable(spark, target).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("cents"), r.getAs[Long]("last_us"))).toSet
+    assert(committed.subsetOf(truthSet),
+      "a partially-failed batch wrote rows that disagree with batch truth")
+    // repair the poisoned bucket and replay the SAME batch: buckets that
+    // committed skip (batchId guard), the rest apply — exactly-once
+    graft.TempReaper.deleteRecursively(poisoned.toString)
+    UpsertSink.upsertBatch(spark, target, buckets)(ev, 0L)
+    assert(tableSet(target) == truthSet)
+  }
+
   test("a DIFFERENT stream run against an existing target fails loudly, never silent-drops") {
     // fresh checkpoint ⇒ batchIds restart at 0 ⇒ the bare `batchId >= B`
     // guard would classify every new batch as already-committed and drop

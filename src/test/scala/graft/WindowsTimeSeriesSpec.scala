@@ -83,4 +83,26 @@ class WindowsTimeSeriesSpec extends SparkSuite {
     assert(ranked.filter(col("k").isNull).select("dr").distinct().head().getInt(0) == 1)
     assert(ranked.filter(col("k") === "a").head().getAs[Int]("dr") == 2)
   }
+
+  test("GlobalRank collision guards reject internal/input name clashes loudly") {
+    import graft.operators.GlobalRank
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    // rank: out = internal key/count names would silently join rank values
+    // against key values (r14 sweep) — must throw, never mis-join
+    intercept[IllegalArgumentException](GlobalRank.rank(df, col("k"), "__k"))
+    intercept[IllegalArgumentException](GlobalRank.rank(df, col("k"), "__n"))
+    intercept[IllegalArgumentException](GlobalRank.rank(df, col("k"), "v"))
+    // rowNumberBanded: out/totalOut colliding with an INTERNAL name passed
+    // the r13 input-side guards and the final drop deleted the rank column
+    intercept[IllegalArgumentException](
+      GlobalRank.rowNumberBanded(df, col("v"), Seq(col("v")), out = "__rn"))
+    intercept[IllegalArgumentException](
+      GlobalRank.rowNumberBanded(df, col("v"), Seq(col("v")),
+        out = "rk", totalOut = "__off"))
+    intercept[IllegalArgumentException](
+      GlobalRank.rowNumberBanded(df, col("v"), Seq(col("v")),
+        out = "rk", totalOut = "rk"))
+    // and the legal form still works after the guards
+    assert(GlobalRank.rank(df, col("k"), "r").count() == 2)
+  }
 }
