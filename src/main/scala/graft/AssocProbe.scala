@@ -110,7 +110,7 @@ object AssocProbe {
       finish(p12, margin.select(col("b").as("b1"), col("nb").as("n1")),
         margin.select(col("b").as("b2"), col("nb").as("n2")), tot)
     }
-    // V4: marker fold (current committed shape)
+    // V4: marker fold (r14 committed shape)
     time("full_marker") {
       val agg = baskets
         .select(explode(concat(pairMarks, marginMarks, totMark)).as("e"))
@@ -124,6 +124,50 @@ object AssocProbe {
         margin.select(col("b1"), col("n").as("n1")),
         margin.select(col("b1").as("b2"), col("n").as("n2")),
         agg.filter(col("k") === "t").select(col("n").as("nn")))
+    }
+    // V5: marker fold, coalesce(1) before the checkpoint (r14 verdict candidate)
+    time("full_marker_c1") {
+      val agg = baskets
+        .select(explode(concat(pairMarks, marginMarks, totMark)).as("e"))
+        .groupBy(col("e.k").as("k"), col("e.b1").as("b1"), col("e.b2").as("b2"))
+        .agg(count(lit(1)).as("n"))
+        .coalesce(1)
+        .localCheckpoint(true)
+      val margin = agg.filter(col("k") === "m")
+      finish(
+        agg.filter(col("k") === "p" && col("n") >= 20)
+          .select(col("b1"), col("b2"), col("n").as("n12")),
+        margin.select(col("b1"), col("n").as("n1")),
+        margin.select(col("b1").as("b2"), col("n").as("n2")),
+        agg.filter(col("k") === "t").select(col("n").as("nn")))
+    }
+    // V6: collect the vocabulary²-bounded aggregate ONCE (≤326 rows); the
+    // margin/total lookups are exact-integer driver map-gets; lift/round/
+    // order/limit stay Spark expressions over a local relation.
+    time("full_collect") {
+      val rows = baskets
+        .select(explode(concat(pairMarks, marginMarks, totMark)).as("e"))
+        .groupBy(col("e.k").as("k"), col("e.b1").as("b1"), col("e.b2").as("b2"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+      val margin = rows.iterator.filter(_.getString(0) == "m")
+        .map(r => r.getString(1) -> r.getLong(3)).toMap
+      val nn = rows.iterator.filter(_.getString(0) == "t")
+        .map(_.getLong(3)).next()
+      val pairs = rows.iterator
+        .filter(r => r.getString(0) == "p" && r.getLong(3) >= 20L)
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3),
+          margin(r.getString(1)), margin(r.getString(2)), nn))
+        .toSeq
+      import spark.implicits._
+      import org.apache.spark.sql.types.DoubleType
+      pairs.toDF("b1", "b2", "n12", "n1", "n2", "nn")
+        .select(col("b1"), col("b2"), col("n12"), col("n1"), col("n2"),
+          round((col("n12").cast(DoubleType) * col("nn").cast(DoubleType))
+            / (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)), 6)
+            .as("lift"))
+        .orderBy(col("lift").desc, col("b1"), col("b2"))
+        .limit(20).count()
     }
     spark.stop()
   }

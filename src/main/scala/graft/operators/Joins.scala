@@ -623,23 +623,34 @@ object Joins {
         // the fact relation twice — and the SAME explode emits the margin
         // and total MARKER rows ('m' per brand, 't' per basket), so pairs,
         // margins, and total come out of ONE slim aggregation in ONE pass
-        // over the baskets (r14: the previous shape checkpointed the full
-        // basket relation and ran three separate passes over it; this runs
-        // the heavy chain once and checkpoints only the ~326-row aggregate
-        // for its three filter-consumers). At 100 TB the wide ops are the
-        // basket shuffle and the vocabulary²-bounded marker agg.
+        // over the baskets. At 100 TB the wide ops are the basket shuffle
+        // and the vocabulary²-bounded marker agg — nothing downstream of
+        // the aggregate grows with the fact table.
         //
-        // r14 census (sf0.1, local[32], graft.AssocProbe head-to-head of
-        // four complete shapes, warm): marker fold 1.166 s < no-checkpoint
-        // ReuseExchange 1.272 s < old 3-pass 1.318 s < fused-margins 1.360 s.
-        // JobCensus: 6 jobs / 9 stages / 53 tasks. The floor/materialization
-        // split: the basket chain ALONE (scan + broadcast join + 147k-key
-        // collect_set shuffle) measures 0.670 s — half the total is that
-        // irreducible chain, the rest is the eager checkpoint pricing plus
-        // ~0.5 s of 6-job scheduling floor (~80 ms/job local). DuckDB's
-        // 0.21 s twin runs the same joins in-process with no job floor —
-        // the gap is machinery, not plan shape (the only wide ops are the
-        // two bounded shuffles above).
+        // r15: the ≤|vocab|²+|vocab|+1-row aggregate (~326 rows at 25
+        // brands) is COLLECTED once instead of localCheckpoint'd for three
+        // filter-consumers — the r14 shape paid the checkpoint job plus
+        // three consumer-side broadcast-build jobs (6 jobs / 9 stages
+        // total) just to re-read a driver-sized relation. The margin/total
+        // lookups are exact-integer map-gets (inner-join semantics via
+        // flatMap-on-Option); the float work — lift, round, the top-20
+        // order — stays in Spark expressions over the local relation, so
+        // cross-engine numeric semantics ride the same codepath as before
+        // (review class 15: never hand-roll round()). The collect is
+        // vocabulary²-bounded however large the fact table — the same
+        // boundedness argument the broadcast margins already made.
+        //
+        // r15 census (sf0.1, graft.AssocProbe SEVEN-shape head-to-head,
+        // warm): cpus=32 — collect 0.988 s < marker 1.009 < marker+
+        // coalesce(1) 1.028 < no-checkpoint ReuseExchange 1.177 < old
+        // 3-pass 1.254 < fused-margins 1.329; cpus=4 — collect 1.179 <
+        // old 1.336 < marker 1.421 ≈ marker+c1 1.425 < nock 1.459 <
+        // fused 1.626. JobCensus (eager path): 6 → 3 jobs. The r14
+        // verdict's coalesce(1) candidate measured as a wash — the cost
+        // was never the checkpoint partition count but the three
+        // consumer jobs, which the collect removes. The basket chain
+        // ALONE (scan + broadcast join + 147k-key collect_set shuffle)
+        // measures ~0.6-0.7 s — the irreducible distributed part.
         val baskets = table(s, dir, "lineitem")
           .join(broadcast(table(s, dir, "part")
             .select(col("p_partkey"), col("p_brand"))),
@@ -654,18 +665,25 @@ object Joins {
         val marginMarks = transform(col("bs"),
           b => struct(lit("m").as("k"), b.as("b1"), nullS.as("b2")))
         val totMark = array(struct(lit("t").as("k"), nullS.as("b1"), nullS.as("b2")))
-        val agg = baskets
+        val aggRows = baskets
           .select(explode(concat(pairMarks, marginMarks, totMark)).as("e"))
           .groupBy(col("e.k").as("k"), col("e.b1").as("b1"), col("e.b2").as("b2"))
           .agg(count(lit(1)).as("n"))
-          .localCheckpoint(true) // tiny: ≤ pairs + brands + 1 rows
-        val margin = agg.filter(col("k") === "m")
-        agg.filter(col("k") === "p" && col("n") >= 20)
-          .select(col("b1"), col("b2"), col("n").as("n12"))
-          .join(broadcast(margin.select(col("b1"), col("n").as("n1"))), "b1")
-          .join(broadcast(margin.select(col("b1").as("b2"), col("n").as("n2"))), "b2")
-          .crossJoin(broadcast(
-            agg.filter(col("k") === "t").select(col("n").as("nn"))))
+          .collect() // tiny: ≤ pairs + brands + 1 rows, bounded by |vocab|²
+        val margin = aggRows.iterator.filter(_.getString(0) == "m")
+          .map(r => r.getString(1) -> r.getLong(3)).toMap
+        val nnOpt = aggRows.iterator.filter(_.getString(0) == "t")
+          .map(_.getLong(3)).nextOption() // None ⇔ zero baskets ⇒ zero pairs
+        val pairs = aggRows.iterator
+          .filter(r => r.getString(0) == "p" && r.getLong(3) >= 20L)
+          .flatMap { r => // flatMap-on-Option = the old INNER-join semantics
+            for { n1 <- margin.get(r.getString(1))
+                  n2 <- margin.get(r.getString(2))
+                  nn <- nnOpt }
+              yield (r.getString(1), r.getString(2), r.getLong(3), n1, n2, nn)
+          }.toSeq
+        import s.implicits._
+        pairs.toDF("b1", "b2", "n12", "n1", "n2", "nn")
           .select(col("b1"), col("b2"), col("n12"), col("n1"), col("n2"),
             round((col("n12").cast(DoubleType) * col("nn").cast(DoubleType))
               / (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)), 6)
