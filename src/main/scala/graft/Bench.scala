@@ -108,6 +108,14 @@ object Bench {
       // not the core count — 32 partitions of tiny shuffles is pure task
       // overhead. At cluster scale this is data_bytes / ~200MB, not a constant.
       .config("spark.sql.shuffle.partitions", math.max(4, math.min(cpus.toInt, 8)).toString)
+      // spark.sql.files.minPartitionNum is deliberately LEFT AT DEFAULT
+      // (= defaultParallelism): the r15 hypothesis that 32-way leaf splits
+      // caused the 32-core scheduling smear measured FALSE — capping leaf
+      // partitions at the shuffle width cost the 32-core suite ~5 s
+      // (75.2 vs 70.2 s window-paired), because parquet decode is CPU-bound
+      // and genuinely uses the extra cores even at sf0.1. The smear lives in
+      // the 8-partition shuffle stages' per-task overhead, which IS already
+      // data-sized (docs/SCALE.md r15).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // saveAsTable targets (bucketed-layout query) land in a temp warehouse
