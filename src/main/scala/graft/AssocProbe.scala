@@ -152,13 +152,16 @@ object AssocProbe {
         .collect()
       val margin = rows.iterator.filter(_.getString(0) == "m")
         .map(r => r.getString(1) -> r.getLong(3)).toMap
-      val nn = rows.iterator.filter(_.getString(0) == "t")
-        .map(_.getLong(3)).next()
+      val nnOpt = rows.iterator.filter(_.getString(0) == "t")
+        .map(_.getLong(3)).nextOption()
       val pairs = rows.iterator
         .filter(r => r.getString(0) == "p" && r.getLong(3) >= 20L)
-        .map(r => (r.getString(1), r.getString(2), r.getLong(3),
-          margin(r.getString(1)), margin(r.getString(2)), nn))
-        .toSeq
+        .flatMap { r => // mirror the production shape's guarded lookups
+          for { n1 <- margin.get(r.getString(1))
+                n2 <- margin.get(r.getString(2))
+                nn <- nnOpt }
+            yield (r.getString(1), r.getString(2), r.getLong(3), n1, n2, nn)
+        }.toSeq
       import spark.implicits._
       import org.apache.spark.sql.types.DoubleType
       pairs.toDF("b1", "b2", "n12", "n1", "n2", "nn")

@@ -81,9 +81,10 @@ object Bench {
       // HITS materializes each half-step via localCheckpoint (superstep
       // discipline) — its builder performs work, so re-invoke per pass
       "q_graph_hits",
-      // basket relation localCheckpoint'd for its three consumers — the
-      // memoized-clone path would stage-skip the dominant basket shuffle
-      // on every timed pass (r13 review)
+      // the builder collect()s the vocabulary²-bounded marker aggregate
+      // (r15 shape) — the dominant scan+shuffle+collect work happens at
+      // BUILD time, so the memoized path would time only the ~326-row
+      // local relation (same class as the sketch/bloom builds below)
       "q_assoc_lift",
       // sketch/bloom/bitmap builders run eager driver-side collects (the
       // sketch build, the bloom bitset, the bitmap domain + dim bitset):
@@ -96,6 +97,23 @@ object Bench {
     * the bench's when a new eager query is added (advisor r12). */
   private[graft] def isEager(name: String): Boolean =
     eager(name) || name.startsWith("q_stream_")
+
+  /** Wait until the async listener bus stops delivering: `snap`'s value is
+    * unchanged across two consecutive 60 ms samples (or the deadline lapses —
+    * a counter that never settles must not hang the harness). ONE rule shared
+    * by the bench census and [[JobCensus]]: two drifting copies would let the
+    * two censuses settle under different conditions, the same config-drift
+    * class [[buildSession]]'s scaladoc warns about (r15 diff review). */
+  private[graft] def quiesceBus(snap: () => Any, deadlineSec: Int = 10): Unit = {
+    var prev: Any = null
+    var same = 0
+    val deadline = System.nanoTime() + deadlineSec * 1000L * 1000 * 1000
+    while (same < 2 && System.nanoTime() < deadline) {
+      Thread.sleep(60)
+      val cur = snap()
+      if (cur == prev) same += 1 else { same = 0; prev = cur }
+    }
+  }
 
   /** The bench session config, shared with JobCensus so the census probe
     * measures under the EXACT scheme the bench times (config drift here
@@ -350,21 +368,12 @@ object Bench {
       sc.clearJobGroup()
     }
     // listener events arrive async on the bus thread: wait until the census
-    // counters are stable across two consecutive samples (JobCensus's rule)
-    locally {
-      def snap(): Long = {
-        var s = 0L
-        censusCounts.forEach((_, v) => v.synchronized { s += v(0) + v(1) + v(2) })
-        s
-      }
-      var prev = -1L; var same = 0
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (same < 2 && System.nanoTime() < deadline) {
-        Thread.sleep(60)
-        val cur = snap()
-        if (cur == prev) same += 1 else { same = 0; prev = cur }
-      }
-    }
+    // counters are stable across two consecutive samples (shared rule)
+    quiesceBus(() => {
+      var s = 0L
+      censusCounts.forEach((_, v) => v.synchronized { s += v(0) + v(1) + v(2) })
+      s
+    })
     // Locale.ROOT: the f interpolator honors the default locale — a comma
     // decimal separator would corrupt the JSON line the driver captures
     def r3(v: Double): String =

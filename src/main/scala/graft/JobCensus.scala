@@ -55,16 +55,11 @@ object JobCensus {
       }
     })
     // wait until the async listener bus stops delivering: the counter
-    // triple is unchanged across two consecutive 60 ms samples
-    def quiesce(): Unit = {
-      var prev = (-1, -1, -1)
-      var same = 0
-      while (same < 2) {
-        Thread.sleep(60)
-        val cur = (jobs, stages, tasks)
-        if (cur == prev) same += 1 else { same = 0; prev = cur }
-      }
-    }
+    // triple is unchanged across two consecutive 60 ms samples — the ONE
+    // quiesce rule shared with the in-bench census (Bench.quiesceBus),
+    // which also bounds the wait (the old local copy could spin forever
+    // on a counter that never settled)
+    def quiesce(): Unit = Bench.quiesceBus(() => (jobs, stages, tasks))
 
     val rows = names.flatMap { n =>
       try {
