@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Spill-path gate (r14 verdict #3): the 100 TB posture leans on Spark's
@@ -28,6 +28,9 @@ class SpillSpec extends SparkSuite {
 
   private val spillConfs = Seq(
     "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "2,2",
+    // ObjectHashAggregate (TypedImperativeAggregate buffers: sketches,
+    // collect_set) falls back to sort-based after 2 in-memory keys
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2",
     "spark.sql.windowExec.buffer.in.memory.threshold" -> "8",
     "spark.sql.windowExec.buffer.spill.threshold" -> "32",
     "spark.sql.sessionWindow.buffer.in.memory.threshold" -> "8",
@@ -53,7 +56,9 @@ class SpillSpec extends SparkSuite {
   private val queries = Seq(
     "q_agg_tpch_q1", "q_agg_distinct", "q_dedup_exact",
     "q_win_running_sum", "q_hist_equidepth",
-    "q_join_large", "q_join_multiway")
+    "q_join_large", "q_join_multiway",
+    // ObjectHashAggregate path (sketch buffers)
+    "q_agg_approx_quantile")
 
   test("forced spill/fallback paths produce bit-identical results") {
     @volatile var diskSpilled = 0L
@@ -78,6 +83,8 @@ class SpillSpec extends SparkSuite {
           fellBack += df.queryExecution.executedPlan.collect {
             case h: HashAggregateExec =>
               h.metrics.get("numTasksFallBacked").map(_.value).getOrElse(0L)
+            case o: ObjectHashAggregateExec =>
+              o.metrics.get("numTasksFallBacked").map(_.value).getOrElse(0L)
           }.sum
         }
       }

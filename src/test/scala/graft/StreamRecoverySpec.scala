@@ -27,11 +27,14 @@ class StreamRecoverySpec extends SparkSuite {
     * run `pipeline` as two AvailableNow executions sharing ONE checkpoint
     * (kill after phase 1, resume for phase 2), and return
     * (phase-1 emitted rows, final sink read). */
+  /** The pipeline receives the drop DIR (not a pre-built source) so shapes
+    * that need several independent source DataFrames over the same input —
+    * the stream-stream self-join — can build them, like the gated queries do. */
   private def twoPhase(
       full: org.apache.spark.sql.DataFrame,
       midUs: Long,
       width: Int)(
-      pipeline: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      pipeline: String => org.apache.spark.sql.DataFrame)
       : (Long, org.apache.spark.sql.DataFrame) = {
     val in = Files.createTempDirectory("graft_rec_in").toString
     val out = Files.createTempDirectory("graft_rec_out").toString
@@ -39,17 +42,13 @@ class StreamRecoverySpec extends SparkSuite {
     full.filter(graft.Ts.epochMicros(col("ts")) <= midUs)
       .write.mode("overwrite").parquet(in)
     StreamQueries.withStreamConf(spark, width) {
-      EventStream.writeParquet(
-        pipeline(EventStream.readEvents(spark, in)), out, ckpt)
-        .awaitTermination()
+      EventStream.writeParquet(pipeline(in), out, ckpt).awaitTermination()
     }
     val phase1Rows = spark.read.parquet(out).count()
     full.filter(graft.Ts.epochMicros(col("ts")) > midUs)
       .write.mode("append").parquet(in)
     StreamQueries.withStreamConf(spark, width) {
-      EventStream.writeParquet(
-        pipeline(EventStream.readEvents(spark, in)), out, ckpt)
-        .awaitTermination()
+      EventStream.writeParquet(pipeline(in), out, ckpt).awaitTermination()
     }
     (phase1Rows, spark.read.parquet(out))
   }
@@ -65,8 +64,8 @@ class StreamRecoverySpec extends SparkSuite {
     // the gated query's exact pipeline: at-least-once delivery (every event
     // twice), 30 s content sessions, RocksDB session-window state, width 4
     val doubled = events.union(events)
-    val (phase1Rows, streamed) =
-      twoPhase(doubled, midUs, 4)(EventStream.dupeFilterCounts)
+    val (phase1Rows, streamed) = twoPhase(doubled, midUs, 4)(dir =>
+      EventStream.dupeFilterCounts(EventStream.readEvents(spark, dir)))
     assert(phase1Rows > 0, "phase 1 emitted nothing")
     val finalRows = streamed.count()
     assert(finalRows > phase1Rows, "restart emitted nothing new")
@@ -95,8 +94,8 @@ class StreamRecoverySpec extends SparkSuite {
   }
 
   test("flatMapGroupsWithState running state survives kill-and-resume (RocksDB)") {
-    val (phase1Rows, streamed) = twoPhase(events, midUs, 2) { in =>
-      EventStream.userRunningState(in)
+    val (phase1Rows, streamed) = twoPhase(events, midUs, 2) { dir =>
+      EventStream.userRunningState(EventStream.readEvents(spark, dir))
         .toDF("user_id", "n", "cents", "first_us", "last_us")
     }
     assert(phase1Rows > 0, "phase 1 emitted nothing")
@@ -122,6 +121,61 @@ class StreamRecoverySpec extends SparkSuite {
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"),
         min(graft.Ts.epochMicros(col("ts"))).as("first_us"),
         max(graft.Ts.epochMicros(col("ts"))).as("last_us"))
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+  }
+
+  test("stream-stream join buffer state survives kill-and-resume (RocksDB)") {
+    // q_stream_join's exact shape: watermarked self-join, same-user pairs
+    // within ±5 min. Phase 1 shuts down with ~2 h of both sides' rows
+    // buffered in the RocksDB join state; a cross-boundary pair (one row in
+    // each phase, ≤5 min apart) can ONLY be emitted by probing that
+    // recovered buffer — phase 2 never re-reads phase-1 files.
+    //
+    // The split point is chosen FROM a qualifying pair (the one whose
+    // midpoint sits closest to the global median): same-user ±5 min pairs
+    // are sparse at this sf, so the global median itself may straddle none
+    // (observed — the fixture guard below tripped), which would leave the
+    // recovered join buffer unprobed and the test vacuous.
+    val eAll = events.select(col("event_id"), col("user_id"),
+      graft.Ts.epochMicros(col("ts")).as("us"))
+    val joinMidUs = eAll.as("a").join(eAll.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          col("b.us") > col("a.us") &&
+          col("b.us") <= col("a.us") + 300000000L)
+      .select(((col("a.us") + col("b.us")) / 2).cast("long").as("m"))
+      .orderBy(abs(col("m") - midUs)).limit(1)
+      .head().getLong(0)
+    val (phase1Rows, streamed) = twoPhase(events, joinMidUs, 2) { dir =>
+      def side = EventStream.readEvents(spark, dir)
+      EventStream.pairCounts(side, side)
+    }
+    assert(phase1Rows > 0, "phase 1 emitted nothing")
+    val got = streamed.select(col("ida"), col("idb"), col("ua"))
+    // exactly-once: no match re-emitted across the restart
+    assert(got.groupBy("ida", "idb").count().filter(col("count") > 1).isEmpty)
+    // batch twin: every qualifying pair, emitted exactly once (inner
+    // stream-stream join in append mode emits ALL matches over static input)
+    val e = events.select(col("event_id"), col("user_id"),
+      graft.Ts.epochMicros(col("ts")).as("us"))
+    val batch = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          col("b.us") >= col("a.us") - 300000000L &&
+          col("b.us") <= col("a.us") + 300000000L)
+      .select(col("a.event_id").as("ida"), col("b.event_id").as("idb"),
+        col("a.user_id").as("ua"))
+    // fixture guard: the recovery claim needs pairs straddling the kill
+    // point — one side buffered before the stop, the other arriving after
+    val straddlers = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          col("b.us") >= col("a.us") - 300000000L &&
+          col("b.us") <= col("a.us") + 300000000L)
+      .filter((col("a.us") <= joinMidUs && col("b.us") > joinMidUs) ||
+        (col("b.us") <= joinMidUs && col("a.us") > joinMidUs))
+      .count()
+    assert(straddlers > 0, "time split produced no cross-phase pairs")
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 }
