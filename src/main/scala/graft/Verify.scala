@@ -15,7 +15,7 @@ object Verify {
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -23,7 +23,19 @@ object Verify {
       // saveAsTable targets (bucketed-layout query) land in a temp warehouse
       .config("spark.sql.warehouse.dir",
         graft.Scratch.dir("graft_wh"))
-      .getOrCreate()
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v": CONTEXT-level confs for gated
+    // stress runs — SpillSpec can only force the SQLConf-settable fallbacks
+    // (hash-agg, window/SMJ buffers) inside the shared test JVM; the
+    // external-sorter force-spill knob
+    // (spark.shuffle.spill.numElementsForceSpillThreshold) is a SparkConf
+    // fixed at context start, so the full-contract forced-spill gate runs
+    // through THIS hook (BASELINE.md r15). Unset = byte-identical default.
+    sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "").split(';')
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
