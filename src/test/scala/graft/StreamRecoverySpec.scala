@@ -124,6 +124,44 @@ class StreamRecoverySpec extends SparkSuite {
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 
+  test("dedup state suppresses re-delivery arriving AFTER the restart (RocksDB)") {
+    // The sharpest dedup recovery claim: an event seen (and emitted) before
+    // the kill is DELIVERED AGAIN after the resume, with its ts still above
+    // the recovered watermark (inside the 2 h window) — so the watermark's
+    // late-row filter cannot drop it and ONLY the recovered RocksDB dedup
+    // state can. Lost state ⇒ the re-delivery is emitted a second time.
+    val in = Files.createTempDirectory("graft_rec_in").toString
+    val out = Files.createTempDirectory("graft_rec_out").toString
+    val ckpt = Files.createTempDirectory("graft_rec_ckpt").toString
+    val p1 = events.filter(graft.Ts.epochMicros(col("ts")) <= midUs)
+    p1.write.mode("overwrite").parquet(in)
+    StreamQueries.withStreamConf(spark, 2) {
+      EventStream.writeParquet(
+        EventStream.dedup(EventStream.readEvents(spark, in)), out, ckpt)
+        .awaitTermination()
+    }
+    val phase1Rows = spark.read.parquet(out).count()
+    assert(phase1Rows == p1.count(), "phase 1 must emit each event once")
+    // phase 2: the rest of the input PLUS a re-delivery of the last hour of
+    // phase-1 events (above the recovered watermark of maxP1 - 2h)
+    val redelivered = events.filter(
+      graft.Ts.epochMicros(col("ts")) > midUs - 3600L * 1000000L &&
+        graft.Ts.epochMicros(col("ts")) <= midUs)
+    assert(redelivered.count() > 0, "no events in the re-delivery window")
+    events.filter(graft.Ts.epochMicros(col("ts")) > midUs)
+      .union(redelivered)
+      .write.mode("append").parquet(in)
+    StreamQueries.withStreamConf(spark, 2) {
+      EventStream.writeParquet(
+        EventStream.dedup(EventStream.readEvents(spark, in)), out, ckpt)
+        .awaitTermination()
+    }
+    val streamed = spark.read.parquet(out)
+    assert(streamed.groupBy("event_id").count().filter(col("count") > 1).isEmpty,
+      "a re-delivered event was emitted twice — dedup state was lost across the restart")
+    assert(streamed.count() == events.count())
+  }
+
   test("stream-stream join buffer state survives kill-and-resume (RocksDB)") {
     // q_stream_join's exact shape: watermarked self-join, same-user pairs
     // within ±5 min. Phase 1 shuts down with ~2 h of both sides' rows
