@@ -3,6 +3,15 @@ import org.apache.spark.sql.execution.SparkPlan
 
 /** Dev probe: A/B a query's per-pass time in Bench's memoized-CLONE mode
   * vs full-REBUILD mode at the bench session config.
+  *
+  * Honesty mirrors Bench exactly (r15 probe sweep): eager queries and
+  * queries Bench itself would never memoize (subquery futures, non-closed
+  * reuse) are refused rather than timed dishonestly — a naive clone of a
+  * subquery-bearing plan stage-skips through the memoized relationFuture
+  * and the A/B would overstate memoization savings. Samples are
+  * INTERLEAVED (clone, rebuild, clone, rebuild …), not block-wise: this
+  * host's multi-second stalls outlast a query, and a stall landing inside
+  * one back-to-back block poisons that arm only (the r1 bench lesson).
   * Usage: sbt "runMain graft.AbProbe <sfDir> <passes> <name...>" */
 object AbProbe {
   def main(args: Array[String]): Unit = {
@@ -15,20 +24,32 @@ object AbProbe {
     }
     def runPlan(p: SparkPlan): Unit = sc.runJob(p.execute(), drain _)
     args.drop(2).foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
-      runPlan(PlanHonesty.prepareClone(plan)) // warm
-      val clone = (1 to n).map { _ =>
-        val c = PlanHonesty.prepareClone(plan)
-        val t0 = System.nanoTime(); runPlan(c); (System.nanoTime() - t0) / 1e9
+      if (Bench.isEager(name)) {
+        println(s"[ab] $name is in Bench's eager set — the builder performs " +
+          "the work, a memoized clone would time a read-back; skipped")
+      } else {
+        val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+        if (plan.subqueriesAll.nonEmpty ||
+            !PlanHonesty.reuseClosed(PlanHonesty.prepareClone(plan))) {
+          println(s"[ab] $name is in Bench's rebuild set (subquery futures " +
+            "or non-closed reuse) — a clone would stage-skip; skipped")
+        } else {
+          runPlan(PlanHonesty.prepareClone(plan)) // warm
+          val clone = Vector.newBuilder[Double]
+          val rebuild = Vector.newBuilder[Double]
+          (1 to n).foreach { _ =>
+            val c = PlanHonesty.prepareClone(plan)
+            val t0 = System.nanoTime(); runPlan(c)
+            clone += (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
+            runPlan(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+            rebuild += (System.nanoTime() - t1) / 1e9
+          }
+          def f(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString(" ")
+          println(s"[ab] $name clone:   ${f(clone.result())}")
+          println(s"[ab] $name rebuild: ${f(rebuild.result())}")
+        }
       }
-      val rebuild = (1 to n).map { _ =>
-        val t0 = System.nanoTime()
-        runPlan(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
-        (System.nanoTime() - t0) / 1e9
-      }
-      def f(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString(" ")
-      println(s"[ab] $name clone:   ${f(clone)}")
-      println(s"[ab] $name rebuild: ${f(rebuild)}")
     }
     spark.stop()
   }

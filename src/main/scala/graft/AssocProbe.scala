@@ -16,6 +16,11 @@ object AssocProbe {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%7.3f  rows=$n")
+      // drop the shape's localCheckpoint blocks so accumulated block-manager
+      // pressure can't bias LATER shapes in the head-to-head (r15 probe
+      // sweep; the bias direction was conservative — it penalized the
+      // winning collect shape, which runs last — but zero is better)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
 
     def baskets = table(spark, sfDir, "lineitem")

@@ -48,7 +48,9 @@ object BenchProbe {
         val t2 = System.nanoTime()
         df.write.mode("overwrite").format("noop").save()
         val t3 = System.nanoTime()
-        Thread.sleep(120) // let listener events drain
+        // shared quiesce rule, not a fixed sleep (r15 probe sweep): a
+        // >120 ms bus lag undercounted pass N and leaked into pass N+1
+        Bench.quiesceBus(() => (jobs, stages, tasks, taskTimeMs))
         println(f"[probe] $n%-22s build=${(t1 - t0) / 1e3}%6.0fus plan=${(t2 - t1) / 1e3}%6.0fus exec=${(t3 - t2) / 1e3}%8.0fus jobs=$jobs stages=$stages tasks=$tasks taskTime=${taskTimeMs}ms")
       }
     }

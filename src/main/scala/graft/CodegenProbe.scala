@@ -21,7 +21,11 @@ object CodegenProbe {
     names.foreach { n =>
       def sources(): Seq[String] = {
         val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
-        plan.collect { case w: WholeStageCodegenExec => w.doCodeGen()._2.body }
+        // collectWithSubqueries: a churning span inside a subquery plan
+        // would otherwise print stableAcrossBuilds=true (r15 probe sweep —
+        // the same node-local-collect blindness PlanSweep fixed in r14)
+        plan.collectWithSubqueries {
+          case w: WholeStageCodegenExec => w.doCodeGen()._2.body }
       }
       val a = sources()
       val b = sources()

@@ -4,8 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev-only single-query timing probe (companion to [[BenchProbe]], which
   * measures the per-query harness floor). Times ONLY the named queries —
-  * median of N noop-sink runs under the exact Bench session config — so a
-  * plan change can be measured in seconds instead of a full suite run.
+  * N per-pass-rebuild runs through [[Bench.buildSession]] and Bench's
+  * runJob-drain execution — so a plan change can be measured in seconds
+  * instead of a full suite run. Numbers here correspond to Bench's
+  * EAGER/REBUILD mode (builder + planning inside the timer); for a query
+  * Bench memoizes, expect this probe to read slightly hotter than
+  * bench_full.json, never cooler. (The r15 probe sweep retired this
+  * probe's noop-sink writes — ~0.1–0.2 s of write-command re-optimization
+  * per pass charged to the operator — and its drifted session config:
+  * cpus default 32 vs the bench's 4, no codegen-cache sizing.)
   * Not part of the driver contract.
   *
   * Usage: runMain graft.DevProbe <sfDir> <samples> <query> [<query> ...]
@@ -15,21 +22,17 @@ object DevProbe {
     val sfDir = args(0)
     val n = args(1).toInt
     val names = args.drop(2).toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", math.max(4, math.min(cpus.toInt, 8)).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        graft.Scratch.dir("graft_wh"))
-      .config("spark.sql.adaptive.enabled", "false")
-      .getOrCreate()
+    val spark = Bench.buildSession()
     spark.sparkContext.setLogLevel("WARN")
+    def drain(it: Iterator[org.apache.spark.sql.catalyst.InternalRow]): Long = {
+      var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+    }
+    def runDf(df: org.apache.spark.sql.DataFrame): Unit =
+      spark.sparkContext.runJob(df.queryExecution.executedPlan.execute(), drain _)
     // same warmup discipline as Bench: compile codegen classes at tiny scale
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { q =>
-      try SparkEntry.queries(q)(spark, warmDir).write.mode("overwrite").format("noop").save()
+      try runDf(SparkEntry.queries(q)(spark, warmDir))
       catch { case _: Throwable => () }
     }
     // ad-hoc decomposition probes (dev-only), alongside contract queries
@@ -371,9 +374,11 @@ object DevProbe {
       } else {
         taskTimeMs.set(0); gcTimeMs.set(0)
         val t0 = System.nanoTime()
-        micro(q)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        runDf(micro(q)(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(80) // listener drain
+        // shared quiesce rule, not a fixed sleep: events still draining
+        // after a fixed window land in the NEXT pass's counters
+        Bench.quiesceBus(() => (taskTimeMs.get, gcTimeMs.get))
         println(f"[probe] pass=$pass $q%-28s $dt%7.3f s  taskTime=${taskTimeMs.get}ms gc=${gcTimeMs.get}ms")
       }
     }

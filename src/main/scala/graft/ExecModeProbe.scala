@@ -10,8 +10,12 @@ import org.apache.spark.sql.SparkSession
   *     (saves ALL planning incl. the write command's re-optimization;
   *      ShuffleExchangeExec caches its shuffle RDD, so passes 2-3 may skip
   *      map stages — printed per-pass so the effect is visible)
-  *  D: memoized executedPlan, per-pass `plan.clone().execute()` + runJob
-  *     (saves planning, forces fresh shuffles every pass)
+  *  D: memoized executedPlan, per-pass honest clone + runJob (saves
+  *     planning, forces fresh shuffles every pass — via
+  *     [[PlanHonesty.prepareClone]], because a naive clone() keeps
+  *     ReusedExchangeExec pointing at the ORIGINAL exchange instance
+  *     that mode C has already executed and cached, so D would
+  *     stage-skip any shared subtree and read artificially fast)
   */
 object ExecModeProbe {
   def main(args: Array[String]): Unit = {
@@ -49,7 +53,7 @@ object ExecModeProbe {
       val c = (1 to 3).map(_ => time(
         spark.sparkContext.runJob(rddC, drain _)))
       val d = (1 to 3).map(_ => time {
-        val cloned = plan.clone().asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
+        val cloned = PlanHonesty.prepareClone(plan)
         spark.sparkContext.runJob(cloned.execute(), drain _)
       })
       def f(v: Seq[Double]) = v.map(x => f"$x%.3f").mkString("/")

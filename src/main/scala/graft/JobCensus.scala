@@ -74,23 +74,46 @@ object JobCensus {
         // run would stage-skip that work (Bench's `stateful` condition —
         // advisor r12 found the census checked only reuseClosed)
         val stateful = !eager && plan.subqueriesAll.nonEmpty // tree-wide, like Bench
-        def freshRunnable(): SparkPlan =
-          if (eager || stateful)
-            SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
-          else {
-            val c = PlanHonesty.prepareClone(plan)
-            if (PlanHonesty.reuseClosed(c)) c
-            else { // Bench's rebuild fallback: full re-plan, never stage-skip
-              SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
+        // Bench's exchange-free 'pure' path too: a plan with no exchange
+        // holds no cross-pass state, so Bench re-executes the SAME instance
+        // and skips the per-pass codegen-source regeneration (~30-80 ms on
+        // scan/project-shaped queries) — a census that cloned those ran
+        // systematically hotter than the bench time it ranks (r15 probe
+        // sweep), enough to pull a sub-threshold query into the census.
+        val pure = !eager && !stateful && !plan.exists(p => {
+          val c = p.getClass.getSimpleName
+          c.contains("ShuffleExchange") || c.contains("BroadcastExchange")
+        })
+        // the timed region matches Bench's exactly: the clone is a pure
+        // tree copy performed OUTSIDE the timer (Bench times only
+        // execute()+runJob); builder+planning are INSIDE it only for the
+        // eager/rebuild modes, where Bench re-plans per pass too
+        def timedRun(): Double =
+          if (eager || stateful) {
+            val t0 = System.nanoTime()
+            runPlan(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan)
+            (System.nanoTime() - t0) / 1e9
+          } else if (pure) {
+            val t0 = System.nanoTime()
+            runPlan(plan)
+            (System.nanoTime() - t0) / 1e9
+          } else {
+            val c = PlanHonesty.prepareClone(plan) // untimed, like Bench
+            if (PlanHonesty.reuseClosed(c)) {
+              val t0 = System.nanoTime()
+              runPlan(c)
+              (System.nanoTime() - t0) / 1e9
+            } else { // Bench's rebuild fallback: full re-plan, never stage-skip
+              val t0 = System.nanoTime()
+              runPlan(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan)
+              (System.nanoTime() - t0) / 1e9
             }
           }
-        runPlan(freshRunnable()) // warm
+        timedRun() // warm
         quiesce()
         jobs = 0; stages = 0; tasks = 0
-        val t0 = System.nanoTime()
-        // for eager queries the BUILDER is the work — time it too, as Bench does
-        runPlan(freshRunnable())
-        val sec = (System.nanoTime() - t0) / 1e9
+        // for eager queries the BUILDER is the work — timed, as Bench does
+        val sec = timedRun()
         quiesce()
         Some((n, sec, jobs, stages, tasks))
       } catch {

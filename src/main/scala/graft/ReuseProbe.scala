@@ -25,15 +25,24 @@ object ReuseProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // Bench's OWN eager predicate, not a hand-copied name list: the stale
+    // one-name copy this replaced ran q_graph_hits' full fixpoint and
+    // q_assoc_lift's scan+shuffle+collect just to build a plan Bench never
+    // memoizes (r15 probe sweep — the drift isEager was made private[graft]
+    // to prevent)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(_.startsWith("q_stream_")).filterNot(_ == "q_dedup_components")
+      .filterNot(Bench.isEager)
       .filter(n => wanted.isEmpty || wanted(n))
     var open = 0
     names.foreach { n =>
       try {
         val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
         val nReuse = plan.collect { case r: ReusedExchangeExec => r }.size
-        val stateful = plan.subqueries.nonEmpty
+        // subqueriesAll, like Bench: node-local `subqueries` misses a
+        // scalar/IN subquery hanging off a deeper FilterExec, and the
+        // probe's stateful column would contradict the predicate Bench
+        // actually gates on (r15 probe sweep)
+        val stateful = plan.subqueriesAll.nonEmpty
         if (nReuse > 0) {
           val cloned = PlanHonesty.prepareClone(plan)
           val closed = PlanHonesty.reuseClosed(cloned)
