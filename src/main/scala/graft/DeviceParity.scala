@@ -21,7 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object DeviceParity {
   def main(args: Array[String]): Unit = {
-    val outDir = args(0)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -29,6 +28,14 @@ object DeviceParity {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0))
+    spark.stop()
+  }
+
+  /** Dump inputs + Spark device results + twin manifest into `outDir`
+    * (session-reusable so DeviceParitySpec can gate this in `sbt test`
+    * without stopping the shared session). */
+  def run(spark: SparkSession, outDir: String): Unit = {
     import spark.implicits._
     new java.io.File(outDir).mkdirs()
 
@@ -126,6 +133,5 @@ object DeviceParity {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/device_sql.json"),
       twins.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    spark.stop()
   }
 }
