@@ -124,8 +124,47 @@ object DeviceParity {
         col("sxy"), col("sxx"), col("syy")).as("r")).orderBy("id"),
       s"SELECT id, $pearsonSqlTree AS r FROM t ORDER BY id")
 
+    // ---- string guards: the \A..\z digit-guard + ANSI-cast contract -------
+    // (classes 16/19, the Scalars.scala:149/153 spelling). Adversarial:
+    // '3.7' (DuckDB CAST would ROUND, the guard must reject BEFORE either
+    // engine casts), a trailing \n (Java $ tolerates it, \z must not),
+    // whitespace, sign forms, the 9/10-digit overflow boundary, and
+    // non-ASCII digits (Arabic-Indic, fullwidth, astral mathematical —
+    // [0-9] must reject all three in both engines).
+    val guardPat = "\\A[+-]?[0-9]{1,9}\\z"
+    val strs = Seq(
+      "42", "-7", "+003", "3.7", " 42", "42 ", "42\n", "", "-",
+      "999999999", "1000000000", "-999999999",
+      "٤٢", "４２", "𝟜𝟚")
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "s")
+    val guardTwin = dump("str_guard", strs,
+      strs.select(col("id"),
+        when(col("s").rlike(guardPat),
+          col("s").cast(org.apache.spark.sql.types.IntegerType)).as("k"))
+        .orderBy("id"),
+      s"SELECT id, CASE WHEN regexp_matches(s, '$guardPat') " +
+        "THEN CAST(s AS INTEGER) END AS k FROM t ORDER BY id")
+
+    // ---- string semantics: code-point length + NULL-propagating concat ----
+    // (classes 13/14). length() counts CODE POINTS in both engines (astral
+    // chars are 1, combining marks count separately from precomposed);
+    // Spark concat() NULL-propagates like DuckDB '||' (NOT DuckDB concat(),
+    // which skips NULL args — the class-14 trap).
+    val uni = Seq(
+      (0L, "plain", "x"), (1L, "a𝄞b", "y"), // astral G-clef
+      (2L, "héllo", "z"), (3L, "héllo", "w"), // combining vs composed
+      (4L, null, "q"), (5L, "p", null), (6L, null, null),
+      (7L, "👩‍👩‍👧", "fam"))
+      .toDF("id", "a", "b")
+    val uniTwin = dump("str_semantics", uni,
+      uni.select(col("id"), length(col("a")).as("n"),
+        concat(col("a"), col("b")).as("ab")).orderBy("id"),
+      "SELECT id, CAST(length(a) AS INT) AS n, a || b AS ab FROM t ORDER BY id")
+
     // twin SQL manifest, Verify-style
-    val twins = Seq(moneyTwin, nanoTwin, tsTwin, vecTwin, pearsonTwin)
+    val twins = Seq(moneyTwin, nanoTwin, tsTwin, vecTwin, pearsonTwin,
+      guardTwin, uniTwin)
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
