@@ -162,9 +162,29 @@ object DeviceParity {
         concat(col("a"), col("b")).as("ab")).orderBy("id"),
       "SELECT id, CAST(length(a) AS INT) AS n, a || b AS ab FROM t ORDER BY id")
 
+    // ---- digests: GraftMd5 / hexPrefix16 vs DuckDB md5 --------------------
+    // the custom codegen'd digest claims byte-identical UTF-8 hashing;
+    // adversarial: empty string, astral/combining/ZWJ sequences (multi-byte
+    // UTF-8 where a UTF-16-unit iteration bug would change the bytes), a
+    // '|'-canonical string with embedded separators, and a 4 KB payload.
+    val hashIn = Seq(
+      "", "a", "a𝄞b", "héllo", "héllo", "👩‍👩‍👧",
+      "k|v|1969-12-31|—", "x" * 4096)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "s")
+    val hashTwin = dump("md5", hashIn,
+      hashIn.select(col("id"),
+        functions.HashExpr.md5Fast(col("s")).as("h"),
+        functions.HashExpr.hexPrefix16(
+          functions.HashExpr.md5Fast(col("s"))).as("p16"))
+        .orderBy("id"),
+      "SELECT id, md5(s) AS h, " +
+        "CAST(('0x' || substr(md5(s), 1, 4))::INTEGER AS BIGINT) AS p16 " +
+        "FROM t ORDER BY id")
+
     // twin SQL manifest, Verify-style
     val twins = Seq(moneyTwin, nanoTwin, tsTwin, vecTwin, pearsonTwin,
-      guardTwin, uniTwin)
+      guardTwin, uniTwin, hashTwin)
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
