@@ -29,24 +29,35 @@ object AbProbe {
           "the work, a memoized clone would time a read-back; skipped")
       } else {
         val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
-        if (plan.subqueriesAll.nonEmpty ||
-            !PlanHonesty.reuseClosed(PlanHonesty.prepareClone(plan))) {
+        // Bench's full mode decision, including the exchange-free 'pure'
+        // path (same-instance re-execution, no per-pass codegen-source
+        // regeneration) — cloning a pure plan here would understate the
+        // memoization savings Bench actually realizes (r15 diff review)
+        val pure = plan.subqueriesAll.isEmpty && !plan.exists(p => {
+          val c = p.getClass.getSimpleName
+          c.contains("ShuffleExchange") || c.contains("BroadcastExchange")
+        })
+        if (!pure && (plan.subqueriesAll.nonEmpty ||
+            !PlanHonesty.reuseClosed(PlanHonesty.prepareClone(plan)))) {
           println(s"[ab] $name is in Bench's rebuild set (subquery futures " +
             "or non-closed reuse) — a clone would stage-skip; skipped")
         } else {
-          runPlan(PlanHonesty.prepareClone(plan)) // warm
-          val clone = Vector.newBuilder[Double]
+          val arm = if (pure) "pure:   " else "clone:  "
+          def memoized(): SparkPlan =
+            if (pure) plan else PlanHonesty.prepareClone(plan)
+          runPlan(memoized()) // warm
+          val memo = Vector.newBuilder[Double]
           val rebuild = Vector.newBuilder[Double]
           (1 to n).foreach { _ =>
-            val c = PlanHonesty.prepareClone(plan)
+            val c = memoized()
             val t0 = System.nanoTime(); runPlan(c)
-            clone += (System.nanoTime() - t0) / 1e9
+            memo += (System.nanoTime() - t0) / 1e9
             val t1 = System.nanoTime()
             runPlan(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
             rebuild += (System.nanoTime() - t1) / 1e9
           }
           def f(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString(" ")
-          println(s"[ab] $name clone:   ${f(clone.result())}")
+          println(s"[ab] $name $arm ${f(memo.result())}")
           println(s"[ab] $name rebuild: ${f(rebuild.result())}")
         }
       }

@@ -12,15 +12,19 @@ object AssocProbe {
     import Tables.table
 
     def time(name: String)(f: => Long): Unit = {
+      // drop only checkpoints THIS shape creates: accumulated block-manager
+      // pressure must not bias later head-to-head shapes (r15 probe sweep),
+      // but a blanket unpersist would destroy the shared `ck` the piecewise
+      // shapes read across calls — a local checkpoint cannot be recomputed
+      // once its blocks are gone (r15 diff review #2)
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       f // warm
       val t0 = System.nanoTime()
       val n = f
       println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%7.3f  rows=$n")
-      // drop the shape's localCheckpoint blocks so accumulated block-manager
-      // pressure can't bias LATER shapes in the head-to-head (r15 probe
-      // sweep; the bias direction was conservative — it penalized the
-      // winning collect shape, which runs last — but zero is better)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(true))
     }
 
     def baskets = table(spark, sfDir, "lineitem")

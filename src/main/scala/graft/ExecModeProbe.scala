@@ -54,7 +54,12 @@ object ExecModeProbe {
         spark.sparkContext.runJob(rddC, drain _)))
       val d = (1 to 3).map(_ => time {
         val cloned = PlanHonesty.prepareClone(plan)
-        spark.sparkContext.runJob(cloned.execute(), drain _)
+        // Bench's guard: a clone whose reuse escapes the tree would
+        // stage-skip through mode C's cached exchange — rebuild instead
+        val runnable =
+          if (PlanHonesty.reuseClosed(cloned)) cloned
+          else fn(spark, sfDir).queryExecution.executedPlan
+        spark.sparkContext.runJob(runnable.execute(), drain _)
       })
       def f(v: Seq[Double]) = v.map(x => f"$x%.3f").mkString("/")
       println(s"[mode] $n A=${f(a)} B=${f(b)} C=${f(c)} D=${f(d)}")

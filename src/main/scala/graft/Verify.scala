@@ -32,6 +32,8 @@ object Verify {
     // through THIS hook (BASELINE.md r15). Unset = byte-identical default.
     sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "").split(';')
       .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        require(kv.contains("="),
+          s"SPARK_GRAFT_EXTRA_CONF entry without '=': '$kv'")
         val Array(k, v) = kv.split("=", 2)
         builder.config(k, v)
       }

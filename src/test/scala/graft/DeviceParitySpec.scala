@@ -24,11 +24,18 @@ class DeviceParitySpec extends SparkSuite {
       // check_oracle (imported by the tool) lives next to it
       .directory(new java.io.File(sys.props("user.dir"), "tools"))
       .redirectErrorStream(true).start()
+    // watchdog BEFORE draining stdout: readAllBytes blocks to EOF, so a
+    // wedged interpreter would otherwise hang the suite and the waitFor
+    // timeout below would never run (r15 diff review #2)
+    val killer = new Thread(() => {
+      if (!p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
+        p.destroyForcibly()
+    })
+    killer.setDaemon(true); killer.start()
     val out = new String(p.getInputStream.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)
-    assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
-      "parity replay timed out")
-    assert(p.exitValue() == 0, s"device parity failed:\n$out")
+    p.waitFor()
+    assert(p.exitValue() == 0, s"device parity failed (or timed out):\n$out")
     assert(out.contains(", 0 fail =="), out)
   }
 }

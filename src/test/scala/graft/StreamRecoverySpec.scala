@@ -193,27 +193,28 @@ class StreamRecoverySpec extends SparkSuite {
     // exactly-once: no match re-emitted across the restart
     assert(got.groupBy("ida", "idb").count().filter(col("count") > 1).isEmpty)
     // batch twin: every qualifying pair, emitted exactly once (inner
-    // stream-stream join in append mode emits ALL matches over static input)
-    val e = events.select(col("event_id"), col("user_id"),
-      graft.Ts.epochMicros(col("ts")).as("us"))
-    val batch = e.as("a").join(e.as("b"),
+    // stream-stream join in append mode emits ALL matches over static
+    // input) — built ONCE with both sides' micros carried through, so the
+    // straddle guard below is a filter over the same pair set, not a
+    // second copy of the join condition that could drift (r15 diff review)
+    val pairSet = eAll.as("a").join(eAll.as("b"),
         col("a.user_id") === col("b.user_id") &&
           col("a.event_id") < col("b.event_id") &&
           col("b.us") >= col("a.us") - 300000000L &&
           col("b.us") <= col("a.us") + 300000000L)
       .select(col("a.event_id").as("ida"), col("b.event_id").as("idb"),
-        col("a.user_id").as("ua"))
+        col("a.user_id").as("ua"), col("a.us").as("ua_us"),
+        col("b.us").as("ub_us"))
+      .cache()
     // fixture guard: the recovery claim needs pairs straddling the kill
     // point — one side buffered before the stop, the other arriving after
-    val straddlers = e.as("a").join(e.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("a.event_id") < col("b.event_id") &&
-          col("b.us") >= col("a.us") - 300000000L &&
-          col("b.us") <= col("a.us") + 300000000L)
-      .filter((col("a.us") <= joinMidUs && col("b.us") > joinMidUs) ||
-        (col("b.us") <= joinMidUs && col("a.us") > joinMidUs))
+    val straddlers = pairSet
+      .filter((col("ua_us") <= joinMidUs && col("ub_us") > joinMidUs) ||
+        (col("ub_us") <= joinMidUs && col("ua_us") > joinMidUs))
       .count()
     assert(straddlers > 0, "time split produced no cross-phase pairs")
+    val batch = pairSet.select(col("ida"), col("idb"), col("ua"))
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+    pairSet.unpersist()
   }
 }

@@ -66,6 +66,37 @@ def cells_equal(a, b):
         pass
     return bool(a == b)
 
+def frames_equal(want, got):
+    """The ONE compare discipline (columns, numeric dtype-kind, rows,
+    cells), shared with tools/device_parity.py so the parity gate can
+    never be silently weaker than this compare (r15 diff review).
+    Returns None on equality, a failure message otherwise. Inputs must
+    already be normalize()d."""
+    if list(want.columns) != list(got.columns):
+        return f"columns want={list(want.columns)} got={list(got.columns)}"
+    # Numeric-kind divergence is the class that hash-fails in the driver
+    # (e.g. HUGEINT -> float/object vs BIGINT -> int64). Date columns
+    # legitimately differ in dtype (datetime64 vs object-of-date) yet
+    # hash-match there, so only numeric kinds are checked.
+    NUM = frozenset("iuf")
+    kind_bad = [
+        (c, want[c].dtype, got[c].dtype) for c in want.columns
+        if want[c].dtype.kind != got[c].dtype.kind
+        and (want[c].dtype.kind in NUM or got[c].dtype.kind in NUM)]
+    if kind_bad:
+        c, wd, gd = kind_bad[0]
+        return (f"dtype kind col={c} oracle={wd} spark={gd} "
+                f"(driver hashes typed values — cast the oracle to match)")
+    if len(want) != len(got):
+        return f"rows want={len(want)} got={len(got)}"
+    for c in want.columns:
+        wv, gv = want[c].tolist(), got[c].tolist()
+        for i, (a, b) in enumerate(zip(wv, gv)):
+            if not cells_equal(a, b):
+                return f"col={c} row={i} want={a!r} got={b!r}"
+    return None
+
+
 def check_one(con, oracle_sql, out_dir, name):
     """Returns (None, nrows) on pass, (failure message, 0) on fail. May
     raise — the caller prices an exception as a FAIL for this query only."""
@@ -79,28 +110,9 @@ def check_one(con, oracle_sql, out_dir, name):
     # Spark BIGINT -> int64) must fail here too.
     got = normalize(pd.concat(
         [pd.read_parquet(f) for f in sorted(files)], ignore_index=True))
-    if list(want.columns) != list(got.columns):
-        return f"columns want={list(want.columns)} got={list(got.columns)}", 0
-    # Numeric-kind divergence is the class that hash-fails in the driver
-    # (e.g. HUGEINT -> float/object vs BIGINT -> int64). Date columns
-    # legitimately differ in dtype (datetime64 vs object-of-date) yet
-    # hash-match there, so only numeric kinds are checked.
-    NUM = frozenset("iuf")
-    kind_bad = [
-        (c, want[c].dtype, got[c].dtype) for c in want.columns
-        if want[c].dtype.kind != got[c].dtype.kind
-        and (want[c].dtype.kind in NUM or got[c].dtype.kind in NUM)]
-    if kind_bad:
-        c, wd, gd = kind_bad[0]
-        return (f"dtype kind col={c} oracle={wd} spark={gd} "
-                f"(driver hashes typed values — cast the oracle to match)"), 0
-    if len(want) != len(got):
-        return f"rows want={len(want)} got={len(got)}", 0
-    for c in want.columns:
-        wv, gv = want[c].tolist(), got[c].tolist()
-        for i, (a, b) in enumerate(zip(wv, gv)):
-            if not cells_equal(a, b):
-                return f"col={c} row={i} want={a!r} got={b!r}", 0
+    msg = frames_equal(want, got)
+    if msg is not None:
+        return msg, 0
     return None, len(want)
 
 def main():

@@ -14,7 +14,7 @@ import sys, json, glob
 import duckdb
 import pandas as pd
 
-from check_oracle import normalize, cells_equal
+from check_oracle import normalize, frames_equal
 
 
 def main():
@@ -39,22 +39,10 @@ def main():
             continue
         got = normalize(pd.concat(
             [pd.read_parquet(f) for f in dev_files], ignore_index=True))
-        if list(want.columns) != list(got.columns):
-            print(f"FAIL {name}: columns want={list(want.columns)} got={list(got.columns)}")
-            failures += 1
-            continue
-        if len(want) != len(got):
-            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
-            failures += 1
-            continue
-        bad = None
-        for c in want.columns:
-            for i, (a, b) in enumerate(zip(want[c].tolist(), got[c].tolist())):
-                if not cells_equal(a, b):
-                    bad = f"col={c} row={i} duckdb={a!r} spark={b!r}"
-                    break
-            if bad:
-                break
+        # the SAME compare (incl. the numeric dtype-kind check) as the
+        # oracle gate — a twin drifting to HUGEINT->float vs int64 must
+        # fail here exactly as it would in the driver's typed hash
+        bad = frames_equal(want, got)
         if bad:
             print(f"FAIL {name}: {bad}")
             failures += 1
