@@ -162,6 +162,41 @@ class StreamRecoverySpec extends SparkSuite {
     assert(streamed.count() == events.count())
   }
 
+  test("UpsertSink table state survives kill-and-resume of the whole pipeline") {
+    // UpsertSinkSpec proves exactly-once under injected REPLAYS of single
+    // batches; this gates the other operational axis: kill the whole query
+    // between micro-batches, resume from the checkpoint, and require the
+    // committed per-bucket table to equal the one-shot batch aggregate —
+    // phase 2's upserts must MERGE into phase-1 bucket versions (count/sum
+    // continuation), not restart them, and the checkpoint token must accept
+    // the resumed stream as the same logical writer.
+    import graft.streaming.UpsertSink
+    val in = Files.createTempDirectory("graft_ups_in").toString
+    val target = Files.createTempDirectory("graft_ups_tgt").toString
+    val ckpt = Files.createTempDirectory("graft_ups_ck").toString
+    events.filter(graft.Ts.epochMicros(col("ts")) <= midUs)
+      .write.mode("overwrite").parquet(in)
+    StreamQueries.withStreamConf(spark, 2) {
+      UpsertSink.run(spark, in, target, ckpt).awaitTermination()
+    }
+    val phase1 = UpsertSink.readTable(spark, target)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    events.filter(graft.Ts.epochMicros(col("ts")) > midUs)
+      .write.mode("append").parquet(in)
+    StreamQueries.withStreamConf(spark, 2) {
+      UpsertSink.run(spark, in, target, ckpt).awaitTermination()
+    }
+    val got = UpsertSink.readTable(spark, target)
+    assert(phase1 > 0 && phase1 < events.count(), "split degenerate")
+    val batch = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"),
+        max(graft.Ts.epochMicros(col("ts"))).as("last_us"))
+    assert(got.select("user_id", "n_events", "cents", "last_us")
+      .except(batch).isEmpty &&
+      batch.except(got.select("user_id", "n_events", "cents", "last_us")).isEmpty)
+  }
+
   test("stream-stream join buffer state survives kill-and-resume (RocksDB)") {
     // q_stream_join's exact shape: watermarked self-join, same-user pairs
     // within ±5 min. Phase 1 shuts down with ~2 h of both sides' rows
