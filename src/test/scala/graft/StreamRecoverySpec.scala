@@ -174,6 +174,19 @@ class StreamRecoverySpec extends SparkSuite {
     val in = Files.createTempDirectory("graft_ups_in").toString
     val target = Files.createTempDirectory("graft_ups_tgt").toString
     val ckpt = Files.createTempDirectory("graft_ups_ck").toString
+    // fixture guards UP FRONT, before any stream runs: the merge claim
+    // needs users whose events STRADDLE the kill point (otherwise a
+    // restart-counts-at-zero bug passes vacuously — the same guard the
+    // fMGWS and join tests carry), and a degenerate split would otherwise
+    // surface as an opaque NULL-sum NPE only after two full runs
+    val sides = events.groupBy("user_id")
+      .agg(
+        sum(when(graft.Ts.epochMicros(col("ts")) <= midUs, 1).otherwise(0)).as("a"),
+        sum(when(graft.Ts.epochMicros(col("ts")) > midUs, 1).otherwise(0)).as("b"))
+    assert(sides.filter(col("a") > 0 && col("b") > 0).count() > 0,
+      "time split produced no cross-phase users")
+    assert(sides.agg(sum("a"), sum("b")).head().toSeq.forall(
+      _.asInstanceOf[Long] > 0L), "split degenerate: one phase is empty")
     events.filter(graft.Ts.epochMicros(col("ts")) <= midUs)
       .write.mode("overwrite").parquet(in)
     StreamQueries.withStreamConf(spark, 2) {
