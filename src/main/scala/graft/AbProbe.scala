@@ -33,10 +33,7 @@ object AbProbe {
         // path (same-instance re-execution, no per-pass codegen-source
         // regeneration) — cloning a pure plan here would understate the
         // memoization savings Bench actually realizes (r15 diff review)
-        val pure = plan.subqueriesAll.isEmpty && !plan.exists(p => {
-          val c = p.getClass.getSimpleName
-          c.contains("ShuffleExchange") || c.contains("BroadcastExchange")
-        })
+        val pure = plan.subqueriesAll.isEmpty && !Bench.hasExchange(plan)
         if (!pure && (plan.subqueriesAll.nonEmpty ||
             !PlanHonesty.reuseClosed(PlanHonesty.prepareClone(plan)))) {
           println(s"[ab] $name is in Bench's rebuild set (subquery futures " +

@@ -98,6 +98,21 @@ object Bench {
   private[graft] def isEager(name: String): Boolean =
     eager(name) || name.startsWith("q_stream_")
 
+  /** The ONE exchange detector behind the memoization-mode decision: a plan
+    * with no shuffle/broadcast exchange holds no cross-pass state, so the
+    * bench re-executes the SAME instance ("pure" mode). Previously hand-copied
+    * in Bench, [[JobCensus]] and [[AbProbe]] — the same silent-drift class the
+    * r15 sweep fixed for quiesce()/isEager by centralizing them here
+    * (advisor r15): a probe whose copy drifted would A/B a mode Bench never
+    * runs. Name-based on purpose: ShuffleExchangeExec/BroadcastExchangeExec
+    * live in different packages across Spark minors, and the columnar
+    * variants match too. */
+  private[graft] def hasExchange(plan: SparkPlan): Boolean =
+    plan.exists { p =>
+      val c = p.getClass.getSimpleName
+      c.contains("ShuffleExchange") || c.contains("BroadcastExchange")
+    }
+
   /** Wait until the async listener bus stops delivering: `snap`'s value is
     * unchanged across two consecutive 60 ms samples (or the deadline lapses —
     * a counter that never settles must not hang the harness). ONE rule shared
@@ -265,12 +280,8 @@ object Bench {
         // every task honestly — and skips the per-pass codegen-source
         // regeneration the clone path pays (~30-80 ms on scan/project/
         // TakeOrdered-shaped queries, a large share of their total)
-        val hasExchange = plan.exists(p => {
-          val c = p.getClass.getSimpleName
-          c.contains("ShuffleExchange") || c.contains("BroadcastExchange")
-        })
         if (stateful) { rebuild += n; runPlan(plan) }
-        else if (!hasExchange) { pure(n) = plan; runPlan(plan) }
+        else if (!hasExchange(plan)) { pure(n) = plan; runPlan(plan) }
         else {
           val cloned = prepareClone(plan)
           // honesty gate: a clone whose reuse references escaped the tree
@@ -311,8 +322,12 @@ object Bench {
     // SQLExecution.withThreadLocalCaptured carries the submitting thread's
     // properties onto the broadcast pool. Streaming queries run their jobs
     // on the query's own microbatch thread (no group) and are excluded, as
-    // in JobCensus. Counters are summed across the 3 timed passes and
-    // reported per-pass; warmup runs set no group and are never counted.
+    // in JobCensus. Counters are keyed per (query, pass) — the job group id
+    // carries the pass number — and reported per-pass over the SUCCESSFUL
+    // passes only: a pass that throws mid-query still started jobs, and
+    // folding those partial counters into an unconditional /3 would skew the
+    // census for intermittently failing queries (advisor r15). Warmup runs
+    // set no group and are never counted.
     val censusCounts =
       new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
     val stageOwner = new java.util.concurrent.ConcurrentHashMap[Int, String]()
@@ -341,7 +356,7 @@ object Bench {
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     for (pass <- 1 to 3; name <- names) {
-      sc.setJobGroup(s"bench:$name", null)
+      sc.setJobGroup(s"bench:$name#$pass", null)
       val t = try {
         pure.get(name).orElse(planned.get(name)) match {
           case Some(plan) if pure.contains(name) =>
@@ -468,11 +483,21 @@ object Bench {
     val censusJson = results.toSeq
       .filter { case (n, v) => v >= 0.45 && !n.startsWith("q_stream_") }
       .sortBy(-_._2)
-      .flatMap { case (n, _) => Option(censusCounts.get(n)).map { c =>
-        val Array(j, st, tk) = c.synchronized(c.clone())
-        "\"" + n + "\":{\"jobs\":" + r3(j / 3.0) + ",\"stages\":" +
-          r3(st / 3.0) + ",\"tasks\":" + r3(tk / 3.0) + "}"
-      } }
+      .flatMap { case (n, _) =>
+        // sum only the passes whose timed sample succeeded, divide by that
+        // count — never by an unconditional 3 (advisor r15; see listener note)
+        val okCs = samples(n).zipWithIndex
+          .collect { case (s, i) if s >= 0 => i + 1 }
+          .flatMap(p => Option(censusCounts.get(s"$n#$p")))
+          .map(c => c.synchronized(c.clone()))
+        if (okCs.isEmpty) None
+        else {
+          val d = okCs.size.toDouble
+          Some("\"" + n + "\":{\"jobs\":" + r3(okCs.map(_(0)).sum / d) +
+            ",\"stages\":" + r3(okCs.map(_(1)).sum / d) +
+            ",\"tasks\":" + r3(okCs.map(_(2)).sum / d) + "}")
+        }
+      }
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +

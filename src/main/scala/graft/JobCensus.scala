@@ -80,10 +80,7 @@ object JobCensus {
         // scan/project-shaped queries) — a census that cloned those ran
         // systematically hotter than the bench time it ranks (r15 probe
         // sweep), enough to pull a sub-threshold query into the census.
-        val pure = !eager && !stateful && !plan.exists(p => {
-          val c = p.getClass.getSimpleName
-          c.contains("ShuffleExchange") || c.contains("BroadcastExchange")
-        })
+        val pure = !eager && !stateful && !Bench.hasExchange(plan)
         // the timed region matches Bench's exactly: the clone is a pure
         // tree copy performed OUTSIDE the timer (Bench times only
         // execute()+runJob); builder+planning are INSIDE it only for the

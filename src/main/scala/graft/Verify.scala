@@ -30,14 +30,33 @@ object Verify {
     // (spark.shuffle.spill.numElementsForceSpillThreshold) is a SparkConf
     // fixed at context start, so the full-contract forced-spill gate runs
     // through THIS hook (BASELINE.md r15). Unset = byte-identical default.
-    sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "").split(';')
-      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        require(kv.contains("="),
-          s"SPARK_GRAFT_EXTRA_CONF entry without '=': '$kv'")
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
-      }
+    val extraConf: Seq[(String, String)] =
+      sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "").split(';')
+        .map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+          // a bare 'k' or 'k=' would silently set nothing/empty and the
+          // gated stress run would report a clean 316/316 it never stressed
+          // (advisor r15); note ';' inside a VALUE is inexpressible here —
+          // no context conf this hook carries needs one
+          val i = kv.indexOf('=')
+          require(i > 0 && i < kv.length - 1,
+            s"SPARK_GRAFT_EXTRA_CONF entry must be key=value with non-empty " +
+              s"sides: '$kv'")
+          (kv.take(i).trim, kv.drop(i + 1).trim)
+        }
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
+    // getOrCreate on a PRE-EXISTING context ignores context-level confs —
+    // fine for Verify.main's fresh JVM today, but a silent no-op if a session
+    // ever pre-exists (advisor r15). Post-condition, not a heuristic: every
+    // requested conf must be visible on the context or the session.
+    extraConf.foreach { case (k, v) =>
+      val seen = spark.sparkContext.getConf.getOption(k)
+        .orElse(spark.conf.getOption(k))
+      require(seen.contains(v),
+        s"SPARK_GRAFT_EXTRA_CONF '$k=$v' not in effect (got $seen) — " +
+          "a pre-existing SparkContext swallowed it; the gated run would " +
+          "silently measure the default configuration")
+    }
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
