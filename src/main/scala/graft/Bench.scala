@@ -176,6 +176,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext
 
+    // Host-condition telemetry (r15 verdict #1): every recorded window drift
+    // so far has ended attributed to host state, but nothing in the artifact
+    // let a reader separate host condition from tree change after the fact —
+    // both r14 spikes and the r15 +5 s cross-window move needed fresh manual
+    // windows to adjudicate. Each phase boundary records a wall timestamp and
+    // the 1-/5-minute loadavg, so a stall or a concurrently loaded host is
+    // visible IN bench_full.json (load1 >> the bench's own core count during
+    // a timed pass = contaminated window, discard before comparing).
+    val phases = Vector.newBuilder[(String, Long, Double, Double)]
+    def loadavg: (Double, Double) =
+      try {
+        val p = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
+        (p(0).toDouble, p(1).toDouble)
+      } catch { case _: Throwable => (-1.0, -1.0) }
+    def mark(p: String): Unit = {
+      val (l1, l5) = loadavg
+      phases += ((p, System.currentTimeMillis(), l1, l5))
+    }
+    mark("start")
+
     // Materialize every output row of a physical plan without the DataSourceV2
     // write framework: the noop-sink write was measured at ~0.10-0.20 s of
     // pure harness overhead PER INVOCATION (a second full optimization of the
@@ -226,6 +246,7 @@ object Bench {
         try runPlan(SparkEntry.queries(n)(spark, warmDir).queryExecution.executedPlan)
         catch { case _: Throwable => () }
       }
+    mark("warmup_eager_done")
     // Write-once artifacts, built and TIMED as an explicit separate step
     // before query warmup (advisor r7): the gated ANN/graph/bucketed/export
     // queries amortize these builds by design — production treats them as
@@ -254,6 +275,7 @@ object Bench {
         n -> -1.0
       }
     }
+    mark("artifacts_done")
 
     // Warmup pass 2 — lazy queries at the BENCHED dir: plan once (memoized),
     // run one untimed cloned execution. This warms codegen/JIT on the real
@@ -299,6 +321,7 @@ object Bench {
     // so timed queries aren't hit by a stop-the-world pause mid-measurement
     spark.catalog.clearCache()
     System.gc()
+    mark("warmup_done")
 
     // Median of 3 runs per query — the same method as the DuckDB baseline
     // (BASELINE.md). Samples are interleaved ROUND-ROBIN across queries
@@ -355,7 +378,9 @@ object Bench {
 
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    for (pass <- 1 to 3; name <- names) {
+    for (pass <- 1 to 3) {
+    mark(s"pass${pass}_start")
+    for (name <- names) {
       sc.setJobGroup(s"bench:$name#$pass", null)
       val t = try {
         pure.get(name).orElse(planned.get(name)) match {
@@ -382,6 +407,8 @@ object Bench {
       samples(name) = samples(name) :+ t
       sc.clearJobGroup()
     }
+    mark(s"pass${pass}_done")
+    }
     // listener events arrive async on the bus thread: wait until the census
     // counters are stable across two consecutive samples (shared rule)
     quiesceBus(() => {
@@ -389,6 +416,7 @@ object Bench {
       censusCounts.forEach((_, v) => v.synchronized { s += v(0) + v(1) + v(2) })
       s
     })
+    mark("census_quiesced")
     // Locale.ROOT: the f interpolator honors the default locale — a comma
     // decimal separator would corrupt the JSON line the driver captures
     def r3(v: Double): String =
@@ -425,6 +453,7 @@ object Bench {
     // the same cores and poison both sides. 4 threads = the methodology of
     // every recorded BASELINE.md pairing. Best-effort: no python3/duckdb →
     // "duckdb":null, never a bench failure.
+    mark("duckdb_start")
     val duckLine: Option[String] = try {
       val tool = java.nio.file.Paths.get(
         sys.props("user.dir"), "tools", "bench_duckdb.py")
@@ -472,6 +501,7 @@ object Bench {
       System.err.println(s"[bench] duckdb pairing skipped: ${e.getMessage}")
       None
     }
+    mark("duckdb_done")
     val duckJson = duckLine.getOrElse("null")
     // headline-sized scalar for the driver's 2000-char tail
     val duckTotal = duckLine
@@ -480,7 +510,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // census block: per-pass jobs/stages/tasks for every successful
     // non-streaming query at or above the SCALE.md census threshold (0.45 s)
-    val censusJson = results.toSeq
+    val censusEntries: Seq[(String, String)] = results.toSeq
       .filter { case (n, v) => v >= 0.45 && !n.startsWith("q_stream_") }
       .sortBy(-_._2)
       .flatMap { case (n, _) =>
@@ -493,16 +523,47 @@ object Bench {
         if (okCs.isEmpty) None
         else {
           val d = okCs.size.toDouble
-          Some("\"" + n + "\":{\"jobs\":" + r3(okCs.map(_(0)).sum / d) +
+          Some(n -> ("\"" + n + "\":{\"jobs\":" + r3(okCs.map(_(0)).sum / d) +
             ",\"stages\":" + r3(okCs.map(_(1)).sum / d) +
-            ",\"tasks\":" + r3(okCs.map(_(2)).sum / d) + "}")
+            ",\"tasks\":" + r3(okCs.map(_(2)).sum / d) + "}"))
         }
       }
-      .mkString("{", ",", "}")
+    val censusJson = censusEntries.map(_._2).mkString("{", ",", "}")
+    // Automated census health check (r15 verdict #6): the committed rule —
+    // "a NEW name in the ≥0.45 s census without an explanation is the
+    // regression signal" — was judge-executed until now. Diff the live
+    // census name-set against docs/census_allowlist.txt (each allowed name
+    // carries a SCALE.md explanation pointer) and surface the newcomers in
+    // the artifact itself; CensusAllowlistSpec gates the committed artifact
+    // in `sbt test`. Window jitter moves borderline names across the 0.45 s
+    // threshold, so the allowlist is the union of explained names, not one
+    // window's snapshot.
+    val censusNewJson: String = {
+      val path = java.nio.file.Paths.get(
+        sys.props("user.dir"), "docs", "census_allowlist.txt")
+      if (!java.nio.file.Files.isRegularFile(path)) "null"
+      else {
+        import scala.jdk.CollectionConverters._
+        val allowed = java.nio.file.Files.readAllLines(path).asScala
+          .map(_.takeWhile(_ != '#').trim).filter(_.nonEmpty).toSet
+        val newcomers = censusEntries.map(_._1).filterNot(allowed)
+        if (newcomers.nonEmpty) System.err.println(
+          "[bench] census NEW names (unexplained = the regression signal; " +
+            "explain in docs/SCALE.md, then allowlist): " +
+            newcomers.mkString(", "))
+        newcomers.map("\"" + _ + "\"").mkString("[", ",", "]")
+      }
+    }
+    // host block: phase boundaries with wall time + 1/5-min loadavg — the
+    // window-contamination evidence the drift rule needs (see `mark` above)
+    val hostJson = phases.result().map { case (p, t, l1, l5) =>
+      s"""{"p":"$p","t_ms":$t,"load1":${r3(l1)},"load5":${r3(l5)}}"""
+    }.mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"artifacts":$artJson,"duckdb":$duckJson,""" +
-        s""""census":$censusJson,""" +
+        s""""census":$censusJson,"census_new":$censusNewJson,""" +
+        s""""host":$hostJson,""" +
         s""""cpus":$cpus,"sf":"$sfDir"}"""
     // The driver archives only a ~2000-char TAIL of this output and parses a
     // JSON line out of it; the full per-query line outgrew that window in
