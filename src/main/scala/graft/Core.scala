@@ -373,10 +373,36 @@ object Exact {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity, defined as NULL for a zero-norm operand — on BOTH
+    * engines. The naked division diverges exactly there: Spark evaluates
+    * 0/0 to IEEE NaN while DuckDB defines double division by zero as NULL
+    * (r16 device-fuzz finding, BASELINE.md class 22). Fixtures carry no
+    * zero vectors, but a 100 TB embedding corpus will; NULL ("similarity
+    * undefined") is the right answer and the twins agree on it bitwise.
+    * A NaN norm (NaN/Inf components) passes the guard on both engines:
+    * Spark's `=!=` uses NaN==NaN semantics and DuckDB's NULLIF compares
+    * NaN=0 false, so both produce NaN — still bitwise-equal. */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den =!= lit(0.0), dot(a, b) / den)
+  }
 
   def cosineSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${squaredNormSql(a)}) * sqrt(${squaredNormSql(b)})))"
+    s"(${dotSql(a, b)} / NULLIF(sqrt(${squaredNormSql(a)}) * sqrt(${squaredNormSql(b)}), 0))"
+
+  /** [[cosine]]'s zero-norm guard for call sites that PRECOMPUTE the
+    * denominator (a reused norm column, a broadcast query-side norm): the
+    * similarity pipelines divide by `nrm * qn` to avoid recomputing norms
+    * per pair, and every one of those inline divisions carried the class-22
+    * divergence (Spark 0/0 → NaN — which sorts FIRST under `desc`, so a
+    * zero-norm vector would win a top-k! — vs DuckDB /0 → NULL, which sorts
+    * last). One guarded device + its SQL twin, so the spelling can't drift
+    * per site. */
+  def cosineOver(dotE: Column, den: Column): Column =
+    when(den =!= lit(0.0), dotE / den)
+
+  def cosineOverSql(dotE: String, den: String): String =
+    s"($dotE / NULLIF($den, 0))"
 
   /** Pearson r from exact BIGINT sufficient statistics (n, Σx, Σy, Σxy,
     * Σx², Σy²) — the ONE closed IEEE tree the daily-series correlation
@@ -384,12 +410,38 @@ object Exact {
     * (n·sxy − sx·sy) / (√(n·sxx − sx²) · √(n·syy − sy²)), every operand
     * cast to double FIRST so both engines run the identical operation
     * order. Previously copy-pasted per query; the tree shape is the
-    * cross-engine contract, so it must live in exactly one place. */
+    * cross-engine contract, so it must live in exactly one place.
+    *
+    * Defined as NULL for a ZERO-VARIANCE series — on both engines. The
+    * naked division diverged exactly there (Spark 0/0 → IEEE NaN, DuckDB
+    * double /0 → NULL; r16 device-fuzz finding, BASELINE.md class 22), and
+    * a constant daily-count series is entirely reachable at scale (an
+    * event_type logging exactly k events every day; all-tied ranks in the
+    * Spearman rewrite). Correlation against a constant is undefined; NULL
+    * is the honest answer and the twins now agree on it bitwise.
+    * Domain precondition (both twins): the statistics must be REALIZABLE —
+    * sums of an actual sample — so n·sxx−sx² ≥ 0 by Cauchy–Schwarz. A
+    * fabricated negative variance is NaN on Spark but an ERROR in DuckDB
+    * (sqrt of a negative raises there); every call site aggregates real
+    * rows, which satisfies this by construction. */
   def pearson(n: Column, sx: Column, sy: Column, sxy: Column,
       sxx: Column, syy: Column): Column = {
     def D(c: Column) = c.cast(org.apache.spark.sql.types.DoubleType)
-    (D(n) * D(sxy) - D(sx) * D(sy)) /
-      (sqrt(D(n) * D(sxx) - D(sx) * D(sx)) *
-        sqrt(D(n) * D(syy) - D(sy) * D(sy)))
+    val den = sqrt(D(n) * D(sxx) - D(sx) * D(sx)) *
+      sqrt(D(n) * D(syy) - D(sy) * D(sy))
+    when(den =!= lit(0.0), (D(n) * D(sxy) - D(sx) * D(sy)) / den)
+  }
+
+  /** DuckDB twin of [[pearson]], now single-homed like the Spark side (the
+    * four correlation oracles previously inlined the tree by hand — the
+    * copy-drift class the review sweeps keep finding — and the zero-variance
+    * guard forces them all to change in lockstep anyway). Arguments are SQL
+    * expressions for the six BIGINT statistics. */
+  def pearsonSql(n: String, sx: String, sy: String, sxy: String,
+      sxx: String, syy: String): String = {
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    val den = s"(sqrt(${d(n)} * ${d(sxx)} - ${d(sx)} * ${d(sx)}) * " +
+      s"sqrt(${d(n)} * ${d(syy)} - ${d(sy)} * ${d(sy)}))"
+    s"((${d(n)} * ${d(sxy)} - ${d(sx)} * ${d(sy)}) / NULLIF($den, 0))"
   }
 }

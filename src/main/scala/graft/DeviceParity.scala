@@ -97,7 +97,11 @@ object DeviceParity {
       (1L, Array(1e-8f, 1e8f, -1e-8f), Array(1e8f, 1e-8f, 1e-8f)),
       (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
       (3L, Array(2.0f, -3.0f, 4.0f), Array(-2.0f, 3.0f, -4.0f)),
-      (4L, Array(0.1f, 0.2f, 0.3f), Array(0.3f, 0.2f, 0.1f)))
+      (4L, Array(0.1f, 0.2f, 0.3f), Array(0.3f, 0.2f, 0.1f)),
+      // class 22: the zero vector — cosine is NULL on BOTH engines under
+      // the guarded device (pre-guard: Spark 0/0 → NaN vs DuckDB /0 → NULL)
+      (5L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f)),
+      (6L, Array(0.0f, -0.0f, 0.0f), Array(0.0f, 0.0f, 0.0f)))
       .toDF("id", "a", "b")
     val vecTwin = dump("vec", vecs,
       vecs.select(col("id"), Exact.dot(col("a"), col("b")).as("d"),
@@ -112,17 +116,21 @@ object DeviceParity {
     val stats = Seq(
       (0L, 3000000000L, 2999999999L, 3000000001L, 2999999998L, 3000000002L, 3000000003L),
       (1L, 100L, -50L, 75L, -30L, 60L, 90L),
-      (2L, 7L, 0L, 0L, 0L, 14L, 21L))
+      (2L, 7L, 0L, 0L, 0L, 14L, 21L),
+      // class 22: ZERO-VARIANCE series (x constant: n=5, Σx=10, Σx²=20 →
+      // n·sxx − sx² = 0) — pearson is NULL on BOTH engines under the
+      // guarded device (pre-guard: Spark 0/0 → NaN vs DuckDB /0 → NULL);
+      // realizable stats only — DuckDB ERRORS on sqrt(negative), so an
+      // unrealizable negative variance is outside the device's domain
+      (3L, 5L, 10L, 15L, 30L, 20L, 55L),
+      // both variances zero AND covariance zero (x and y both constant)
+      (4L, 4L, 8L, 12L, 24L, 16L, 36L))
       .toDF("id", "n", "sx", "sy", "sxy", "sxx", "syy")
-    def dd(e: String) = s"CAST($e AS DOUBLE)"
-    val pearsonSqlTree = // the same shape as Exact.pearson, spelled for DuckDB
-      s"((${dd("n")}*${dd("sxy")} - ${dd("sx")}*${dd("sy")}) / " +
-        s"(sqrt(${dd("n")}*${dd("sxx")} - ${dd("sx")}*${dd("sx")}) * " +
-        s"sqrt(${dd("n")}*${dd("syy")} - ${dd("sy")}*${dd("sy")})))"
     val pearsonTwin = dump("pearson", stats,
       stats.select(col("id"), Exact.pearson(col("n"), col("sx"), col("sy"),
         col("sxy"), col("sxx"), col("syy")).as("r")).orderBy("id"),
-      s"SELECT id, $pearsonSqlTree AS r FROM t ORDER BY id")
+      s"SELECT id, ${Exact.pearsonSql("n", "sx", "sy", "sxy", "sxx", "syy")}" +
+        " AS r FROM t ORDER BY id")
 
     // ---- string guards: the \A..\z digit-guard + ANSI-cast contract -------
     // (classes 16/19, the Scalars.scala:149/153 spelling). Adversarial:

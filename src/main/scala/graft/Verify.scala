@@ -45,6 +45,22 @@ object Verify {
         }
     extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
+    // Task-attempt census, for the gated stress runs: the speculation gate
+    // (BASELINE.md r16) must EVIDENCE that duplicated/replayed tasks actually
+    // happened — a local[n] run silently never speculates (TaskSchedulerImpl
+    // guards the speculation thread behind !isLocal), so a gate that only
+    // checked results could pass without exercising anything. One stderr
+    // line at the end; zero cost on the default path.
+    val taskStats = new java.util.concurrent.atomic.AtomicLongArray(3)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskStart(
+            t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+          taskStats.incrementAndGet(0)
+          if (t.taskInfo.speculative) taskStats.incrementAndGet(1)
+          if (t.taskInfo.attemptNumber > 0) taskStats.incrementAndGet(2)
+        }
+      })
     // getOrCreate on a PRE-EXISTING context ignores context-level confs —
     // fine for Verify.main's fresh JVM today, but a silent no-op if a session
     // ever pre-exists (advisor r15). Post-condition, not a heuristic: every
@@ -89,6 +105,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    System.err.println(s"[verify] task attempts=${taskStats.get(0)} " +
+      s"speculative=${taskStats.get(1)} retried=${taskStats.get(2)}")
     spark.stop()
   }
 }

@@ -656,14 +656,16 @@ object DedupOps {
         val b = e.select(col("vec_id").as("idb"), col("label").as("lb"),
           col("embedding").as("eb"), col("nrm").as("nb"))
         a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
-          .select((Exact.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+          .select(Exact.cosineOver(Exact.dot(col("ea"), col("eb")),
+            col("na") * col("nb")).as("sim"))
           .filter(col("sim") >= 0.4)
           .agg(count(lit(1)).as("n_pairs"), round(max(col("sim")), 6).as("max_sim"))
       },
       Some(
         s"""WITH n AS (SELECT vec_id, label, embedding,
            |  sqrt(${Exact.squaredNormSql("embedding")}) AS nrm FROM embeddings),
-           |p AS (SELECT ${Exact.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+           |p AS (SELECT ${Exact.cosineOverSql(
+             Exact.dotSql("a.embedding", "b.embedding"), "a.nrm * b.nrm")} AS sim
            |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
            |SELECT count(*) AS n_pairs, round(max(sim), 6) AS max_sim FROM p WHERE sim >= 0.4""".stripMargin)),
 
@@ -691,7 +693,8 @@ object DedupOps {
         val b = e.select(col("vec_id").as("idb"), col("label").as("lb"),
           col("embedding").as("eb"), col("nrm").as("nb"))
         val pairs = a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
-          .filter(Exact.dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.4)
+          .filter(Exact.cosineOver(Exact.dot(col("ea"), col("eb")),
+            col("na") * col("nb")) >= 0.4)
           .select(col("ida"), col("idb"))
         val edges = pairs.select(col("ida").as("node"), col("idb").as("nbr"))
           .unionAll(pairs.select(col("idb").as("node"), col("ida").as("nbr")))
@@ -711,7 +714,8 @@ object DedupOps {
            |  sqrt(${Exact.squaredNormSql("embedding")}) AS nrm FROM embeddings),
            |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb
            |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-           |  WHERE ${Exact.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4),
+           |  WHERE ${Exact.cosineOverSql(
+             Exact.dotSql("a.embedding", "b.embedding"), "a.nrm * b.nrm")} >= 0.4),
            |e AS (SELECT ida AS node, idb AS nbr FROM p
            |  UNION ALL SELECT idb, ida FROM p),
            |l AS (SELECT n.vec_id AS node,

@@ -201,7 +201,8 @@ object Similarity {
        |q AS (SELECT embedding AS qv, sqrt(${Exact.squaredNormSql("embedding")}) AS qn
        |      FROM e WHERE vec_id = 0),
        |cell AS (SELECT label FROM cent, q
-       |  ORDER BY ${Exact.dotSql("centroid", "qv")} / (sqrt(${Exact.squaredNormSql("centroid")}) * qn) DESC, label
+       |  ORDER BY ${Exact.cosineOverSql(Exact.dotSql("centroid", "qv"),
+            s"sqrt(${Exact.squaredNormSql("centroid")}) * qn")} DESC, label
        |  LIMIT PROBES)""".stripMargin.replace("PROBES", probes.toString)
 
   val all: Seq[GraftQuery] = Seq(
@@ -217,8 +218,8 @@ object Similarity {
           .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
         val cell = cent.crossJoin(broadcast(q))
           .select(col("clabel"),
-            (Exact.dot(col("centroid"), col("qv")) /
-              (Exact.norm(col("centroid")) * col("qn"))).as("csim"))
+            Exact.cosineOver(Exact.dot(col("centroid"), col("qv")),
+              Exact.norm(col("centroid")) * col("qn")).as("csim"))
           .orderBy(col("csim").desc, col("clabel"))
           .limit(1)
           .select(col("clabel").as("cell"))
@@ -226,15 +227,16 @@ object Similarity {
           .join(broadcast(cell), col("label") === col("cell"))
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
-            round(Exact.dot(col("embedding"), col("qv")) /
-              (Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
+            round(Exact.cosineOver(Exact.dot(col("embedding"), col("qv")),
+              Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10)
       },
       Some(
         s"""${labelIvfCtes(1)}
-           |SELECT e.vec_id, round(${Exact.dotSql("e.embedding", "q.qv")} /
-           |    (sqrt(${Exact.squaredNormSql("e.embedding")}) * q.qn), 6) AS sim
+           |SELECT e.vec_id, round(${Exact.cosineOverSql(
+                Exact.dotSql("e.embedding", "q.qv"),
+                s"sqrt(${Exact.squaredNormSql("e.embedding")}) * q.qn")}, 6) AS sim
            |FROM e, q, cell WHERE e.label = cell.label AND e.vec_id <> 0
            |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
 
@@ -257,8 +259,8 @@ object Similarity {
           .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
         val cell = cent.crossJoin(broadcast(q))
           .select(col("clabel"),
-            (Exact.dot(col("centroid"), col("qv")) /
-              (Exact.norm(col("centroid")) * col("qn"))).as("csim"))
+            Exact.cosineOver(Exact.dot(col("centroid"), col("qv")),
+              Exact.norm(col("centroid")) * col("qn")).as("csim"))
           .orderBy(col("csim").desc, col("clabel"))
           .limit(1)
           .select(col("clabel").as("cell"))
@@ -266,15 +268,16 @@ object Similarity {
           .join(broadcast(cell), col("label") === col("cell"))
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
-            round(Exact.dot(col("embedding"), col("qv")) /
-              (Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
+            round(Exact.cosineOver(Exact.dot(col("embedding"), col("qv")),
+              Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10)
       },
       Some(
         s"""${labelIvfCtes(1)}
-           |SELECT e.vec_id, round(${Exact.dotSql("e.embedding", "q.qv")} /
-           |    (sqrt(${Exact.squaredNormSql("e.embedding")}) * q.qn), 6) AS sim
+           |SELECT e.vec_id, round(${Exact.cosineOverSql(
+                Exact.dotSql("e.embedding", "q.qv"),
+                s"sqrt(${Exact.squaredNormSql("e.embedding")}) * q.qn")}, 6) AS sim
            |FROM e, q, cell WHERE e.label = cell.label AND e.vec_id <> 0 AND e.vec_id % 2 = 0
            |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
 
@@ -292,8 +295,8 @@ object Similarity {
           .select(col("embedding").as("qv"), Exact.norm(col("embedding")).as("qn"))
         val cells = cent.crossJoin(broadcast(q))
           .select(col("clabel"),
-            (Exact.dot(col("centroid"), col("qv")) /
-              (Exact.norm(col("centroid")) * col("qn"))).as("csim"))
+            Exact.cosineOver(Exact.dot(col("centroid"), col("qv")),
+              Exact.norm(col("centroid")) * col("qn")).as("csim"))
           .orderBy(col("csim").desc, col("clabel"))
           .limit(2)
           .select(col("clabel").as("cell"))
@@ -301,15 +304,16 @@ object Similarity {
           .join(broadcast(cells), col("label") === col("cell"))
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
-            round(Exact.dot(col("embedding"), col("qv")) /
-              (Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
+            round(Exact.cosineOver(Exact.dot(col("embedding"), col("qv")),
+              Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10)
       },
       Some(
         s"""${labelIvfCtes(2)}
-           |SELECT e.vec_id, round(${Exact.dotSql("e.embedding", "q.qv")} /
-           |    (sqrt(${Exact.squaredNormSql("e.embedding")}) * q.qn), 6) AS sim
+           |SELECT e.vec_id, round(${Exact.cosineOverSql(
+                Exact.dotSql("e.embedding", "q.qv"),
+                s"sqrt(${Exact.squaredNormSql("e.embedding")}) * q.qn")}, 6) AS sim
            |FROM e, q WHERE e.label IN (SELECT label FROM cell) AND e.vec_id <> 0
            |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
 
@@ -342,8 +346,8 @@ object Similarity {
           .join(broadcast(qCell), col("cid") === col("qcell"))
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
-            round(Exact.dot(col("embedding"), col("qv")) /
-              (Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
+            round(Exact.cosineOver(Exact.dot(col("embedding"), col("qv")),
+              Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10)
       },
@@ -352,8 +356,9 @@ object Similarity {
            |q AS (SELECT embedding AS qv, sqrt(${Exact.squaredNormSql("embedding")}) AS qn
            |  FROM e WHERE vec_id = 0),
            |qcell AS (SELECT cid FROM c2, q ORDER BY ${distSql("qv", "centroid")}, cid LIMIT 1)
-           |SELECT a3.vec_id, round(${Exact.dotSql("a3.embedding", "q.qv")} /
-           |    (sqrt(${Exact.squaredNormSql("a3.embedding")}) * q.qn), 6) AS sim
+           |SELECT a3.vec_id, round(${Exact.cosineOverSql(
+                Exact.dotSql("a3.embedding", "q.qv"),
+                s"sqrt(${Exact.squaredNormSql("a3.embedding")}) * q.qn")}, 6) AS sim
            |FROM a3, q, qcell WHERE a3.cid = qcell.cid AND a3.vec_id <> 0
            |ORDER BY sim DESC, a3.vec_id LIMIT 10""".stripMargin)),
 
@@ -369,7 +374,8 @@ object Similarity {
         bucketed.filter(col("vec_id") =!= 0)
           .join(broadcast(q), col("bucket") === col("qb"))
           .select(col("vec_id"),
-            round(Exact.dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6).as("sim"))
+            round(Exact.cosineOver(Exact.dot(col("embedding"), col("qv")),
+              col("nrm") * col("qn")), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10)
       },
@@ -378,7 +384,8 @@ object Similarity {
            |  sqrt(${Exact.squaredNormSql("embedding")}) AS nrm,
            |  $lshBucketSql AS bucket FROM embeddings),
            |q AS (SELECT embedding AS qv, nrm AS qn, bucket AS qb FROM b WHERE vec_id = 0)
-           |SELECT b.vec_id, round(${Exact.dotSql("b.embedding", "q.qv")} / (b.nrm * q.qn), 6) AS sim
+           |SELECT b.vec_id, round(${Exact.cosineOverSql(
+                Exact.dotSql("b.embedding", "q.qv"), "b.nrm * q.qn")}, 6) AS sim
            |FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
            |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin)),
 
@@ -399,7 +406,7 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("embedding").as("qv"),
             col("nrm").as("qn"), col("bucket").as("qb"))
         def sim(emb: Column, nrm: Column) =
-          Exact.dot(emb, col("qv")) / (nrm * col("qn"))
+          Exact.cosineOver(Exact.dot(emb, col("qv")), nrm * col("qn"))
         def top10(scored: DataFrame): DataFrame = scored
           .withColumn("rn", row_number().over(
             Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
@@ -439,7 +446,7 @@ object Similarity {
            |  FROM b WHERE vec_id < 10),
            |gt AS (SELECT qid, vec_id FROM (
            |  SELECT q.qid, b.vec_id, row_number() OVER (PARTITION BY q.qid
-           |    ORDER BY ${Exact.dotSql("b.embedding", "q.qv")} / (b.nrm * q.qn) DESC, b.vec_id) AS rn
+           |    ORDER BY ${Exact.cosineOverSql(Exact.dotSql("b.embedding", "q.qv"), "b.nrm * q.qn")} DESC, b.vec_id) AS rn
            |  FROM b JOIN q ON b.vec_id <> q.qid) t WHERE rn <= 10),
            |qcell AS (SELECT qid, cid AS qcell FROM (
            |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
@@ -447,13 +454,13 @@ object Similarity {
            |  FROM q CROSS JOIN c2 c) t WHERE rn = 1),
            |km AS (SELECT qid, vec_id FROM (
            |  SELECT q.qid, a3.vec_id, row_number() OVER (PARTITION BY q.qid
-           |    ORDER BY ${Exact.dotSql("a3.embedding", "q.qv")} /
-           |      (sqrt(${Exact.squaredNormSql("a3.embedding")}) * q.qn) DESC, a3.vec_id) AS rn
+           |    ORDER BY ${Exact.cosineOverSql(Exact.dotSql("a3.embedding", "q.qv"),
+                  s"sqrt(${Exact.squaredNormSql("a3.embedding")}) * q.qn")} DESC, a3.vec_id) AS rn
            |  FROM a3 JOIN qcell ON a3.cid = qcell.qcell
            |           JOIN q ON q.qid = qcell.qid AND a3.vec_id <> q.qid) t WHERE rn <= 10),
            |ls AS (SELECT qid, vec_id FROM (
            |  SELECT q.qid, b.vec_id, row_number() OVER (PARTITION BY q.qid
-           |    ORDER BY ${Exact.dotSql("b.embedding", "q.qv")} / (b.nrm * q.qn) DESC, b.vec_id) AS rn
+           |    ORDER BY ${Exact.cosineOverSql(Exact.dotSql("b.embedding", "q.qv"), "b.nrm * q.qn")} DESC, b.vec_id) AS rn
            |  FROM b JOIN q ON b.bucket = q.qb AND b.vec_id <> q.qid) t WHERE rn <= 10),
            |kmh AS (SELECT gt.qid, count(*) AS n FROM gt JOIN km USING (qid, vec_id) GROUP BY gt.qid),
            |lsh AS (SELECT gt.qid, count(*) AS n FROM gt JOIN ls USING (qid, vec_id) GROUP BY gt.qid)

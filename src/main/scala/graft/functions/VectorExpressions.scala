@@ -346,10 +346,15 @@ object TopPairsUtil {
     }
     // bounded worst-first heap: root = the weakest kept pair.
     // sim compares via Double.compare — the TOTAL order Spark's DoubleType
-    // sort uses (NaN above +Inf, NaN ties NaN), so a zero-norm vector's NaN
-    // cosine ranks exactly where the join+orderBy form ranks it (first),
+    // sort uses (NaN above +Inf, NaN ties NaN), so a NaN-component vector's
+    // NaN cosine ranks exactly where the join+orderBy form ranks it (first),
     // instead of the naive `>`/`==` pair under which NaN compares false
-    // both ways and the comparator goes intransitive
+    // both ways and the comparator goes intransitive. ZERO-NORM vectors form
+    // no pair at all (the class-22 guarded-cosine contract: similarity
+    // against the zero vector is undefined → NULL → excluded, mirrored by
+    // the oracle's `sim IS NOT NULL` filter — the pre-guard 0/0 NaN would
+    // have ranked such pairs FIRST here while DuckDB's /0 NULL ranked them
+    // last, a latent top-k divergence on degenerate corpora).
     case class P(ida: Long, idb: Long, sim: Double)
     def better(a: P, b: P): Boolean = { // a strictly precedes b in output order
       val c = java.lang.Double.compare(a.sim, b.sim)
@@ -364,7 +369,7 @@ object TopPairsUtil {
       while (j < n) {
         // the join form's predicate is the STRICT ida < idb on ID VALUES:
         // two rows sharing a vec_id produce no pair there, so none here
-        if (ids(i) == ids(j)) { j += 1 }
+        if (ids(i) == ids(j) || norms(i) == 0.0 || norms(j) == 0.0) { j += 1 }
         else {
         val (lo, hi) = if (ids(i) < ids(j)) (i, j) else (j, i)
         val a = vecs(lo); val b = vecs(hi)

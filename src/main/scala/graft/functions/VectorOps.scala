@@ -258,8 +258,8 @@ object VectorOps {
           .crossJoin(broadcast(q))
           .select(
             col("vec_id"),
-            round(Exact.dot(col("embedding"), col("qv")) /
-              (Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
+            round(Exact.cosineOver(Exact.dot(col("embedding"), col("qv")),
+              Exact.norm(col("embedding")) * col("qn")), 6).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10)
       },
@@ -393,10 +393,13 @@ object VectorOps {
           .limit(20)
       },
       Some(
-        "WITH e AS (SELECT * FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL) " +
-          "SELECT a.vec_id AS ida, b.vec_id AS idb, " +
+        "WITH e AS (SELECT * FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL), " +
+          // sim IS NOT NULL = the guarded-cosine zero-norm exclusion, the
+          // exact mirror of TopPairsWithin forming no pair for them
+          "p AS (SELECT a.vec_id AS ida, b.vec_id AS idb, " +
           "round(" + Exact.cosineSql("a.embedding", "b.embedding") + ",6) AS sim " +
-          "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
+          "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) " +
+          "SELECT ida, idb, sim FROM p WHERE sim IS NOT NULL " +
           "ORDER BY sim DESC, ida, idb LIMIT 20")),
 
     GraftQuery(
@@ -424,8 +427,8 @@ object VectorOps {
         val scored = e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
-            (Exact.dot(col("embedding"), col("qv")) /
-              (Exact.norm(col("embedding")) * col("qn"))).as("cos"),
+            Exact.cosineOver(Exact.dot(col("embedding"), col("qv")),
+              Exact.norm(col("embedding")) * col("qn")).as("cos"),
             Exact.dot(col("embedding"), col("qv")).as("dp"))
         def D(c: org.apache.spark.sql.Column) =
           c.cast(org.apache.spark.sql.types.DoubleType)
@@ -593,8 +596,8 @@ object VectorOps {
             Exact.dot(col("embedding"), col("qv")).as("dp"),
             // augmented cosine: x·q / (M·‖q‖) — the augmented x has norm M,
             // the augmented q keeps ‖q‖; the extra dimension contributes 0
-            (Exact.dot(col("embedding"), col("qv")) /
-              (col("mx") * Exact.norm(col("qv")))).as("ac"))
+            Exact.cosineOver(Exact.dot(col("embedding"), col("qv")),
+              col("mx") * Exact.norm(col("qv"))).as("ac"))
         // NaN guard: a zero max-norm (empty/degenerate corpus) would make
         // ac = dp/0 NaN; NaN sorts first under DESC → band Long.MinValue.
         // The two ranks CHAIN over the scored relation (see q_vec_rrf):
@@ -617,8 +620,8 @@ object VectorOps {
           "m AS (SELECT max(sqrt(" + Exact.squaredNormSql("embedding") +
           ")) AS mx FROM embeddings), " +
           "s AS (SELECT e.vec_id, " + Exact.dotSql("e.embedding", "q.qv") +
-          " AS dp, " + Exact.dotSql("e.embedding", "q.qv") +
-          " / (m.mx * sqrt(" + Exact.squaredNormSql("q.qv") + ")) AS ac " +
+          " AS dp, " + Exact.cosineOverSql(Exact.dotSql("e.embedding", "q.qv"),
+            "m.mx * sqrt(" + Exact.squaredNormSql("q.qv") + ")") + " AS ac " +
           "FROM embeddings e, q, m WHERE e.vec_id <> 0), " +
           "r AS (SELECT vec_id, dp, " +
           "CAST(row_number() OVER (ORDER BY dp DESC, vec_id) AS BIGINT) AS r_dot, " +
@@ -841,7 +844,8 @@ object VectorOps {
             Window.partitionBy(lit(1)).orderBy("k")).cast("long"))
           .filter(col("rn") === 64L)
           .select(col("n1").as("n_even_rows"), col("n2").as("n_odd_rows"),
-            round(col("dot") / (sqrt(col("q1")) * sqrt(col("q2"))), 6)
+            round(Exact.cosineOver(col("dot"),
+              sqrt(col("q1")) * sqrt(col("q2"))), 6)
               .as("mean_cosine"),
             round(sqrt(col("sh")) / lit(1048576d), 6).as("l2_shift"))
       },
@@ -873,7 +877,7 @@ object VectorOps {
           |  WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
           |    AND CURRENT ROW))
           |SELECT n1 AS n_even_rows, n2 AS n_odd_rows,
-          |  round(dot / (sqrt(q1) * sqrt(q2)), 6) AS mean_cosine,
+          |  round(dot / NULLIF(sqrt(q1) * sqrt(q2), 0), 6) AS mean_cosine,
           |  round(sqrt(sh) / 1048576.0, 6) AS l2_shift
           |FROM f WHERE rn = 64""".stripMargin))
   )

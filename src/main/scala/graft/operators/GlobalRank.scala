@@ -173,12 +173,20 @@ object GlobalRank {
   }
 
   /** Band expression for a SCORE-DESCENDING banded rank whose score can be
-    * NaN: NaN sorts FIRST under DESC (Spark double total order), so it
-    * must band to Long.MinValue — the naive floor(-NaN·K) casts to 0 and
-    * lands NaN mid-order, silently corrupting every rank below it. The
-    * canonical guard for rowNumberBanded callers (q_vec_rrf and q_vec_mips
-    * each hand-rolled it before — r13 review). */
+    * NaN or NULL: NaN sorts FIRST under DESC (Spark double total order), so
+    * it must band to Long.MinValue — the naive floor(-NaN·K) casts to 0 and
+    * lands NaN mid-order, silently corrupting every rank below it. NULL
+    * sorts LAST under Spark's default desc (and under DuckDB's desc — the
+    * cross-engine agreement the class-22 guarded-cosine devices rely on),
+    * so it bands to Long.MaxValue — an unguarded NULL would band to NULL,
+    * and the band-offset window (ascending band order, NULLs FIRST) would
+    * silently rank every degenerate row ahead of all real scores. Callers'
+    * scores are cosines/normalized dots (|score| ≤ ~1, bands within ±k),
+    * nowhere near the sentinel bands. The canonical guard for
+    * rowNumberBanded callers (q_vec_rrf and q_vec_mips each hand-rolled it
+    * before — r13 review). */
   def nanGuardedDescBand(score: Column, k: Int): Column =
     when(isnan(score), lit(Long.MinValue))
+      .when(score.isNull, lit(Long.MaxValue))
       .otherwise(floor(-score * k).cast("long"))
 }

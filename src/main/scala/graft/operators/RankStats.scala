@@ -105,9 +105,7 @@ object RankStats {
            |    CAST(sum(ry * ry) AS BIGINT) AS syy
            |  FROM r)
            |SELECT n,
-           |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-           |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-           |      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+           |  round(${graft.Exact.pearsonSql("n", "sx", "sy", "sxy", "sxx", "syy")},
            |    6) AS rho
            |FROM a""".stripMargin)),
 

@@ -789,7 +789,7 @@ object TimeSeries {
           .orderBy("event_type")
       },
       Some(
-        """WITH daily AS (
+        s"""WITH daily AS (
           |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
           |    count(*) AS x
           |  FROM events GROUP BY 1, 2),
@@ -800,16 +800,10 @@ object TimeSeries {
           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
           |    CAST(sum(x * y) AS BIGINT) AS sxy,
           |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
-          |  FROM p WHERE y IS NOT NULL GROUP BY event_type),
-          |d AS (SELECT event_type, n,
-          |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
-          |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
-          |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
-          |  FROM a)
+          |  FROM p WHERE y IS NOT NULL GROUP BY event_type)
           |SELECT event_type, n,
-          |  round((nd * sxyd - sxd * syd)
-          |    / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 6) AS r1
-          |FROM d ORDER BY event_type""".stripMargin)),
+          |  round(${graft.Exact.pearsonSql("n", "sx", "sy", "sxy", "sxx", "syy")}, 6) AS r1
+          |FROM a ORDER BY event_type""".stripMargin)),
 
     GraftQuery(
       "q_ts_rolling_median",
@@ -885,7 +879,7 @@ object TimeSeries {
           .orderBy("lag_k")
       },
       Some(
-        """WITH daily AS (
+        s"""WITH daily AS (
           |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
           |    count(*) AS n
           |  FROM events GROUP BY 1, 2),
@@ -903,9 +897,7 @@ object TimeSeries {
           |    CAST(sum(y * y) AS BIGINT) AS syy
           |  FROM j GROUP BY 1)
           |SELECT lag_k, np,
-          |  round((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-          |    / (sqrt(CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-          |      * sqrt(CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+          |  round(${graft.Exact.pearsonSql("np", "sx", "sy", "sxy", "sxx", "syy")},
           |    6) AS r
           |FROM a ORDER BY lag_k""".stripMargin)),
 
@@ -997,7 +989,7 @@ object TimeSeries {
           .orderBy("event_type", "lag_k")
       },
       Some(
-        """WITH daily AS (
+        s"""WITH daily AS (
           |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
           |    count(*) AS x
           |  FROM events GROUP BY 1, 2),
@@ -1023,9 +1015,7 @@ object TimeSeries {
           |    CAST(sum(y * y) AS BIGINT) AS syy
           |  FROM u WHERE y IS NOT NULL GROUP BY 1, 2)
           |SELECT event_type, lag_k, n,
-          |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-          |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-          |      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+          |  round(${graft.Exact.pearsonSql("n", "sx", "sy", "sxy", "sxx", "syy")},
           |    6) AS r
           |FROM a ORDER BY event_type, lag_k""".stripMargin)),
 

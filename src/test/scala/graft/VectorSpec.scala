@@ -155,25 +155,34 @@ class VectorSpec extends SparkSuite {
     }
   }
 
-  test("TopPairsWithin survives zero-norm vectors (NaN cosine, no throw)") {
-    // 0/0 cosine is NaN; Spark's Round passes NaN/Infinity through, and
-    // round6 must do the same — BigDecimal.valueOf(NaN) would throw and
-    // kill the task on the first degenerate embedding
+  test("TopPairsWithin: zero-norm vectors form NO pair (guarded-cosine contract)") {
+    // class 22 (r16): cosine against the zero vector is undefined — the
+    // guarded Exact.cosine returns NULL on both engines and the oracle
+    // filters `sim IS NOT NULL`, so the expression must exclude zero-norm
+    // vectors from pairing entirely (the pre-guard 0/0 NaN ranked them
+    // FIRST while DuckDB's /0 NULL ranked them last). NaN-COMPONENT vectors
+    // are different: their norm is NaN (not zero), pairs form with NaN sim,
+    // and round6 must pass NaN through — BigDecimal.valueOf(NaN) would
+    // throw and kill the task on the first such embedding.
     import org.apache.spark.sql.functions._
     val df = Seq(
       (1L, Seq(0f, 0f, 0f)),
       (2L, Seq(0f, 0f, 0f)),
       (3L, Seq(1f, 2f, 3f)),
-      (4L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+      (4L, Seq(1f, 2f, 3f)),
+      (5L, Seq(Float.NaN, 1f, 0f))).toDF("vec_id", "embedding")
     val rows = df
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
       .select(explode(functions.VectorExpr.topPairs(col("vs"), 10)).as("p"))
       .select(col("p.ida"), col("p.idb"), col("p.sim"))
       .collect()
-    assert(rows.length == 6) // all C(4,2) pairs kept, k=10 > 6
+    // zero-norm 1,2 pair with nothing; (3,4) real; (3,5),(4,5) NaN
+    assert(rows.length == 3, rows.mkString(","))
+    assert(rows.forall(r => r.getLong(0) != 1L && r.getLong(0) != 2L &&
+      r.getLong(1) != 1L && r.getLong(1) != 2L))
     val identical = rows.find(r => r.getLong(0) == 3L && r.getLong(1) == 4L).get
     assert(identical.getDouble(2) == 1.0)
-    assert(rows.count(_.getDouble(2).isNaN) == 5) // every pair touching a zero vector
+    assert(rows.count(_.getDouble(2).isNaN) == 2) // pairs touching the NaN vector
   }
 
   test("TopPairsWithin: NaN pairs rank first under heap EVICTION (Spark double order)") {
@@ -183,8 +192,10 @@ class VectorSpec extends SparkSuite {
     // comparator saw NaN as tied with everything and dropped NaN pairs
     // whenever the heap was already full (r13 review finding)
     import org.apache.spark.sql.functions._
-    val df = Seq( // 3 zero-norm + 3 normal vectors → 12 NaN pairs, 3 real
-      (1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)), (3L, Seq(0f, 0f)),
+    // NaN-COMPONENT (not zero-norm — those form no pair since the class-22
+    // guard) vectors: 3 NaN + 3 normal → 12 NaN pairs, 3 real
+    val df = Seq(
+      (1L, Seq(Float.NaN, 0f)), (2L, Seq(Float.NaN, 1f)), (3L, Seq(0f, Float.NaN)),
       (4L, Seq(1f, 0f)), (5L, Seq(1f, 1f)), (6L, Seq(0f, 1f)))
       .toDF("vec_id", "embedding")
     val k = 4
