@@ -390,19 +390,41 @@ object Exact {
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / NULLIF(sqrt(${squaredNormSql(a)}) * sqrt(${squaredNormSql(b)}), 0))"
 
+  /** The class-22 division device: num / den defined as NULL when den = 0,
+    * on BOTH engines. Spark evaluates double x/0 to IEEE ±Inf (and 0/0 to
+    * NaN, which sorts FIRST under `desc` and passes `> t` filters) while
+    * DuckDB defines double division by zero as NULL (sorts last, fails
+    * every filter) — so every statistic whose denominator can reach zero
+    * on real data (zero variance, all-tied ranks, single-class sequences,
+    * zero-norm vectors) silently diverges. One guarded device + its SQL
+    * twin, so the spelling can't drift per site. */
+  def divNZ(num: Column, den: Column): Column =
+    when(den =!= lit(0.0), num / den)
+
+  def divNZSql(num: String, den: String): String =
+    s"(($num) / NULLIF($den, 0))"
+
+  /** √x defined only for x ≥ 0 (NULL otherwise) — the sqrt half of
+    * class 22: DuckDB RAISES on sqrt of a negative where Spark yields NaN,
+    * and a variance that is mathematically ≥ 0 can still round to −ε in
+    * doubles when the mean term nearly cancels the square term. The CASE
+    * evaluates the identical double on both engines, so the ≥ 0 decision
+    * is engine-identical too. */
+  def sqrtNN(x: Column): Column = when(x >= lit(0.0), sqrt(x))
+
+  def sqrtNNSql(x: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN sqrt($x) END)"
+
   /** [[cosine]]'s zero-norm guard for call sites that PRECOMPUTE the
     * denominator (a reused norm column, a broadcast query-side norm): the
     * similarity pipelines divide by `nrm * qn` to avoid recomputing norms
     * per pair, and every one of those inline divisions carried the class-22
     * divergence (Spark 0/0 → NaN — which sorts FIRST under `desc`, so a
     * zero-norm vector would win a top-k! — vs DuckDB /0 → NULL, which sorts
-    * last). One guarded device + its SQL twin, so the spelling can't drift
-    * per site. */
-  def cosineOver(dotE: Column, den: Column): Column =
-    when(den =!= lit(0.0), dotE / den)
+    * last). Domain-named alias of [[divNZ]]. */
+  def cosineOver(dotE: Column, den: Column): Column = divNZ(dotE, den)
 
-  def cosineOverSql(dotE: String, den: String): String =
-    s"($dotE / NULLIF($den, 0))"
+  def cosineOverSql(dotE: String, den: String): String = divNZSql(dotE, den)
 
   /** Pearson r from exact BIGINT sufficient statistics (n, Σx, Σy, Σxy,
     * Σx², Σy²) — the ONE closed IEEE tree the daily-series correlation

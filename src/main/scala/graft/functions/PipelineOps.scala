@@ -907,9 +907,15 @@ object PipelineOps {
         import org.apache.spark.sql.types.DoubleType
         val en = col("lang") === "en"
         def D(c: String) = col(c).cast(DoubleType)
-        val m1 = D("sx1") / D("n1"); val m2 = D("sx2") / D("n2")
-        val v1 = (D("sxx1") - D("sx1") * m1) / (D("n1") - lit(1d))
-        val v2 = (D("sxx2") - D("sx2") * m2) / (D("n2") - lit(1d))
+        // class-22 guards at every division that can hit zero on real data:
+        // an EMPTY group (n=0 — a corpus with no/only 'en' docs), a
+        // single-row group (n−1=0), constant groups (pooled variance 0,
+        // plus the sqrt of a −ε-rounded variance, which DuckDB raises on).
+        // Undefined statistics are NULL on both engines.
+        import graft.Exact.{divNZ, sqrtNN}
+        val m1 = divNZ(D("sx1"), D("n1")); val m2 = divNZ(D("sx2"), D("n2"))
+        val v1 = divNZ(D("sxx1") - D("sx1") * m1, D("n1") - lit(1d))
+        val v2 = divNZ(D("sxx2") - D("sx2") * m2, D("n2") - lit(1d))
         val q1 = v1 / D("n1"); val q2 = v2 / D("n2")
         table(s, dir, "documents")
           .agg(
@@ -921,13 +927,14 @@ object PipelineOps {
             sum(when(!en, col("n_chars") * col("n_chars")).otherwise(0L)).as("sxx2"))
           .select(col("n1"), col("n2"),
             round(m1 - m2, 6).as("mean_diff"),
-            round((m1 - m2) / sqrt(q1 + q2), 6).as("t_stat"),
-            round((q1 + q2) * (q1 + q2) /
-              (q1 * q1 / (D("n1") - lit(1d)) + q2 * q2 / (D("n2") - lit(1d))), 4)
+            round(divNZ(m1 - m2, sqrtNN(q1 + q2)), 6).as("t_stat"),
+            round(divNZ((q1 + q2) * (q1 + q2),
+              divNZ(q1 * q1, D("n1") - lit(1d)) +
+                divNZ(q2 * q2, D("n2") - lit(1d))), 4)
               .as("welch_df"))
       },
       Some(
-        """WITH a AS (SELECT
+        s"""WITH a AS (SELECT
           |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
           |    CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END)
           |      AS BIGINT) AS sx1,
@@ -940,23 +947,24 @@ object PipelineOps {
           |      AS BIGINT) AS sxx2
           |  FROM documents),
           |m AS (SELECT n1, n2, sx1, sxx1, sx2, sxx2,
-          |    CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
-          |    CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+          |    ${graft.Exact.divNZSql("CAST(sx1 AS DOUBLE)", "CAST(n1 AS DOUBLE)")} AS m1,
+          |    ${graft.Exact.divNZSql("CAST(sx2 AS DOUBLE)", "CAST(n2 AS DOUBLE)")} AS m2
           |  FROM a),
           |v AS (SELECT n1, n2, m1, m2,
-          |    (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * m1)
-          |      / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
-          |    (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * m2)
-          |      / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+          |    ${graft.Exact.divNZSql("CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * m1",
+               "CAST(n1 AS DOUBLE) - 1.0")} AS v1,
+          |    ${graft.Exact.divNZSql("CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * m2",
+               "CAST(n2 AS DOUBLE) - 1.0")} AS v2
           |  FROM m),
           |q AS (SELECT n1, n2, m1, m2,
           |    v1 / CAST(n1 AS DOUBLE) AS q1, v2 / CAST(n2 AS DOUBLE) AS q2
           |  FROM v)
           |SELECT n1, n2, round(m1 - m2, 6) AS mean_diff,
-          |  round((m1 - m2) / sqrt(q1 + q2), 6) AS t_stat,
-          |  round((q1 + q2) * (q1 + q2)
-          |    / (q1 * q1 / (CAST(n1 AS DOUBLE) - 1.0)
-          |      + q2 * q2 / (CAST(n2 AS DOUBLE) - 1.0)), 4) AS welch_df
+          |  round(${graft.Exact.divNZSql("m1 - m2",
+             graft.Exact.sqrtNNSql("q1 + q2"))}, 6) AS t_stat,
+          |  round(${graft.Exact.divNZSql("(q1 + q2) * (q1 + q2)",
+             graft.Exact.divNZSql("q1 * q1", "CAST(n1 AS DOUBLE) - 1.0") + " + " +
+               graft.Exact.divNZSql("q2 * q2", "CAST(n2 AS DOUBLE) - 1.0"))}, 4) AS welch_df
           |FROM q""".stripMargin)),
 
     GraftQuery(
@@ -978,8 +986,12 @@ object PipelineOps {
       (s, dir) => {
         import org.apache.spark.sql.types.DoubleType
         def D(c: String) = col(c).cast(DoubleType)
-        val p1 = D("c1") / D("n1"); val p2 = D("c2") / D("n2")
-        val pp = (D("c1") + D("c2")) / (D("n1") + D("n2"))
+        // class-22 guards: an empty arm (n=0 — every user hashing to one
+        // arm) and an all-or-none pooled outcome (pp ∈ {0,1} → zero
+        // standard error) make z undefined → NULL on both engines
+        val p1 = graft.Exact.divNZ(D("c1"), D("n1"))
+        val p2 = graft.Exact.divNZ(D("c2"), D("n2"))
+        val pp = graft.Exact.divNZ(D("c1") + D("c2"), D("n1") + D("n2"))
         val se = sqrt(pp * (lit(1d) - pp) * (lit(1d) / D("n1") + lit(1d) / D("n2")))
         table(s, dir, "events")
           .groupBy(col("user_id"))
@@ -995,10 +1007,10 @@ object PipelineOps {
             sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c2"))
           .select(col("n1"), col("c1"), col("n2"), col("c2"),
             round(p1 - p2, 6).as("rate_diff"),
-            round((p1 - p2) / se, 6).as("z_stat"))
+            round(graft.Exact.divNZ(p1 - p2, se), 6).as("z_stat"))
       },
       Some(
-        """WITH u AS (SELECT user_id,
+        s"""WITH u AS (SELECT user_id,
           |    max(CASE WHEN event_type = 'purchase' AND value >= 150
           |      THEN 1 ELSE 0 END) AS conv
           |  FROM events GROUP BY user_id),
@@ -1013,14 +1025,14 @@ object PipelineOps {
           |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c2
           |  FROM a),
           |d AS (SELECT n1, c1, n2, c2,
-          |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
-          |    CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
-          |    (CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE))
-          |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS pp
+          |    ${graft.Exact.divNZSql("CAST(c1 AS DOUBLE)", "CAST(n1 AS DOUBLE)")} AS p1,
+          |    ${graft.Exact.divNZSql("CAST(c2 AS DOUBLE)", "CAST(n2 AS DOUBLE)")} AS p2,
+          |    ${graft.Exact.divNZSql("CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)",
+               "CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)")} AS pp
           |  FROM c)
           |SELECT n1, c1, n2, c2, round(p1 - p2, 6) AS rate_diff,
-          |  round((p1 - p2) / sqrt(pp * (1.0 - pp)
-          |    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)
+          |  round(${graft.Exact.divNZSql("p1 - p2", "sqrt(pp * (1.0 - pp)" +
+             " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))")}, 6)
           |    AS z_stat
           |FROM d""".stripMargin)),
 
@@ -1233,17 +1245,21 @@ object PipelineOps {
         val twoN1N2 = lit(2d) * D("n1") * D("n2")
         val nD = D("n1") + D("n2")
         val mu = twoN1N2 / nD + lit(1d)
-        val sig2 = twoN1N2 * (twoN1N2 - nD) / (nD * nD * (nD - lit(1d)))
+        // class-22 guards: a SINGLE-CLASS sequence (n1=0 or n2=0 — every
+        // off-mean value on one side) zeroes the variance, and a 1-element
+        // sequence zeroes its denominator — z undefined, NULL both engines
+        val sig2 = graft.Exact.divNZ(twoN1N2 * (twoN1N2 - nD),
+          nD * nD * (nD - lit(1d)))
         signed.groupBy("event_type")
           .agg(sum(col("above")).as("n1"),
             sum(lit(1L) - col("above")).as("n2"),
             sum(col("chg")).as("runs"))
           .select(col("event_type"), col("n1"), col("n2"), col("runs"),
-            round((D("runs") - mu) / sqrt(sig2), 6).as("z"))
+            round(graft.Exact.divNZ(D("runs") - mu, sqrt(sig2)), 6).as("z"))
           .orderBy("event_type")
       },
       Some(
-        """WITH e AS (SELECT event_type, ts, event_id,
+        s"""WITH e AS (SELECT event_type, ts, event_id,
           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
           |  FROM events),
           |t AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS tc,
@@ -1268,9 +1284,11 @@ object PipelineOps {
           |    CAST(runs AS DOUBLE) AS rd
           |  FROM a)
           |SELECT event_type, n1, n2, runs,
-          |  round((rd - (2.0 * n1d * n2d / (n1d + n2d) + 1.0))
-          |    / sqrt(2.0 * n1d * n2d * (2.0 * n1d * n2d - (n1d + n2d))
-          |      / ((n1d + n2d) * (n1d + n2d) * ((n1d + n2d) - 1.0))), 6) AS z
+          |  round(${graft.Exact.divNZSql(
+             "rd - (2.0 * n1d * n2d / (n1d + n2d) + 1.0)",
+             "sqrt(" + graft.Exact.divNZSql(
+               "2.0 * n1d * n2d * (2.0 * n1d * n2d - (n1d + n2d))",
+               "(n1d + n2d) * (n1d + n2d) * ((n1d + n2d) - 1.0)") + ")")}, 6) AS z
           |FROM d ORDER BY event_type""".stripMargin)),
 
     GraftQuery(

@@ -497,7 +497,9 @@ object VectorOps {
         val wAll = Window.partitionBy(lit(1))
         val v3 = pcaArtifacts(s, dir)._2
         v3.withColumn("nrm", sqrt(sum(D(col("v") * col("v"))).over(wAll)))
-          .select(col("k"), round(D(col("v")) / col("nrm"), 6).as("loading"))
+          // class-22 guard: an all-zero principal direction (degenerate
+          // corpus) has zero norm — loadings undefined, NULL on both engines
+          .select(col("k"), round(graft.Exact.divNZ(D(col("v")), col("nrm")), 6).as("loading"))
           .withColumn("rk", row_number().over(
             Window.orderBy(abs(col("loading")).desc, col("k"))).cast(LongType))
           .filter(col("rk") <= 8)
@@ -505,10 +507,10 @@ object VectorOps {
           .orderBy("rk")
       },
       Some(pcaSqlPrefix +
-        """,
+        s""",
           |u AS (SELECT k,
-          |    round(CAST(v AS DOUBLE)
-          |      / sqrt(sum(CAST(v * v AS DOUBLE)) OVER ()), 6) AS loading
+          |    round(${graft.Exact.divNZSql("CAST(v AS DOUBLE)",
+               "sqrt(sum(CAST(v * v AS DOUBLE)) OVER ())")}, 6) AS loading
           |  FROM v3),
           |r AS (SELECT k, loading,
           |    CAST(row_number() OVER (ORDER BY abs(loading) DESC, k) AS BIGINT) AS rk

@@ -519,20 +519,21 @@ object Graph {
         val (edges, deg) = orderGraph(s, dir)
         val e2 = edges.select(col("src"), col("dst"), col("sd").as("dx"))
           .join(broadcast(deg.select(col("node").as("dst"), col("d").as("dy"))), "dst")
-        def D(c: String) = col(c).cast("double")
-        val num = D("n") * D("sxy") - D("sx") * D("sy")
-        val den = sqrt(D("n") * D("sxx") - D("sx") * D("sx")) *
-          sqrt(D("n") * D("syy") - D("sy") * D("sy"))
+        // the shared guarded device (class 22): a REGULAR graph — every
+        // degree equal — has zero degree variance, where the hand-rolled
+        // num/den tree this replaces gave Spark 0/0 NaN vs oracle NULL
+        val r = graft.Exact.pearson(col("n"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"), col("syy"))
         e2.agg(
             count(lit(1)).as("n"),
             sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
             sum(col("dx") * col("dy")).as("sxy"),
             sum(col("dx") * col("dx")).as("sxx"),
             sum(col("dy") * col("dy")).as("syy"))
-          .select(col("n"), round(num / den, 6).as("assortativity"))
+          .select(col("n"), round(r, 6).as("assortativity"))
       },
       Some(
-        """WITH base AS (
+        s"""WITH base AS (
           |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
           |edges AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
@@ -543,15 +544,10 @@ object Graph {
           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
           |    CAST(sum(x * y) AS BIGINT) AS sxy,
           |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
-          |  FROM p),
-          |d AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
-          |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
-          |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
-          |  FROM a)
-          |SELECT n, round((nd * sxyd - sxd * syd)
-          |  / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 6)
+          |  FROM p)
+          |SELECT n, round(${graft.Exact.pearsonSql("n", "sx", "sy", "sxy", "sxx", "syy")}, 6)
           |  AS assortativity
-          |FROM d""".stripMargin)),
+          |FROM a""".stripMargin)),
 
     GraftQuery(
       "q_graph_modularity",

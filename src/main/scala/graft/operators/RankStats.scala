@@ -134,8 +134,11 @@ object RankStats {
             sum(when(dy === 0 && dx =!= 0, 1L).otherwise(0L)).as("ty"),
             count(lit(1)).as("n_pairs"))
           .select(col("n_pairs"), col("c"), col("d"),
-            round((D("c") - D("d")) /
-              (sqrt(D("c") + D("d") + D("tx")) *
+            // class-22 guard: an ALL-TIED series (every pair tied on x, or
+            // on y) zeroes a sqrt factor — tau_b is undefined there, NULL
+            // on both engines (was Spark 0/0 NaN vs oracle NULL)
+            round(graft.Exact.divNZ(D("c") - D("d"),
+              sqrt(D("c") + D("d") + D("tx")) *
                 sqrt(D("c") + D("d") + D("ty"))), 6).as("tau_b"))
       },
       Some(
@@ -148,9 +151,10 @@ object RankStats {
            |    count(*) AS n_pairs
            |  FROM paired a JOIN paired b ON a.day < b.day)
            |SELECT n_pairs, c, d,
-           |  round((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
-           |    / (sqrt(CAST(c AS DOUBLE) + CAST(d AS DOUBLE) + CAST(tx AS DOUBLE))
-           |      * sqrt(CAST(c AS DOUBLE) + CAST(d AS DOUBLE) + CAST(ty AS DOUBLE))),
+           |  round(${graft.Exact.divNZSql(
+             "CAST(c AS DOUBLE) - CAST(d AS DOUBLE)",
+             "sqrt(CAST(c AS DOUBLE) + CAST(d AS DOUBLE) + CAST(tx AS DOUBLE))" +
+             " * sqrt(CAST(c AS DOUBLE) + CAST(d AS DOUBLE) + CAST(ty AS DOUBLE))")},
            |    6) AS tau_b
            |FROM pp""".stripMargin)),
 

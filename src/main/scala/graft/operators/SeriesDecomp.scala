@@ -300,8 +300,14 @@ object SeriesDecomp {
           .filter(col("cnt") === col("l") && col("k") === col("l") &&
             col("sxx") * col("l") =!= col("ss") * col("ss"))
           .select(col("event_type"), col("l"), col("seg"),
-            (col("rng") / sqrt(D(col("sxx")) / D(col("l")) -
-              (D(col("ss")) / D(col("l"))) * (D(col("ss")) / D(col("l")))))
+            // the integer filter above excludes EXACT zero variance, but a
+            // tiny variance can still round to ≤0 in doubles (sxx/l nearly
+            // cancelling (ss/l)²) — unguarded, DuckDB RAISES on the sqrt
+            // where Spark yields NaN (class 22); the guarded pair defines
+            // such segments' R/S as NULL on both engines
+            graft.Exact.divNZ(col("rng"),
+              graft.Exact.sqrtNN(D(col("sxx")) / D(col("l")) -
+                (D(col("ss")) / D(col("l"))) * (D(col("ss")) / D(col("l")))))
               .as("rs"))
         val wl = Window.partitionBy("event_type", "l").orderBy("seg")
         val meanRs = scored
@@ -364,9 +370,10 @@ object SeriesDecomp {
            |  FROM cd
            |  WINDOW ws AS (PARTITION BY event_type, l, seg)),
            |rs AS (SELECT event_type, l, seg,
-           |    rng / sqrt(CAST(sxx AS DOUBLE) / CAST(l AS DOUBLE)
-           |      - (CAST(ss AS DOUBLE) / CAST(l AS DOUBLE))
-           |        * (CAST(ss AS DOUBLE) / CAST(l AS DOUBLE))) AS rs
+           |    ${graft.Exact.divNZSql("rng", graft.Exact.sqrtNNSql(
+                 "CAST(sxx AS DOUBLE) / CAST(l AS DOUBLE)" +
+                 " - (CAST(ss AS DOUBLE) / CAST(l AS DOUBLE))" +
+                 " * (CAST(ss AS DOUBLE) / CAST(l AS DOUBLE))"))} AS rs
            |  FROM rngd
            |  WHERE cnt = l AND k = l AND sxx * l <> ss * ss),
            |mrs AS (SELECT event_type, l, mrs FROM (

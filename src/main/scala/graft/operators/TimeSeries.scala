@@ -253,10 +253,19 @@ object TimeSeries {
           sum(col("c")).as("s"),
           sum(col("c") * col("c")).as("ss"))
         val mean = col("s").cast("double") / col("n").cast("double")
-        val varExpr = (col("ss").cast("double") -
-          col("s").cast("double") * col("s").cast("double") / col("n").cast("double")) /
-          (col("n") - 1).cast("double")
-        val z = (col("c").cast("double") - mean) / sqrt(varExpr)
+        // class-22 guards, identical tree in the oracle: n=1 → NULL variance
+        // (divNZ on n−1), a −ε rounding of a ~0 variance → NULL sqrt
+        // (DuckDB would RAISE), constant series → zero stddev → NULL z
+        // (Spark's naked 0/0 NaN passes abs(z)>2 — NaN sorts above
+        // everything — while DuckDB's /0 NULL fails it: every hour of a
+        // constant series would be an "anomaly" on one engine and none on
+        // the other)
+        val varExpr = graft.Exact.divNZ(
+          col("ss").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n").cast("double"),
+          (col("n") - 1).cast("double"))
+        val z = graft.Exact.divNZ(
+          col("c").cast("double") - mean, graft.Exact.sqrtNN(varExpr))
         h.crossJoin(broadcast(st))
           // filter on the RAW z, round only for output: the oracle's WHERE
           // resolves z to the unrounded CTE column (the alias is shadowed),
@@ -269,14 +278,16 @@ object TimeSeries {
           .orderBy("w")
       },
       Some(
-        """WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, count(*) AS c
+        s"""WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, count(*) AS c
           |  FROM events GROUP BY 1),
           |st AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
           |       CAST(sum(c*c) AS BIGINT) AS ss FROM h),
           |z AS (SELECT w, c,
-          |    (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
-          |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-          |         / CAST(n - 1 AS DOUBLE)) AS z
+          |    ${graft.Exact.divNZSql(
+            "CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)",
+            graft.Exact.sqrtNNSql(graft.Exact.divNZSql(
+              "CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)",
+              "CAST(n - 1 AS DOUBLE)")))} AS z
           |  FROM h, st)
           |SELECT w, c, round(z, 6) AS z FROM z WHERE abs(z) > 2.0 ORDER BY w""".stripMargin)),
 
@@ -1321,7 +1332,12 @@ object TimeSeries {
         def D(c: String) = col(c).cast(DoubleType)
         val mean = D("nn") / D("h")
         val varp = D("s2") / D("h") - mean * mean
-        val sigma = sqrt(varp)
+        // varp ≥ 0 mathematically (variance over the h-hour series with
+        // implicit zero cells) but a CONSTANT hourly series rounds it to
+        // ±ε in doubles — the −ε side is a DuckDB sqrt ERROR (class 22);
+        // mean ≥ 1/h > 0 always, so the burstiness denominator needs no
+        // zero guard of its own
+        val sigma = graft.Exact.sqrtNN(varp)
         cells.groupBy("event_type")
           .agg(sum(col("n")).as("nn"), sum(col("n") * col("n")).as("s2"))
           .crossJoin(broadcast(span))
@@ -1331,7 +1347,7 @@ object TimeSeries {
           .orderBy("event_type")
       },
       Some(
-        """WITH c AS (SELECT event_type,
+        s"""WITH c AS (SELECT event_type,
           |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, count(*) AS n
           |  FROM events GROUP BY 1, 2),
           |t AS (SELECT max(hr) - min(hr) + 1 AS h FROM c),
@@ -1346,7 +1362,8 @@ object TimeSeries {
           |  FROM a, t)
           |SELECT event_type, h, nn AS events,
           |  round(varp / mean, 6) AS fano,
-          |  round((sqrt(varp) - mean) / (sqrt(varp) + mean), 6) AS burstiness
+          |  round((${graft.Exact.sqrtNNSql("varp")} - mean)
+          |    / (${graft.Exact.sqrtNNSql("varp")} + mean), 6) AS burstiness
           |FROM d ORDER BY event_type""".stripMargin)),
 
     GraftQuery(
