@@ -187,7 +187,8 @@ object Bench {
     val phases = Vector.newBuilder[(String, Long, Double, Double)]
     def loadavg: (Double, Double) =
       try {
-        val p = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
+        val p = java.nio.file.Files
+          .readString(java.nio.file.Paths.get("/proc/loadavg")).split(" ")
         (p(0).toDouble, p(1).toDouble)
       } catch { case _: Throwable => (-1.0, -1.0) }
     def mark(p: String): Unit = {
@@ -510,24 +511,37 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // census block: per-pass jobs/stages/tasks for every successful
     // non-streaming query at or above the SCALE.md census threshold (0.45 s)
-    val censusEntries: Seq[(String, String)] = results.toSeq
-      .filter { case (n, v) => v >= 0.45 && !n.startsWith("q_stream_") }
-      .sortBy(-_._2)
-      .flatMap { case (n, _) =>
-        // sum only the passes whose timed sample succeeded, divide by that
-        // count — never by an unconditional 3 (advisor r15; see listener note)
-        val okCs = samples(n).zipWithIndex
-          .collect { case (s, i) if s >= 0 => i + 1 }
-          .flatMap(p => Option(censusCounts.get(s"$n#$p")))
-          .map(c => c.synchronized(c.clone()))
-        if (okCs.isEmpty) None
+    // Census membership uses the median over SUCCESSFUL samples, not the
+    // headline median: the headline forces -1 on any failed pass (the
+    // explicit regression signal — never weaken that), but keying the
+    // census off it would make an intermittently failing slow query vanish
+    // from the census AND the census_new check entirely, and would leave
+    // the per-pass divisor below unreachable (r16 diff review — the
+    // advisor-r15 skew fix was dead code under the -1 convention).
+    val censusEntries: Seq[(String, String)] = names
+      .filterNot(_.startsWith("q_stream_"))
+      .flatMap { n =>
+        val ok = samples(n).filter(_ >= 0)
+        val med = if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
+        if (med < 0.45) None
         else {
-          val d = okCs.size.toDouble
-          Some(n -> ("\"" + n + "\":{\"jobs\":" + r3(okCs.map(_(0)).sum / d) +
-            ",\"stages\":" + r3(okCs.map(_(1)).sum / d) +
-            ",\"tasks\":" + r3(okCs.map(_(2)).sum / d) + "}"))
+          // sum only the passes whose timed sample succeeded, divide by
+          // that count — never by an unconditional 3 (advisor r15; see
+          // listener note)
+          val okCs = samples(n).zipWithIndex
+            .collect { case (s, i) if s >= 0 => i + 1 }
+            .flatMap(p => Option(censusCounts.get(s"$n#$p")))
+            .map(c => c.synchronized(c.clone()))
+          if (okCs.isEmpty) None
+          else {
+            val d = okCs.size.toDouble
+            Some((med, n, "\"" + n + "\":{\"jobs\":" + r3(okCs.map(_(0)).sum / d) +
+              ",\"stages\":" + r3(okCs.map(_(1)).sum / d) +
+              ",\"tasks\":" + r3(okCs.map(_(2)).sum / d) + "}"))
+          }
         }
       }
+      .sortBy(-_._1).map(t => (t._2, t._3))
     val censusJson = censusEntries.map(_._2).mkString("{", ",", "}")
     // Automated census health check (r15 verdict #6): the committed rule —
     // "a NEW name in the ≥0.45 s census without an explanation is the

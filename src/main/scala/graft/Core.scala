@@ -441,16 +441,22 @@ object Exact {
     * event_type logging exactly k events every day; all-tied ranks in the
     * Spearman rewrite). Correlation against a constant is undefined; NULL
     * is the honest answer and the twins now agree on it bitwise.
-    * Domain precondition (both twins): the statistics must be REALIZABLE —
-    * sums of an actual sample — so n·sxx−sx² ≥ 0 by Cauchy–Schwarz. A
-    * fabricated negative variance is NaN on Spark but an ERROR in DuckDB
-    * (sqrt of a negative raises there); every call site aggregates real
-    * rows, which satisfies this by construction. */
+    * The sqrt legs are [[sqrtNN]], not bare sqrt: Cauchy–Schwarz guarantees
+    * n·sxx−sx² ≥ 0 only in EXACT integer arithmetic — once the statistics
+    * are cast to double, products around 2e19 carry ~4096 ulp and a
+    * realizable near-constant large-magnitude series (n≈3000, x≈1e6,
+    * true variance a few thousand) can round the difference NEGATIVE.
+    * Both engines compute the identical negative double, but DuckDB
+    * RAISES on sqrt of a negative where Spark yields NaN — so the guarded
+    * pair defines such a below-double-precision variance as NULL on both
+    * (r16 diff review; the same −ε discipline as the z-score/t-test
+    * sites). Statistics must still be REALIZABLE (sums of an actual
+    * sample) — that is what bounds the rounding error to the −ε case. */
   def pearson(n: Column, sx: Column, sy: Column, sxy: Column,
       sxx: Column, syy: Column): Column = {
     def D(c: Column) = c.cast(org.apache.spark.sql.types.DoubleType)
-    val den = sqrt(D(n) * D(sxx) - D(sx) * D(sx)) *
-      sqrt(D(n) * D(syy) - D(sy) * D(sy))
+    val den = sqrtNN(D(n) * D(sxx) - D(sx) * D(sx)) *
+      sqrtNN(D(n) * D(syy) - D(sy) * D(sy))
     when(den =!= lit(0.0), (D(n) * D(sxy) - D(sx) * D(sy)) / den)
   }
 
@@ -462,8 +468,8 @@ object Exact {
   def pearsonSql(n: String, sx: String, sy: String, sxy: String,
       sxx: String, syy: String): String = {
     def d(e: String) = s"CAST($e AS DOUBLE)"
-    val den = s"(sqrt(${d(n)} * ${d(sxx)} - ${d(sx)} * ${d(sx)}) * " +
-      s"sqrt(${d(n)} * ${d(syy)} - ${d(sy)} * ${d(sy)}))"
+    val den = s"(${sqrtNNSql(s"${d(n)} * ${d(sxx)} - ${d(sx)} * ${d(sx)}")} * " +
+      s"${sqrtNNSql(s"${d(n)} * ${d(syy)} - ${d(sy)} * ${d(sy)}")})"
     s"((${d(n)} * ${d(sxy)} - ${d(sx)} * ${d(sy)}) / NULLIF($den, 0))"
   }
 }

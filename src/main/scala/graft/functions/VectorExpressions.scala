@@ -351,10 +351,12 @@ object TopPairsUtil {
     // instead of the naive `>`/`==` pair under which NaN compares false
     // both ways and the comparator goes intransitive. ZERO-NORM vectors form
     // no pair at all (the class-22 guarded-cosine contract: similarity
-    // against the zero vector is undefined → NULL → excluded, mirrored by
-    // the oracle's `sim IS NOT NULL` filter — the pre-guard 0/0 NaN would
-    // have ranked such pairs FIRST here while DuckDB's /0 NULL ranked them
-    // last, a latent top-k divergence on degenerate corpora).
+    // against the zero vector is undefined → excluded at pair FORMATION,
+    // mirrored by the oracle's `squaredNorm > 0` source filter — NOT by a
+    // sim-level NULL filter, which would diverge on a zero-norm × NaN-norm
+    // pair whose den = 0·NaN = NaN keeps a NaN sim ranked first. The
+    // pre-guard 0/0 NaN ranked zero-norm pairs FIRST here while DuckDB's
+    // /0 NULL ranked them last — a latent top-k divergence).
     case class P(ida: Long, idb: Long, sim: Double)
     def better(a: P, b: P): Boolean = { // a strictly precedes b in output order
       val c = java.lang.Double.compare(a.sim, b.sim)

@@ -393,13 +393,19 @@ object VectorOps {
           .limit(20)
       },
       Some(
-        "WITH e AS (SELECT * FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL), " +
-          // sim IS NOT NULL = the guarded-cosine zero-norm exclusion, the
-          // exact mirror of TopPairsWithin forming no pair for them
-          "p AS (SELECT a.vec_id AS ida, b.vec_id AS idb, " +
+        // the zero-norm exclusion is on the VECTOR, not the pair sim:
+        // TopPairsWithin skips a zero-norm vector at pair FORMATION, and a
+        // sim-level `IS NOT NULL` filter would NOT mirror that for mixed
+        // pairs — a zero-norm × NaN-norm pair has den = 0·NaN = NaN, so its
+        // sim is NaN (kept, and NaN sorts FIRST under DESC on both engines)
+        // while the expression forms no pair (r16 diff review). `> 0` keeps
+        // NaN-norm vectors on both engines (NaN compares greater than 0 in
+        // DuckDB's total order, same as Spark's).
+        "WITH e AS (SELECT * FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL " +
+          "AND " + Exact.squaredNormSql("embedding") + " > 0) " +
+          "SELECT a.vec_id AS ida, b.vec_id AS idb, " +
           "round(" + Exact.cosineSql("a.embedding", "b.embedding") + ",6) AS sim " +
-          "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) " +
-          "SELECT ida, idb, sim FROM p WHERE sim IS NOT NULL " +
+          "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
           "ORDER BY sim DESC, ida, idb LIMIT 20")),
 
     GraftQuery(
@@ -600,8 +606,10 @@ object VectorOps {
             // the augmented q keeps ‖q‖; the extra dimension contributes 0
             Exact.cosineOver(Exact.dot(col("embedding"), col("qv")),
               col("mx") * Exact.norm(col("qv"))).as("ac"))
-        // NaN guard: a zero max-norm (empty/degenerate corpus) would make
-        // ac = dp/0 NaN; NaN sorts first under DESC → band Long.MinValue.
+        // Degenerate-corpus guard: a zero max-norm makes ac NULL via
+        // cosineOver (class 22) — NULL sorts LAST under DESC on both
+        // engines and bands to Long.MaxValue; a NaN score (NaN components)
+        // still sorts first and bands to Long.MinValue.
         // The two ranks CHAIN over the scored relation (see q_vec_rrf):
         // one corpus scan, two band-keyed exchanges, no joins back.
         def bandOf(c: org.apache.spark.sql.Column, k: Int) =
@@ -852,7 +860,7 @@ object VectorOps {
             round(sqrt(col("sh")) / lit(1048576d), 6).as("l2_shift"))
       },
       Some(
-        """WITH qrel AS (
+        s"""WITH qrel AS (
           |  SELECT vec_id, CAST(g.range AS BIGINT) AS k,
           |    CAST(floor(CAST(embedding[g.range + 1] AS DOUBLE) * 1048576.0 + 0.5)
           |      AS BIGINT) AS q
@@ -879,7 +887,7 @@ object VectorOps {
           |  WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
           |    AND CURRENT ROW))
           |SELECT n1 AS n_even_rows, n2 AS n_odd_rows,
-          |  round(dot / NULLIF(sqrt(q1) * sqrt(q2), 0), 6) AS mean_cosine,
+          |  round(${graft.Exact.cosineOverSql("dot", "sqrt(q1) * sqrt(q2)")}, 6) AS mean_cosine,
           |  round(sqrt(sh) / 1048576.0, 6) AS l2_shift
           |FROM f WHERE rn = 64""".stripMargin))
   )
