@@ -415,6 +415,17 @@ object Exact {
   def sqrtNNSql(x: String): String =
     s"(CASE WHEN ($x) >= 0 THEN sqrt($x) END)"
 
+  /** The log half of class 22, ORACLE-side only: DuckDB RAISES on ln of
+    * zero or a negative where Spark's `log` is already NULL there (Catalyst
+    * UnaryLogExpression guards at its yAsymptote) — so Spark call sites
+    * keep the plain `log` and only the twin SQL needs this CASE. Spelled
+    * once here so a future oracle can't reintroduce a naked `ln(x)` over a
+    * domain that can reach zero (r16 log audit: most ln sites are safe by
+    * construction — counts ≥ 1, positivity filters — the exceptions are
+    * recorded in BASELINE.md). */
+  def lnPosSql(x: String): String =
+    s"(CASE WHEN ($x) > 0 THEN ln($x) END)"
+
   /** [[cosine]]'s zero-norm guard for call sites that PRECOMPUTE the
     * denominator (a reused norm column, a broadcast query-side norm): the
     * similarity pipelines divide by `nrm * qn` to avoid recomputing norms

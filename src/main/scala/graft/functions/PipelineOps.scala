@@ -1494,15 +1494,19 @@ object PipelineOps {
             .over(Window.partitionBy(lit(1))
               .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
           .filter(col("rk") <= 100L)
+          // class-22 guards: a zero x_ref (top-101 all empty docs) makes
+          // the ratio Spark-Inf vs oracle-NULL, and a LENGTH-CAPPED corpus
+          // whose 101 largest docs all tie makes lncum exactly 0 (sum of
+          // ln(1)) — alpha undefined, NULL both engines
           .withColumn("lncum",
-            sum(log(D(col("n_chars")) / D(col("x_ref"))))
+            sum(log(graft.Exact.divNZ(D(col("n_chars")), D(col("x_ref")))))
               .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .filter(col("rk") === 100L)
           .select(lit(100L).as("k"), col("x_ref").as("x_k1"),
-            round(lit(100d) / col("lncum"), 6).as("hill_alpha"))
+            round(graft.Exact.divNZ(lit(100d), col("lncum")), 6).as("hill_alpha"))
       },
       Some(
-        """WITH top AS (SELECT n_chars, doc_id FROM documents
+        s"""WITH top AS (SELECT n_chars, doc_id FROM documents
           |  ORDER BY n_chars DESC, doc_id LIMIT 101),
           |rk AS (SELECT n_chars,
           |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
@@ -1512,11 +1516,12 @@ object PipelineOps {
           |    min(CASE WHEN rk = 101 THEN n_chars END) OVER () AS x_ref
           |  FROM rk),
           |s AS (SELECT rk, x_ref,
-          |    sum(ln(CAST(n_chars AS DOUBLE) / CAST(x_ref AS DOUBLE)))
+          |    sum(ln(${graft.Exact.divNZSql("CAST(n_chars AS DOUBLE)",
+               "CAST(x_ref AS DOUBLE)")}))
           |      OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS lncum
           |  FROM xr WHERE rk <= 100)
           |SELECT CAST(100 AS BIGINT) AS k, CAST(x_ref AS BIGINT) AS x_k1,
-          |  round(100.0 / lncum, 6) AS hill_alpha
+          |  round(${graft.Exact.divNZSql("100.0", "lncum")}, 6) AS hill_alpha
           |FROM s WHERE rk = 100""".stripMargin)),
 
     GraftQuery(

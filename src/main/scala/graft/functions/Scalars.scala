@@ -73,14 +73,20 @@ object Scalars {
           .select(
             col("l_orderkey"),
             col("l_linenumber"),
-            floor(sqrt(col("l_extendedprice")) * 1e4).as("sq"),
+            // class-22 guards: TPC-H prices are positive, but a zero or
+            // negative value at scale would make DuckDB's sqrt/ln RAISE
+            // where Spark yields NaN/NULL — both legs are NULL-guarded on
+            // both engines (Spark's log is already NULL for ≤ 0)
+            floor(graft.Exact.sqrtNN(col("l_extendedprice")) * 1e4).as("sq"),
             floor(log(col("l_extendedprice")) * 1e6).as("lg"),
             ceil(col("l_quantity")).as("c"),
             floor(col("l_tax") * 100).as("f"),
             (abs(col("l_discount") - 0.05) < 1e-12).as("near5")),
       Some(
-        "SELECT l_orderkey, l_linenumber, CAST(floor(sqrt(l_extendedprice)*1e4) AS BIGINT) AS sq, " +
-          "CAST(floor(ln(l_extendedprice)*1e6) AS BIGINT) AS lg, CAST(ceil(l_quantity) AS BIGINT) AS c, " +
+        "SELECT l_orderkey, l_linenumber, CAST(floor(" +
+          graft.Exact.sqrtNNSql("l_extendedprice") + "*1e4) AS BIGINT) AS sq, " +
+          "CAST(floor(" + graft.Exact.lnPosSql("l_extendedprice") +
+          "*1e6) AS BIGINT) AS lg, CAST(ceil(l_quantity) AS BIGINT) AS c, " +
           "CAST(floor(l_tax*100) AS BIGINT) AS f, abs(l_discount-0.05) < 1e-12 AS near5 " +
           "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000")),
 

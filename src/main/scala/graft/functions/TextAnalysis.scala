@@ -390,11 +390,15 @@ object TextAnalysis {
           .filter(col("brk") === col("nbands"))
           .select(col("lang"), col("v").as("vocab"),
             round(col("h_cum"), 6).as("entropy"),
-            round(col("h_cum") / log(col("v").cast("double")), 6).as("efficiency"))
+            // class-22 guard: a single-word vocabulary has ln(v) = 0 and
+            // h_cum = 0 — efficiency undefined, NULL both engines (was
+            // Spark 0/0 NaN vs oracle NULL)
+            round(graft.Exact.divNZ(col("h_cum"),
+              log(col("v").cast("double"))), 6).as("efficiency"))
           .orderBy("lang")
       },
       Some(
-        """WITH tf AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM (
+        s"""WITH tf AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM (
           |    SELECT lang, unnest(string_split(text,' ')) AS w FROM documents)
           |  GROUP BY lang, w),
           |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n, count(*) AS v
@@ -415,7 +419,7 @@ object TextAnalysis {
           |    count(*) OVER (PARTITION BY lang) AS nbands
           |  FROM ends)
           |SELECT lang, CAST(v AS BIGINT) AS vocab, round(h_cum, 6) AS entropy,
-          |  round(h_cum / ln(CAST(v AS DOUBLE)), 6) AS efficiency
+          |  round(${graft.Exact.divNZSql("h_cum", "ln(CAST(v AS DOUBLE))")}, 6) AS efficiency
           |FROM cum WHERE brk = nbands ORDER BY lang""".stripMargin)),
 
     GraftQuery(

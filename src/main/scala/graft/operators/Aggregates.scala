@@ -583,15 +583,17 @@ object Aggregates {
           .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
             sum(col("rk") * col("cents")).as("sixi"))
           .select(col("o_orderpriority"), col("n"),
+            // class-22 guard: a group whose cent mass is zero (all-zero
+            // prices) has no defined Gini — NULL both engines
             round(
-              (lit(2d) * col("sixi").cast(DoubleType))
-                / (col("n").cast(DoubleType) * col("sx").cast(DoubleType))
+              graft.Exact.divNZ(lit(2d) * col("sixi").cast(DoubleType),
+                col("n").cast(DoubleType) * col("sx").cast(DoubleType))
                 - (col("n") + lit(1L)).cast(DoubleType) / col("n").cast(DoubleType),
               6).as("gini"))
           .orderBy("o_orderpriority")
       },
       Some(
-        """WITH c AS (SELECT o_orderpriority, o_orderkey,
+        s"""WITH c AS (SELECT o_orderpriority, o_orderkey,
           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
           |  FROM orders),
           |r AS (SELECT o_orderpriority, cents,
@@ -603,7 +605,8 @@ object Aggregates {
           |    CAST(sum(rk * cents) AS BIGINT) AS sixi
           |  FROM r GROUP BY o_orderpriority)
           |SELECT o_orderpriority, n,
-          |  round(2.0 * CAST(sixi AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+          |  round(${graft.Exact.divNZSql("2.0 * CAST(sixi AS DOUBLE)",
+             "CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)")}
           |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
           |FROM a ORDER BY o_orderpriority""".stripMargin)),
 

@@ -175,7 +175,12 @@ object RankStats {
         val tot = Window.partitionBy(lit(1))
         val ord = Window.partitionBy(lit(1)).orderBy("day")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val theta = D(col("sy") - col("y")) / D(col("sx") - col("x"))
+        // class-22 guards: a 1-day series makes the leave-one-out
+        // denominator exactly 0 (Spark 0/0 NaN vs oracle NULL), and
+        // CONSTANT pseudo-values can round Σθ² − (Σθ)²/n to −ε — a DuckDB
+        // sqrt error. Undefined → NULL on both engines.
+        val theta = graft.Exact.divNZ(
+          D(col("sy") - col("y")), D(col("sx") - col("x")))
         pairedDays(s, dir)
           .withColumn("n", count(lit(1)).over(tot))
           .withColumn("sx", sum(col("x")).over(tot))
@@ -188,7 +193,7 @@ object RankStats {
           .filter(col("rn") === col("n"))
           .select(col("n"),
             round(D(col("sy")) / D(col("sx")), 6).as("ratio"),
-            round(sqrt((D(col("n")) - lit(1d)) / D(col("n")) *
+            round(graft.Exact.sqrtNN((D(col("n")) - lit(1d)) / D(col("n")) *
               (col("stt") - col("st") * col("st") / D(col("n")))), 6)
               .as("jk_se"))
       },
@@ -200,7 +205,8 @@ object RankStats {
            |    CAST(sum(y) OVER () AS BIGINT) AS sy
            |  FROM paired),
            |th AS (SELECT day, n, sx, sy,
-           |    CAST(sy - y AS DOUBLE) / CAST(sx - x AS DOUBLE) AS theta
+           |    ${graft.Exact.divNZSql("CAST(sy - y AS DOUBLE)",
+                "CAST(sx - x AS DOUBLE)")} AS theta
            |  FROM t),
            |f AS (SELECT n, sx, sy,
            |    sum(theta) OVER (ORDER BY day
@@ -211,8 +217,8 @@ object RankStats {
            |  FROM th)
            |SELECT n,
            |  round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS ratio,
-           |  round(sqrt((CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)
-           |    * (stt - st * st / CAST(n AS DOUBLE))), 6) AS jk_se
+           |  round(${graft.Exact.sqrtNNSql("(CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)" +
+                " * (stt - st * st / CAST(n AS DOUBLE))")}, 6) AS jk_se
            |FROM f WHERE rn = n""".stripMargin)),
 
     GraftQuery(
