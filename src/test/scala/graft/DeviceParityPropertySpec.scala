@@ -239,6 +239,21 @@ class DeviceParityPropertySpec extends SparkSuite {
         concat(col("a"), col("b")).as("ab")).orderBy("id"),
       "SELECT id, CAST(length(a) AS INT) AS n, a || b AS ab FROM t ORDER BY id")
 
+    // log-guard family (class 22, log half): ~half the cases are ≤ 0, where
+    // Spark's bare log must be NULL exactly where lnPosSql's CASE is
+    val lnGen: Gen[Double] = Gen.frequency(
+      3 -> Gen.chooseNum(-999999999999L, 999999999999L).map(_ / 1e6),
+      2 -> Gen.chooseNum(0L, 999999999999L).map(-_ / 1e6),
+      1 -> Gen.oneOf(0.0, -0.0, 1e-300, -1e-300, 4.9e-324, 1.0, 1e300, -1e300))
+    val lnIn = cases(lnGen).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "x")
+    // quantized like q_math_funcs — raw ln is NOT bitwise cross-engine
+    // (JDK Math.log vs libm, ±1 ulp; class 22b — this very arm found it)
+    val lnTwin = dump("fz_ln_guard", lnIn,
+      lnIn.select(col("id"), floor(log(col("x")) * 1e6).as("l")).orderBy("id"),
+      s"SELECT id, CAST(floor(${Exact.lnPosSql("x")}*1e6) AS BIGINT) AS l " +
+        "FROM t ORDER BY id")
+
     val hashIn = cases(md5Gen).zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "s")
     val hashTwin = dump("fz_md5", hashIn,
@@ -252,7 +267,7 @@ class DeviceParityPropertySpec extends SparkSuite {
         "FROM t ORDER BY id")
 
     val twins = Seq(moneyTwin, nanoTwin, tsTwin, vecTwin, pearsonTwin,
-      guardTwin, uniTwin, hashTwin)
+      guardTwin, uniTwin, hashTwin, lnTwin)
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
