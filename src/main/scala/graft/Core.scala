@@ -297,7 +297,15 @@ object Exact {
     */
   private val micro = lit(1000000L)
 
-  /** Per-row micro-units: floor(x·1e6 + 0.5) as LONG. */
+  /** Per-row micro-units: floor(x·1e6 + 0.5) as LONG.
+    *
+    * Domain precondition (class 22c): x must be FINITE — Spark's
+    * floor→LONG silently saturates a NaN to 0 (a NaN money value would
+    * count as $0) and ±Inf to ±Long.MaxValue, while the DuckDB twin's
+    * CAST raises. The guard is deliberately NOT in this hot codegen'd
+    * path (it sits inside every money aggregation); production enforces
+    * finiteness at ingest via the QualityOps constraint census, exactly
+    * like the realizable-statistics precondition on [[pearson]]. */
   def microUnits(c: Column): Column = floor(c * lit(1000000d) + lit(0.5d))
 
   /** Per-row fractional micro part, in [0, 1e6) for any sign. */
@@ -425,6 +433,33 @@ object Exact {
     * recorded in BASELINE.md). */
   def lnPosSql(x: String): String =
     s"(CASE WHEN ($x) > 0 THEN ln($x) END)"
+
+  /** x for FINITE x, NULL otherwise — on both engines (class 22c): Spark's
+    * floor/ceil→LONG silently SATURATES non-finite doubles (NaN → 0!,
+    * +Inf → Long.MaxValue) while DuckDB's CAST(… AS BIGINT) raises, so any
+    * quantization of a double that can be NaN/Inf on real data must pass
+    * through this first. The integer-quantizing aggregate devices
+    * (microUnits/moneySum/nanoAvg) deliberately do NOT carry this guard in
+    * their hot codegen'd paths: their scaladocs state the finite-input
+    * precondition, and at scale the data-quality constraint operators
+    * (QualityOps) are the production enforcement point. */
+  def finite(x: Column): Column =
+    when(!isnan(x) && x =!= lit(Double.PositiveInfinity) &&
+      x =!= lit(Double.NegativeInfinity), x)
+
+  def finiteSql(x: String): String =
+    s"(CASE WHEN isfinite($x) THEN ($x) END)"
+
+  /** The quantized-ln twin pair (the ONLY gate-stable way to compare ln
+    * cross-engine — class 22b: transcendentals differ by 1 ulp between
+    * JDK Math.log and libm, so raw ln is never compared): NULL for
+    * non-positive and non-finite input on both engines, floor(ln·1e6) as
+    * LONG otherwise. Spelled once, used by q_math_funcs and both
+    * device-parity families, so the quantization can't drift per site. */
+  def lnQuant(x: Column): Column = floor(finite(log(x)) * lit(1e6))
+
+  def lnQuantSql(x: String): String =
+    s"CAST(floor(${finiteSql(lnPosSql(x))}*1e6) AS BIGINT)"
 
   /** [[cosine]]'s zero-norm guard for call sites that PRECOMPUTE the
     * denominator (a reused norm column, a broadcast query-side norm): the

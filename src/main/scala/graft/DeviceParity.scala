@@ -190,23 +190,21 @@ object DeviceParity {
         "CAST(('0x' || substr(md5(s), 1, 4))::INTEGER AS BIGINT) AS p16 " +
         "FROM t ORDER BY id")
 
-    // ---- log guard: Spark's bare log (NULL for ≤ 0) vs Exact.lnPosSql ----
-    // the one ORACLE-side-only device (class 22, log half): its parity
-    // claim is that Catalyst's yAsymptote NULL lands exactly where the
-    // CASE does — zero, negatives (incl. −0.0), subnormal-positive. The
-    // compared VALUE is the floor(·1e6)-quantized form q_math_funcs emits,
-    // NOT raw ln: transcendentals are not bitwise cross-engine (JDK
-    // Math.log vs DuckDB's libm disagree by 1 ulp on some inputs — found
-    // by the r16 fuzz, class 22b), which is exactly why every ln-derived
-    // contract output is quantized before the gate.
-    val lnIn = Seq(0.0, -0.0, -1.0, -1e-300, 1e-300, 4.9e-324, 1.0,
-      42.5, 1e300, -1e300)
+    // ---- log guard: the lnQuant twin pair (classes 22/22b/22c) ----------
+    // Pins three things at once: the domain guard (Spark's yAsymptote NULL
+    // for ≤ 0 ≡ the oracle CASE), the QUANTIZED compare (raw ln is not
+    // bitwise cross-engine — JDK Math.log vs libm disagree by 1 ulp, found
+    // by the r16 fuzz, class 22b), and the non-finite guard (Spark's
+    // floor→LONG saturates NaN→0 / Inf→Long.MaxValue where DuckDB's CAST
+    // raises, class 22c — the NaN/±Inf rows below diverge without it).
+    val lnIn = (Seq(0.0, -0.0, -1.0, -1e-300, 1e-300, 4.9e-324, 1.0,
+      42.5, 1e300, -1e300) ++
+      Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "x")
     val lnTwin = dump("ln_guard", lnIn,
-      lnIn.select(col("id"), floor(log(col("x")) * 1e6).as("l")).orderBy("id"),
-      s"SELECT id, CAST(floor(${Exact.lnPosSql("x")}*1e6) AS BIGINT) AS l " +
-        "FROM t ORDER BY id")
+      lnIn.select(col("id"), Exact.lnQuant(col("x")).as("l")).orderBy("id"),
+      s"SELECT id, ${Exact.lnQuantSql("x")} AS l FROM t ORDER BY id")
 
     // twin SQL manifest, Verify-style
     val twins = Seq(moneyTwin, nanoTwin, tsTwin, vecTwin, pearsonTwin,

@@ -73,21 +73,28 @@ object Scalars {
           .select(
             col("l_orderkey"),
             col("l_linenumber"),
-            // class-22 guards: TPC-H prices are positive, but a zero or
-            // negative value at scale would make DuckDB's sqrt/ln RAISE
-            // where Spark yields NaN/NULL — both legs are NULL-guarded on
-            // both engines (Spark's log is already NULL for ≤ 0)
-            floor(graft.Exact.sqrtNN(col("l_extendedprice")) * 1e4).as("sq"),
-            floor(log(col("l_extendedprice")) * 1e6).as("lg"),
-            ceil(col("l_quantity")).as("c"),
-            floor(col("l_tax") * 100).as("f"),
+            // class-22/22c guards: TPC-H's columns are positive finite,
+            // but at scale a zero/negative value makes DuckDB's sqrt/ln
+            // RAISE (Spark: NaN/NULL), and a NaN/Inf makes Spark's
+            // floor/ceil→LONG silently SATURATE (NaN→0, Inf→Long.MaxValue)
+            // where DuckDB's CAST raises — every quantized leg routes
+            // through the shared finite/sqrtNN/lnQuant devices, NULL on
+            // both engines for degenerate input
+            floor(graft.Exact.finite(
+              graft.Exact.sqrtNN(col("l_extendedprice"))) * 1e4).as("sq"),
+            graft.Exact.lnQuant(col("l_extendedprice")).as("lg"),
+            ceil(graft.Exact.finite(col("l_quantity"))).as("c"),
+            floor(graft.Exact.finite(col("l_tax")) * 100).as("f"),
             (abs(col("l_discount") - 0.05) < 1e-12).as("near5")),
       Some(
         "SELECT l_orderkey, l_linenumber, CAST(floor(" +
-          graft.Exact.sqrtNNSql("l_extendedprice") + "*1e4) AS BIGINT) AS sq, " +
-          "CAST(floor(" + graft.Exact.lnPosSql("l_extendedprice") +
-          "*1e6) AS BIGINT) AS lg, CAST(ceil(l_quantity) AS BIGINT) AS c, " +
-          "CAST(floor(l_tax*100) AS BIGINT) AS f, abs(l_discount-0.05) < 1e-12 AS near5 " +
+          graft.Exact.finiteSql(graft.Exact.sqrtNNSql("l_extendedprice")) +
+          "*1e4) AS BIGINT) AS sq, " +
+          graft.Exact.lnQuantSql("l_extendedprice") +
+          " AS lg, CAST(ceil(" + graft.Exact.finiteSql("l_quantity") +
+          ") AS BIGINT) AS c, " +
+          "CAST(floor(" + graft.Exact.finiteSql("l_tax") +
+          "*100) AS BIGINT) AS f, abs(l_discount-0.05) < 1e-12 AS near5 " +
           "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000")),
 
     GraftQuery(

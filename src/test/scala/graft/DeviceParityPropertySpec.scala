@@ -24,7 +24,8 @@ import org.scalacheck.rng.Seed
   * actual generated samples — a fabricated negative variance is an ERROR in
   * DuckDB's sqrt and outside the device contract), digit-guard strings
   * including non-ASCII digits, astral/combining/ZWJ unicode for the
-  * length/concat/md5 families.
+  * length/concat/md5 families, and the lnQuant domain (negatives, zero,
+  * subnormals, NaN/±Inf) for the quantized-log family.
   *
   * First fuzz of these domains surfaced divergence class 22 (BASELINE.md):
   * DuckDB defines double x/0 as NULL and sqrt(negative) as an ERROR where
@@ -239,20 +240,24 @@ class DeviceParityPropertySpec extends SparkSuite {
         concat(col("a"), col("b")).as("ab")).orderBy("id"),
       "SELECT id, CAST(length(a) AS INT) AS n, a || b AS ab FROM t ORDER BY id")
 
-    // log-guard family (class 22, log half): ~half the cases are ≤ 0, where
-    // Spark's bare log must be NULL exactly where lnPosSql's CASE is
+    // log-guard family (classes 22/22b/22c): ~two-thirds of the cases are
+    // ≤ 0 (where Spark's log-NULL must land exactly on the oracle CASE),
+    // plus a non-finite arm (where the floor→LONG quantization saturates
+    // on Spark and raises in DuckDB unless finite-guarded)
     val lnGen: Gen[Double] = Gen.frequency(
       3 -> Gen.chooseNum(-999999999999L, 999999999999L).map(_ / 1e6),
       2 -> Gen.chooseNum(0L, 999999999999L).map(-_ / 1e6),
-      1 -> Gen.oneOf(0.0, -0.0, 1e-300, -1e-300, 4.9e-324, 1.0, 1e300, -1e300))
+      1 -> Gen.oneOf(0.0, -0.0, 1e-300, -1e-300, 4.9e-324, 1.0, 1e300, -1e300,
+        Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
     val lnIn = cases(lnGen).zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "x")
-    // quantized like q_math_funcs — raw ln is NOT bitwise cross-engine
-    // (JDK Math.log vs libm, ±1 ulp; class 22b — this very arm found it)
+    // the lnQuant twin pair — quantized like q_math_funcs, because raw ln
+    // is NOT bitwise cross-engine (JDK Math.log vs libm, ±1 ulp; class 22b
+    // — this very arm found it), spelled once in Exact so the three call
+    // sites can't drift
     val lnTwin = dump("fz_ln_guard", lnIn,
-      lnIn.select(col("id"), floor(log(col("x")) * 1e6).as("l")).orderBy("id"),
-      s"SELECT id, CAST(floor(${Exact.lnPosSql("x")}*1e6) AS BIGINT) AS l " +
-        "FROM t ORDER BY id")
+      lnIn.select(col("id"), Exact.lnQuant(col("x")).as("l")).orderBy("id"),
+      s"SELECT id, ${Exact.lnQuantSql("x")} AS l FROM t ORDER BY id")
 
     val hashIn = cases(md5Gen).zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "s")
@@ -276,7 +281,7 @@ class DeviceParityPropertySpec extends SparkSuite {
       java.nio.file.Paths.get(s"$outDir/device_sql.json"),
       twins.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
 
-    // ONE batched DuckDB replay for all 8 families (per-case subprocesses
+    // ONE batched DuckDB replay for all families (per-case subprocesses
     // would dominate runtime ~1000×)
     val tool = java.nio.file.Paths.get(
       sys.props("user.dir"), "tools", "device_parity.py").toString
