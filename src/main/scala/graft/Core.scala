@@ -117,13 +117,47 @@ object Tables {
     * every downstream map-side expression would run on ONE core no matter how
     * many the session has. A round-robin repartition of the slim pre-explode
     * rows (documents: 5k rows / 0.6 MB at sf0.1) costs a negligible exchange
-    * and buys full map-side parallelism. At 100 TB inputs arrive as thousands
+    * and buys map-side parallelism. At 100 TB inputs arrive as thousands
     * of row groups and scans parallelize natively — this exchange is the
     * standard "parallelize the expensive stage behind a selective/small scan"
     * move, not a scale crutch; keep it only where the downstream per-row work
-    * dominates the shuffle (never in front of plain scans/filters). */
+    * dominates the shuffle (never in front of plain scans/filters).
+    *
+    * Width (r16 optimization round): the session's shuffle width, capped at
+    * defaultParallelism — NOT raw defaultParallelism. A per-ROW map stage's
+    * useful parallelism is bounded by the same data volume the session
+    * already sized its shuffles to (guide §2: derive partitioning from input
+    * size, not the core count); at local[32] over sf0.1 a 32-way spread is
+    * pure task-launch overhead on a few-hundred-ms stage. Measured
+    * (ConfProbe, 45 spread-consuming queries, interleaved 5-pass medians,
+    * 32 cores): 15.23 s at width 32 → 11.0 s at width 8 (−28%, uniform
+    * except the pair-join site below). On a cluster, shuffle width is
+    * data-sized (bytes/200 MB), so this inherits scale-adaptivity; the cap
+    * keeps a default-200-partition local session at the old behavior.
+    * Downstream work that scales SUPER-linearly in block sizes (pair joins)
+    * wants cores regardless of input bytes — that is [[spreadWide]]. */
   def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spreadWidth(spark))
+
+  /** Spread for PAIR-explosion stages (blocked self-joins whose probe-side
+    * partitioning this relation's layout decides): full defaultParallelism —
+    * the downstream Σ(block²) comparison work dwarfs per-row costs, so
+    * undersubscribing cores loses more than the task overhead saves
+    * (measured: q_dedup_fuzzy_block 0.19 s at width 32 vs 0.45 s at 8). */
+  def spreadWide(spark: SparkSession, df: DataFrame): DataFrame =
     df.repartition(spark.sparkContext.defaultParallelism)
+
+  /** [[spread]]'s width rule, with a dev-probe override (SPROBE_SPREAD env /
+    * graft.probe.spread sysprop) so the width can be A/B'd under the real
+    * query code — the same pattern as StreamQueries' SPROBE_SHUFFLE knob: a
+    * probe that re-implemented the pipelines at another width would drift
+    * from what the gated queries actually run. */
+  private[graft] def spreadWidth(spark: SparkSession): Int =
+    sys.props.get("graft.probe.spread").orElse(sys.env.get("SPROBE_SPREAD"))
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(math.min(
+        spark.sessionState.conf.numShufflePartitions,
+        spark.sparkContext.defaultParallelism))
 }
 
 /** Timestamp-type portability helpers. The driver-generated fixtures have

@@ -37,7 +37,16 @@ object StreamProbe {
     spark.streams.addListener(listener)
     sys.env.get("SPROBE_SHUFFLE").foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n))
-    for (pass <- 1 to 2) {
+    // A/B knob: extra session confs, "k=v;k=v" (same convention as
+    // Verify's SPARK_GRAFT_EXTRA_CONF) — lets the probe sweep streaming
+    // state-format/provider confs the gated queries would pick up.
+    sys.env.getOrElse("SPROBE_EXTRA", "").split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    val passes = sys.env.getOrElse("SPROBE_PASSES", "2").toInt
+    for (pass <- 1 to passes) {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val t1 = System.nanoTime()

@@ -124,11 +124,13 @@ object QualityOps {
         "implement standard Levenshtein — an integer dynamic program " +
         "with no float anywhere.",
       (s, dir) => {
-        // spread before the pair join: the fixture scan is one input split,
-        // so without this every Levenshtein DP runs on one core (the
-        // parse-stage discipline of Tables.spread); the checkpoint also
-        // keeps the plan from re-deriving the prefix relation per side
-        val d = graft.Tables.spread(s, table(s, dir, "documents")
+        // spreadWide (full defaultParallelism), not the data-sized spread:
+        // this relation's partitioning decides the PAIR join's probe-side
+        // parallelism, and the Σ(block²) Levenshtein DP work downstream
+        // dwarfs per-row costs (r16 ConfProbe: 0.19 s wide vs 0.45 s at
+        // the parse width); the checkpoint also keeps the plan from
+        // re-deriving the prefix relation per side
+        val d = graft.Tables.spreadWide(s, table(s, dir, "documents")
             .select(col("doc_id"), col("lang"),
               call_function("div", col("n_chars"), lit(32L)).as("blk"),
               substring(col("text"), 1, 40).as("pfx")))
