@@ -35,4 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // compiled codegen class; at 8g the old-gen pressure showed up as
   // multi-hundred-ms GC smear on interleaved timed passes (host has 128g).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+  // extra JVM flags for A/B probes (GC sweeps etc.); empty by default so
+  // the driver's runs are unaffected unless it opts in
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(
+  _.split(' ').filter(_.nonEmpty))

@@ -92,7 +92,14 @@ object ConfProbe {
 
     val samples = scala.collection.mutable.Map[(String, String), Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    for (p <- 1 to passes; q <- queries; (vn, confs) <- variants) {
+    // Alternate variant order per pass: with a fixed order, any systematic
+    // first-runner handicap (GC debt from the previous query, page-cache
+    // state) is charged to the same arm every pass and reads as a causal
+    // difference — observed as a join-only conf "improving" a session-window
+    // query by 1 s. Reversing on odd passes cancels the position effect in
+    // the median.
+    for (p <- 1 to passes; q <- queries;
+         (vn, confs) <- (if (p % 2 == 0) variants.reverse else variants)) {
       withConfs(confs) {
         val t = try {
           planned((q, vn)) match {

@@ -108,7 +108,18 @@ object StreamQueries {
     *    size observability comes from the sizeBytes metrics instead. */
   private val RocksDbConf: Seq[(String, String)] = Seq(
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
-    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false")
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false",
+    // Stream-stream join state format v3 (r16 optimization round): ONE
+    // physical store per partition with virtual column families, instead of
+    // the classic four instances (left/right × keyToNumValues/
+    // keyWithIndexToValue). Four stores per partition quadruple the
+    // open/commit/changelog overhead per micro-batch — at 100 TB state that
+    // is 4× the instance count the provider maintains and snapshots; at
+    // bench scale it is measurable per-batch floor (ConfProbe, 10
+    // interleaved order-alternating passes, 32 cores: q_stream_join
+    // 3.49 s → 2.91 s, the session-window control unchanged 2.60/2.65).
+    // Applies to NEW checkpoints only, which every gated run creates.
+    "spark.sql.streaming.join.stateFormatVersion" -> "3")
 
   private[graft] def withStreamConf[A](spark: org.apache.spark.sql.SparkSession,
       width: Int = StreamShuffleWidth)(body: => A): A = {
@@ -128,14 +139,17 @@ object StreamQueries {
     * sizes), overridable via SPROBE_SHUFFLE so StreamProbe's sweep knob
     * tunes the SAME setting the gated stream queries run with (previously
     * the hard-coded 2 silently overrode the probe's session-level set). */
-  private lazy val StreamShuffleWidth: Int = widthOr(2)
+  private def StreamShuffleWidth: Int = widthOr(2)
 
-  /** SPROBE_SHUFFLE wins over any per-query default — a hard-coded width
+  /** SPROBE_SHUFFLE (env) / graft.probe.streamwidth (sysprop, for same-JVM
+    * ConfProbe sweeps) wins over any per-query default — a hard-coded width
     * would silently no-op the probe's sweep, the exact bug this knob was
     * introduced to fix (r13 review caught the dupe filter's literal 4
-    * reintroducing it). */
+    * reintroducing it). Re-read per call (not lazy): a frozen first read
+    * would pin every later sweep variant to the first one's width. */
   private def widthOr(default: Int): Int =
-    sys.env.get("SPROBE_SHUFFLE")
+    sys.props.get("graft.probe.streamwidth")
+      .orElse(sys.env.get("SPROBE_SHUFFLE"))
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .getOrElse(default)
 
