@@ -254,28 +254,68 @@ object Bench {
     // the nightly index/ingest job — so their cost must be REPORTED, not
     // silently absorbed into warmup, or cross-engine comparisons against a
     // baseline that derives them inline read as inflated speedups.
-    val artifactSec: Seq[(String, Double)] = Seq(
-      ("ann_index", () => graft.functions.Similarity.ensureIndex(spark, sfDir)),
-      ("graph_edges", () => { graft.operators.Graph.orderGraph(spark, sfDir); () }),
-      ("affinity_graph", () => { graft.operators.Graph.affinityGraph(spark, sfDir); () }),
-      ("lsh_bands", () => graft.functions.DedupOps.ensureBands(spark, sfDir)),
-      ("dedup_ledger", () => { graft.functions.DedupOps.componentLedger(spark, sfDir); () }),
-      ("bucketed_layout", () => { graft.sources.BucketedLayout.ensureTables(spark, sfDir); () }),
-      ("packet_archive", () => { graft.operators.Geo.ensureArchive(spark, sfDir); () }),
-      ("format_exports", () => graft.sources.FormatSources.ensureExports(spark, sfDir)),
-      ("pca_iterate", () => graft.functions.VectorOps.ensurePcaIterate(spark, sfDir)),
-      ("pq_model", () => graft.functions.VectorOps.ensurePqModel(spark, sfDir))
-    ).map { case (n, f) =>
+    //
+    // Since r17 the INDEPENDENT builds overlap (guide §2.6 "overlap
+    // independent jobs"): a build's straggler tail leaves most cores idle,
+    // and 3 builds in flight back-fill it — actions are only sequential
+    // because the driver calls them sequentially. The two dependency edges
+    // (pq_model trains on pca_iterate's memoized qrel; dedup_ledger's
+    // fixpoint reads lsh_bands' signature memo) are explicit Future chains,
+    // so a dependent build never starts before its input exists and never
+    // charges its wall time with a pool-thread wait. Each build runs under
+    // its own thread-local job group ("artifact:<name>"), keeping per-build
+    // attribution exact; the bench's census listener only counts "bench:"
+    // groups, so artifact jobs never pollute the per-query census. Builders
+    // were audited for session-conf mutation (none mutate session state;
+    // all memos are ConcurrentHashMap.computeIfAbsent, which serializes
+    // concurrent first-calls on the same key).
+    val artifactDefs: Seq[(String, Seq[String], () => Unit)] = Seq(
+      ("ann_index", Nil, () => graft.functions.Similarity.ensureIndex(spark, sfDir)),
+      ("graph_edges", Nil, () => { graft.operators.Graph.orderGraph(spark, sfDir); () }),
+      ("affinity_graph", Nil, () => { graft.operators.Graph.affinityGraph(spark, sfDir); () }),
+      ("lsh_bands", Nil, () => graft.functions.DedupOps.ensureBands(spark, sfDir)),
+      ("dedup_ledger", Seq("lsh_bands"),
+        () => { graft.functions.DedupOps.componentLedger(spark, sfDir); () }),
+      ("bucketed_layout", Nil, () => { graft.sources.BucketedLayout.ensureTables(spark, sfDir); () }),
+      ("packet_archive", Nil, () => { graft.operators.Geo.ensureArchive(spark, sfDir); () }),
+      ("format_exports", Nil, () => graft.sources.FormatSources.ensureExports(spark, sfDir)),
+      ("pca_iterate", Nil, () => graft.functions.VectorOps.ensurePcaIterate(spark, sfDir)),
+      ("pq_model", Seq("pca_iterate"), () => graft.functions.VectorOps.ensurePqModel(spark, sfDir)))
+    def runArtifact(n: String, f: () => Unit): (String, Double) = {
+      sc.setJobGroup(s"artifact:$n", null)
       val t0 = System.nanoTime()
       // a FAILED build records -1 (the per-query convention), never its
       // time-to-failure — which read exactly like a successful fast build
-      // in artifacts_total and cross-round comparisons (r14 bench review)
+      // in artifact sums and cross-round comparisons (r14 bench review)
       try { f(); n -> (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] artifact $n failed: ${e.getMessage}")
         n -> -1.0
-      }
+      } finally sc.clearJobGroup()
     }
+    val artPool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val artWall0 = System.nanoTime()
+    val artifactSec: Seq[(String, Double)] = try {
+      implicit val artEc: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(artPool)
+      val artFutures =
+        scala.collection.mutable.Map[String, scala.concurrent.Future[(String, Double)]]()
+      artifactDefs.foreach { case (n, deps, f) =>
+        // runArtifact never throws (it records -1), so a dependent build
+        // still runs after a failed dependency — exactly the sequential
+        // behavior (it will recompute or fail on its own and record -1)
+        val depF = scala.concurrent.Future.sequence(deps.map(artFutures))
+        artFutures(n) = depF.map(_ => runArtifact(n, f))
+      }
+      artifactDefs.map { case (n, _, _) =>
+        scala.concurrent.Await.result(artFutures(n),
+          scala.concurrent.duration.Duration.Inf) }
+    } finally artPool.shutdown()
+    // the deployment-relevant artifact cost once builds overlap is the
+    // phase WALL time; the per-build splits keep their per-build meaning
+    // (under concurrency they include cpu-sharing inflation, so their sum
+    // upper-bounds the old sequential total)
+    val artifactsWallSec = (System.nanoTime() - artWall0) / 1e9
     mark("artifacts_done")
 
     // Warmup pass 2 — lazy queries at the BENCHED dir: plan once (memoized),
@@ -508,6 +548,15 @@ object Bench {
     val duckTotal = duckLine
       .flatMap(l => "\"total\":\\s*([0-9.]+)".r.findFirstMatchIn(l))
       .map(_.group(1)).getOrElse("null")
+    // Spark/DuckDB same-window ratio as a FIRST-CLASS field (r16 verdict
+    // #3): raw seconds move with host condition — the r16 round read as
+    // "regressed 0.835×" until the DuckDB control (43% slower same-window)
+    // was pulled out of the tail by hand. The ratio is the host-invariant
+    // comparison metric; emitting it ready-made lets PERF comparisons
+    // self-defend against host drift.
+    val duckRatio =
+      if (duckTotal == "null" || total <= 0) "null"
+      else r3(total / duckTotal.toDouble)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // census block: per-pass jobs/stages/tasks for every successful
     // non-streaming query at or above the SCALE.md census threshold (0.45 s)
@@ -575,7 +624,9 @@ object Bench {
     }.mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-        s""""failed":$failedJson,"artifacts":$artJson,"duckdb":$duckJson,""" +
+        s""""failed":$failedJson,"artifacts":$artJson,""" +
+        s""""artifacts_wall":${r3(artifactsWallSec)},""" +
+        s""""duckdb":$duckJson,"duckdb_ratio":$duckRatio,""" +
         s""""census":$censusJson,"census_new":$censusNewJson,""" +
         s""""host":$hostJson,""" +
         s""""cpus":$cpus,"sf":"$sfDir"}"""
@@ -596,15 +647,20 @@ object Bench {
     val top = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // artifacts_total in the PARSED headline (r13 verdict #7): the driver
-    // artifact alone now shows queries + artifacts + duckdb from one window
+    // artifact alone now shows queries + artifacts + duckdb from one window.
+    // Since r17 (parallel builds) artifacts_total is the phase WALL time;
+    // artifacts_serial_sum keeps the old sum-of-splits meaning for
+    // cross-round comparison (declared in OPTIMIZATION_r17.md).
     val artTotal = artifactSec.map(_._2).filter(_ >= 0).sum
     val headline =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,""" +
         s""""n_queries":${results.size},"failed":$failedJson,""" +
-        s""""duckdb_total":$duckTotal,""" +
-        s""""artifacts_total":${r3(artTotal)},"n_artifacts":${artifactSec.size},""" +
+        s""""duckdb_total":$duckTotal,"duckdb_ratio":$duckRatio,""" +
+        s""""artifacts_total":${r3(artifactsWallSec)},""" +
+        s""""artifacts_serial_sum":${r3(artTotal)},""" +
+        s""""n_artifacts":${artifactSec.size},""" +
         s""""cpus":$cpus,""" +
-        s""""note":"queries holds slowest 15 of ${results.size}; duckdb_total is the same-window 4-thread oracle replay over the non-failed query set; artifacts_total sums the ${artifactSec.size} write-once artifact builds, failures as -1 (splits in bench_full.json)","sf":"$sfDir"}"""
+        s""""note":"queries holds slowest 15 of ${results.size}; duckdb_total is the same-window 4-thread oracle replay over the non-failed query set; duckdb_ratio = value/duckdb_total (host-invariant); artifacts_total is the WALL of the ${artifactSec.size} write-once builds (3 in flight since r17), artifacts_serial_sum the per-build sum, failures as -1 (splits in bench_full.json)","sf":"$sfDir"}"""
     // silence Spark's shutdown chatter (rpc/netty teardown logs at ERROR),
     // stop the session, and only THEN print the headline: nothing can be
     // written after it before the JVM exits.

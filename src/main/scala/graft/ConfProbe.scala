@@ -18,6 +18,12 @@ import org.apache.spark.sql.execution.SparkPlan
   *   CONF_QUERIES="q_a,q_b" CONF_PASSES=5 \
   *   sbt "runMain graft.ConfProbe <sfDir>"
   * (variant syntax: `name=k=v;k=v`, empty conf list = baseline)
+  *
+  * Delimiter limits (advisor r16): conf VALUES containing ';' or '|' are
+  * inexpressible (the split runs before k=v parsing) and a key repeated
+  * within one variant restores in declaration order on exit (last restore
+  * wins) — fine for the flat sweeps this probe runs; don't feed it richer
+  * conf values.
   */
 object ConfProbe {
   def main(args: Array[String]): Unit = {
@@ -75,10 +81,23 @@ object ConfProbe {
     case object Rebuild extends Mode
     val planned = scala.collection.mutable.Map[(String, String), (Mode, SparkPlan)]()
     for (q <- queries; (vn, confs) <- variants) withConfs(confs) {
-      if (Bench.isEager(q)) planned((q, vn)) = (Rebuild, null)
+      // Warm-up parity across ALL modes (advisor r16): the Rebuild branches
+      // (eager and subquery-bearing queries) previously got no untimed
+      // execution here, so pass-1 cold costs (JIT, page cache, codegen)
+      // landed on whichever variant ran first — order alternation only
+      // cancels position effects from pass 2 onward, which biases
+      // small-pass-count medians. Every branch now executes once untimed.
+      if (Bench.isEager(q)) {
+        planned((q, vn)) = (Rebuild, null)
+        try runPlan(SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan)
+        catch { case e: Throwable =>
+          System.err.println(s"[conf] warmup $q/$vn failed: ${e.getMessage}") }
+      }
       else {
         val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
-        if (plan.subqueriesAll.nonEmpty) planned((q, vn)) = (Rebuild, null)
+        if (plan.subqueriesAll.nonEmpty) {
+          planned((q, vn)) = (Rebuild, null); runPlan(plan)
+        }
         else if (!Bench.hasExchange(plan)) {
           planned((q, vn)) = (Pure, plan); runPlan(plan)
         } else {

@@ -8,12 +8,14 @@ import org.apache.spark.sql.SparkSession
   * an AvailableNow pass spends its time (triggerExecution, queryPlanning,
   * walCommit, stateStore commit, addBatch). Not part of the driver contract.
   *
-  * Usage: runMain graft.StreamProbe <sfDir> <query>
+  * Usage: runMain graft.StreamProbe <sfDir> <query> [<query> ...]
+  * (multiple queries share one JVM/session — r17: a per-query JVM paid
+  * ~20 s of sbt+session startup per pipeline for an 8-pipeline sweep)
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val name = args(1)
+    val qnames = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,13 +48,14 @@ object StreamProbe {
         spark.conf.set(k, v)
       }
     val passes = sys.env.getOrElse("SPROBE_PASSES", "2").toInt
-    for (pass <- 1 to passes) {
+    for (name <- qnames; pass <- 1 to passes) {
+      println(s"[sprobe] === $name pass $pass ===")
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val t1 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
       val t2 = System.nanoTime()
-      println(f"[sprobe] pass=$pass stream=${(t1 - t0) / 1e9}%.3f s readback=${(t2 - t1) / 1e9}%.3f s")
+      println(f"[sprobe] $name pass=$pass stream=${(t1 - t0) / 1e9}%.3f s readback=${(t2 - t1) / 1e9}%.3f s")
     }
     spark.stop()
   }
