@@ -98,6 +98,41 @@ object Bench {
   private[graft] def isEager(name: String): Boolean =
     eager(name) || name.startsWith("q_stream_")
 
+  /** Builder-work detector (r17 measurement-honesty fix). The hand-listed
+    * [[eager]] set missed a CLASS of queries whose builders execute their
+    * dominant work inline — every superstep query that localCheckpoints its
+    * iterations at build time (q_graph_bfs/label_prop/kcore/modularity/
+    * closeness/walk), and the single-parse/single-scan stagers
+    * (q_ts_gap_fill, q_geo_join_grid, q_seq_stationary, q_text_perplexity,
+    * …). Their memoized plans read the builder's CACHED rows, so clone-mode
+    * timed passes priced only the read-back tail while each DuckDB twin
+    * recomputes the whole fixpoint per run (q_graph_bfs timed 0.116 s
+    * against a full recursive-CTE replay — the exact q_join_bloom class the
+    * r14 honesty rule fixed by hand). Instead of growing the hand list, the
+    * bench now DETECTS builder-side execution: any Spark job launched while
+    * the builder runs reclassifies the query to rebuild mode (builder
+    * re-invoked INSIDE the timed region, like the eager set). Detection
+    * runs after the artifact step, so memoized artifact builds (orderGraph,
+    * bands, index) are already settled and never misattributed to the
+    * querying builder. Counter reads go through the listener-bus drain
+    * ([[org.apache.spark.graft.ListenerBridge]]) because listener delivery
+    * is async. */
+  private[graft] def jobCounter(
+      sc: org.apache.spark.SparkContext): java.util.concurrent.atomic.AtomicLong = {
+    val n = new java.util.concurrent.atomic.AtomicLong()
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    })
+    n
+  }
+  private[graft] def settledJobs(sc: org.apache.spark.SparkContext,
+      counter: java.util.concurrent.atomic.AtomicLong): Long = {
+    org.apache.spark.graft.ListenerBridge.waitUntilEmpty(sc)
+    counter.get
+  }
+
   /** The ONE exchange detector behind the memoization-mode decision: a plan
     * with no shuffle/broadcast exchange holds no cross-pass state, so the
     * bench re-executes the SAME instance ("pure" mode). Previously hand-copied
@@ -324,33 +359,45 @@ object Bench {
     // saveAsTable copies, CSV/JSON exports) at sfDir, so timed passes measure
     // the query, never the ingest — at cluster scale those writes are the
     // nightly ingest job, not the query (BucketedLayout scaladoc).
+    val builderJobCounter = jobCounter(sc)
+    val builderWork = scala.collection.mutable.ArrayBuffer[String]()
     names.filterNot(isEager).foreach { n =>
       try {
+        val jobsBefore = settledJobs(sc, builderJobCounter)
         val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
-        // Reuse-bearing plans are memoizable since rewireReuse (above)
-        // retargets the clone's reuse references; only plans whose reuse
-        // crosses the tree boundary (never observed) or that memoize
-        // subquery futures still need the per-pass rebuild.
-        // subqueriesAll, not subqueries: `subqueries` is NODE-LOCAL (the
-        // root's own expressions only — and the root is typically a
-        // WholeStageCodegenExec with none), so a scalar/IN subquery hanging
-        // off a FilterExec deeper in the tree would pass the clone path and
-        // stage-skip through its memoized relationFuture on every timed pass
-        val stateful = plan.subqueriesAll.nonEmpty
-        // a plan with NO exchange nodes holds no cross-pass state at all:
-        // there is no shuffle map output to stage-skip and no broadcast
-        // future to cache, so re-executing the SAME instance recomputes
-        // every task honestly — and skips the per-pass codegen-source
-        // regeneration the clone path pays (~30-80 ms on scan/project/
-        // TakeOrdered-shaped queries, a large share of their total)
-        if (stateful) { rebuild += n; runPlan(plan) }
-        else if (!hasExchange(plan)) { pure(n) = plan; runPlan(plan) }
-        else {
-          val cloned = prepareClone(plan)
-          // honesty gate: a clone whose reuse references escaped the tree
-          // (rewire found no canonical match) would stage-skip — rebuild it
-          if (reuseClosed(cloned)) { planned(n) = plan; runPlan(cloned) }
-          else { rebuild += n; runPlan(cloned) }
+        // builder-work detection (see [[jobCounter]]): a builder that
+        // launched jobs has executed work whose results the memoized plan
+        // would read from cache — rebuild mode re-invokes it per timed pass
+        if (settledJobs(sc, builderJobCounter) > jobsBefore) {
+          builderWork += n
+          rebuild += n
+          runPlan(plan)
+        } else {
+          // Reuse-bearing plans are memoizable since rewireReuse (above)
+          // retargets the clone's reuse references; only plans whose reuse
+          // crosses the tree boundary (never observed) or that memoize
+          // subquery futures still need the per-pass rebuild.
+          // subqueriesAll, not subqueries: `subqueries` is NODE-LOCAL (the
+          // root's own expressions only — and the root is typically a
+          // WholeStageCodegenExec with none), so a scalar/IN subquery hanging
+          // off a FilterExec deeper in the tree would pass the clone path and
+          // stage-skip through its memoized relationFuture on every timed pass
+          val stateful = plan.subqueriesAll.nonEmpty
+          // a plan with NO exchange nodes holds no cross-pass state at all:
+          // there is no shuffle map output to stage-skip and no broadcast
+          // future to cache, so re-executing the SAME instance recomputes
+          // every task honestly — and skips the per-pass codegen-source
+          // regeneration the clone path pays (~30-80 ms on scan/project/
+          // TakeOrdered-shaped queries, a large share of their total)
+          if (stateful) { rebuild += n; runPlan(plan) }
+          else if (!hasExchange(plan)) { pure(n) = plan; runPlan(plan) }
+          else {
+            val cloned = prepareClone(plan)
+            // honesty gate: a clone whose reuse references escaped the tree
+            // (rewire found no canonical match) would stage-skip — rebuild it
+            if (reuseClosed(cloned)) { planned(n) = plan; runPlan(cloned) }
+            else { rebuild += n; runPlan(cloned) }
+          }
         }
       } catch {
         case e: Throwable =>
@@ -358,6 +405,9 @@ object Bench {
           rebuild += n
       }
     }
+    if (builderWork.nonEmpty) System.err.println(
+      "[bench] builder-work detection reclassified to rebuild mode " +
+        s"(${builderWork.size}): ${builderWork.sorted.mkString(", ")}")
     // drop warmup-scale cached relations and collect the warmup garbage now,
     // so timed queries aren't hit by a stop-the-world pause mid-measurement
     spark.catalog.clearCache()
@@ -627,6 +677,7 @@ object Bench {
         s""""failed":$failedJson,"artifacts":$artJson,""" +
         s""""artifacts_wall":${r3(artifactsWallSec)},""" +
         s""""duckdb":$duckJson,"duckdb_ratio":$duckRatio,""" +
+        s""""builder_work":${builderWork.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""census":$censusJson,"census_new":$censusNewJson,""" +
         s""""host":$hostJson,""" +
         s""""cpus":$cpus,"sf":"$sfDir"}"""

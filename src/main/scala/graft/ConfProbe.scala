@@ -80,6 +80,7 @@ object ConfProbe {
     case object Clone extends Mode
     case object Rebuild extends Mode
     val planned = scala.collection.mutable.Map[(String, String), (Mode, SparkPlan)]()
+    val builderJobCounter = Bench.jobCounter(sc)
     for (q <- queries; (vn, confs) <- variants) withConfs(confs) {
       // Warm-up parity across ALL modes (advisor r16): the Rebuild branches
       // (eager and subquery-bearing queries) previously got no untimed
@@ -94,8 +95,13 @@ object ConfProbe {
           System.err.println(s"[conf] warmup $q/$vn failed: ${e.getMessage}") }
       }
       else {
+        val jobsBefore = Bench.settledJobs(sc, builderJobCounter)
         val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
-        if (plan.subqueriesAll.nonEmpty) {
+        // builder-work detection, the bench's r17 rule (Bench.jobCounter)
+        if (Bench.settledJobs(sc, builderJobCounter) > jobsBefore) {
+          planned((q, vn)) = (Rebuild, null); runPlan(plan)
+        }
+        else if (plan.subqueriesAll.nonEmpty) {
           planned((q, vn)) = (Rebuild, null); runPlan(plan)
         }
         else if (!Bench.hasExchange(plan)) {

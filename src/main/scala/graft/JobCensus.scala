@@ -63,11 +63,17 @@ object JobCensus {
 
     val rows = names.flatMap { n =>
       try {
-        val eager = Bench.isEager(n) // the bench's OWN predicate, not a copy
+        val eagerName = Bench.isEager(n) // the bench's OWN predicate, not a copy
         // memoize once for the lazy path; decide rebuild-vs-clone like Bench
+        val jobsBefore = if (eagerName) 0 else { quiesce(); jobs }
         val plan =
-          if (eager) null
+          if (eagerName) null
           else SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
+        // builder-work detection, the bench's r17 rule (Bench.jobCounter
+        // scaladoc): a builder that launched jobs executed work the
+        // memoized plan would read from cache — rebuild per run, like Bench
+        val builderWork = !eagerName && { quiesce(); jobs > jobsBefore }
+        val eager = eagerName || builderWork
         // full re-plan when the plan memoizes subquery futures: clone()
         // does not clone expression-embedded subquery plans, so a clone
         // would share the original's cached subquery results and the timed
